@@ -1,0 +1,340 @@
+"""Aggregation operators (SURVEY §2.4 A1-A11).
+
+A1 is the reference's only in-Spark computation — the watermark
+``df.agg(F.max(iterate_column))`` at reference
+``mkpipe_extractor_clickhouse/__init__.py:110-112``. A2-A11 are the
+grouped-aggregation surface the reference exposes via ClickHouse SQL
+passthrough (``custom_query``, reference ``README.md:57-66``), executed
+natively: Spark plans these as partial (map-side) + final hash
+aggregations automatically, so at 100 TB the shuffle carries only
+pre-aggregated group states, not rows.
+
+All double aggregates use the decimal-cast helpers from
+``_determinism`` so results are order-independent (see that module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import DAVG, DSUM, davg, dsum
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM.format(x='l_quantity')} AS sum_qty,
+           {DSUM.format(x='l_extendedprice')} AS sum_base_price,
+           {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DAVG.format(x='l_quantity')} AS avg_qty,
+           {DAVG.format(x='l_extendedprice')} AS avg_price,
+           {DAVG.format(x='l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "flagship"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan → filter → grouped agg.
+
+    The flagship end-to-end slice (SURVEY §7 M0): S1 scan with pruned
+    ReadSchema, P4 pushed filter, A2 partial+final hash agg, O1 sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a1_watermark_max",
+    oracle="""
+    SELECT MAX(ts) AS max_ts, MAX(event_id) AS max_event_id
+    FROM events
+    """,
+    tags=("A1",),
+)
+def a1_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped max — the reference's watermark computation
+    (reference __init__.py:112) for both supported iterate_column
+    types (datetime and int, reference README.md:108)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("max_ts"), F.max("event_id").alias("max_event_id")
+    )
+
+
+@register(
+    "a2_group_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {DSUM.format(x='o_totalprice')} AS sum_price,
+           {DAVG.format(x='o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A2",),
+    bench=True,
+)
+def a2_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregation: sum/avg/min/max/count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "a3_counts",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(l_partkey) AS n_partkey,
+           COUNT(DISTINCT l_partkey) AS n_distinct_parts,
+           COUNT(DISTINCT l_orderkey) AS n_distinct_orders
+    FROM lineitem
+    """,
+    tags=("A3",),
+)
+def a3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) / count(col) / count(distinct) — exact distinct is a
+    two-stage (partial-dedup → final) plan in Spark, shuffle-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_partkey").alias("n_partkey"),
+        F.countDistinct("l_partkey").alias("n_distinct_parts"),
+        F.countDistinct("l_orderkey").alias("n_distinct_orders"),
+    )
+
+
+@register(
+    "a4_approx_count_distinct",
+    oracle=None,  # approximate → rows-only check (SURVEY A4)
+    tags=("A4",),
+)
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse uniq() analogue: HyperLogLog++ sketch. Approximate by
+    design → declared rows-only. At scale this avoids the exact-distinct
+    shuffle entirely (sketches merge associatively map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "a5_having",
+    oracle=f"""
+    SELECT l_suppkey, {DSUM.format(x='l_quantity')} AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100 AND {DSUM.format(x='l_quantity')} > 500
+    """,
+    tags=("A5",),
+)
+def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("total_qty"), F.count("*").alias("n_items"))
+        .filter((F.col("n_items") > 100) & (F.col("total_qty") > 500))
+    )
+
+
+@register(
+    "a6_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {DSUM.format(x='l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A6",),
+)
+def a6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — hierarchical subtotals in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+
+
+@register(
+    "a6_cube",
+    oracle=f"""
+    SELECT l_returnflag, o_orderstatus,
+           CAST(GROUPING(l_returnflag, o_orderstatus) AS BIGINT) AS gid,
+           {DSUM.format(x='l_extendedprice')} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY CUBE (l_returnflag, o_orderstatus)
+    """,
+    tags=("A6",),
+)
+def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE across a join — all 2^k grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .cube("l_returnflag", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select("l_returnflag", "o_orderstatus", "gid", "sum_price")
+    )
+
+
+@register(
+    "a7_conditional_agg",
+    oracle=f"""
+    SELECT event_type,
+           {DSUM.format(x="CASE WHEN value > 50 THEN value END")} AS sum_big,
+           COUNT(*) FILTER (WHERE value > 50) AS n_big,
+           COUNT(*) FILTER (WHERE value <= 50) AS n_small
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A7",),
+)
+def a7_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sumIf/countIf analogue: sum(CASE WHEN)/count_if."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        dsum(F.when(F.col("value") > 50, F.col("value"))).alias("sum_big"),
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.count_if(F.col("value") <= 50).alias("n_small"),
+    )
+
+
+@register(
+    "a8_collect_list",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("A8",),
+)
+def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse groupArray analogue. Sorted then joined to a string so
+    the result is deterministic and hash-comparable (SURVEY §5.5)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "a9_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 6) AS p90_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.10), 6) AS p10_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A9",),
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated percentiles (ClickHouse quantile).
+
+    Both engines use linear interpolation between the same two order
+    statistics; rounded to 6dp to absorb ulp-level formula differences.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 6).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.10)), 6).alias("p10_price"),
+    )
+
+
+@register(
+    "a10_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(({DSUM.format(x='l_quantity * l_quantity')}
+                  - {DSUM.format(x='l_quantity')} * {DSUM.format(x='l_quantity')} / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS var_qty,
+           ROUND(SQRT(({DSUM.format(x='l_quantity * l_quantity')}
+                  - {DSUM.format(x='l_quantity')} * {DSUM.format(x='l_quantity')} / COUNT(*))
+                 / (COUNT(*) - 1)), 6) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A10",),
+)
+def a10_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via the sums-of-squares identity with
+    exact decimal sums — deterministic across engines, unlike the
+    engines' native single-pass/pairwise implementations which differ
+    in low-order bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    sx = dsum(x)
+    sxx = dsum(x * x)
+    n = F.count("*")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+    )
+
+
+@register(
+    "a11_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, o_totalprice) AS max_price_order,
+           ARG_MIN(o_orderkey, o_totalprice) AS min_price_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A11",),
+)
+def a11_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse argMax/argMin analogue: max_by/min_by."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("max_price_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("min_price_order"),
+    )
