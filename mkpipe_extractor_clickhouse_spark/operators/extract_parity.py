@@ -1,1 +1,140 @@
-"""Placeholder — filled in by its milestone."""
+"""Declared queries exercising the extractor-parity core (SURVEY §2 M1)
+through the driver's t2 gate.
+
+The key invariant (implicit in the reference's incremental loop,
+reference ``mkpipe_extractor_clickhouse/__init__.py:71-115``): replaying
+a table through incremental extraction must converge to the same result
+as one full load. x1 runs the whole runner — chunked arrivals, ``>=``
+boundary re-reads, idempotent appends, state commits — and its oracle is
+simply ``SELECT * FROM events``.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ..sources.extract import (
+    IncrementalRunner,
+    ParquetExtractor,
+    ParquetLoader,
+    TableConfig,
+)
+from ..sources.filter_spec import FilterSpec
+from ..sources.state import WatermarkStore
+
+# Cutoffs simulating four arrival batches over the events table's
+# 2024-01 span (FIXTURES.md), final batch unbounded.
+_CUTOFFS = ["2024-01-08", "2024-01-15", "2024-01-22", None]
+
+
+@register(
+    "x1_incremental_replay",
+    oracle="SELECT * FROM events",
+    tags=("S7", "S8", "S10", "P3", "A1", "T7"),
+)
+def x1_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full incremental lifecycle: 4 chunked runs of the
+    extract→load→commit-state loop over events (iterate_column=ts,
+    datetime), then read back the accumulated destination. Equality
+    with the full table proves watermark advancement, boundary-dedup
+    idempotency, and append semantics end-to-end."""
+    # The destination outlives this function (the caller collects the
+    # returned DataFrame lazily); clean up at process exit instead.
+    workdir = tempfile.mkdtemp(prefix="x1_incr_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        dedup_keys=("event_id",),
+    )
+    runner = IncrementalRunner(
+        extractor=ParquetExtractor(sf_dir),
+        loader=ParquetLoader(workdir),
+        store=WatermarkStore(os.path.join(workdir, "state.json")),
+    )
+    for cutoff in _CUTOFFS:
+        source_filter = (
+            F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+            if cutoff is not None
+            else None
+        )
+        runner.run_once(spark, table, source_filter=source_filter)
+    return spark.read.parquet(os.path.join(workdir, "events.parquet"))
+
+
+@register(
+    "x2_static_bounds_backfill",
+    oracle="""
+    SELECT * FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    tags=("P4",),
+)
+def x2_static_bounds_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-bounds backfill: half-open [lower, upper) range, mirroring
+    reference __init__.py:72-85 (lower inclusive, upper exclusive)."""
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        filter_lower_bound="2024-01-10 00:00:00",
+        filter_upper_bound="2024-01-20 00:00:00",
+    )
+    result = ParquetExtractor(sf_dir).extract(table, spark)
+    assert result.write_mode == "append"
+    return result.df
+
+
+@register(
+    "x3_custom_query_splice",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+    tags=("S2", "S3"),
+)
+def x3_custom_query_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom query with {query_filter} splice (reference
+    __init__.py:96-99, README.md:57-66) — the user's SQL executes
+    natively in Spark over registered views, with the synthesized
+    watermark predicate spliced in."""
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        custom_query=(
+            "SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_id "
+            "FROM events {query_filter} GROUP BY event_type"
+        ),
+    )
+    result = ParquetExtractor(sf_dir).extract(
+        table, spark, last_point="2024-01-15 00:00:00"
+    )
+    return result.df
+
+
+@register(
+    "x4_watermark_int",
+    oracle="SELECT * FROM events WHERE event_id >= 5000",
+    tags=("P3", "P5"),
+)
+def x4_watermark_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int-typed watermark predicate (reference __init__.py:88-89):
+    unquoted literal, ``>=`` comparison, pushed to the parquet scan."""
+    spec = FilterSpec(column="event_id", column_type="int", last_point="5000")
+    return load_table(spark, sf_dir, "events").filter(spec.to_column())

@@ -1,0 +1,127 @@
+"""Remote-source reader construction (ClickHouse / any JDBC database).
+
+Parity with the reference's ``_build_reader``
+(reference ``mkpipe_extractor_clickhouse/__init__.py:26-43``): a
+connection config plus either a table name or a pushdown SQL query,
+returning a lazy DataFrame. Two transports:
+
+  * ``format('jdbc')`` — works against any JDBC URL; range-partitioned
+    parallel reads via column/lowerBound/upperBound/numPartitions
+    (the reference's partitions_column/partitions_count surface,
+    reference README.md:85-89, 109-110) and fetchsize tuning
+    (README.md:89, 95, 111).
+  * ``format('clickhouse')`` — the binary-HTTP connector the reference
+    pins (``__init__.py:8-12``); used when its JARs are on the
+    classpath (not available in this container — gated, not stubbed:
+    reader construction is pure option-plumbing and unit-testable).
+
+Unlike the reference (README.md:93), partitioned reads are allowed in
+*full* mode too: bounds are computable for any numeric column with one
+cheap min/max agg — at 100 TB an unpartitioned full read is a
+single-connection bottleneck, so lifting this restriction matters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+CLICKHOUSE_JAR_PACKAGES = [
+    # Same connector coordinates the reference pins (__init__.py:8-12);
+    # public Maven artifacts.
+    "com.clickhouse.spark:clickhouse-spark-runtime-4.0_2.13:0.10.0",
+    "com.clickhouse:clickhouse-http-client:0.7.2",
+    "org.apache.httpcomponents.client5:httpclient5:5.3.1",
+]
+
+
+@dataclass
+class ConnectionConfig:
+    """reference __init__.py:18-24 (defaults: port 8123, user 'default')."""
+
+    host: str
+    database: str
+    port: int = 8123
+    user: str = "default"
+    password: str = ""
+
+
+@dataclass
+class JdbcSource:
+    connection: ConnectionConfig
+    fetchsize: int = 100_000  # reference default, README.md:111
+    driver: str | None = None
+
+    def url(self) -> str:
+        c = self.connection
+        return f"jdbc:clickhouse://{c.host}:{c.port}/{c.database}"
+
+    def _base_reader(self, spark: SparkSession) -> DataFrameReader:
+        c = self.connection
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url())
+            .option("user", c.user)
+            .option("password", c.password)
+            .option("fetchsize", str(self.fetchsize))
+        )
+        if self.driver:
+            reader = reader.option("driver", self.driver)
+        return reader
+
+    def reader(
+        self,
+        spark: SparkSession,
+        table_or_query: str,
+        is_query: bool = False,
+        partitions_column: str | None = None,
+        partitions_count: int = 10,  # reference default, README.md:110
+        lower_bound: object | None = None,
+        upper_bound: object | None = None,
+    ) -> DataFrameReader:
+        """Build (don't load) the reader — mirrors __init__.py:35-43 with
+        the range-partitioning options the reference delegates to Spark."""
+        reader = self._base_reader(spark)
+        if is_query:
+            reader = reader.option("query", table_or_query)
+        else:
+            reader = reader.option(
+                "dbtable", f"{self.connection.database}.{table_or_query}"
+            )
+        if partitions_column and lower_bound is not None and upper_bound is not None:
+            reader = (
+                reader.option("partitionColumn", partitions_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(partitions_count))
+            )
+        return reader
+
+    def load(self, spark: SparkSession, table_or_query: str, **kw) -> DataFrame:
+        return self.reader(spark, table_or_query, **kw).load()
+
+
+@dataclass
+class ClickHouseNativeSource:
+    """Binary-HTTP connector variant (requires CLICKHOUSE_JAR_PACKAGES)."""
+
+    connection: ConnectionConfig
+
+    def reader(
+        self, spark: SparkSession, table_or_query: str, is_query: bool = False
+    ) -> DataFrameReader:
+        c = self.connection
+        reader = (
+            spark.read.format("clickhouse")
+            .option("host", c.host)
+            .option("port", str(c.port))
+            .option("user", c.user)
+            .option("password", c.password)
+            .option("database", c.database)
+        )
+        if is_query:
+            reader = reader.option("query", table_or_query)
+        else:
+            reader = reader.option("table", f"{c.database}.{table_or_query}")
+        return reader

@@ -1,0 +1,126 @@
+"""Extractor lifecycle tests: every branch of the reference decision
+tree (reference __init__.py:56-134) — full, incremental-initial,
+incremental-advance, static bounds, empty probe, no-new-data, custom
+query file — plus loader write modes S7/S8 and idempotent append."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mkpipe_extractor_clickhouse_spark.catalog import load_table
+from mkpipe_extractor_clickhouse_spark.sources.extract import (
+    IncrementalRunner,
+    ParquetExtractor,
+    ParquetLoader,
+    TableConfig,
+)
+from mkpipe_extractor_clickhouse_spark.sources.state import WatermarkStore
+
+
+@pytest.fixture
+def runner(tmp_path, sf_dir):
+    return IncrementalRunner(
+        extractor=ParquetExtractor(sf_dir),
+        loader=ParquetLoader(str(tmp_path)),
+        store=WatermarkStore(str(tmp_path / "state.json")),
+    )
+
+
+def test_full_replication_overwrite(spark, sf_dir, runner, tmp_path):
+    table = TableConfig(name="nation", replication_method="full")
+    res = runner.run_once(spark, table)
+    assert res.write_mode == "overwrite"
+    assert res.last_point_value is None
+    assert spark.read.parquet(str(tmp_path / "nation.parquet")).count() == 25
+    # run twice: overwrite stays exact, not doubled
+    runner.run_once(spark, table)
+    assert spark.read.parquet(str(tmp_path / "nation.parquet")).count() == 25
+
+
+def test_incremental_initial_then_advance(spark, sf_dir, runner):
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        dedup_keys=("event_id",),
+    )
+    full_count = load_table(spark, sf_dir, "events").count()
+    # initial: no state → overwrite + trivial filter (__init__.py:92-94)
+    res1 = runner.run_once(spark, table, source_filter=F.col("event_id") < 500)
+    assert res1.write_mode == "overwrite"
+    assert res1.last_point_value == "499"
+    # advance: state → append with >= (__init__.py:86-91)
+    res2 = runner.run_once(spark, table)
+    assert res2.write_mode == "append"
+    assert res2.last_point_value == str(full_count - 1)
+    dest = spark.read.parquet(runner.loader.path(table))
+    assert dest.count() == full_count  # boundary row deduped
+    # no new data: empty probe returns df=None (__init__.py:107-108)
+    res3 = runner.extractor.extract(
+        table, spark, last_point=str(full_count + 100)
+    )
+    assert res3.df is None
+    assert res3.write_mode == "append"
+
+
+def test_incremental_initial_empty_source(spark, sf_dir, runner):
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+    )
+    res = runner.extractor.extract(
+        table, spark, source_filter=F.lit(False)
+    )
+    # empty + initial load → empty df with overwrite (__init__.py:104-106)
+    assert res.df is not None
+    assert res.df.count() == 0
+    assert res.write_mode == "overwrite"
+
+
+def test_static_bounds_append(spark, sf_dir, runner):
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        filter_lower_bound=100,
+        filter_upper_bound=200,
+    )
+    res = runner.extractor.extract(table, spark)
+    assert res.write_mode == "append"
+    ids = [r.event_id for r in res.df.select("event_id").collect()]
+    assert min(ids) == 100 and max(ids) == 199  # half-open [100, 200)
+
+
+def test_custom_query_file(spark, sf_dir, tmp_path):
+    sql_dir = tmp_path / "sql"
+    sql_dir.mkdir()
+    (sql_dir / "q.sql").write_text(
+        "SELECT user_id, COUNT(*) AS n FROM events {query_filter} GROUP BY user_id"
+    )
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        custom_query_file="q.sql",
+    )
+    ex = ParquetExtractor(sf_dir, sql_dir=str(sql_dir))
+    res = ex.extract(table, spark, last_point="900")
+    assert res.df is not None
+    assert set(res.df.columns) == {"user_id", "n"}
+
+
+def test_write_partitions(spark, sf_dir, runner, tmp_path):
+    table = TableConfig(name="events", write_partitions=2)
+    runner.run_once(spark, table)
+    files = [
+        f
+        for f in os.listdir(tmp_path / "events.parquet")
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 2  # coalesce(write_partitions), reference README.md:114
