@@ -1,1 +1,316 @@
-"""Placeholder — filled in by its milestone."""
+"""Join operators (SURVEY §2.3 J1-J11).
+
+All REF-surface: users push these through the reference's
+``custom_query`` passthrough (reference README.md:57-66) and ClickHouse
+executes them; here Catalyst plans them. Physical-strategy posture for
+100 TB:
+  * dimension tables (region/nation/customer/supplier/part) are
+    broadcast explicitly — no shuffle of the fact side;
+  * fact-fact joins shuffle on the join key and rely on AQE for skew
+    splitting;
+  * the as-of join avoids per-key pair blowup entirely (see asof.py);
+  * non-equi joins keep one side broadcast-small so the physical plan
+    is BroadcastNestedLoopJoin, never a cartesian shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import DSUM, dsum
+from .asof import asof_join
+
+
+@register(
+    "j1_inner_equi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderstatus, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    tags=("J1",),
+    bench=True,
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi join on the order key (shuffle join; AQE
+    picks shuffled-hash or sort-merge at runtime)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "j2_broadcast_dims",
+    oracle=f"""
+    SELECT r_name, n_name, {DSUM.format(x='c_acctbal')} AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("J2",),
+)
+def j2_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-dimension joins with explicit broadcast() — zero shuffle of
+    the probe side; the dims ship to every executor once."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum("c_acctbal").alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "j3_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           COALESCE(MAX(o_totalprice), 0.0) AS max_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("J3",),
+)
+def j3_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers with zero orders survive with null
+    order columns (count(col) skips them)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "j4_full_outer",
+    oracle="""
+    SELECT u.user_id AS event_user, c.c_custkey AS cust_key,
+           COALESCE(u.n_events, 0) AS n_events
+    FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) u
+    FULL OUTER JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 200) c
+      ON u.user_id = c.c_custkey
+    """,
+    tags=("J4",),
+)
+def j4_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: unmatched rows from both sides survive."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select("c_custkey")
+    )
+    return ev.join(c, ev.user_id == c.c_custkey, "full").select(
+        F.col("user_id").alias("event_user"),
+        F.col("c_custkey").alias("cust_key"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "j5_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 4000)
+    """,
+    tags=("J5",),
+)
+def j5_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join — no row multiplication, probe side
+    streams through once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "j6_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("J6",),
+)
+def j6_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j7_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("J7",),
+)
+def j7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever dimension×dimension sized; the
+    physical plan is a broadcast nested loop, not a shuffle cartesian."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "j8_theta_join",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_richer_customers
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+    tags=("J8",),
+)
+def j8_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual (``>`` on balances) —
+    mirrors the reference's half-open comparison logic applied across
+    tables (reference __init__.py:76-83). The supplier side is
+    broadcast-small, so no shuffle."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(s),
+            (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+@register(
+    "j9_range_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS n_prior_clicks,
+           {DSUM.format(x='c.value')} AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    tags=("J9",),
+)
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: clicks in the hour before each
+    purchase, per user. Equi key (user) bounds the pair space; the
+    range residual prunes within key."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    joined = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts < p.p_ts),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("c_id").alias("n_prior_clicks"),
+        dsum("c_value").alias("click_value"),
+    )
+
+
+@register(
+    "j10_asof_join",
+    oracle="""
+    SELECT p.event_id, p.ts, c.ts AS ts_right, c.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("J10",),
+)
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user —
+    via the union-sort operator (asof.py), validated against DuckDB's
+    native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(p, c, on="ts", by="user_id", right_payload=["value"])
+    return out.select("event_id", "ts", "ts_right", "value_right")
+
+
+@register(
+    "j11_multiway_star",
+    oracle=f"""
+    SELECT n_name,
+           {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = (SELECT MIN(r_name) FROM region)
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("J11",),
+    bench=True,
+)
+def j11_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style star chain: one fact-fact shuffle join
+    (lineitem⋈orders), everything else broadcast — the canonical
+    100 TB-safe star plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    first_region = r.agg(F.min("r_name").alias("m"))
+    r1 = r.join(F.broadcast(first_region), r.r_name == F.col("m")).select(
+        "r_regionkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r1), n.n_regionkey == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )

@@ -1,1 +1,88 @@
-"""Placeholder — filled in by its milestone."""
+"""Set operations (SURVEY §2.7 U1-U4) — UNION [ALL] / INTERSECT /
+EXCEPT over compatible relations, by-name resolution on the Spark side
+(unionByName avoids silent positional mismatches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _typed(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'view'
+    """,
+    tags=("U1",),
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — bag union, no dedup shuffle."""
+    return _typed(spark, sf_dir, "click").unionByName(_typed(spark, sf_dir, "view"))
+
+
+@register(
+    "u2_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+    tags=("U2",),
+)
+def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — dedup via hash aggregation on the union."""
+    return (
+        _typed(spark, sf_dir, "click")
+        .select("user_id")
+        .unionByName(_typed(spark, sf_dir, "view").select("user_id"))
+        .distinct()
+    )
+
+
+@register(
+    "u3_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("U3",),
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — planned as a left-semi join on all cols."""
+    return (
+        _typed(spark, sf_dir, "purchase")
+        .select("user_id")
+        .intersect(_typed(spark, sf_dir, "error").select("user_id"))
+    )
+
+
+@register(
+    "u4_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("U4",),
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — planned as a left-anti join."""
+    return (
+        _typed(spark, sf_dir, "view")
+        .select("user_id")
+        .subtract(_typed(spark, sf_dir, "purchase").select("user_id"))
+    )

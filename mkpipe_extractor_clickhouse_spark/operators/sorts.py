@@ -1,1 +1,72 @@
-"""Placeholder — filled in by its milestone."""
+"""Sort / limit / top-k operators (SURVEY §2.6 O1-O3; O4 lives with the
+similarity operators as l4_distributed_topk).
+
+Determinism note: the driver's value-hash is order-insensitive, but a
+LIMIT changes *which* rows survive — so every limit here is under a
+total order (unique-key tiebreak), per SURVEY §5.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "o1_global_sort",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey
+    """,
+    tags=("O1",),
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (ORDER BY passthrough surface). Spark plans a
+    range-partitioned exchange + per-partition sort — the only scalable
+    total order."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_name", "s_acctbal").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+
+
+@register(
+    "o2_limit",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    ORDER BY event_id LIMIT 5
+    """,
+    tags=("O2",),
+)
+def o2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LIMIT under a unique total order — the engine
+    analogue of the reference's take(1) probe (reference
+    __init__.py:103), which is the degenerate k=1 case."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", "value").orderBy("event_id").limit(5)
+    )
+
+
+@register(
+    "o3_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("O3",),
+    bench=True,
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT k — Spark plans TakeOrderedAndProject:
+    per-partition heaps of k, then a driver-side merge of k×partitions
+    rows, never a full global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

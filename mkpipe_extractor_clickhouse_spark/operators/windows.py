@@ -1,1 +1,229 @@
-"""Placeholder — filled in by its milestone."""
+"""Window-function operators (SURVEY §2.5 W1-W8).
+
+All REF-surface (ClickHouse window SQL through the reference's
+custom_query passthrough). Every window here is partitioned — a
+partition-less window is a single-task bottleneck at scale, so the
+catalog never declares one. Running sums over doubles go through the
+decimal cast (see operators/_determinism.py) because both engines'
+window-sum implementations (sliding accumulation vs segment tree)
+associate additions differently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import DEC
+
+_WDEC = f"CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER {{frame}} AS DOUBLE)"
+
+
+@register(
+    "w1_ranks",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("W1",),
+)
+def w1_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per customer, deterministic via the
+    unique orderkey tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "w2_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("W2",),
+)
+def w2_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per priority class."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "w3_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(ts) OVER w AS prev_ts,
+           LEAD(ts) OVER w AS next_ts,
+           LAG(value, 2) OVER w AS value_2back
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W3",),
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead along each user's event timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lag("value", 2).over(w).alias("value_2back"),
+    )
+
+
+@register(
+    "w4_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER w AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("W4",),
+)
+def w4_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user over the full-partition frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
+
+
+@register(
+    "w5_running_total",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {_WDEC.format(frame='(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_value
+    FROM events
+    """,
+    tags=("W5",),
+)
+def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user (ROWS unbounded-preceding frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "w6_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                / COUNT(value) OVER w AS DOUBLE) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W6",),
+)
+def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-row moving average (bounded ROWS frame), decimal-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        )
+        .cast("double")
+        .alias("moving_avg"),
+    )
+
+
+@register(
+    "w7_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_in_range
+    FROM events
+    """,
+    tags=("W7",),
+)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering key: events whose event_id is
+    within 100 of the current row's, per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_in_range")
+    )
+
+
+@register(
+    "w8_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    tags=("W8",),
+)
+def w8_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via rank-filter — the scalable per-group top-k
+    (each partition keeps k rows; no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
