@@ -1,1 +1,260 @@
-"""Placeholder — filled in by its milestone."""
+"""Scalar function coverage (SURVEY §2.8 F1-F8): string / datetime /
+math / conditional / array / map / JSON / cast families, exercised on
+documents.text, events.ts, events.props per the fixture design.
+
+Cross-engine semantics notes (each verified against DuckDB 1.0):
+  * day-of-week: Spark ``weekday`` is 0=Monday, DuckDB ``isodow`` is
+    1=Monday → ``weekday+1 == isodow``;
+  * ``floor``/``ceil`` return BIGINT in Spark but DOUBLE in DuckDB →
+    cast both to BIGINT;
+  * double→int CAST truncates in Spark but *rounds* in DuckDB → never
+    cast fractional doubles to ints directly; use explicit floor/round;
+  * regexes stay in the RE2∩Java-regex common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "f1_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           UPPER(SUBSTRING(text, 1, 10)) AS head10,
+           LENGTH(text) AS text_len,
+           CONCAT(lang, ':', source) AS lang_source,
+           TRIM(LPAD(lang, 4, '_')) AS padded_lang,
+           REPLACE(source, 'src', 'S') AS source_short,
+           CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END AS has_query,
+           REGEXP_EXTRACT(source, '([0-9]+)', 1) AS source_num
+    FROM documents
+    """,
+    tags=("F1",),
+)
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/substring/length/concat/trim/lpad/replace/
+    like/regexp_extract."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.length("text").alias("text_len"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.trim(F.lpad("lang", 4, "_")).alias("padded_lang"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("S")).alias("source_short"),
+        F.when(F.col("text").like("%query%"), 1).otherwise(0).alias("has_query"),
+        F.regexp_extract("source", "([0-9]+)", 1).alias("source_num"),
+    )
+
+
+@register(
+    "f2_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           DATE_TRUNC('hour', ts) AS ts_hour,
+           CAST(YEAR(ts) AS BIGINT) AS y,
+           CAST(MONTH(ts) AS BIGINT) AS m,
+           CAST(DAY(ts) AS BIGINT) AS d,
+           CAST(HOUR(ts) AS BIGINT) AS h,
+           CAST(ISODOW(ts) AS BIGINT) AS iso_dow,
+           CAST(ts AS DATE) AS ts_date,
+           ts + INTERVAL 36 HOUR AS ts_plus_36h,
+           DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_start
+    FROM events
+    """,
+    tags=("F2",),
+)
+def f2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: date_trunc/extract/cast-to-date/interval
+    arithmetic/datediff (ClickHouse toStartOfHour etc.)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("ts_hour"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+        F.col("ts").cast("date").alias("ts_date"),
+        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias("ts_plus_36h"),
+        F.date_diff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_start"),
+    )
+
+
+@register(
+    "f3_math_funcs",
+    oracle="""
+    SELECT event_id,
+           ROUND(value, 2) AS value_r2,
+           ABS(value - 50) AS dist_from_50,
+           CAST(FLOOR(value) AS BIGINT) AS value_floor,
+           CAST(CEIL(value) AS BIGINT) AS value_ceil,
+           ROUND(SQRT(value), 6) AS value_sqrt,
+           ROUND(POW(value, 2), 6) AS value_sq,
+           ROUND(LN(value + 1), 6) AS value_ln,
+           ROUND(EXP(value / 100), 6) AS value_exp,
+           event_id % 7 AS id_mod7,
+           event_id // 7 AS id_div7
+    FROM events
+    """,
+    tags=("F3",),
+)
+def f3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/floor/ceil/sqrt/pow/ln/exp/mod/intdiv."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(v, 2).alias("value_r2"),
+        F.abs(v - 50).alias("dist_from_50"),
+        F.floor(v).cast("long").alias("value_floor"),
+        F.ceil(v).cast("long").alias("value_ceil"),
+        F.round(F.sqrt(v), 6).alias("value_sqrt"),
+        F.round(F.pow(v, 2), 6).alias("value_sq"),
+        F.round(F.log(v + 1), 6).alias("value_ln"),
+        F.round(F.exp(v / 100), 6).alias("value_exp"),
+        (F.col("event_id") % 7).alias("id_mod7"),
+        F.expr("event_id div 7").alias("id_div7"),
+    )
+
+
+@register(
+    "f4_conditional_null",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 25 THEN 'low'
+                WHEN value < 75 THEN 'mid'
+                ELSE 'high' END AS value_band,
+           COALESCE(NULLIF(event_type, 'error'), 'recovered') AS type_or_recovered,
+           IF(value > 50, 1, 0) AS above_half,
+           NULLIF(user_id, 0) AS user_nonzero
+    FROM events
+    """,
+    tags=("F4",),
+)
+def f4_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: CASE WHEN / coalesce / nullif / if."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.when(v < 25, "low").when(v < 75, "mid").otherwise("high").alias("value_band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("recovered")).alias(
+            "type_or_recovered"
+        ),
+        F.when(v > 50, 1).otherwise(0).alias("above_half"),
+        F.nullif("user_id", F.lit(0)).alias("user_nonzero"),
+    )
+
+
+@register(
+    "f5_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           CAST(LIST_CONTAINS(STRING_SPLIT(text, ' '), 'query') AS BIGINT) AS has_query,
+           STRING_SPLIT(text, ' ')[1] AS first_token,
+           ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(SUBSTRING(text, 1, 20), ' ')), '|') AS head_sorted
+    FROM documents
+    """,
+    tags=("F5",),
+)
+def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/array_contains/element_at/array_sort
+    (+ array_join so the output stays scalar for hashing)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "query").cast("long").alias("has_query"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(
+            F.array_sort(F.split(F.substring("text", 1, 20), " ")), "|"
+        ).alias("head_sorted"),
+    )
+
+
+@register(
+    "f6_map_funcs",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(JSON_KEYS(props), ',') AS prop_keys,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    tags=("F6",),
+)
+def f6_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: from_json → MapType, map_keys, element_at."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+@register(
+    "f7_json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("F7",),
+)
+def f7_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object path extraction + typed cast, then
+    aggregated (integer sums — exact, no decimal cast needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "f8_casts",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id AS DOUBLE) AS id_double,
+           CAST(event_id AS VARCHAR) AS id_str,
+           CAST(FLOOR(value) AS BIGINT) AS value_int,
+           CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value_dec_str,
+           CAST(CAST('2024-01-15 12:30:00' AS TIMESTAMP) AS DATE) AS fixed_date,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_date_str
+    FROM events
+    """,
+    tags=("F8",),
+)
+def f8_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/convert family — mirrors the typed-literal logic of
+    reference __init__.py:75-83 across the full type lattice. Fractional
+    doubles go through floor before int casts (Spark truncates, DuckDB
+    rounds — the direct cast is a portability trap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("double").alias("id_double"),
+        F.col("event_id").cast("string").alias("id_str"),
+        F.floor("value").cast("long").alias("value_int"),
+        F.col("value").cast(T.DecimalType(10, 2)).cast("string").alias("value_dec_str"),
+        F.lit("2024-01-15 12:30:00").cast("timestamp_ntz").cast("date").alias("fixed_date"),
+        F.col("ts").cast("date").cast("string").alias("ts_date_str"),
+    )

@@ -1,1 +1,296 @@
-"""Placeholder — filled in by its milestone."""
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY §2.11 L1-L2): exact, n-gram Jaccard (prefix-filtered set-
+similarity join), MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale posture (the whole point of these operators at 100 TB):
+  * exact dedup is a hash groupBy — one shuffle on the content hash;
+  * the Jaccard join uses PPJoin-style *prefix filtering* (public
+    Xiao/Wang/Lin WWW'08 algorithm): for threshold t a pair can only
+    match if it shares a token among each side's |d|-⌈t·|d|⌉+1 rarest
+    tokens, so the inverted-index join fans out on prefix tokens only —
+    exact, no recall loss, and orders of magnitude fewer candidate
+    pairs than the naive token join (the oracle below IS the naive
+    join, proving equivalence);
+  * MinHash-LSH banding bounds candidate generation to per-bucket
+    groups — never an O(n²) crossJoin;
+  * all signatures use JVM built-ins (xxhash64), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+JACCARD_T = 0.9
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, token) pairs — set semantics for Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    )
+
+
+@register(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT MD5(text) AS content_hash, MIN(doc_id) AS canonical_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+    tags=("L1",),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id as
+    canonical. Hashing first means the shuffle key is 16 bytes, not the
+    document body."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "l2_jaccard_neardup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= {JACCARD_T}
+    """,
+    tags=("L2",),
+)
+def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup join with PPJoin prefix
+    filtering. The oracle is the naive all-shared-tokens join — this
+    query must produce the identical pair set, demonstrating the
+    filter loses nothing."""
+    tok = _doc_tokens(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Global token frequency orders tokens rarest-first: prefixes then
+    # collide only on rare tokens, which is what bounds the fan-out.
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = (
+        tok.join(F.broadcast(dfreq), "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rank",
+            # per-doc ordering rarest-first; deterministic tiebreak on token
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "token")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rank") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+    ).select("doc_id", "token")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    token_sets = tok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("token")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    verified = (
+        cand.join(
+            token_sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            token_sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("overlap") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("overlap")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---- MinHash + LSH ----------------------------------------------------
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 rows → candidates concentrate above jaccard ≈ 0.7
+
+
+def minhash_signatures(tok: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<long>) — minimum of xxhash64(token, seed)
+    per seed; entirely JVM-side (one explode already done upstream)."""
+    sigs = [
+        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        tok.groupBy("doc_id")
+        .agg(*sigs)
+        .select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    )
+
+
+@register(
+    "l2b_minhash_lsh",
+    oracle=None,  # hash-function-dependent → rows-only; recall vs the
+    # exact join is asserted in tests/test_llm.py
+    tags=("L2",),
+)
+def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
+    Bands hash to buckets; only same-bucket docs pair up, so candidate
+    generation is local to buckets (the 100 TB-safe shape). Pairs are
+    then verified with the true signature agreement rate."""
+    tok = _doc_tokens(spark, sf_dir)
+    sig = minhash_signatures(tok)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(N_HASHES), 6))
+        .filter(F.col("est_jaccard") >= 0.75)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+@register(
+    "l2c_simhash",
+    oracle=None,  # xxhash64-dependent → rows-only
+    tags=("L2",),
+)
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token hash bits —
+    near-dup docs land within small Hamming distance. Computed with
+    array built-ins over the token list (no UDF): bit b of the
+    fingerprint is the sign of Σ_tokens (bit b ? +1 : -1)."""
+    tok = _doc_tokens(spark, sf_dir)
+    # Per (doc, bit): sum of ±1 across tokens, then pack the signs.
+    # SQL expressions because shiftright/shiftleft take column shift
+    # amounts only in SQL form.
+    bits = tok.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, 63), b -> named_struct("
+        "  'bit', b,"
+        "  'v', CASE WHEN (shiftright(xxhash64(token), b) & 1) = 1 THEN 1 ELSE -1 END"
+        "))) AS bv",
+    ).select("doc_id", "bv.bit", "bv.v")
+    packed = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")
+            ).alias("simhash")
+        )
+    )
+    return packed.select("doc_id", "simhash")
+
+
+@register(
+    "l2d_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+      FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.9
+    """,
+    tags=("L2", "L3"),
+)
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9), exact.
+
+    Correctness corpus: all-pairs via self-join (bounded here). The
+    100 TB path is l4's bucketed variant — this exact form exists to
+    validate it. Cosine math stays in higher-order array functions
+    (zip_with/aggregate) — JVM-side, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("nrm", norm)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,1 +1,298 @@
-"""Placeholder — filled in by its milestone."""
+"""Similarity-search operators over embedding columns
+(SURVEY §2.11 L3-L4, L9 + O4): brute-force top-k cosine as the exact
+baseline, partition-local top-k merge (the distributed form, public
+REPOSE/ICDE'21 pattern per PAPERS.md), label centroids,
+nearest-centroid assignment, and an IVF-bucketed ANN scale path.
+
+Vector math is higher-order array built-ins (zip_with / aggregate) —
+JVM-side, codegen'd — except the partition-local heap (l4), which is a
+mapInPandas with NumPy dot products (Arrow-batched, the sanctioned
+slow path for per-partition imperative logic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+# DuckDB-side double-precision vector algebra over the 64-dim FLOAT[]
+# column (list_cosine_similarity computes in float32 — not precise
+# enough to hash-match a double computation, hence explicit SQL).
+_ORACLE_COSINE_TO_QUERY = f"""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (SELECT i, x AS qx FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    dots AS (
+      SELECT v.vec_id,
+             SUM(v.x * q.qx) AS dot,
+             SQRT(SUM(v.x * v.x)) AS nv,
+             SQRT(SUM(q.qx * q.qx)) AS nq
+      FROM v JOIN q USING (i)
+      GROUP BY v.vec_id
+    )
+    SELECT vec_id, ROUND(dot / (nv * nq), 6) AS cosine
+    FROM dots
+    WHERE vec_id <> {QUERY_VEC_ID}
+"""
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cosine, label) similarity of every vector to the query
+    vector (vec_id=QUERY_VEC_ID), broadcast-joined — one scan, no
+    shuffle."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        vecs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (_dot("v", "qv") / (_norm("v") * _norm("qv"))).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "l3_topk_cosine",
+    oracle=f"""
+    SELECT vec_id, cosine FROM ({_ORACLE_COSINE_TO_QUERY})
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+    tags=("L3", "O3"),
+    bench=True,
+)
+def l3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine to a query vector. Ordered by the
+    *rounded* score (+ vec_id tiebreak) so both engines select the same
+    k rows despite ulp-level float differences."""
+    sim = cosine_to_query(spark, sf_dir).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+    return sim.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "l4_distributed_topk",
+    oracle=None,  # equality with l3 is asserted in tests/test_llm.py
+    tags=("L4", "O4", "D3"),
+)
+def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k: each partition keeps a local k-heap
+    (mapInPandas + NumPy), then the k×partitions survivors take one
+    TakeOrderedAndProject. Shuffle volume is k rows per partition
+    regardless of corpus size — the REPOSE-style scale shape."""
+    import numpy as np
+
+    vecs = _vectors(spark, sf_dir)
+    qv = None  # resolved on executors via broadcast below
+    q_local = (
+        vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()["v"]
+    )
+    q_arr = [float(x) for x in q_local]
+    bq = spark.sparkContext.broadcast(q_arr)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = np.asarray(bq.value)
+        qn = np.sqrt((q * q).sum())
+        best_ids: list[int] = []
+        best_sims: list[float] = []
+        for pdf in batches:
+            mask = pdf["vec_id"] != QUERY_VEC_ID
+            if not mask.any():
+                continue
+            ids = pdf.loc[mask, "vec_id"].to_numpy()
+            m = np.stack(pdf.loc[mask, "v"].to_numpy())
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            best_ids.extend(ids.tolist())
+            best_sims.extend(sims.tolist())
+            if len(best_ids) > 4 * TOP_K:
+                order = np.argsort(best_sims)[::-1][:TOP_K]
+                best_ids = [best_ids[i] for i in order]
+                best_sims = [best_sims[i] for i in order]
+        if best_ids:
+            order = np.argsort(best_sims)[::-1][:TOP_K]
+            yield pd.DataFrame(
+                {
+                    "vec_id": [best_ids[i] for i in order],
+                    "cosine": [round(best_sims[i], 6) for i in order],
+                }
+            )
+
+    local = vecs.select("vec_id", "v").mapInPandas(local_topk, _TOPK_SCHEMA)
+    return local.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+@register(
+    "l9_label_centroids",
+    oracle="""
+    SELECT label, i AS dim,
+           CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS centroid
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+    tags=("L9",),
+)
+def l9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids: posexplode the vectors, mean per (label,
+    dim) with decimal-exact sums (dims are unit-scale floats → scale-12
+    decimals). 640 output rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            )
+            .cast("double")
+            .alias("centroid")
+        )
+    )
+
+
+@register(
+    "l9b_nearest_centroid",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    cent AS (
+      SELECT label AS c_label, i,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS c
+      FROM v GROUP BY label, i
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label, cent.c_label,
+             ROUND(SUM((v.x - cent.c) * (v.x - cent.c)), 6) AS d2
+      FROM v JOIN cent USING (i)
+      GROUP BY v.vec_id, v.label, cent.c_label
+    )
+    SELECT vec_id, label, c_label AS assigned, d2 AS min_d2
+    FROM dists
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) = 1
+    """,
+    tags=("L9",),
+)
+def l9b_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means step): centroids are a
+    640-row broadcast; each vector computes 10 squared distances with
+    zip_with — no shuffle of the corpus. Deterministic tie-break on
+    centroid label."""
+    e = _vectors(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    return scored.groupBy("vec_id", "label").agg(
+        F.min_by("c_label", F.struct("d2", "c_label")).alias("assigned"),
+        F.min("d2").alias("min_d2"),
+    )
+
+
+@register(
+    "l14_ivf_topk",
+    oracle=None,  # approximate (probes 5 of 10 buckets) → rows-only;
+    # recall vs l3 asserted in tests/test_llm.py
+    tags=("L3", "L4", "EXT"),
+)
+def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to the label centroids
+    (the inverted lists), probe only the nprobe=5 lists nearest the
+    query, brute-force inside them. At 100 TB the corpus is
+    partitioned by list id, so a probe touches nprobe/nlists-ths of the data —
+    swap label centroids for k-means centroids without changing the
+    plan."""
+    nprobe = 5
+    vecs = _vectors(spark, sf_dir)
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum("x") / F.count("*")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    probe_lists = (
+        cent.join(F.broadcast(q))
+        .select(
+            "c_label",
+            (_dot("cv", "qv") / (_norm("cv") * _norm("qv"))).alias("c_sim"),
+        )
+        .orderBy(F.col("c_sim").desc(), F.col("c_label"))
+        .limit(nprobe)
+        .select("c_label")
+    )
+    candidates = vecs.join(
+        F.broadcast(probe_lists), vecs.label == F.col("c_label")
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+    sim = candidates.join(F.broadcast(q)).select(
+        "vec_id",
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
+    )
+    return sim.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)

@@ -1,1 +1,274 @@
-"""Placeholder — filled in by its milestone."""
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY §2.11 L5-L8 + EXT): tokenization/wordcount, TF-IDF, corpus
+profiling, lexicon scoring, language-ID heuristic, quality scoring,
+token counting, document fingerprinting.
+
+Everything stays in built-in JVM expressions (split/explode/regexp/
+md5) — no Python UDFs — so the hot path is whole-stage-codegen'd and
+the only shuffles are the final aggregations. At 100 TB the explode
+multiplies rows ~50× but map-side partial aggregation collapses them
+before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import DAVG, DSUM, davg, dsum
+
+# Tiny sentiment-style lexicon over the fixture vocabulary (SURVEY L8,
+# lexicon-join pattern). Kept inline so Spark and the oracle agree.
+LEXICON: list[tuple[str, float]] = [
+    ("fast", 1.0),
+    ("slow", -1.0),
+    ("big", 0.5),
+    ("small", -0.25),
+    ("error", -2.0),
+    ("merge", 0.25),
+]
+
+_LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in LEXICON)
+
+# English function words present in the fixture vocabulary.
+EN_STOPWORDS = ["the", "a"]
+_STOP_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("token", F.explode(F.split("text", " ")))
+
+
+@register(
+    "l5_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+    tags=("L5",),
+    bench=True,
+)
+def l5_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount: tokenize → explode → hash agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return _tokens(d).groupBy("token").agg(F.count("*").alias("n"))
+
+
+@register(
+    "l6_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+    tags=("L6",),
+)
+def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc × ln(N/df). The df relation is
+    vocabulary-sized → broadcast; the doc count is a broadcast scalar,
+    never a driver-side collect."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens(d).select("doc_id", "token")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "l7_corpus_profile",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           {DAVG.format(x='CAST(n_chars AS DOUBLE)')} AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           {DSUM.format(x="CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)")} AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("L7",),
+)
+def l7_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/source corpus profiling — per-slice doc counts, char
+    stats, token totals."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        dsum(F.size(F.split("text", " ")).cast("double")).alias("total_tokens"),
+    )
+
+
+@register(
+    "l8_lexicon_score",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {_LEX_VALUES}),
+    tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    )
+    SELECT t.doc_id,
+           {DSUM.format(x='COALESCE(l.score, 0.0)')} AS sentiment,
+           COUNT(l.word) AS n_matched,
+           COUNT(*) AS n_tokens
+    FROM tok t LEFT JOIN lex l ON t.token = l.word
+    GROUP BY t.doc_id
+    """,
+    tags=("L8",),
+)
+def l8_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based token scoring (public EDBT'16-style sentiment
+    pattern, PAPERS.md): broadcast the lexicon, left-join tokens,
+    aggregate per document."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LEXICON, ["word", "score"])
+    tok = _tokens(d).select("doc_id", "token")
+    return (
+        tok.join(F.broadcast(lex), tok.token == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            dsum(F.coalesce(F.col("score"), F.lit(0.0))).alias("sentiment"),
+            F.count("word").alias("n_matched"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "l10_language_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({_STOP_IN})))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')), 6) AS en_stop_ratio,
+           CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({_STOP_IN})))
+                     * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM documents
+    """,
+    tags=("EXT", "language-id"),
+)
+def l10_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word (stopword) density — the
+    word-level analogue of char-n-gram profiling. Pure array built-ins,
+    no shuffle at all (row-local)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stops = F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    ratio = F.size(stops) * F.lit(1.0) / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@register(
+    "l11_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_distinct,
+           ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')), 6) AS ttr,
+           ROUND(CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({_STOP_IN})))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio,
+           CAST(LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 200
+                AND LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                    * 1.0 / LEN(STRING_SPLIT(text, ' ')) > 0.3 AS BIGINT) AS keep
+    FROM documents
+    """,
+    tags=("EXT", "quality"),
+)
+def l11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring for pretraining filters: token count,
+    type-token ratio, mean token length, stopword density, and a
+    keep/drop verdict — the Gopher-rules shape, row-local."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    ttr = n_dis * F.lit(1.0) / n_tok
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) * F.lit(1.0) / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        (n_tok.between(10, 200) & (ttr > 0.3)).cast("long").alias("keep"),
+    )
+
+
+@register(
+    "l12_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS re_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+    tags=("EXT", "token-count"),
+)
+def l12_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    word/number pieces, and the chars/4 heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
+            "re_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "l13_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS token_set_fp,
+           MD5(text) AS exact_fp
+    FROM documents
+    """,
+    tags=("EXT", "fingerprint"),
+)
+def l13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 and an order/multiplicity-
+    insensitive token-set fingerprint (bag-of-words collision key —
+    the first stage of shingle-free dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("token_set_fp"),
+        F.md5("text").alias("exact_fp"),
+    )

@@ -1,1 +1,172 @@
-"""Placeholder — filled in by its milestone."""
+"""Multimodal column operators (BASELINE north star): image/audio/video
+as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas functions over ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is
+stubbed (``decode_image`` raises NotImplementedError; the pipeline
+runs a deterministic fake featurizer instead) — but everything Spark
+cares about is real and tested: the binary+struct schema, the
+mapInPandas batch shapes, partition-count preservation, and the
+downstream aggregations. Swapping the fake for PIL/ffmpeg changes one
+function body, not the plan.
+
+At 100 TB: blobs never shuffle — featurization is a narrow map, and
+only the (small, fixed-width) feature rows continue into joins/aggs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+N_HIST_BINS = 8
+
+BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        *[
+            T.StructField(f"hist_{i}", T.LongType())
+            for i in range(N_HIST_BINS)
+        ],
+    ]
+)
+
+
+def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary fixture: utf-8 bytes of documents.text as
+    the opaque payload plus a typed metadata struct — the schema shape
+    a real image/audio table would have."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.lit("fake/v1").alias("format"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(blob: bytes) -> "object":
+    """Real decode hook — requires an image codec (PIL/opencv), which
+    this container does not ship. The featurizer below uses
+    fake_features() instead; swap here when codecs are available."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; not available in this environment"
+    )
+
+
+def fake_features(blob: bytes) -> list[float]:
+    """Deterministic stand-in featurizer: byte histogram over
+    N_HIST_BINS equal ranges + mean byte value."""
+    counts = [0] * N_HIST_BINS
+    total = 0
+    for b in blob:
+        counts[b * N_HIST_BINS // 256] += 1
+        total += b
+    mean = total / len(blob) if blob else 0.0
+    return [mean, *counts]
+
+
+def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one Arrow batch of blobs in → one batch of
+    fixed-width features out. Never materializes more than a batch."""
+    for pdf in batches:
+        feats = [fake_features(b) for b in pdf["blob"]]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "format": [m["format"] for m in pdf["meta"]],
+                "mean_byte": [round(f[0], 6) for f in feats],
+            }
+        )
+        for i in range(N_HIST_BINS):
+            out[f"hist_{i}"] = [f[1 + i] for f in feats]
+        yield out
+
+
+@register(
+    "m1_multimodal_features",
+    oracle=None,  # featurizer is a python kernel → rows-only; the
+    # histogram math is cross-checked in tests/test_llm.py
+    tags=("EXT", "D3", "multimodal"),
+)
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode/featurize pipeline: blobs → mapInPandas →
+    fixed-width features."""
+    return synthesize_blobs(spark, sf_dir).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+@register(
+    "m2_multimodal_rollup",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_blobs,
+           SUM(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS total_bytes,
+           MAX(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("EXT", "multimodal"),
+)
+def m2_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over the blob table: storage accounting per
+    source without ever touching payload bytes (column pruning keeps
+    the binary column out of the scan)."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    return blobs.groupBy(F.col("meta.source").alias("source")).agg(
+        F.count("*").alias("n_blobs"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "m3_frame_sample",
+    oracle=None,  # rows-only: sampling plumbing (deterministic stride)
+    tags=("EXT", "multimodal"),
+)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: treat each blob as a virtual
+    ``n_frames`` sequence (n_bytes div 64), emit every 8th frame index
+    with its byte offset — the exploded shape a video pipeline feeds to
+    per-frame featurizers."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    frames = blobs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("meta.n_bytes") / 64).cast("long"), F.lit(8))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id", "frame_idx", (F.col("frame_idx") * 64).alias("byte_offset")
+    )

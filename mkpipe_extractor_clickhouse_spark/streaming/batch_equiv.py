@@ -1,1 +1,162 @@
-"""Placeholder — filled in by its milestone."""
+"""Streaming operator family, batch-equivalent declared queries
+(SURVEY §2.9 T1-T6).
+
+The reference's incremental loop is a hand-rolled micro-batch stream
+(watermark column + monotonic last_point + append, reference
+``mkpipe_extractor_clickhouse/__init__.py:71-115``). The engine's
+streaming operators are Structured Streaming (streaming/runtime.py,
+verified by batch↔stream parity in tests/test_streaming.py); the
+queries declared here are the *batch* semantics of the same operators,
+oracle-checked against DuckDB — per SURVEY §5.3's two-tier strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators._determinism import DSUM, dsum
+from ..registry import register
+
+
+@register(
+    "t2_tumbling_window",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {DSUM.format(x='value')} AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+    tags=("T2",),
+    bench=True,
+)
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via F.window — identical
+    grouping to date_trunc('hour') since windows align to the epoch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "t3_sliding_window",
+    oracle=f"""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 900) * 900 - k * 900) AS TIMESTAMP)
+             AS window_start,
+           COUNT(*) AS n,
+           {DSUM.format(x='value')} AS total_value
+    FROM events CROSS JOIN range(0, 4) t(k)
+    GROUP BY 1
+    """,
+    tags=("T3",),
+)
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): every event lands in
+    4 overlapping windows. The oracle reproduces Spark's epoch-aligned
+    window-start arithmetic explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"), "n", "total_value"
+        )
+    )
+
+
+@register(
+    "t4_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {DSUM.format(x='value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("T4",),
+)
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-min gap) via F.session_window. The oracle is
+    the classic lag+cumsum sessionization — by construction the session
+    end is last-event + gap, matching Spark's session_window.end."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "t5_dedup_keys",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("T5",),
+)
+def t5_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup, batch form: one surviving row per (user_id,
+    event_type) with deterministic survivor choice (min event_id) —
+    the semantics dropDuplicatesWithinWatermark provides in streams
+    (stream↔batch parity in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dupes")
+    )
+
+
+@register(
+    "t6_late_data_filter",
+    oracle="""
+    SELECT COUNT(*) AS n_on_time, MAX(ts) AS max_ts
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+    """,
+    tags=("T1", "T6"),
+)
+def t6_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics in batch form: rows older than
+    (max event time − delay) are the ones a 7-day watermark would
+    drop. The reference silently loses rows below last_point
+    (__init__.py:88-91); a watermark makes the same trade explicit."""
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.join(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .agg(F.count("*").alias("n_on_time"), F.max("ts").alias("max_ts"))
+    )

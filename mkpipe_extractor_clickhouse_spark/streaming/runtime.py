@@ -1,0 +1,133 @@
+"""Structured Streaming runtime (SURVEY §2.9 T1-T7).
+
+The reference's incremental loop is a micro-batch stream in disguise;
+here it is the real thing: a file-source replay of the events table in
+event-time order, watermarked windowed aggregations, stateful dedup,
+and a foreachBatch sink that reuses the batch loader + watermark store
+from sources/extract.py — so batch and streaming share one persistence
+path, and `Trigger.AvailableNow` turns any stream into a catch-up batch
+run (the T7 parity harness).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.extract import ParquetLoader, TableConfig
+from ..sources.state import WatermarkStore
+
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_chunks: int = 5
+) -> str:
+    """Materialize events as n_chunks ts-ordered parquet files — the
+    replayable "arrival log" a file stream consumes in order."""
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    # Global ntile is a single-task window — fine for staging test
+    # fixtures; a production arrival log would already be chunked.
+    ev = ev.withColumn("chunk", F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")))
+    os.makedirs(stage_dir, exist_ok=True)
+    for i in range(1, n_chunks + 1):
+        (
+            ev.filter(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage_dir, f"chunk_{i:03d}"))
+        )
+    return stage_dir
+
+
+def read_event_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """File-source stream over the staged chunks, one file per
+    micro-batch — schema fixed (ts already timestamp_ntz in staging)."""
+    schema = spark.read.parquet(os.path.join(stage_dir, "chunk_001")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "chunk_*"))
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str, checkpoint: str
+) -> None:
+    """Drain the stream into an in-memory table `query_name` with
+    Trigger.AvailableNow — processes everything currently staged, then
+    stops (the engine's catch-up/backfill execution mode)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T1+T2: watermarked tumbling-window aggregation.
+
+    Event-time columns must be TIMESTAMP (LTZ) for watermarks —
+    Spark rejects TIMESTAMP_NTZ event time — so the NTZ column is cast
+    at the boundary and the window start cast back (session TZ is UTC,
+    so the round-trip is the identity)."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def keyed_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5: stateful dedup on (user_id, event_type) with bounded state
+    via dropDuplicatesWithinWatermark (same LTZ boundary cast)."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+
+
+def incremental_sink(
+    spark: SparkSession,
+    stream: DataFrame,
+    dest_dir: str,
+    checkpoint: str,
+    table_name: str = "events",
+) -> None:
+    """T7: foreachBatch sink sharing the batch loader + watermark store
+    — every micro-batch is an idempotent append plus a state commit,
+    i.e. the reference's extract→load→commit tick, stream-driven."""
+    table = TableConfig(name=table_name, dedup_keys=("event_id",))
+    loader = ParquetLoader(dest_dir)
+    store = WatermarkStore(os.path.join(dest_dir, "state.json"))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.extract import ExtractResult
+
+        loader.load(spark, table, ExtractResult(batch_df, "append"))
+        row = batch_df.agg(F.max("ts").alias("mx")).first()
+        if row and row["mx"] is not None:
+            prev = store.get(table_name)
+            if prev is None or str(row["mx"]) > prev:
+                store.set(table_name, str(row["mx"]))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

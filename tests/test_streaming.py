@@ -1,0 +1,78 @@
+"""Batch↔stream parity (SURVEY §5.3): replay events through Structured
+Streaming with Trigger.AvailableNow and assert the final stateful
+result equals the batch computation — the implicit invariant of the
+reference's incremental loop (reference __init__.py:71-115)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mkpipe_extractor_clickhouse_spark.catalog import load_table
+from mkpipe_extractor_clickhouse_spark.streaming import runtime
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_stage")
+    return runtime.stage_event_chunks(spark, sf_dir, str(d), n_chunks=5)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, staged, tmp_path):
+    stream = runtime.read_event_stream(spark, staged)
+    agg = runtime.tumbling_counts(stream)
+    runtime.run_available_now(
+        agg, "tumbling_out", "complete", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    want = {(r.ws, r.event_type): r.n for r in batch}
+    assert got == want
+
+
+def test_stream_dedup_subset_of_batch(spark, sf_dir, staged, tmp_path):
+    stream = runtime.read_event_stream(spark, staged)
+    dedup = runtime.keyed_dedup(stream)
+    runtime.run_available_now(dedup, "dedup_out", "append", str(tmp_path / "ckpt"))
+    out = spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+    keys = [(r.user_id, r.event_type) for r in out]
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    # within-watermark dedup: every batch key appears, possibly more
+    # than once across far-apart watermark epochs — but never within one
+    assert set(keys) == batch_keys
+
+
+def test_foreachbatch_incremental_sink(spark, sf_dir, staged, tmp_path):
+    stream = runtime.read_event_stream(spark, staged)
+    dest = str(tmp_path / "dest")
+    os.makedirs(dest, exist_ok=True)
+    runtime.incremental_sink(spark, stream, dest, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(os.path.join(dest, "events.parquet"))
+    full = load_table(spark, sf_dir, "events")
+    assert got.count() == full.count()
+    assert got.select(F.max("event_id")).first()[0] == full.select(
+        F.max("event_id")
+    ).first()[0]
+    # state committed to the shared watermark store
+    from mkpipe_extractor_clickhouse_spark.sources.state import WatermarkStore
+
+    wm = WatermarkStore(os.path.join(dest, "state.json")).get("events")
+    assert wm is not None
+    assert str(full.agg(F.max("ts")).first()[0]) == wm
