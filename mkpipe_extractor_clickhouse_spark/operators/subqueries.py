@@ -1,0 +1,168 @@
+"""Subquery & pivot surface — the remaining ClickHouse-SQL passthrough
+shapes users ship through the reference's custom_query
+(reference README.md:57-66): scalar subqueries, IN / NOT IN, correlated
+EXISTS, derived tables, CTEs, and PIVOT. Executed through spark.sql
+over the registered views (the S2 path), so Catalyst's subquery
+rewrites (RewriteCorrelatedScalarSubquery, decorrelation to joins) are
+exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..operators._determinism import DSUM, dsum
+from ..registry import register
+
+
+@register(
+    "sq1_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+             AS delta_from_mean
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+    """,
+    tags=("S2", "subquery"),
+)
+def sq1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in both projection and predicate —
+    planned as a broadcast of the 1-row aggregate, evaluated once."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+                 AS delta_from_mean
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+        """
+    )
+
+
+@register(
+    "sq2_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    )
+    AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 5000
+    )
+    """,
+    tags=("S2", "subquery"),
+)
+def sq2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries → semi/anti joins after decorrelation.
+    (o_custkey is non-null in the fixtures, so NOT IN's three-valued
+    null semantics — identical in both engines — don't void the result.)"""
+    register_views(spark, sf_dir, ["customer", "nation", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        )
+        AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 5000
+        )
+        """
+    )
+
+
+@register(
+    "sq3_correlated_exists",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    """,
+    tags=("S2", "subquery"),
+)
+def sq3_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a left-semi
+    join on the correlation key."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        """
+    )
+
+
+@register(
+    "sq4_cte_derived",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {DSUM.format(x='o_totalprice')} AS spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {DSUM.format(x='spend')} AS segment_spend,
+           MAX(n_orders) AS max_orders
+    FROM per_cust JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("S2", "subquery"),
+)
+def sq4_cte_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + derived-table aggregation reused downstream — the
+    two-level agg shape (per-customer then per-segment)."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) / 1000000.0
+                      AS DOUBLE) AS spend,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(spend * 1000000) AS BIGINT)) / 1000000.0
+                    AS DOUBLE) AS segment_spend,
+               MAX(n_orders) AS max_orders
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "pv1_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {DSUM.format(x="CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {DSUM.format(x="CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A6", "pivot"),
+)
+def pv1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (ClickHouse sumIf-matrix shape) with an explicit value
+    list — no extra pass to discover pivot values, one aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+    )

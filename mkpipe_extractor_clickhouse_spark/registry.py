@@ -38,6 +38,8 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.sorts",
     "mkpipe_extractor_clickhouse_spark.operators.setops",
     "mkpipe_extractor_clickhouse_spark.functions.scalar",
+    "mkpipe_extractor_clickhouse_spark.functions.udf",
+    "mkpipe_extractor_clickhouse_spark.operators.subqueries",
     "mkpipe_extractor_clickhouse_spark.operators.llm_dedup",
     "mkpipe_extractor_clickhouse_spark.operators.llm_similarity",
     "mkpipe_extractor_clickhouse_spark.operators.llm_text",

