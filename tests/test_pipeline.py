@@ -1,0 +1,78 @@
+"""Pipeline facade tests: the reference's YAML config shape runs
+end-to-end (reference README.md:17-42 surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mkpipe_extractor_clickhouse_spark.pipeline import Pipeline, run_pipelines
+
+
+def test_config_dict_pipeline(spark, sf_dir, tmp_path):
+    config = {
+        "connections": {
+            "lake_source": {"variant": "parquet", "path": sf_dir},
+            "warehouse": {"variant": "parquet", "path": str(tmp_path / "wh")},
+        },
+        "pipelines": [
+            {
+                "name": "lake_to_wh",
+                "source": "lake_source",
+                "destination": "warehouse",
+                "tables": [
+                    {"name": "nation", "target_name": "stg_nation"},
+                    {
+                        "name": "events",
+                        "target_name": "stg_events",
+                        "replication_method": "incremental",
+                        "iterate_column": "event_id",
+                        "iterate_column_type": "int",
+                        "dedup_keys": ["event_id"],
+                    },
+                    {
+                        "name": "events",
+                        "target_name": "agg_events",
+                        "replication_method": "full",
+                        "custom_query": (
+                            "SELECT event_type, COUNT(*) AS n FROM events "
+                            "{query_filter} GROUP BY event_type"
+                        ),
+                    },
+                ],
+            }
+        ],
+    }
+    results = run_pipelines(config, spark)["lake_to_wh"]
+    assert [r.status for r in results] == ["extracted"] * 3
+    assert results[0].write_mode == "overwrite"
+    assert results[1].write_mode == "overwrite"  # initial incremental load
+    assert results[1].last_point is not None
+
+    wh = str(tmp_path / "wh")
+    assert spark.read.parquet(f"{wh}/stg_nation.parquet").count() == 25
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.parquet(f"{wh}/stg_events.parquet").count() == n_events
+    agg = spark.read.parquet(f"{wh}/agg_events.parquet")
+    assert set(agg.columns) == {"event_type", "n"}
+
+    # second tick: incremental sees no new data beyond the boundary row
+    results2 = run_pipelines(config, spark)["lake_to_wh"]
+    assert results2[1].status == "extracted"  # boundary >= re-read
+    assert (
+        spark.read.parquet(f"{wh}/stg_events.parquet").count() == n_events
+    )  # idempotent via dedup_keys
+
+
+def test_pass_on_error(spark, sf_dir, tmp_path):
+    pipe = Pipeline(
+        source_dir=sf_dir,
+        dest_dir=str(tmp_path),
+        tables=[
+            {"name": "nonexistent_table", "pass_on_error": True},
+            {"name": "region"},
+        ],
+    )
+    results = pipe.run(spark)
+    assert results[0].status == "error"
+    assert results[1].status == "extracted"
+    assert spark.read.parquet(f"{tmp_path}/region.parquet").count() == 5
