@@ -1,0 +1,64 @@
+"""Skew-mitigation operators (SURVEY §4 "spill/shuffle" row; the 100 TB
+design point where one hot key would otherwise pin a single reducer).
+
+Two layers of defense:
+  1. AQE skew-join splitting is enabled session-wide (session.py) —
+     Spark re-plans oversized partitions at runtime with no code change.
+  2. For *aggregations* with hot keys, ``salted_agg`` implements the
+     classic two-phase salt: pre-aggregate on (key, salt) across
+     ``n_salts`` shards, then combine the partials — every decomposable
+     aggregate (sum/count/min/max) distributes over the salt, so the
+     result is exactly the direct aggregation (the oracle proves it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import DSUM
+
+
+def salted_agg(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase salted sum/count per ``key`` over events-shaped input
+    (columns: key, value): phase 1 aggregates (key, salt) — spreading a
+    hot key over n_salts reducers — phase 2 combines shard partials.
+    The quantized long sums make the combine exact."""
+    salted = df.withColumn(
+        "salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts)
+    )
+    phase1 = salted.groupBy(key, "salt").agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("p_sum"),
+        F.count("*").alias("p_n"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+    )
+    return phase1.groupBy(key).agg(
+        (F.sum("p_sum") / 1_000_000.0).cast("double").alias("total_value"),
+        F.sum("p_n").alias("n"),
+        F.min("p_min").alias("min_value"),
+        F.max("p_max").alias("max_value"),
+    )
+
+
+@register(
+    "z1_salted_agg",
+    oracle=f"""
+    SELECT event_type,
+           {DSUM.format(x='value')} AS total_value,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A2", "skew"),
+)
+def z1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation on a low-cardinality key (event_type: 5
+    values — exactly the shape that creates reducer hot spots). Must
+    equal the direct aggregation bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return salted_agg(ev, "event_type")

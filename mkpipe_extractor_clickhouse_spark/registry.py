@@ -45,6 +45,8 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.llm_text",
     "mkpipe_extractor_clickhouse_spark.operators.multimodal",
     "mkpipe_extractor_clickhouse_spark.operators.extract_parity",
+    "mkpipe_extractor_clickhouse_spark.operators.skew",
+    "mkpipe_extractor_clickhouse_spark.operators.analytics",
     "mkpipe_extractor_clickhouse_spark.streaming.batch_equiv",
 ]
 

@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY §2.9 / north-star "custom stateful operators").
+
+Operator: per-user running profile — event count, quantized value sum,
+and last-seen timestamp — maintained as explicit GroupState across
+micro-batches, emitting the updated profile row for every user touched
+in a batch. This is the streaming form of d4_grouped_map_udaf; the
+parity test replays the event chunks with Trigger.AvailableNow and
+asserts the final state equals the batch aggregation.
+
+At scale: state is partitioned by the grouping key across the state
+store (RocksDB in production), one profile row per user — size bounded
+by |users|, not |events|.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("scaled_sum", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    if state.exists:
+        n, scaled_sum, last_id = state.get
+    else:
+        n, scaled_sum, last_id = 0, 0, -1
+    for pdf in pdfs:
+        n += len(pdf)
+        scaled_sum += int(np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum())
+        last_id = max(last_id, int(pdf["event_id"].max()))
+    state.update((n, scaled_sum, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [scaled_sum / 1_000_000.0],
+            "last_event_id": [last_id],
+        }
+    )
+
+
+def user_profiles(stream: DataFrame) -> DataFrame:
+    """Apply the stateful profile operator to an events stream."""
+    return (
+        stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -76,3 +76,39 @@ def test_foreachbatch_incremental_sink(spark, sf_dir, staged, tmp_path):
     wm = WatermarkStore(os.path.join(dest, "state.json")).get("events")
     assert wm is not None
     assert str(full.agg(F.max("ts")).first()[0]) == wm
+
+
+def test_stateful_user_profiles_matches_batch(spark, sf_dir, staged, tmp_path):
+    """applyInPandasWithState profile accumulated over 5 micro-batches
+    must equal the batch aggregation (last emitted row per user)."""
+    from mkpipe_extractor_clickhouse_spark.streaming.stateful import user_profiles
+
+    stream = runtime.read_event_stream(spark, staged)
+    prof = user_profiles(stream)
+    runtime.run_available_now(prof, "profiles_out", "update", str(tmp_path / "ckpt"))
+    # update mode appends a row per touched user per batch → keep the
+    # final row per user (max n_events)
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value, last_event_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM profiles_out
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value, r.last_event_id) for r in out}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000.0)
+            .cast("double")
+            .alias("tv"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.tv, r.last) for r in batch}
+    assert got == want
