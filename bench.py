@@ -47,6 +47,30 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             sink[name] = round(time.perf_counter() - t0, 3)
 
+    # Single-node comparison point: the same queries (their declared
+    # oracle SQL) on DuckDB over the same parquet — the "equivalent
+    # native engine" the reference would delegate to. Steady-state
+    # (2nd run) timings, same methodology.
+    import duckdb
+
+    from mkpipe_extractor_clickhouse_spark.catalog import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck: dict[str, float] = {}
+    for name, spec in sorted(bench_specs().items()):
+        if spec.oracle is None:
+            continue
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # Arrow export ≈ the noop sink: full execution, columnar
+            # materialization, no per-row Python conversion.
+            con.sql(spec.oracle).arrow()
+            duck[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(steady.values()), 3)
     print(
         json.dumps(
@@ -57,6 +81,8 @@ def main() -> None:
                 "queries": steady,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "duckdb_queries": duck,
+                "duckdb_total": round(sum(duck.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

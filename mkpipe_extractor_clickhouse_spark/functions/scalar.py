@@ -44,7 +44,7 @@ def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.upper(F.substring("text", 1, 10)).alias("head10"),
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
         F.concat_ws(":", "lang", "source").alias("lang_source"),
         F.trim(F.lpad("lang", 4, "_")).alias("padded_lang"),
         F.replace(F.col("source"), F.lit("src"), F.lit("S")).alias("source_short"),
@@ -175,7 +175,7 @@ def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "query").cast("long").alias("has_query"),
         F.element_at(toks, 1).alias("first_token"),
         F.array_join(
@@ -210,7 +210,7 @@ def f6_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

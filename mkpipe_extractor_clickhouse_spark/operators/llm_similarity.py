@@ -177,7 +177,7 @@ def l9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
     return (
-        ex.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(
             (
                 F.sum(F.col("x").cast("double").cast("decimal(28,12)")).cast("double")

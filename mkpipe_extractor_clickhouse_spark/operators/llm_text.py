@@ -216,8 +216,8 @@ def l11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))) * F.lit(1.0) / n_tok
     return d.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        n_dis.alias("n_distinct"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
         F.round(ttr, 6).alias("ttr"),
         F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
@@ -242,10 +242,9 @@ def l12_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
-            "re_tokens"
-        ),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long")
+        .alias("re_tokens"),
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("approx_bpe_tokens"),
     )
 

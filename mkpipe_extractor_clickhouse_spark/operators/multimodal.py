@@ -131,7 +131,7 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_blobs,
-           SUM(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS total_bytes,
+           CAST(SUM(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
            MAX(CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT)) AS max_bytes
     FROM documents
     GROUP BY source

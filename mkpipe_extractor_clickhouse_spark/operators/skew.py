@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DSUM
+from ._determinism import DSUM, _quantize
 
 
 def salted_agg(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
@@ -30,7 +30,7 @@ def salted_agg(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
         "salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts)
     )
     phase1 = salted.groupBy(key, "salt").agg(
-        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("p_sum"),
+        F.sum(_quantize("value")).alias("p_sum"),
         F.count("*").alias("p_n"),
         F.min("value").alias("p_min"),
         F.max("value").alias("p_max"),

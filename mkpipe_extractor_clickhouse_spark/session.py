@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # 16 MB split targets: keeps small-corpus scans parallel across
+        # local cores (the fixture files are 1-11 MB); at cluster scale
+        # this is a common tuning point (16-64 MB) that trades task
+        # count for scheduling overhead — AQE coalesces the excess.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
