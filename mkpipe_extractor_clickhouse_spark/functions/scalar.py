@@ -258,3 +258,37 @@ def f8_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-15 12:30:00").cast("timestamp_ntz").cast("date").alias("fixed_date"),
         F.col("ts").cast("date").cast("string").alias("ts_date_str"),
     )
+
+
+@register(
+    "f9_misc_funcs",
+    oracle="""
+    SELECT doc_id,
+           LEVENSHTEIN(lang, 'en') AS lang_dist,
+           GREATEST(n_chars, CAST(doc_id AS BIGINT)) AS max_of,
+           LEAST(n_chars, CAST(doc_id AS BIGINT)) AS min_of,
+           REVERSE(lang) AS lang_rev,
+           REPEAT(lang, 2) AS lang_twice,
+           CAST(POSITION('query' IN text) AS BIGINT) AS query_pos,
+           CAST(STARTS_WITH(text, 'key') AS BIGINT) AS starts_key,
+           CAST(CONTAINS(text, 'join') AS BIGINT) AS has_join
+    FROM documents
+    """,
+    tags=("F1", "F3"),
+)
+def f9_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misc string/comparison functions: levenshtein (fuzzy-match
+    primitive for dedup pipelines), greatest/least, reverse/repeat,
+    position/startswith/contains."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lang_dist"),
+        F.greatest("n_chars", F.col("doc_id").cast("long")).alias("max_of"),
+        F.least("n_chars", F.col("doc_id").cast("long")).alias("min_of"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.instr("text", "query").cast("long").alias("query_pos"),
+        F.startswith("text", F.lit("key")).cast("long").alias("starts_key"),
+        F.contains("text", F.lit("join")).cast("long").alias("has_join"),
+    )

@@ -77,3 +77,12 @@ _Q = (
 )
 DSUM = f"CAST(SUM({_Q}) / 1000000.0 AS DOUBLE)"
 DAVG = f"CAST(SUM({_Q}) / 1000000.0 / COUNT({{x}}) AS DOUBLE)"
+
+# Spark-SQL-dialect fragment (for spark.sql(...) query text): Spark's
+# double→BIGINT CAST truncates toward zero, so no TRUNC() needed (and
+# Spark's trunc() is the date function).
+_QS = (
+    "CAST((({x}) * 1000000"
+    " + (CASE WHEN ({x}) >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT)"
+)
+SPARK_DSUM = f"CAST(SUM({_QS}) / 1000000.0 AS DOUBLE)"

@@ -9,7 +9,7 @@ natively: Spark plans these as partial (map-side) + final hash
 aggregations automatically, so at 100 TB the shuffle carries only
 pre-aggregated group states, not rows.
 
-All double aggregates use the decimal-cast helpers from
+All double aggregates use the quantizing helpers from
 ``_determinism`` so results are order-independent (see that module).
 """
 
@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DAVG, DSUM, davg, dsum
+from ._determinism import DAVG, DSUM, SPARK_DSUM, davg, dsum
 
 
 @register(
@@ -337,4 +337,57 @@ def a11_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", "o_totalprice").alias("max_price_order"),
         F.min_by("o_orderkey", "o_totalprice").alias("min_price_order"),
+    )
+
+
+@register(
+    "a12_bool_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(BOOL_OR(event_type = 'purchase') AS BIGINT) AS ever_purchased,
+           CAST(BOOL_AND(value < 99) AS BIGINT) AS always_under_99,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A2",),
+)
+def a12_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (ClickHouse max/minIf-over-flags shape):
+    bool_or/bool_and (cast to long — DuckDB booleans collect as
+    python bools, Spark as numpy bools; ints compare cleanly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "purchase").cast("long").alias("ever_purchased"),
+        F.bool_and(F.col("value") < 99).cast("long").alias("always_under_99"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "a13_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           {DSUM.format(x='l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("A6",),
+)
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): chosen subtotal
+    combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID() AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               {SPARK_DSUM.format(x='l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
     )

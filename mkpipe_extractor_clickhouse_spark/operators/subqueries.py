@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from ..operators._determinism import DSUM, dsum
+from ..operators._determinism import DSUM, SPARK_DSUM, dsum
 from ..registry import register
 
 
@@ -122,22 +122,23 @@ def sq4_cte_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level agg shape (per-customer then per-segment)."""
     register_views(spark, sf_dir, ["orders", "customer"])
     return spark.sql(
-        f"""
+        """
         WITH per_cust AS (
           SELECT o_custkey,
-                 CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)) / 1000000.0
-                      AS DOUBLE) AS spend,
+                 {ds_price} AS spend,
                  COUNT(*) AS n_orders
           FROM orders GROUP BY o_custkey
         )
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
-               CAST(SUM(CAST(ROUND(spend * 1000000) AS BIGINT)) / 1000000.0
-                    AS DOUBLE) AS segment_spend,
+               {ds_spend} AS segment_spend,
                MAX(n_orders) AS max_orders
         FROM per_cust JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
-        """
+        """.format(
+            ds_price=SPARK_DSUM.format(x="o_totalprice"),
+            ds_spend=SPARK_DSUM.format(x="spend"),
+        )
     )
 
 
