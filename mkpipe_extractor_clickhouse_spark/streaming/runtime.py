@@ -131,3 +131,33 @@ def incremental_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T3: watermarked sliding-window aggregation (1 h window, 15 min
+    slide — each event lands in 4 overlapping windows)."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"), "n"
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T4: session windows (gap-based) over the stream."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -112,3 +112,92 @@ def test_stateful_user_profiles_matches_batch(spark, sf_dir, staged, tmp_path):
     )
     want = {r.user_id: (r.n, r.tv, r.last) for r in batch}
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, staged, tmp_path):
+    stream = runtime.read_event_stream(spark, staged)
+    agg = runtime.sliding_counts(stream)
+    runtime.run_available_now(agg, "sliding_out", "complete", str(tmp_path / "ckpt"))
+    got = {
+        (r.window_start, r.n) for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    )
+    assert got == {(r.ws, r.n) for r in batch}
+
+
+def test_session_stream_matches_batch(spark, sf_dir, staged, tmp_path):
+    stream = runtime.read_event_stream(spark, staged)
+    agg = runtime.session_counts(stream)
+    runtime.run_available_now(agg, "session_out", "complete", str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert got == {(r.user_id, r.ss, r.se, r.n_events) for r in batch}
+
+
+def test_late_data_dropped_in_append_mode(spark, tmp_path):
+    """T6: a row arriving below the advanced watermark is excluded from
+    its (already finalized) window in append mode — the streaming
+    analogue of the reference losing rows below last_point
+    (reference __init__.py:88-91), made explicit and bounded."""
+    import os
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    rows1 = [(i, f"2024-01-01 10:{i:02d}:00", 1, "click", 1.0, "{}") for i in range(5)]
+    rows2 = [(100, "2024-01-01 23:00:00", 1, "click", 1.0, "{}")]  # advances watermark
+    # watermark propagation lags one batch: the advance from rows2 is
+    # effective for filtering only in the batch after rows2b
+    rows2b = [(101, "2024-01-01 23:30:00", 1, "click", 1.0, "{}")]
+    rows3 = [(200, "2024-01-01 10:30:00", 1, "click", 1.0, "{}")]  # late by ~12h
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_s", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    for i, rows in enumerate([rows1, rows2, rows2b, rows3]):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, f"chunk_{i:03d}"))
+        )
+    stream = runtime.read_event_stream(spark, stage)
+    agg = runtime.tumbling_counts(stream, watermark="1 hour")
+    runtime.run_available_now(agg, "late_out", "append", str(tmp_path / "ckpt"))
+    out = {
+        (str(r.window_start), r.n)
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the 10:00 window was finalized with 5 rows when the watermark
+    # passed 22:00; the late event_id=200 row must NOT appear as a 6th
+    assert ("2024-01-01 10:00:00", 5) in out
+    assert ("2024-01-01 10:00:00", 6) not in out
