@@ -121,7 +121,6 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     vecs = _vectors(spark, sf_dir)
-    qv = None  # resolved on executors via broadcast below
     q_local = (
         vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()["v"]
     )

@@ -68,3 +68,46 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    """sampleBy must keep ~50% of 'en' and 100% of the tail langs."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.lang: r.n_kept for r in _run("l16_stratified_sample", spark, sf_dir).collect()}
+    full = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang in ("es", "de", "fr", "zh"):
+        assert got[lang] == full[lang]  # fraction 1.0 keeps everything
+    assert 0.3 * full["en"] <= got["en"] <= 0.7 * full["en"]
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """Sketch percentiles within 5% relative error of the exact a9."""
+    exact = {r.l_returnflag: r.p90_price for r in _run("a9_percentiles", spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r.p90_approx for r in _run("a14_approx_percentile", spark, sf_dir).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / abs(v) < 0.05
+
+
+def test_chunking_reconstructs_prefix(spark, sf_dir):
+    """chunk_id=0 must be the document's first 16 tokens."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    chunks = _run("l15_doc_chunking", spark, sf_dir)
+    first = {
+        r.doc_id: r.chunk_text
+        for r in chunks.filter(F.col("chunk_id") == 0).collect()
+    }
+    docs = {
+        r.doc_id: " ".join(r.text.split(" ")[:16])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert first == docs
