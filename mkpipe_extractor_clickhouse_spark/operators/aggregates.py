@@ -391,3 +391,29 @@ def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "a15_topk_frequent",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 15
+    """,
+    tags=("A2", "O3", "L5"),
+)
+def a15_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitters (ClickHouse topK analogue): frequency agg +
+    total-ordered top-k. One shuffle of (token,count) partials, then
+    TakeOrderedAndProject — at 100 TB swap in a count-min/space-saving
+    sketch only if the token cardinality itself is unmanageable."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(15)
+    )

@@ -33,6 +33,7 @@ from .sources.state import WatermarkStore
 
 _TABLE_FIELDS = {
     "name",
+    "tags",
     "target_name",
     "replication_method",
     "iterate_column",
@@ -53,6 +54,8 @@ def table_config_from_dict(d: dict) -> TableConfig:
     kwargs = {k: v for k, v in d.items() if k in _TABLE_FIELDS}
     if "dedup_keys" in d:
         kwargs["dedup_keys"] = tuple(d["dedup_keys"])
+    if "tags" in d:
+        kwargs["tags"] = tuple(d["tags"])
     return TableConfig(**kwargs)
 
 
@@ -83,12 +86,18 @@ class Pipeline:
             store=WatermarkStore(state),
         )
 
-    def run(self, spark: SparkSession) -> list[PipelineResult]:
+    def run(
+        self, spark: SparkSession, tags: list[str] | None = None
+    ) -> list[PipelineResult]:
         """One tick over every table — the MkPipe pipeline semantics,
-        including per-table pass_on_error (reference README.md:117)."""
+        including per-table pass_on_error (reference README.md:117) and
+        tag-selective execution (reference README.md:116): with ``tags``
+        given, only tables carrying at least one of them run."""
         runner = self.runner()
         results: list[PipelineResult] = []
         for tdict in self.tables:
+            if tags is not None and not set(tags) & set(tdict.get("tags", [])):
+                continue
             table = table_config_from_dict(tdict)
             try:
                 res: ExtractResult = runner.run_once(spark, table)
@@ -113,7 +122,9 @@ class Pipeline:
         return results
 
 
-def run_pipelines(config: dict, spark: SparkSession) -> dict[str, list[PipelineResult]]:
+def run_pipelines(
+    config: dict, spark: SparkSession, tags: list[str] | None = None
+) -> dict[str, list[PipelineResult]]:
     """Execute a full config dict of the reference's YAML shape:
     ``{"connections": {...}, "pipelines": [{name, source, destination,
     tables}]}``. Parquet connections declare ``path``; destinations
@@ -129,5 +140,5 @@ def run_pipelines(config: dict, spark: SparkSession) -> dict[str, list[PipelineR
             tables=p.get("tables", []),
             sql_dir=p.get("sql_dir"),
         )
-        out[p["name"]] = pipe.run(spark)
+        out[p["name"]] = pipe.run(spark, tags=tags)
     return out

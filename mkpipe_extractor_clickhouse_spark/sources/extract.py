@@ -56,6 +56,7 @@ class TableConfig:
     custom_query_file: str | None = None
     write_partitions: int | None = None
     dedup_keys: tuple[str, ...] = ()  # idempotent-append keys
+    tags: tuple[str, ...] = ()  # selective execution (reference README.md:116)
     pass_on_error: bool = False
 
     def __post_init__(self) -> None:

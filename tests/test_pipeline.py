@@ -76,3 +76,20 @@ def test_pass_on_error(spark, sf_dir, tmp_path):
     assert results[0].status == "error"
     assert results[1].status == "extracted"
     assert spark.read.parquet(f"{tmp_path}/region.parquet").count() == 5
+
+
+def test_tag_selective_execution(spark, sf_dir, tmp_path):
+    """reference README.md:116: tags select which tables a run touches."""
+    pipe = Pipeline(
+        source_dir=sf_dir,
+        dest_dir=str(tmp_path),
+        tables=[
+            {"name": "region", "tags": ["dims"]},
+            {"name": "nation", "tags": ["dims", "geo"]},
+            {"name": "supplier", "tags": ["facts"]},
+        ],
+    )
+    results = pipe.run(spark, tags=["dims"])
+    assert [r.table for r in results] == ["region", "nation"]
+    results_all = pipe.run(spark)  # no tags → everything
+    assert len(results_all) == 3
