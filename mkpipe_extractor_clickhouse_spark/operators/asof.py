@@ -40,20 +40,30 @@ def asof_join(
     payload_out = {c: f"{c}{suffix}" for c in right_payload}
     ts_out = f"{on}{suffix}"
 
+    # The whole right payload travels as ONE nullable struct so the
+    # running last() always takes every field (including the matched
+    # timestamp) from the SAME right row — filling per-column would
+    # resurrect older non-null values when the latest right row carries
+    # a NULL payload field, disagreeing with ASOF JOIN semantics.
     left_cols = [c for c in left.columns]
+    payload_struct = F.struct(
+        F.col(on).alias("__ts"), *[F.col(c).alias(c) for c in right_payload]
+    )
     l = left.select(
         *left_cols,
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(payload_out[c]) for c in right_payload],
-        F.lit(None).cast(right.schema[on].dataType).alias(ts_out),
+        F.lit(None)
+        .cast(
+            right.select(payload_struct.alias("__p")).schema["__p"].dataType
+        )
+        .alias("__p"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by_cols],
         *by_cols,
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(payload_out[c]) for c in right_payload],
-        F.col(on).alias(ts_out),
-    ).withColumn(on, F.col(ts_out))
+        payload_struct.alias("__p"),
+    ).withColumn(on, F.col("__p.__ts"))
 
     u = l.unionByName(r)
     # Right rows sort before left rows at equal ts (__is_left 0 < 1), so
@@ -64,11 +74,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        *[c for c in u.columns if c not in set(payload_out.values()) | {ts_out}],
-        *[
-            F.last(payload_out[c], ignorenulls=True).over(w).alias(payload_out[c])
-            for c in right_payload
-        ],
-        F.last(ts_out, ignorenulls=True).over(w).alias(ts_out),
+        *[c for c in u.columns if c != "__p"],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__p.{c}").alias(payload_out[c]) for c in right_payload],
+            F.col("__p.__ts").alias(ts_out),
+        )
+    )

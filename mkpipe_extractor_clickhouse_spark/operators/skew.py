@@ -26,8 +26,10 @@ def salted_agg(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     (columns: key, value): phase 1 aggregates (key, salt) — spreading a
     hot key over n_salts reducers — phase 2 combines shard partials.
     The quantized long sums make the combine exact."""
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # silently double the shard count to 2*n_salts-1.
     salted = df.withColumn(
-        "salt", (F.xxhash64(F.monotonically_increasing_id()) % n_salts)
+        "salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     phase1 = salted.groupBy(key, "salt").agg(
         F.sum(_quantize("value")).alias("p_sum"),

@@ -11,9 +11,11 @@ extractor-parity core, and runs the extract→load→commit-state loop.
 Connections:
   * ``variant: parquet``   — directory of parquet tables (the fixture
     corpus, or any lake path); executes everything natively in Spark.
-  * ``variant: clickhouse`` / ``variant: jdbc`` — remote sources via
-    sources/jdbc.py (connector JARs required for clickhouse; see
-    CLICKHOUSE_JAR_PACKAGES).
+  * ``variant: clickhouse`` / ``variant: jdbc`` — remote sources;
+    reader construction lives in sources/jdbc.py (connector JARs
+    required). run_pipelines rejects these loudly rather than
+    misreading a remote config as a local path — wire the JdbcSource
+    reader into an extractor when a live server exists.
 """
 
 from __future__ import annotations
@@ -33,7 +35,6 @@ from .sources.state import WatermarkStore
 
 _TABLE_FIELDS = {
     "name",
-    "tags",
     "target_name",
     "replication_method",
     "iterate_column",
@@ -48,9 +49,10 @@ _TABLE_FIELDS = {
 
 
 def table_config_from_dict(d: dict) -> TableConfig:
-    """Accept the reference's table parameter names (README.md:100-117);
-    unknown keys (fetchsize, partitions_column/count, tags) are reader
-    tuning handled at the source layer, not errors."""
+    """Accept the reference's table parameter names (README.md:100-117).
+    ``tags``/``dedup_keys`` are coerced to tuples; unknown keys
+    (fetchsize, partitions_column/count) are reader tuning handled at
+    the source layer, not errors."""
     kwargs = {k: v for k, v in d.items() if k in _TABLE_FIELDS}
     if "dedup_keys" in d:
         kwargs["dedup_keys"] = tuple(d["dedup_keys"])
@@ -134,6 +136,19 @@ def run_pipelines(
     for p in config.get("pipelines", []):
         src = conns[p["source"]]
         dst = conns[p["destination"]]
+        for side, c in (("source", src), ("destination", dst)):
+            variant = c.get("variant", "parquet")
+            if variant != "parquet":
+                # Remote variants go through sources/jdbc.py readers and
+                # need connector JARs on the classpath — not available
+                # (or testable) in this environment, so fail loudly
+                # rather than misread a remote config as a local path.
+                raise NotImplementedError(
+                    f"{side} variant {variant!r}: only 'parquet' connections "
+                    "run end-to-end here; build remote readers with "
+                    "sources.jdbc.JdbcSource / ClickHouseNativeSource "
+                    "(CLICKHOUSE_JAR_PACKAGES lists the required jars)"
+                )
         pipe = Pipeline(
             source_dir=src["path"],
             dest_dir=dst["path"],

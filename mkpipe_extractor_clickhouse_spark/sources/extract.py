@@ -102,16 +102,36 @@ class ParquetExtractor:
         table: TableConfig,
         spec: FilterSpec | None,
         custom_query: str | None,
+        source_filter=None,
     ) -> DataFrame:
+        """``source_filter`` constrains what the SOURCE can see (the
+        FIXTURES.md arrival-simulation protocol) — for custom queries it
+        is applied to the source table's view *before* the user SQL
+        runs, since the query result need not carry the filter column."""
         if custom_query is not None:
             # S3: the user's SQL runs *natively in Spark* over registered
             # views — this is the reference's ClickHouse-passthrough path
             # (__init__.py:96-101) turned into real query execution.
-            register_views(spark, self.sf_dir)
+            # Register only the tables the query text mentions (plus the
+            # source table) — not the whole catalog on every tick.
+            import re
+
+            mentioned = [
+                t
+                for t in SCHEMAS
+                if t == table.name or re.search(rf"\b{t}\b", custom_query)
+            ]
+            register_views(spark, self.sf_dir, mentioned)
+            if source_filter is not None:
+                load_table(spark, self.sf_dir, table.name).filter(
+                    source_filter
+                ).createOrReplaceTempView(table.name)
             return spark.sql(splice_query_filter(custom_query, spec))
         df = load_table(spark, self.sf_dir, table.name)
         if spec is not None and not spec.is_trivial:
             df = df.filter(spec.to_column())
+        if source_filter is not None:
+            df = df.filter(source_filter)
         return df
 
     def extract(
@@ -146,9 +166,7 @@ class ParquetExtractor:
                 spec = FilterSpec(column=table.iterate_column)
                 write_mode = "overwrite"
 
-            df = self._read_source(spark, table, spec, custom_query)
-            if source_filter is not None:
-                df = df.filter(source_filter)
+            df = self._read_source(spark, table, spec, custom_query, source_filter)
 
             # Single materialization shared by probe + watermark + write
             # (fixes the reference's double/triple scan, __init__.py:103/112).
@@ -162,24 +180,23 @@ class ParquetExtractor:
             # The reference aggregates max(iterate_column) over the query
             # *result* (__init__.py:112) and therefore breaks when a
             # custom query doesn't project the iterate column; here we
-            # fall back to the filtered base table in that case.
-            wm_df = (
-                df
-                if table.iterate_column in df.columns
-                else self._read_source(spark, table, spec, None)
-            )
+            # fall back to the filtered base table in that case. The
+            # fallback must see the SAME source constraint as the
+            # extraction, or the watermark would advance past rows the
+            # source never delivered and silently skip them forever.
+            if table.iterate_column in df.columns:
+                wm_df = df
+            else:
+                wm_df = self._read_source(spark, table, spec, None, source_filter)
             row = wm_df.agg(F.max(table.iterate_column).alias("max_val")).first()
             last_point_value = (
                 str(row["max_val"]) if row and row["max_val"] is not None else None
             )
             return ExtractResult(df, write_mode, last_point_value)
 
-        # full replication (reference __init__.py:116-123)
-        df = self._read_source(
-            spark, table, None if custom_query else None, custom_query
-        )
-        if source_filter is not None:
-            df = df.filter(source_filter)
+        # full replication (reference __init__.py:116-123): no filter
+        # spec — a custom query gets the trivial WHERE 1=1 splice.
+        df = self._read_source(spark, table, None, custom_query, source_filter)
         return ExtractResult(df, "overwrite", None)
 
 

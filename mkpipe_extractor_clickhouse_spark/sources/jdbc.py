@@ -82,6 +82,14 @@ class JdbcSource:
     ) -> DataFrameReader:
         """Build (don't load) the reader — mirrors __init__.py:35-43 with
         the range-partitioning options the reference delegates to Spark."""
+        if is_query and partitions_column:
+            # Spark's JDBC source rejects 'query' + 'partitionColumn'
+            # together at load() time; fail here with an actionable hint.
+            raise ValueError(
+                "range-partitioned reads require a table read (is_query=False) "
+                "— wrap the query as 'dbtable' subquery alias instead, e.g. "
+                "'(SELECT ...) AS q'"
+            )
         reader = self._base_reader(spark)
         if is_query:
             reader = reader.option("query", table_or_query)

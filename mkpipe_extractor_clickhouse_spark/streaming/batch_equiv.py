@@ -52,7 +52,11 @@ def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t3_sliding_window",
     oracle=f"""
-    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 900) * 900 - k * 900) AS TIMESTAMP)
+    -- epoch arithmetic stays in naive TIMESTAMP space (TO_TIMESTAMP
+    -- would route through TIMESTAMPTZ and shift by the host TZ)
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + CAST(FLOOR(EPOCH(ts) / 900) * 900 - k * 900 AS BIGINT)
+               * INTERVAL 1 SECOND
              AS window_start,
            COUNT(*) AS n,
            {DSUM.format(x='value')} AS total_value
@@ -79,7 +83,7 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4_session_window",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -87,7 +91,7 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )

@@ -124,3 +124,23 @@ def test_write_partitions(spark, sf_dir, runner, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) == 2  # coalesce(write_partitions), reference README.md:114
+
+
+def test_custom_query_watermark_respects_source_filter(spark, sf_dir, runner):
+    """The watermark fallback for custom queries that don't project the
+    iterate column must not advance past what the source delivered —
+    otherwise later arrivals below the premature watermark are lost."""
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        custom_query=(
+            "SELECT user_id, COUNT(*) AS n FROM events {query_filter} "
+            "GROUP BY user_id"
+        ),
+    )
+    res = runner.extractor.extract(
+        table, spark, source_filter=F.col("event_id") < 500
+    )
+    assert res.last_point_value == "499"  # not the full table's max

@@ -42,24 +42,47 @@ def test_jdbc_url_and_options(spark):
     assert opts.get("fetchsize") == "50000"
 
 
-def test_jdbc_query_and_partitioned(spark):
+def test_jdbc_query_read(spark):
+    src = JdbcSource(ConnectionConfig(host="ch1", database="db"))
+    r = src.reader(spark, "SELECT * FROM events WHERE 1=1", is_query=True)
+    opts = _options(r)
+    assert opts.get("query") == "SELECT * FROM events WHERE 1=1"
+    assert opts.get("fetchsize") == "100000"  # reference default README.md:111
+
+
+def test_jdbc_partitioned_table_read(spark):
     src = JdbcSource(ConnectionConfig(host="ch1", database="db"))
     r = src.reader(
         spark,
-        "SELECT * FROM events WHERE 1=1",
-        is_query=True,
+        "events",
         partitions_column="event_id",
         partitions_count=8,
         lower_bound=0,
         upper_bound=100000,
     )
     opts = _options(r)
-    assert opts.get("query") == "SELECT * FROM events WHERE 1=1"
+    assert opts.get("dbtable") == "db.events"
     assert opts.get("partitioncolumn") == "event_id"
     assert opts.get("numpartitions") == "8"
     assert opts.get("lowerbound") == "0"
     assert opts.get("upperbound") == "100000"
-    assert opts.get("fetchsize") == "100000"  # reference default README.md:111
+
+
+def test_jdbc_query_plus_partitioning_rejected(spark):
+    """Spark's JDBC source forbids query+partitionColumn; the reader
+    fails fast with a hint instead of erroring at load()."""
+    import pytest
+
+    src = JdbcSource(ConnectionConfig(host="ch1", database="db"))
+    with pytest.raises(ValueError, match="dbtable"):
+        src.reader(
+            spark,
+            "SELECT 1",
+            is_query=True,
+            partitions_column="id",
+            lower_bound=0,
+            upper_bound=10,
+        )
 
 
 def test_clickhouse_native_options(spark):
