@@ -1,0 +1,175 @@
+"""ClickHouse-signature behavioral analytics operators: windowFunnel
+and retention equivalents (REF-surface — these are the queries
+ClickHouse users most characteristically push through the reference's
+custom_query passthrough, reference README.md:57-66).
+
+Both are expressed as staged conditional aggregations — no UDFs, no
+per-user collect — so they scale as ordinary grouped aggs: the funnel
+is k sequential min-over-condition joins on the user key (k = number
+of steps, a constant), retention is one pass of boolean aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "ch_window_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(1 + CAST(s2.user_id IS NOT NULL AS INTEGER)
+                  + CAST(s3.user_id IS NOT NULL AS INTEGER) AS BIGINT)
+             AS funnel_level,
+           s1.t1 AS step1_ts, s2.t2 AS step2_ts, s3.t3 AS step3_ts
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    tags=("EXT", "funnel", "A7", "J3"),
+)
+def ch_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel analogue: deepest strictly-ordered step chain
+    signup → click → purchase completed within 7 days of the first
+    signup, per user. Staged min-over-condition aggregation — each
+    stage is one broadcastable per-user relation, so the plan is k
+    hash joins on user_id, not a sequence scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("funnel_level"),
+            F.col("t1").alias("step1_ts"),
+            F.col("t2").alias("step2_ts"),
+            F.col("t3").alias("step3_ts"),
+        )
+    )
+
+
+@register(
+    "ch_retention",
+    oracle="""
+    SELECT user_id,
+           CAST(BOOL_OR(ts < TIMESTAMP '2024-01-08 00:00:00') AS BIGINT) AS week1,
+           CAST(BOOL_OR(ts < TIMESTAMP '2024-01-08 00:00:00')
+                AND BOOL_OR(ts >= TIMESTAMP '2024-01-08 00:00:00'
+                            AND ts < TIMESTAMP '2024-01-15 00:00:00') AS BIGINT) AS week2,
+           CAST(BOOL_OR(ts < TIMESTAMP '2024-01-08 00:00:00')
+                AND BOOL_OR(ts >= TIMESTAMP '2024-01-15 00:00:00'
+                            AND ts < TIMESTAMP '2024-01-22 00:00:00') AS BIGINT) AS week3
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("EXT", "retention", "A7"),
+)
+def ch_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention() analogue: per user, was-active-in-week-1 and
+    returned-in-week-N flags (ClickHouse semantics: later conditions
+    count only if the first holds). One pass of boolean aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = F.bool_or(F.col("ts") < F.lit("2024-01-08").cast("timestamp_ntz"))
+    w2 = F.bool_or(
+        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"))
+    )
+    w3 = F.bool_or(
+        (F.col("ts") >= F.lit("2024-01-15").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-22").cast("timestamp_ntz"))
+    )
+    return ev.groupBy("user_id").agg(
+        w1.cast("long").alias("week1"),
+        (w1 & w2).cast("long").alias("week2"),
+        (w1 & w3).cast("long").alias("week3"),
+    )
+
+
+@register(
+    "f10_try_and_buckets",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(props AS BIGINT) AS props_as_int,
+           TRY_CAST(SUBSTRING(props, 7, 2) AS BIGINT) AS k_digits,
+           CAST(value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0) AS DOUBLE)
+             AS safe_div,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 11
+                     ELSE FLOOR(value / 10) + 1 END AS BIGINT) AS value_decile
+    FROM events
+    """,
+    tags=("F8", "F3", "F4"),
+)
+def f10_try_and_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casts/division + histogram bucketing: try_cast
+    yields NULL instead of an ANSI error on malformed input (props is a
+    JSON string → always NULL as BIGINT; its digit slice parses);
+    try_divide ≡ x / NULLIF(y, 0); width_bucket (no DuckDB 1.0
+    equivalent — the oracle spells out the same PostgreSQL bucket
+    arithmetic) = ClickHouse histogram bucket assignment."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("props").try_cast("long").alias("props_as_int"),
+        F.substring("props", 7, 2).try_cast("long").alias("k_digits"),
+        F.try_divide(F.col("value"), (F.col("event_id") % 3).cast("double")).alias(
+            "safe_div"
+        ),
+        F.width_bucket(F.col("value"), F.lit(0), F.lit(100), F.lit(10))
+        .cast("long")
+        .alias("value_decile"),
+    )

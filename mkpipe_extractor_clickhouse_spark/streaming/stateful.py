@@ -79,3 +79,67 @@ def user_profiles(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- transformWithState (Spark 4 arbitrary-state API) ----------------
+# The successor to applyInPandasWithState: explicit typed state handles
+# (ValueState/ListState/MapState), timers, and TTL support, backed by
+# the RocksDB state store provider.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Same per-user running profile as _update_profile, on the new
+    API: one ValueState row per user (n, scaled_sum, last_event_id)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("profile", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        if self._state.exists():
+            n, scaled_sum, last_id = self._state.get()
+        else:
+            n, scaled_sum, last_id = 0, 0, -1
+        for pdf in rows:
+            n += len(pdf)
+            scaled_sum += int(
+                np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum()
+            )
+            last_id = max(last_id, int(pdf["event_id"].max()))
+        self._state.update((n, scaled_sum, last_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [scaled_sum / 1_000_000.0],
+                "last_event_id": [last_id],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_tws(stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas form of user_profiles — requires
+    spark.sql.streaming.stateStore.providerClass=ROCKSDB_PROVIDER."""
+    return (
+        stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserProfileProcessor(),
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

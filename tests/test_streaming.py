@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+import pytest
 from pyspark.sql import functions as F
 
 from mkpipe_extractor_clickhouse_spark.catalog import load_table
@@ -201,3 +203,50 @@ def test_late_data_dropped_in_append_mode(spark, tmp_path):
     # passed 22:00; the late event_id=200 row must NOT appear as a 6th
     assert ("2024-01-01 10:00:00", 5) in out
     assert ("2024-01-01 10:00:00", 6) not in out
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, staged, tmp_path):
+    """Spark 4 transformWithState API: same per-user profile as the
+    applyInPandasWithState operator, RocksDB-backed typed state.
+
+    The transformWithState driver worker imports google.protobuf;
+    skipped where protobuf is unusable (this container ships a broken
+    install and adding packages is out of scope)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from mkpipe_extractor_clickhouse_spark.streaming import stateful
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", stateful.ROCKSDB_PROVIDER
+    )
+    try:
+        stream = runtime.read_event_stream(spark, staged)
+        prof = stateful.user_profiles_tws(stream)
+        runtime.run_available_now(prof, "tws_out", "update", str(tmp_path / "ckpt"))
+        out = spark.sql(
+            """
+            SELECT user_id, n_events, total_value, last_event_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM tws_out
+            ) WHERE rn = 1
+            """
+        ).collect()
+        got = {r.user_id: (r.n_events, round(r.total_value, 6), r.last_event_id) for r in out}
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000.0)
+                .cast("double")
+                .alias("tv"),
+                F.max("event_id").alias("last"),
+            )
+            .collect()
+        )
+        want = {r.user_id: (r.n, round(r.tv, 6), r.last) for r in batch}
+        assert got == want
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
