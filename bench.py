@@ -31,8 +31,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     spark = get_spark(app_name="mkpipe_spark_bench")
 
-    # Warmup: prime file listings, parquet footers, and codegen.
-    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+    # Warmup: prime file listings, parquet footers, and codegen for
+    # every table any headline query touches.
+    from mkpipe_extractor_clickhouse_spark.catalog import TABLE_NAMES as _ALL
+
+    for t in _ALL:
         load_table(spark, sf_dir, t).count()
 
     # Two passes per query: pass 1 pays one-time planning/codegen/

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .asof import asof_join
 
 FUNNEL_STEPS = ["signup", "click", "purchase"]
 FUNNEL_WINDOW_DAYS = 7
@@ -56,11 +57,14 @@ FUNNEL_WINDOW_DAYS = 7
     tags=("EXT", "funnel", "A7", "J3"),
 )
 def ch_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """windowFunnel analogue: deepest strictly-ordered step chain
-    signup → click → purchase completed within 7 days of the first
-    signup, per user. Staged min-over-condition aggregation — each
-    stage is one broadcastable per-user relation, so the plan is k
-    hash joins on user_id, not a sequence scan."""
+    """First-touch funnel: deepest strictly-ordered step chain
+    signup → click → purchase within 7 days of the user's FIRST
+    signup. (This anchors on min(signup) — the common product-analytics
+    "first touch" convention; ClickHouse's windowFunnel slides the
+    anchor over every step-1 event, which ch_window_funnel_sliding
+    implements.) Staged min-over-condition aggregation — each stage is
+    one broadcastable per-user relation, so the plan is k hash joins on
+    user_id, not a sequence scan."""
     ev = load_table(spark, sf_dir, "events")
     s1 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
@@ -173,3 +177,95 @@ def f10_try_and_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_decile"),
     )
+
+
+@register(
+    "ch_window_funnel_sliding",
+    oracle=f"""
+    -- sliding anchor: a step-2 event is reachable iff ANY step-1 event
+    -- precedes it within the window — equivalently iff the LATEST prior
+    -- step-1 does (as-of join); step 3 cascades off the latest
+    -- reachable step-2 (its anchor deadline is monotone in ts).
+    -- MATERIALIZED: stops DuckDB pushing the window filter into the
+    -- ASOF join (it would bind as a second inequality and error).
+    WITH s1 AS (
+      SELECT user_id, ts FROM events WHERE event_type = '{FUNNEL_STEPS[0]}'
+    ),
+    s2raw AS MATERIALIZED (
+      SELECT e.user_id, e.ts, a.ts AS anchor
+      FROM (SELECT user_id, ts FROM events
+            WHERE event_type = '{FUNNEL_STEPS[1]}') e
+      ASOF JOIN s1 a ON e.user_id = a.user_id AND e.ts > a.ts
+    ),
+    s2 AS (
+      SELECT * FROM s2raw WHERE ts <= anchor + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+    ),
+    s3raw AS MATERIALIZED (
+      SELECT e.user_id, e.ts, b.anchor
+      FROM (SELECT user_id, ts FROM events
+            WHERE event_type = '{FUNNEL_STEPS[2]}') e
+      ASOF JOIN s2 b ON e.user_id = b.user_id AND e.ts > b.ts
+    ),
+    s3 AS (
+      SELECT user_id, ts FROM s3raw
+      WHERE ts <= anchor + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+    ),
+    levels AS (
+      SELECT user_id, 1 AS lv FROM s1
+      UNION ALL SELECT user_id, 2 FROM s2
+      UNION ALL SELECT user_id, 3 FROM s3
+    )
+    SELECT user_id, CAST(MAX(lv) AS BIGINT) AS funnel_level
+    FROM levels GROUP BY user_id
+    """,
+    tags=("EXT", "funnel", "J10"),
+)
+def ch_window_funnel_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-faithful windowFunnel (strict-increase mode): the
+    window anchor slides over EVERY step-1 event, so a chain may start
+    at any signup, not just the first. Reduction to two cascaded as-of
+    joins: a step-2 event is reachable iff its latest prior step-1 lies
+    within the window (any in-window anchor implies the latest prior
+    one is), and because that anchor is monotone in event time, step 3
+    only needs the latest reachable step-2 before it. Each cascade is
+    one asof_join — linear work, same scale shape as J10."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+
+    def step(name: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == name).select("user_id", "ts")
+
+    s1 = step(FUNNEL_STEPS[0])
+    # asof matches ts_right <= ts; strict increase needs ts_right < ts,
+    # so shift the probe side back by one microsecond for the lookup.
+    eps = F.expr("INTERVAL 1 MICROSECOND")
+    s2_probe = step(FUNNEL_STEPS[1]).withColumn("probe_ts", F.col("ts") - eps)
+    s2 = (
+        asof_join(
+            s2_probe.select("user_id", F.col("probe_ts").alias("ts"), F.col("ts").alias("real_ts")),
+            s1,
+            on="ts",
+            by="user_id",
+            right_payload=[],
+        )
+        .filter(F.col("real_ts") <= F.col("ts_right") + win)
+        .select("user_id", F.col("real_ts").alias("ts"), F.col("ts_right").alias("anchor"))
+    )
+    s3_probe = step(FUNNEL_STEPS[2]).withColumn("probe_ts", F.col("ts") - eps)
+    s3 = (
+        asof_join(
+            s3_probe.select("user_id", F.col("probe_ts").alias("ts"), F.col("ts").alias("real_ts")),
+            s2.select("user_id", "ts", "anchor"),
+            on="ts",
+            by="user_id",
+            right_payload=["anchor"],
+        )
+        .filter(F.col("real_ts") <= F.col("anchor_right") + win)
+        .select("user_id")
+    )
+    levels = (
+        s1.select("user_id", F.lit(1).alias("lv"))
+        .unionByName(s2.select("user_id", F.lit(2).alias("lv")))
+        .unionByName(s3.select("user_id", F.lit(3).alias("lv")))
+    )
+    return levels.groupBy("user_id").agg(F.max("lv").cast("long").alias("funnel_level"))

@@ -40,23 +40,26 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _update_profile(
-    key: tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
+def _fold_profile(
+    acc: tuple[int, int, int], pdfs: Iterable[pd.DataFrame]
+) -> tuple[int, int, int]:
+    """Shared accumulation for both stateful APIs — one definition of
+    the quantized arithmetic keeps the two operators in lockstep."""
     import numpy as np
 
-    if state.exists:
-        n, scaled_sum, last_id = state.get
-    else:
-        n, scaled_sum, last_id = 0, 0, -1
+    n, scaled_sum, last_id = acc
     for pdf in pdfs:
         n += len(pdf)
-        scaled_sum += int(np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum())
+        scaled_sum += int(
+            np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum()
+        )
         last_id = max(last_id, int(pdf["event_id"].max()))
-    state.update((n, scaled_sum, last_id))
-    yield pd.DataFrame(
+    return n, scaled_sum, last_id
+
+
+def _emit_profile(key: tuple[Any, ...], acc: tuple[int, int, int]) -> pd.DataFrame:
+    n, scaled_sum, last_id = acc
+    return pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
@@ -64,6 +67,17 @@ def _update_profile(
             "last_event_id": [last_id],
         }
     )
+
+
+def _update_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    acc = tuple(state.get) if state.exists else (0, 0, -1)
+    acc = _fold_profile(acc, pdfs)
+    state.update(acc)
+    yield _emit_profile(key, acc)
 
 
 def user_profiles(stream: DataFrame) -> DataFrame:
@@ -104,27 +118,10 @@ class UserProfileProcessor(StatefulProcessor):
         self._state = handle.getValueState("profile", _STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
-        import numpy as np
-
-        if self._state.exists():
-            n, scaled_sum, last_id = self._state.get()
-        else:
-            n, scaled_sum, last_id = 0, 0, -1
-        for pdf in rows:
-            n += len(pdf)
-            scaled_sum += int(
-                np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum()
-            )
-            last_id = max(last_id, int(pdf["event_id"].max()))
-        self._state.update((n, scaled_sum, last_id))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_value": [scaled_sum / 1_000_000.0],
-                "last_event_id": [last_id],
-            }
-        )
+        acc = tuple(self._state.get()) if self._state.exists() else (0, 0, -1)
+        acc = _fold_profile(acc, rows)
+        self._state.update(acc)
+        yield _emit_profile(key, acc)
 
     def close(self) -> None:
         pass

@@ -8,8 +8,6 @@ from __future__ import annotations
 import os
 
 import pytest
-
-import pytest
 from pyspark.sql import functions as F
 
 from mkpipe_extractor_clickhouse_spark.catalog import load_table
@@ -250,3 +248,7 @@ def test_transform_with_state_matches_batch(spark, sf_dir, staged, tmp_path):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            # get(key, None) returns None on an untouched session — the
+            # conf must be UNSET or it leaks into every later test
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
