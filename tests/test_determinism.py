@@ -1,0 +1,96 @@
+"""Adversarial cross-engine tests for the quantization primitive that
+every double aggregation rests on (operators/_determinism.py): for a
+battery of hostile doubles — exact .5 ties at the 7th decimal,
+negatives, zeros, denormals, large magnitudes, long random tails — the
+Spark expression and the DuckDB fragment must produce the identical
+64-bit integer, row by row."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mkpipe_extractor_clickhouse_spark.operators._determinism import _quantize
+
+
+def _edge_values() -> list[float]:
+    rng = random.Random(42)
+    vals = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.0,
+        2.5,
+        -2.5,
+        # exact ties at the quantization boundary (x * 1e6 = n + 0.5):
+        # representable because the mantissa fits — e.g. 1.5/1e6 is not
+        # exact, but n+0.5 scaled values constructed in binary are
+        0.5 / 1_000_000,
+        1.5 / 1_000_000,
+        -0.5 / 1_000_000,
+        # values whose double expansion straddles rounding digits
+        0.1,
+        0.3,
+        1 / 3,
+        2 / 3,
+        # magnitudes around the exactness cliff of the scaled long
+        1e3 + 1e-7,
+        -1e3 - 1e-7,
+        123456.789012,
+        1e9,
+        -1e9,
+        # tiny / denormal
+        5e-324,
+        -5e-324,
+        1e-300,
+    ]
+    vals += [rng.uniform(-1e5, 1e5) for _ in range(5000)]
+    vals += [rng.uniform(-1, 1) for _ in range(5000)]
+    # random bit patterns (finite only)
+    for _ in range(2000):
+        bits = rng.getrandbits(64)
+        (x,) = struct.unpack("<d", struct.pack("<Q", bits))
+        if x == x and abs(x) < 9e12:  # finite, inside scaled-long range
+            vals.append(x)
+    return vals
+
+
+def test_quantize_identical_across_engines(spark):
+    vals = _edge_values()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "x"])
+    got_spark = {
+        r.i: r.q for r in df.select("i", _quantize("x").alias("q")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    got_duck = dict(
+        con.sql(
+            "SELECT i, CAST(TRUNC(x * 1000000"
+            " + (CASE WHEN x >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    mismatches = [
+        (i, vals[i], got_spark[i], got_duck[i])
+        for i in got_spark
+        if got_spark[i] != got_duck[i]
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatches, first 5: {mismatches[:5]}"
+
+
+def test_quantized_sum_order_independent(spark):
+    """The quantized sum must not depend on partitioning/order."""
+    vals = _edge_values()[:2000]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    s1 = df.repartition(1).agg(F.sum(_quantize("x"))).first()[0]
+    s32 = df.repartition(32).agg(F.sum(_quantize("x"))).first()[0]
+    srev = (
+        spark.createDataFrame([(v,) for v in reversed(vals)], ["x"])
+        .agg(F.sum(_quantize("x")))
+        .first()[0]
+    )
+    assert s1 == s32 == srev
