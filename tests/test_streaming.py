@@ -252,3 +252,20 @@ def test_transform_with_state_matches_batch(spark, sf_dir, staged, tmp_path):
             # get(key, None) returns None on an untouched session — the
             # conf must be UNSET or it leaks into every later test
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_foreachbatch_checkpoint_recovery_idempotent(spark, sf_dir, staged, tmp_path):
+    """Re-running the incremental sink against the SAME checkpoint with
+    no new files must not duplicate rows — the crash-recovery contract
+    of foreachBatch + idempotent append (SURVEY §3.5 'state commit
+    atomic with the append')."""
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(dest, exist_ok=True)
+    for _ in range(2):  # second run = restart from checkpoint
+        stream = runtime.read_event_stream(spark, staged)
+        runtime.incremental_sink(spark, stream, dest, ckpt)
+    got = spark.read.parquet(os.path.join(dest, "events.parquet"))
+    full = load_table(spark, sf_dir, "events")
+    assert got.count() == full.count()
+    assert got.select("event_id").distinct().count() == full.count()
