@@ -294,3 +294,93 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.9)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register(
+    "l18_dedup_clusters",
+    oracle=f"""
+    -- connected components of the near-dup graph via recursive
+    -- reachability; cluster id = min doc_id in the component
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) * 1.0 /
+             ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+              + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*))
+             >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("L1", "L2", "EXT"),
+)
+def l18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the Jaccard
+    near-dup pair graph, cluster id = min doc_id per component — the
+    step that turns pairwise matches into keep-one-per-cluster dedup
+    decisions.
+
+    Spark side: iterative min-label propagation (each round: join
+    labels across edges, take the min seen) with a convergence check —
+    rounds ≈ graph diameter, each round one shuffle. At 100 TB swap in
+    the large-star/small-star optimization (public Kiveris et al.
+    MR-CC algorithm) — same loop skeleton, provably fewer rounds on
+    skewed components. The DuckDB oracle computes the same components
+    by recursive reachability, so the iterative result is verified
+    exactly."""
+    pairs = l2_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # localCheckpoint each round: iterative plans otherwise accumulate
+    # lineage exponentially (the optimizer OOMs around ~10 rounds).
+    edges = edges.localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(20):  # diameter bound; fixture graphs are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("src"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
