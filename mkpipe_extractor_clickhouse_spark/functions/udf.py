@@ -43,8 +43,10 @@ def d1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the slow path, kept off hot paths —
     identical logic is expressible as F.when, see f4_conditional_null)."""
 
+    # no type hints on purpose: pyspark tries (and fails) to infer the
+    # eval type from them when returnType is also given, warning noisily
     @F.udf(returnType=T.StringType())
-    def band(v: float) -> str:
+    def band(v):
         if v < 25:
             return "cold"
         if v < 75:

@@ -269,3 +269,44 @@ def ch_window_funnel_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s3.select("user_id", F.lit(3).alias("lv")))
     )
     return levels.groupBy("user_id").agg(F.max("lv").cast("long").alias("funnel_level"))
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_days: int = FUNNEL_WINDOW_DAYS,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Generalized k-step sliding-anchor windowFunnel (strict-increase
+    mode): returns (by, funnel_level) with the deepest chain completed
+    within ``window_days`` of its own step-1 anchor. The 3-step
+    declared query is this with steps=FUNNEL_STEPS; each additional
+    step folds one more as-of cascade — linear work per step."""
+    win = F.expr(f"INTERVAL {window_days} DAYS")
+    eps = F.expr("INTERVAL 1 MICROSECOND")
+
+    def step(name: str) -> DataFrame:
+        return events.filter(F.col(type_col) == name).select(by, ts_col)
+
+    reached = step(steps[0]).withColumn("anchor", F.col(ts_col))
+    levels = reached.select(by, F.lit(1).alias("lv"))
+    for i, name in enumerate(steps[1:], start=2):
+        probe = step(name).select(
+            by,
+            (F.col(ts_col) - eps).alias(ts_col),
+            F.col(ts_col).alias("real_ts"),
+        )
+        reached = (
+            asof_join(probe, reached.select(by, ts_col, "anchor"),
+                      on=ts_col, by=by, right_payload=["anchor"])
+            .filter(F.col("real_ts") <= F.col("anchor_right") + win)
+            .select(
+                by,
+                F.col("real_ts").alias(ts_col),
+                F.col("anchor_right").alias("anchor"),
+            )
+        )
+        levels = levels.unionByName(reached.select(by, F.lit(i).alias("lv")))
+    return levels.groupBy(by).agg(F.max("lv").cast("long").alias("funnel_level"))

@@ -271,3 +271,83 @@ def l13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_set_fp"),
         F.md5("text").alias("exact_fp"),
     )
+
+
+BM25_QUERY_TERMS = ["query", "join", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@register(
+    "l19_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({_BM25_TERMS_IN})
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE token IN ({_BM25_TERMS_IN}) GROUP BY token
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (token)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+    tags=("EXT", "L6", "bm25"),
+)
+def l19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set — the
+    ranking primitive for retrieval-based data curation. Okapi
+    formulation (public Robertson/Sparck-Jones): idf = ln(1 +
+    (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, length normalization
+    b=0.75. Query-term stats are vocabulary-sized broadcasts; one
+    shuffle for per-doc tf."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens(d).select("doc_id", "token")
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qtok = tok.filter(F.col("token").isin(*BM25_QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs")
+    ).join(doclen.agg((F.sum("dl") / F.count("*")).alias("avgdl")))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+    )

@@ -111,3 +111,36 @@ def test_chunking_reconstructs_prefix(spark, sf_dir):
         for r in load_table(spark, sf_dir, "documents").collect()
     }
     assert first == docs
+
+
+def test_generic_funnel_matches_declared_3step(spark, sf_dir):
+    """window_funnel(k=3) must equal the declared sliding query."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.funnel import (
+        FUNNEL_STEPS,
+        window_funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(ev, FUNNEL_STEPS).collect()
+    }
+    want = {
+        r.user_id: r.funnel_level
+        for r in _run("ch_window_funnel_sliding", spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_generic_funnel_4_steps(spark, sf_dir):
+    """A 4th step only deepens levels; level-4 users must hold a full
+    signup<click<view<purchase chain inside one 7-day window."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.funnel import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    out = window_funnel(ev, ["signup", "click", "view", "purchase"]).collect()
+    levels = {r.user_id: r.funnel_level for r in out}
+    assert max(levels.values()) <= 4
+    assert any(v == 4 for v in levels.values())  # fixture is dense enough
