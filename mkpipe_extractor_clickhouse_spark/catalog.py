@@ -42,9 +42,6 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# Small dimensions — always broadcast-join these (SURVEY §2 J2).
-DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
-
 _ntz = T.TimestampNTZType()
 
 SCHEMAS: dict[str, T.StructType] = {
@@ -171,32 +168,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
-
-
 def register_views(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> None:
     """Register fixture tables as temp views (for the spark.sql path)."""
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-
-
-class Catalog:
-    """Lazy per-(session, sf_dir) table access: ``cat.lineitem`` etc."""
-
-    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
-        self.spark = spark
-        self.sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
-
-    def table(self, name: str) -> DataFrame:
-        if name not in self._cache:
-            self._cache[name] = load_table(self.spark, self.sf_dir, name)
-        return self._cache[name]
-
-    def __getattr__(self, name: str) -> DataFrame:
-        if name in SCHEMAS:
-            return self.table(name)
-        raise AttributeError(name)

@@ -409,9 +409,11 @@ def a15_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-ordered top-k. One shuffle of (token,count) partials, then
     TakeOrderedAndProject — at 100 TB swap in a count-min/space-saving
     sketch only if the token cardinality itself is unmanageable."""
+    from .llm_text import _tokens
+
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split("text", " ")).alias("token"))
+        _tokens(d)
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token"))

@@ -68,9 +68,13 @@ def asof_join(
     u = l.unionByName(r)
     # Right rows sort before left rows at equal ts (__is_left 0 < 1), so
     # a right row at exactly left.ts is visible to that left row.
+    # final __p key: deterministic winner among right rows that share
+    # an exact (by, ts) — struct comparison picks the max payload (the
+    # oracle is arbitrary there, but our output must not flap between
+    # shuffles)
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__p").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(

@@ -121,10 +121,10 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     vecs = _vectors(spark, sf_dir)
-    q_local = (
-        vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()["v"]
-    )
-    q_arr = [float(x) for x in q_local]
+    q_row = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    if q_row is None:
+        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in corpus")
+    q_arr = [float(x) for x in q_row["v"]]
     bq = spark.sparkContext.broadcast(q_arr)
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,18 +139,26 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf.loc[mask, "vec_id"].to_numpy()
             m = np.stack(pdf.loc[mask, "v"].to_numpy())
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            # quantize BEFORE pruning, same half-away-from-zero rule as
+            # F.round, so local cuts agree with l3's (rounded, vec_id)
+            # order even at ties (np.round would be half-to-even)
+            sims = np.trunc(sims * 1e6 + np.copysign(0.5, sims)) / 1e6
             best_ids.extend(ids.tolist())
             best_sims.extend(sims.tolist())
             if len(best_ids) > 4 * TOP_K:
-                order = np.argsort(best_sims)[::-1][:TOP_K]
+                order = sorted(
+                    range(len(best_ids)), key=lambda i: (-best_sims[i], best_ids[i])
+                )[:TOP_K]
                 best_ids = [best_ids[i] for i in order]
                 best_sims = [best_sims[i] for i in order]
         if best_ids:
-            order = np.argsort(best_sims)[::-1][:TOP_K]
+            order = sorted(
+                range(len(best_ids)), key=lambda i: (-best_sims[i], best_ids[i])
+            )[:TOP_K]
             yield pd.DataFrame(
                 {
                     "vec_id": [best_ids[i] for i in order],
-                    "cosine": [round(best_sims[i], 6) for i in order],
+                    "cosine": [best_sims[i] for i in order],
                 }
             )
 
@@ -268,7 +276,13 @@ def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         vecs.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg((F.sum("x") / F.count("*")).alias("c"))
+        # decimal-exact mean (project determinism convention): probe
+        # selection must not depend on partitioning/merge order
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
