@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ._determinism import DSUM, dsum
 
 
 def _typed(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
@@ -85,4 +86,40 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         _typed(spark, sf_dir, "view")
         .select("user_id")
         .subtract(_typed(spark, sf_dir, "purchase").select("user_id"))
+    )
+
+
+@register(
+    "u5_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_returnflag,
+             {DSUM.format(x='l_quantity')} AS sum_qty,
+             {DSUM.format(x='l_discount')} AS sum_disc,
+             {DSUM.format(x='l_tax')} AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_tax', sum_tax FROM wide
+    """,
+    tags=("U1", "A6", "unpivot"),
+)
+def u5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-flag aggregates → long (flag, measure,
+    value) — the inverse of pv1_pivot, via the native unpivot operator
+    (no join, one generate per row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_discount").alias("sum_disc"),
+        dsum("l_tax").alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_disc", "sum_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
     )
