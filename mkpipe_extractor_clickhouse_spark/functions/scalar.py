@@ -28,7 +28,7 @@ from ..registry import register
     SELECT doc_id,
            UPPER(SUBSTRING(text, 1, 10)) AS head10,
            LENGTH(text) AS text_len,
-           CONCAT(lang, ':', source) AS lang_source,
+           lang || ':' || source AS lang_source,
            TRIM(LPAD(lang, 4, '_')) AS padded_lang,
            REPLACE(source, 'src', 'S') AS source_short,
            CASE WHEN text LIKE '%query%' THEN 1 ELSE 0 END AS has_query,
@@ -45,7 +45,8 @@ def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.upper(F.substring("text", 1, 10)).alias("head10"),
         F.length("text").cast("long").alias("text_len"),
-        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        # || / F.concat both propagate NULL (concat_ws would not)
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
         F.trim(F.lpad("lang", 4, "_")).alias("padded_lang"),
         F.replace(F.col("source"), F.lit("src"), F.lit("S")).alias("source_short"),
         F.when(F.col("text").like("%query%"), 1).otherwise(0).alias("has_query"),

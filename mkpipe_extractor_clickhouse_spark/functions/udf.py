@@ -74,7 +74,9 @@ def d2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.LongType())
     def scaled_sqrt(v: pd.Series) -> pd.Series:
-        out = np.round(np.sqrt(v.to_numpy()) * 100)
+        # half-away-from-zero to match SQL ROUND (np.round is banker's)
+        y = np.sqrt(v.to_numpy()) * 100
+        out = np.trunc(y + np.copysign(0.5, y))
         return pd.Series(out.astype("int64"))
 
     ev = load_table(spark, sf_dir, "events")
@@ -86,8 +88,9 @@ def d2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n,
-           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS DOUBLE)
-             AS total_value,
+           CAST(SUM(CAST(TRUNC(value * 1000000
+                 + (CASE WHEN value >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT))
+                / 1000000.0 AS DOUBLE) AS total_value,
            MAX(event_id) AS last_event
     FROM events
     GROUP BY user_id
@@ -110,7 +113,9 @@ def d4_grouped_map_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        scaled = np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64")
+        y = pdf["value"].to_numpy() * 1_000_000
+        # same half-away-from-zero quantization as _determinism
+        scaled = np.trunc(y + np.copysign(0.5, y)).astype("int64")
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

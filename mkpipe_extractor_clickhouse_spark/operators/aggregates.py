@@ -419,3 +419,33 @@ def a15_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(15)
     )
+
+
+@register(
+    "a16_hll_sketches",
+    oracle=None,  # sketch bytes are implementation-defined → rows-only;
+    # merge-consistency vs exact distinct asserted in tests/test_llm.py
+    tags=("A4",),
+)
+def a16_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+    hll_sketch_agg / hll_union_agg) — the ClickHouse uniqState/uniqMerge
+    pattern: per-group sketches materialize once, then roll up to any
+    coarser grouping WITHOUT rescanning the data. At 100 TB this is how
+    distinct counts compose across time partitions: union the daily
+    sketches instead of re-reading a year of rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+    per_flag_counts = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sketch").alias("approx_parts"),
+        "n_rows",
+    )
+    rollup = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts", "n_rows")
+    return per_flag_counts.unionByName(rollup)

@@ -157,14 +157,18 @@ def m2_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: treat each blob as a virtual
-    ``n_frames`` sequence (n_bytes div 64), emit every 8th frame index
+    ``n_frames`` sequence (n_bytes div 64, last index n_frames-1),
+    emit every 8th frame index
     with its byte offset — the exploded shape a video pipeline feeds to
     per-frame featurizers."""
     blobs = synthesize_blobs(spark, sf_dir)
+    # last valid frame index is n_frames-1 (a bound of n_frames would
+    # emit a zero-length frame starting exactly at end-of-blob)
+    n_frames = F.expr("meta.n_bytes div 64")
     frames = blobs.select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(0), (F.col("meta.n_bytes") / 64).cast("long"), F.lit(8))
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(8))
         ).alias("frame_idx"),
     )
     return frames.select(

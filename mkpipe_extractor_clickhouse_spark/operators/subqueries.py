@@ -17,28 +17,40 @@ from ..operators._determinism import DSUM, SPARK_DSUM, dsum
 from ..registry import register
 
 
+_SQ1_DAVG_DUCK = (
+    "SELECT CAST(SUM(CAST(TRUNC(o_totalprice * 1000000"
+    " + (CASE WHEN o_totalprice >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT))"
+    " / 1000000.0 / COUNT(*) AS DOUBLE) FROM orders"
+)
+_SQ1_DAVG_SPARK = (
+    "SELECT CAST(SUM(CAST((o_totalprice * 1000000"
+    " + (CASE WHEN o_totalprice >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT))"
+    " / 1000000.0 / COUNT(*) AS DOUBLE) FROM orders"
+)
+
+
 @register(
     "sq1_scalar_subquery",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_totalprice,
-           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
-             AS delta_from_mean
+           ROUND(o_totalprice - ({_SQ1_DAVG_DUCK}), 4) AS delta_from_mean
     FROM orders
-    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+    WHERE o_totalprice > ({_SQ1_DAVG_DUCK}) * 1.5
     """,
     tags=("S2", "subquery"),
 )
 def sq1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery in both projection and predicate —
-    planned as a broadcast of the 1-row aggregate, evaluated once."""
+    planned as a broadcast of the 1-row aggregate, evaluated once. The
+    mean is quantized (per the repo determinism rule) so the predicate
+    boundary cannot flap between engines' partial-agg orders."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice,
-               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
-                 AS delta_from_mean
+               ROUND(o_totalprice - ({_SQ1_DAVG_SPARK}), 4) AS delta_from_mean
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
+        WHERE o_totalprice > ({_SQ1_DAVG_SPARK}) * 1.5
         """
     )
 

@@ -32,9 +32,13 @@ def _lit(value: object, column_type: ColumnType) -> Column:
     return F.lit(str(value)).cast("timestamp_ntz")
 
 
-def _sql_lit(value: object, column_type: ColumnType) -> str:
+def _sql_lit(value: object, column_type: ColumnType, dialect: str = "spark") -> str:
     if column_type == "int":
         return str(int(value))  # type: ignore[arg-type]
+    if dialect == "spark":
+        # TIMESTAMP_NTZ: a plain TIMESTAMP literal is LTZ in Spark and
+        # would drag the session timezone into NTZ comparisons
+        return f"TIMESTAMP_NTZ '{value}'"
     return f"TIMESTAMP '{value}'"
 
 
@@ -75,17 +79,26 @@ class FilterSpec:
             return F.col(self.column) >= _lit(self.last_point, self.column_type)
         return F.lit(True)
 
-    def to_sql(self) -> str:
-        """Render as a ``WHERE ...`` clause (ANSI; DuckDB- and
-        Spark-SQL-compatible) for the {query_filter} splice (S3)."""
+    def to_sql(self, dialect: str = "spark") -> str:
+        """Render as a ``WHERE ...`` clause for the {query_filter}
+        splice (S3). ``dialect="spark"`` (default — the engine executes
+        the splice) emits TIMESTAMP_NTZ literals so NTZ comparisons stay
+        timezone-free; ``dialect="ansi"`` emits plain TIMESTAMP for
+        engines without the NTZ keyword (DuckDB)."""
         conds: list[str] = []
         if self.lower is not None or self.upper is not None:
             if self.lower is not None:
-                conds.append(f"{self.column} >= {_sql_lit(self.lower, self.column_type)}")
+                conds.append(
+                    f"{self.column} >= {_sql_lit(self.lower, self.column_type, dialect)}"
+                )
             if self.upper is not None:
-                conds.append(f"{self.column} < {_sql_lit(self.upper, self.column_type)}")
+                conds.append(
+                    f"{self.column} < {_sql_lit(self.upper, self.column_type, dialect)}"
+                )
         elif self.last_point is not None:
-            conds.append(f"{self.column} >= {_sql_lit(self.last_point, self.column_type)}")
+            conds.append(
+                f"{self.column} >= {_sql_lit(self.last_point, self.column_type, dialect)}"
+            )
         if not conds:
             return "WHERE 1=1"
         return "WHERE " + " AND ".join(conds)

@@ -33,9 +33,7 @@ class WatermarkStore:
     def get(self, table: str) -> str | None:
         return self._read().get(table)
 
-    def set(self, table: str, value: str) -> None:
-        state = self._read()
-        state[table] = value
+    def _write(self, state: dict[str, str]) -> None:
         d = os.path.dirname(os.path.abspath(self.path)) or "."
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -47,6 +45,11 @@ class WatermarkStore:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
+    def set(self, table: str, value: str) -> None:
+        state = self._read()
+        state[table] = value
+        self._write(state)
+
     def clear(self, table: str | None = None) -> None:
         if table is None:
             if os.path.exists(self.path):
@@ -54,5 +57,4 @@ class WatermarkStore:
             return
         state = self._read()
         state.pop(table, None)
-        with open(self.path, "w") as f:
-            json.dump(state, f)
+        self._write(state)  # same atomic path as set()

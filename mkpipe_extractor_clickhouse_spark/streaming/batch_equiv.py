@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators._determinism import DSUM, dsum
+from ..operators._determinism import DAVG, DSUM, dsum
 from ..registry import register
 
 
@@ -163,4 +163,67 @@ def t6_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(max_ts))
         .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
         .agg(F.count("*").alias("n_on_time"), F.max("ts").alias("max_ts"))
+    )
+
+
+@register(
+    "t8_session_metrics",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             DATE_DIFF('second', MIN(ts), MAX(ts)) AS dur_s,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           ROUND(MEDIAN(CAST(dur_s AS DOUBLE)), 6) AS median_dur_s,
+           ROUND(QUANTILE_CONT(CAST(dur_s AS DOUBLE), 0.9), 6) AS p90_dur_s,
+           {DAVG.format(x='CAST(n_events AS DOUBLE)')} AS avg_events_per_session,
+           MAX(n_events) AS max_events
+    FROM sessions
+    """,
+    tags=("T4", "A9"),
+)
+def t8_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition query: sessionize (T4) then aggregate session
+    duration/size distributions (A9) — the engagement-metrics rollup a
+    product pipeline derives from the session operator."""
+    from ..operators._determinism import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            # timestampdiff on NTZ operands — TZ-free, unlike a
+            # unix_timestamp round-trip through the session timezone
+            F.expr("timestampdiff(SECOND, s_start, s_end)")
+            .cast("double")
+            .alias("dur_s"),
+            "n_events",
+        )
+    )
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.median("dur_s"), 6).alias("median_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.9)), 6).alias("p90_dur_s"),
+        davg(F.col("n_events").cast("double")).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_events"),
     )

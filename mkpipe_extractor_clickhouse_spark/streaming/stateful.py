@@ -50,9 +50,9 @@ def _fold_profile(
     n, scaled_sum, last_id = acc
     for pdf in pdfs:
         n += len(pdf)
-        scaled_sum += int(
-            np.round(pdf["value"].to_numpy() * 1_000_000).astype("int64").sum()
-        )
+        y = pdf["value"].to_numpy() * 1_000_000
+        # half-away-from-zero, matching _determinism (np.round is banker's)
+        scaled_sum += int(np.trunc(y + np.copysign(0.5, y)).astype("int64").sum())
         last_id = max(last_id, int(pdf["event_id"].max()))
     return n, scaled_sum, last_id
 

@@ -69,8 +69,9 @@ def test_int_watermark_ge(lp, x):
 @given(lp=dts, x=dts)
 def test_datetime_watermark(lp, x):
     spec = FilterSpec(column="c", column_type="datetime", last_point=str(lp))
-    sql = spec.to_sql()
+    sql = spec.to_sql("ansi")
     assert "TIMESTAMP '" in sql  # datetime literals quoted (__init__.py:78)
+    assert "TIMESTAMP_NTZ" in spec.to_sql("spark")  # TZ-free on the engine side
     import duckdb
 
     got = duckdb.sql(
@@ -84,7 +85,7 @@ def test_splice():
     q = "SELECT * FROM t {query_filter} ORDER BY 1"
     assert (
         splice_query_filter(q, spec)
-        == "SELECT * FROM t WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY 1"
+        == "SELECT * FROM t WHERE ts >= TIMESTAMP_NTZ '2024-01-15 00:00:00' ORDER BY 1"
     )
     assert splice_query_filter(q, None) == "SELECT * FROM t WHERE 1=1 ORDER BY 1"
 

@@ -144,3 +144,23 @@ def test_generic_funnel_4_steps(spark, sf_dir):
     levels = {r.user_id: r.funnel_level for r in out}
     assert max(levels.values()) <= 4
     assert any(v == 4 for v in levels.values())  # fixture is dense enough
+
+
+def test_hll_sketch_union_consistency(spark, sf_dir):
+    """Sketch estimates (per-group and the union rollup) must land
+    within HLL error bounds of the exact distinct counts."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r.l_returnflag: r.approx_parts for r in _run("a16_hll_sketches", spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_all = li.select("l_partkey").distinct().count()
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    exact_per = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact_per.items():
+        assert abs(rows[flag] - n) / n < 0.05
