@@ -449,3 +449,38 @@ def a16_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts", "n_rows")
     return per_flag_counts.unionByName(rollup)
+
+
+@register(
+    "a17_correlation",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(
+             ({DSUM.format(x='l_quantity * (l_extendedprice / 1000)')}
+              - {DSUM.format(x='l_quantity')} * {DSUM.format(x='l_extendedprice / 1000')} / COUNT(*))
+             / (SQRT({DSUM.format(x='l_quantity * l_quantity')}
+                     - {DSUM.format(x='l_quantity')} * {DSUM.format(x='l_quantity')} / COUNT(*))
+                * SQRT({DSUM.format(x='(l_extendedprice / 1000) * (l_extendedprice / 1000)')}
+                       - {DSUM.format(x='l_extendedprice / 1000')} * {DSUM.format(x='l_extendedprice / 1000')} / COUNT(*))),
+             6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A10",),
+)
+def a17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation via the sums identity with quantized sums —
+    deterministic across engines, unlike native corr() whose
+    accumulation order differs (completes the A10 stats family).
+    Correlation is scale-invariant, so the price axis is pre-divided by
+    1000 (identically in both engines): its raw second moment would
+    overflow the 1e-6 scaled-long range at 60k+ rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice") / 1000
+    sx, sy = dsum(x), dsum(y)
+    sxx, syy, sxy = dsum(x * x), dsum(y * y), dsum(x * y)
+    n = F.count("*")
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return li.groupBy("l_returnflag").agg(F.round(corr, 6).alias("corr_qty_price"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -309,3 +309,89 @@ def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
     )
     return sim.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+def kmeans_fit(
+    vecs: DataFrame, k: int = 10, max_iter: int = 10
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, pure DataFrame ops:
+    assignment is a broadcast join + min-distance argmin, the update is
+    a posexplode + grouped mean. Deterministic: init centroids are the
+    k lowest vec_ids, iteration count fixed, distances tie-broken by
+    centroid id. localCheckpoint truncates the iterative lineage (same
+    pattern as l18's connected components).
+
+    Returns (cid, cv: array<double>) — the trained codebook. At 100 TB
+    each iteration is one broadcast of k·dim doubles plus one shuffle
+    of (cid, dim) partial sums — the canonical distributed k-means."""
+    vecs = vecs.select("vec_id", "v").localCheckpoint(eager=True)
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(max_iter):
+        assigned = (
+            vecs.join(F.broadcast(cent))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .groupBy("vec_id", "v")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
+                .cast("double")
+                .alias("c")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cid", F.transform("pc", lambda s: s["c"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+@register(
+    "l20_kmeans_ivf",
+    oracle=None,  # iterative training → rows-only; invariants asserted
+    # in tests/test_llm.py (monotone inertia, assignment consistency)
+    tags=("L9", "L4", "EXT"),
+)
+def l20_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook IVF (ROADMAP item delivered): fit k-means on
+    the corpus, assign every vector to its cell, report per-cell sizes
+    and within-cell mean distance — the inverted-list statistics an
+    ANN index maintains."""
+    vecs = _vectors(spark, sf_dir)
+    cent = kmeans_fit(vecs, k=10, max_iter=5)
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vecs.join(F.broadcast(cent))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.min("d2").alias("d2"),
+        )
+    )
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("cell_size"),
+        F.round((F.sum(F.col("d2").cast("decimal(28,10)")).cast("double") / F.count("*")), 6).alias(
+            "mean_d2"
+        ),
+    )

