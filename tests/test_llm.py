@@ -184,3 +184,35 @@ def test_kmeans_invariants(spark, sf_dir):
     assert sorted((r.cid, r.cell_size) for r in out) == sorted(
         (r.cid, r.cell_size) for r in out2
     )
+
+
+def test_simhash_hamming_separates_neardups(spark, sf_dir):
+    """SimHash property: true near-duplicate pairs (Jaccard ≥ 0.9)
+    must have materially smaller Hamming distance than random pairs —
+    the invariant an LSH-on-simhash index relies on."""
+    import random
+
+    sims = {r.doc_id: r.simhash for r in _run("l2c_simhash", spark, sf_dir).collect()}
+    near = [
+        (r.doc_a, r.doc_b)
+        for r in _run("l2_jaccard_neardup", spark, sf_dir).collect()
+    ]
+    assert near, "fixture should contain near-dup pairs"
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near_d = [ham(sims[a], sims[b]) for a, b in near[:500]]
+    rng = random.Random(7)
+    ids = sorted(sims)
+    near_set = set(near)
+    rand_d = []
+    while len(rand_d) < 500:
+        a, b = rng.sample(ids, 2)
+        if (min(a, b), max(a, b)) not in near_set:
+            rand_d.append(ham(sims[a], sims[b]))
+    avg_near = sum(near_d) / len(near_d)
+    avg_rand = sum(rand_d) / len(rand_d)
+    assert avg_near < avg_rand * 0.6, (
+        f"near-dup avg hamming {avg_near:.1f} not well below random {avg_rand:.1f}"
+    )
