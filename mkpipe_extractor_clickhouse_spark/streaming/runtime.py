@@ -161,3 +161,20 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def enriched_stream(
+    spark: SparkSession, stream: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (events.user_id → customer.c_custkey). The static side is
+    re-resolved per micro-batch by Spark — the streaming analogue of a
+    broadcast dimension join, no state required."""
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    return (
+        stream.join(customers, stream.user_id == customers.c_custkey, "left")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )

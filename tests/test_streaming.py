@@ -269,3 +269,26 @@ def test_foreachbatch_checkpoint_recovery_idempotent(spark, sf_dir, staged, tmp_
     full = load_table(spark, sf_dir, "events")
     assert got.count() == full.count()
     assert got.select("event_id").distinct().count() == full.count()
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, staged, tmp_path):
+    """Stream-static dimension enrichment must converge to the batch
+    join result (complete output mode over AvailableNow replay)."""
+    stream = runtime.read_event_stream(spark, staged)
+    enriched = runtime.enriched_stream(spark, stream, sf_dir)
+    runtime.run_available_now(
+        enriched, "enriched_out", "complete", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.event_type, r.c_mktsegment): r.n
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(c, ev.user_id == c.c_custkey, "left")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == {(r.event_type, r.c_mktsegment): r.n for r in batch}
