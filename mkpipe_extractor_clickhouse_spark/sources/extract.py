@@ -26,6 +26,7 @@ costs removed):
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 from typing import Literal
@@ -38,6 +39,8 @@ from .filter_spec import FilterSpec, splice_query_filter
 from .state import WatermarkStore
 
 WriteMode = Literal["overwrite", "append"]
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -141,6 +144,14 @@ class ParquetExtractor:
         last_point: str | None = None,
         source_filter=None,
     ) -> ExtractResult:
+        # structured-dict log records, reference __init__.py:59-65
+        logger.info(
+            {
+                "table": table.target_name,
+                "status": "extracting",
+                "replication_method": table.replication_method,
+            }
+        )
         custom_query = self._resolve_custom_query(table)
         has_static_bounds = (
             table.filter_lower_bound is not None or table.filter_upper_bound is not None
@@ -173,8 +184,13 @@ class ParquetExtractor:
             df = df.persist()
             if df.isEmpty():
                 if write_mode == "overwrite":
+                    # reference __init__.py:105
+                    logger.info(
+                        {"table": table.target_name, "status": "empty_source_initial_load"}
+                    )
                     return ExtractResult(df=df, write_mode=write_mode)
                 df.unpersist()
+                logger.info({"table": table.target_name, "status": "no_new_data"})
                 return ExtractResult(df=None, write_mode=write_mode)
 
             # The reference aggregates max(iterate_column) over the query
@@ -191,6 +207,14 @@ class ParquetExtractor:
             row = wm_df.agg(F.max(table.iterate_column).alias("max_val")).first()
             last_point_value = (
                 str(row["max_val"]) if row and row["max_val"] is not None else None
+            )
+            # reference __init__.py:125-131
+            logger.info(
+                {
+                    "table": table.target_name,
+                    "status": "extracted",
+                    "write_mode": write_mode,
+                }
             )
             return ExtractResult(df, write_mode, last_point_value)
 

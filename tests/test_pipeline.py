@@ -93,3 +93,41 @@ def test_tag_selective_execution(spark, sf_dir, tmp_path):
     assert [r.table for r in results] == ["region", "nation"]
     results_all = pipe.run(spark)  # no tags → everything
     assert len(results_all) == 3
+
+
+def test_cli_main(sf_dir, tmp_path):
+    """python -m mkpipe_extractor_clickhouse_spark <config.json> runs a
+    pipeline end-to-end and reports per-table JSON lines."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    config = {
+        "connections": {
+            "src": {"variant": "parquet", "path": sf_dir},
+            "dst": {"variant": "parquet", "path": str(tmp_path / "out")},
+        },
+        "pipelines": [
+            {
+                "name": "p1",
+                "source": "src",
+                "destination": "dst",
+                "tables": [{"name": "region"}],
+            }
+        ],
+    }
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(config))
+    repo = str(Path(__file__).resolve().parent.parent)
+    out = subprocess.run(
+        [sys.executable, "-m", "mkpipe_extractor_clickhouse_spark", str(cfg)],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines[-1]["table"] == "region"
+    assert lines[-1]["status"] == "extracted"
