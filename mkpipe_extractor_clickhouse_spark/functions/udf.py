@@ -129,3 +129,44 @@ def d4_grouped_map_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
         agg, schema
     )
+
+
+@register(
+    "d3_python_udtf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT(text, ' ')) AS token,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, token,
+           CAST(LENGTH(token) AS BIGINT) AS token_len
+    FROM tok
+    """,
+    tags=("D3",),
+)
+def d3_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 @udtf): one input row fans out to
+    one row per token with position — the table-function surface
+    (ClickHouse arrayJoin / LATERAL shape). Deterministic pure fan-out,
+    so it carries a full oracle despite being a Python table function.
+    (Row-at-a-time; the Arrow-batched fan-out alternative is
+    mapInPandas — see l4/m1.)"""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: bigint, token: string, token_len: bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_head")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token, t.token_len
+        FROM docs_head, LATERAL tokenize_udtf(text) t
+        """
+    )
