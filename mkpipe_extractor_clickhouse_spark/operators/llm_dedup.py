@@ -13,10 +13,15 @@ Scale posture (the whole point of these operators at 100 TB):
     join, proving equivalence);
   * MinHash-LSH banding bounds candidate generation to per-bucket
     groups — never an O(n²) crossJoin;
+  * embedding-cosine near-dup buckets by centroid and prunes cluster
+    pairs with a sound triangle-inequality bound — exact output, no
+    all-pairs join in the plan;
   * all signatures use JVM built-ins (xxhash64), no Python UDFs.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -274,28 +279,132 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L2", "L3"),
 )
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.55), exact.
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.55), exact,
+    via centroid bucketing — no all-pairs join anywhere in the plan.
 
-    Threshold sits below the fixture's max pairwise cosine (0.6009 at
-    sf0.1) so the operator provably produces and validates matches —
-    at 0.9 it would be vacuous on this corpus.
+    Shape: assign every vector to its label centroid (broadcast join),
+    compute each cluster's angular radius r_c = max θ(v, cent_c), and
+    prune cluster pairs with the triangle inequality on angles — a pair
+    (a ∈ c1, b ∈ c2) can satisfy θ(a,b) ≤ θ_max only if
+    θ(cent1,cent2) ≤ θ_max + r1 + r2 (since θ(c1,c2) ≤ θ(c1,a) +
+    θ(a,b) + θ(b,c2)).  Candidates are generated ONLY within surviving
+    cluster pairs through equi-joins on cluster ids, then verified with
+    the exact cosine.  The bound is sound (with 1e-9 slack for float
+    jitter), so the output is identical to the all-pairs oracle below —
+    the hash-match proves zero recall loss.
 
-    Correctness corpus: all-pairs via self-join (bounded here). The
-    100 TB path is l4's bucketed variant — this exact form exists to
-    validate it. Cosine math stays in higher-order array functions
-    (zip_with/aggregate) — JVM-side, no UDF."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    At 100 TB: swap the label quantizer for a kmeans_fit codebook
+    (llm_similarity.kmeans_fit, same plan), scale K with the corpus so
+    clusters stay tight; shuffle volume is bounded by surviving cluster
+    pairs instead of n².  Threshold 0.55 sits below the fixture's max
+    pairwise cosine (0.6009 at sf0.1) so matches are provably produced.
+
+    Cosine math stays in higher-order array functions (zip_with /
+    aggregate) — JVM-side, no UDF, and no BroadcastNestedLoopJoin
+    (locked by tests/test_plans.py)."""
+    threshold = 0.55
+    theta_max = math.acos(threshold)
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
-    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    e = e.withColumn("nrm", norm)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    clamp = lambda c: F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))  # noqa: E731
+
+    # Coarse quantizer: decimal-exact per-label centroids (640 rows).
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
+            .cast("double")
+            .alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("pc", lambda s: s["c"]).alias("cv"),
+        )
+        .withColumn("cnrm", nrm("cv"))
+    )
+    assigned = (
+        vecs.withColumn("vnrm", nrm("v"))
+        .join(F.broadcast(cent), vecs.label == cent.cid)
+        .select(
+            "vec_id",
+            "v",
+            "vnrm",
+            "cid",
+            F.acos(clamp(dot("v", "cv") / (F.col("vnrm") * F.col("cnrm")))).alias(
+                "theta"
+            ),
+        )
+    )
+    radii = assigned.groupBy("cid").agg(F.max("theta").alias("r"))
+
+    # Cluster-pair pruning table: K² rows (K = 10 labels here).  The
+    # codebook is collected into ONE array row and pair combinations are
+    # exploded from it — no join node at all for the tiny cross, so the
+    # plan can never degrade to a nested loop.  Survivors are the ONLY
+    # (cid_a, cid_b) combinations candidates come from.
+    packed = cent.agg(F.collect_list(F.struct("cid", "cv", "cnrm")).alias("cs"))
+    cpairs = (
+        packed.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "cs",
+                        lambda a: F.transform(
+                            F.col("cs"),
+                            lambda b: F.struct(
+                                a["cid"].alias("c1"),
+                                b["cid"].alias("c2"),
+                                F.acos(
+                                    clamp(
+                                        F.aggregate(
+                                            F.zip_with(
+                                                a["cv"], b["cv"], lambda x, y: x * y
+                                            ),
+                                            F.lit(0.0),
+                                            lambda acc, x: acc + x,
+                                        )
+                                        / (a["cnrm"] * b["cnrm"])
+                                    )
+                                ).alias("theta_cc"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.c1", "p.c2", "p.theta_cc")
+        .join(F.broadcast(radii.select(F.col("cid").alias("c1"), F.col("r").alias("r1"))), "c1")
+        .join(F.broadcast(radii.select(F.col("cid").alias("c2"), F.col("r").alias("r2"))), "c2")
+        .filter(F.col("theta_cc") <= F.lit(theta_max + 1e-9) + F.col("r1") + F.col("r2"))
+        .select("c1", "c2")
+    )
+
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("vnrm").alias("na"), F.col("cid").alias("c1"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("vnrm").alias("nb"), F.col("cid").alias("c2"),
+    )
+    # Ordered cluster pairs + vec_a < vec_b → each vector pair appears
+    # under exactly one (c1, c2) combination: no dedup pass needed.
+    cand = (
+        a.join(F.broadcast(cpairs), "c1")
+        .join(b, "c2")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )
     return (
-        pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= 0.55)
+        cand.withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
 

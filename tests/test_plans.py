@@ -79,6 +79,15 @@ def test_similarity_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_embedding_neardup_bucketed(spark, sf_dir):
+    """l2d must generate candidates through centroid-bucket equi-joins:
+    no nested-loop/cartesian pair blowup anywhere in the plan."""
+    plan = plan_of("l2d_embedding_neardup", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_watermark_filter_pushdown(spark, sf_dir):
     plan = plan_of("p3_watermark_datetime", spark, sf_dir)
     assert "PushedFilters" in plan
