@@ -21,7 +21,9 @@ costs removed):
     source query for each (``:103, :112``);
   * the loader dedups the ``>=`` boundary re-read on append via a
     key-based anti-join, making incremental runs idempotent (the
-    reference leaves boundary duplicates to the destination).
+    reference leaves boundary duplicates to the destination); the
+    existing-keys read is bounded to the extraction window, so the
+    anti-join build side stays O(boundary) at any destination size.
 """
 
 from __future__ import annotations
@@ -58,6 +60,7 @@ class TableConfig:
     custom_query: str | None = None
     custom_query_file: str | None = None
     write_partitions: int | None = None
+    partition_columns: tuple[str, ...] = ()  # destination partitionBy
     dedup_keys: tuple[str, ...] = ()  # idempotent-append keys
     tags: tuple[str, ...] = ()  # selective execution (reference README.md:116)
     pass_on_error: bool = False
@@ -70,11 +73,16 @@ class TableConfig:
 @dataclass
 class ExtractResult:
     """Handoff contract to the loader (reference __init__.py:132-134):
-    df=None means "no new data, skip the write"."""
+    df=None means "no new data, skip the write".
+
+    ``window`` is the extraction predicate the batch satisfies; the
+    loader uses it to bound the idempotent-append anti-join to the
+    watermark boundary instead of scanning every historical key."""
 
     df: DataFrame | None
     write_mode: WriteMode
     last_point_value: str | None = None
+    window: FilterSpec | None = None
 
 
 class ParquetExtractor:
@@ -188,10 +196,10 @@ class ParquetExtractor:
                     logger.info(
                         {"table": table.target_name, "status": "empty_source_initial_load"}
                     )
-                    return ExtractResult(df=df, write_mode=write_mode)
+                    return ExtractResult(df=df, write_mode=write_mode, window=spec)
                 df.unpersist()
                 logger.info({"table": table.target_name, "status": "no_new_data"})
-                return ExtractResult(df=None, write_mode=write_mode)
+                return ExtractResult(df=None, write_mode=write_mode, window=spec)
 
             # The reference aggregates max(iterate_column) over the query
             # *result* (__init__.py:112) and therefore breaks when a
@@ -216,12 +224,25 @@ class ParquetExtractor:
                     "write_mode": write_mode,
                 }
             )
-            return ExtractResult(df, write_mode, last_point_value)
+            return ExtractResult(df, write_mode, last_point_value, window=spec)
 
         # full replication (reference __init__.py:116-123): no filter
         # spec — a custom query gets the trivial WHERE 1=1 splice.
         df = self._read_source(spark, table, None, custom_query, source_filter)
         return ExtractResult(df, "overwrite", None)
+
+
+def apply_write_partitions(df: DataFrame, n: int) -> DataFrame:
+    """Output-file-count control (reference README.md:114).
+
+    ``coalesce`` when shrinking — it merges partitions without a
+    shuffle, matching the reference's semantics and cost; ``repartition``
+    only when scaling UP, where a shuffle is unavoidable because
+    coalesce cannot split partitions."""
+    current = df.rdd.getNumPartitions()
+    if n <= current:
+        return df.coalesce(n)
+    return df.repartition(n)
 
 
 class ParquetLoader:
@@ -235,23 +256,45 @@ class ParquetLoader:
     def path(self, table: TableConfig) -> str:
         return os.path.join(self.dest_dir, f"{table.target_name}.parquet")
 
+    def existing_keys(
+        self, spark: SparkSession, table: TableConfig, window: FilterSpec | None
+    ) -> DataFrame:
+        """Destination keys that could collide with the incoming batch.
+
+        Idempotent-append dedup absorbs the ``>=`` boundary re-read
+        (SURVEY §4.2).  Duplicates can only exist where the destination
+        overlaps the extraction window — previous ticks wrote rows with
+        iterate_column <= last_point, the batch carries >= last_point —
+        so the read is bounded to the window predicate: the anti-join
+        build side is O(boundary), not O(history), and the filter prunes
+        whole directories when the destination is partitioned by the
+        iterate column (``partition_columns``) and row groups otherwise
+        (parquet min/max pushdown)."""
+        existing = spark.read.parquet(self.path(table))
+        if (
+            window is not None
+            and not window.is_trivial
+            and window.column in existing.columns
+        ):
+            existing = existing.filter(window.to_column())
+        return existing.select(*table.dedup_keys)
+
     def load(self, spark: SparkSession, table: TableConfig, result: ExtractResult) -> None:
         if result.df is None:
             return  # no_new_data (__init__.py:107-108)
         df = result.df
         path = self.path(table)
         if result.write_mode == "append" and table.dedup_keys and os.path.exists(path):
-            # Idempotent append: drop rows whose key already exists in the
-            # destination — absorbs the ``>=`` boundary re-read (SURVEY
-            # §4.2). Keys-only read keeps the anti-join's build side tiny.
-            existing = spark.read.parquet(path).select(*table.dedup_keys)
+            existing = self.existing_keys(spark, table, result.window)
             df = df.join(existing, on=list(table.dedup_keys), how="left_anti")
         if table.write_partitions:
-            # reference README.md:114. repartition (not coalesce): it
-            # guarantees the output file count even when the source has
-            # fewer partitions than requested.
-            df = df.repartition(table.write_partitions)
-        df.write.mode(result.write_mode).parquet(path)
+            df = apply_write_partitions(df, table.write_partitions)
+        writer = df.write.mode(result.write_mode)
+        if table.partition_columns:
+            # Hive-style destination layout: boundary-bounded dedup reads
+            # and downstream range queries prune whole directories.
+            writer = writer.partitionBy(*table.partition_columns)
+        writer.parquet(path)
 
 
 @dataclass

@@ -97,6 +97,90 @@ def test_static_bounds_append(spark, sf_dir, runner):
     assert min(ids) == 100 and max(ids) == 199  # half-open [100, 200)
 
 
+def test_write_partitions_coalesce_no_shuffle(spark, sf_dir):
+    """Shrinking the output file count must not insert a shuffle
+    (coalesce semantics, reference README.md:114); growing it must."""
+    from mkpipe_extractor_clickhouse_spark.sources.extract import (
+        apply_write_partitions,
+    )
+
+    df = spark.range(0, 1000, 1, 8).toDF("n")
+    shrunk = apply_write_partitions(df, 2)
+    plan = _plan(shrunk)
+    assert shrunk.rdd.getNumPartitions() == 2
+    assert "Coalesce" in plan and "Exchange" not in plan
+    grown = apply_write_partitions(df, 16)
+    assert grown.rdd.getNumPartitions() == 16
+    assert "Exchange" in _plan(grown)
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_append_dedup_bounded_to_window(spark, sf_dir, runner):
+    """The idempotent-append anti-join must read only boundary keys from
+    the destination, not the full history (VERDICT r1 scale fix)."""
+    from mkpipe_extractor_clickhouse_spark.sources.filter_spec import FilterSpec
+
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        dedup_keys=("event_id",),
+    )
+    runner.run_once(spark, table, source_filter=F.col("event_id") < 300)
+    runner.run_once(spark, table, source_filter=F.col("event_id") < 600)
+    # Destination now holds 600 rows; a boundary-bounded keys read for
+    # the next window (>= 599) must see exactly the 1 boundary row.
+    window = FilterSpec(column="event_id", column_type="int", last_point="599")
+    existing = runner.loader.existing_keys(spark, table, window)
+    assert existing.count() == 1
+    # and the bound reaches the parquet scan, not a post-scan filter only
+    plan = _plan(existing)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "event_id" in pushed and "GreaterThanOrEqual" in pushed
+    # idempotency is preserved end-to-end with the bounded read
+    res = runner.run_once(spark, table)
+    assert res.write_mode == "append"
+    dest = spark.read.parquet(runner.loader.path(table))
+    assert dest.count() == 1000
+    assert dest.select("event_id").distinct().count() == 1000
+
+
+def test_partitioned_destination_prunes_boundary_read(spark, sf_dir, runner):
+    """With partition_columns on the iterate column, the bounded
+    existing-keys read prunes whole partition directories."""
+    table = TableConfig(
+        name="events",
+        target_name="events_part",
+        replication_method="incremental",
+        iterate_column="user_id",
+        iterate_column_type="int",
+        partition_columns=("user_id",),
+        dedup_keys=("event_id",),
+    )
+    runner.run_once(spark, table, source_filter=F.col("user_id") < 8)
+    res = runner.run_once(spark, table)
+    assert res.write_mode == "append"
+    dest = spark.read.parquet(runner.loader.path(table))
+    assert dest.count() == 1000
+    assert dest.select("event_id").distinct().count() == 1000
+    # hive-style layout written
+    assert os.path.isdir(os.path.join(runner.loader.path(table), "user_id=0"))
+    # the boundary read turns the window predicate into a PartitionFilter
+    from mkpipe_extractor_clickhouse_spark.sources.filter_spec import FilterSpec
+
+    window = FilterSpec(column="user_id", column_type="int", last_point="14")
+    plan = _plan(runner.loader.existing_keys(spark, table, window))
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "user_id" in pf and ">= 14" in pf
+
+
 def test_custom_query_file(spark, sf_dir, tmp_path):
     sql_dir = tmp_path / "sql"
     sql_dir.mkdir()
