@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .graph import connected_components
 
 JACCARD_T = 0.9
 
@@ -449,14 +450,12 @@ def l18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise matches into keep-one-per-cluster dedup
     decisions.
 
-    Spark side: iterative min-label propagation (each round: join
-    labels across edges, take the min seen) with a convergence check —
-    rounds ≈ graph diameter, each round one shuffle. At 100 TB swap in
-    the large-star/small-star optimization (public Kiveris et al.
-    MR-CC algorithm) — same loop skeleton, provably fewer rounds on
-    skewed components. The DuckDB oracle computes the same components
-    by recursive reachability, so the iterative result is verified
-    exactly."""
+    Spark side: large-star/small-star alternation (public Kiveris et
+    al. SoCC'14 MR-CC algorithm, operators/graph.py) — O(log² n)
+    rounds regardless of component diameter, so deep chain components
+    converge where plain label propagation would need diameter rounds.
+    The DuckDB oracle computes the same components by recursive
+    reachability, so the iterative result is verified exactly."""
     # checkpoint: the Jaccard join is the dominant cost and feeds two
     # union branches — without this it executes twice
     pairs = (
@@ -464,52 +463,8 @@ def l18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
     )
-    # localCheckpoint each round: iterative plans otherwise accumulate
-    # lineage exponentially (the optimizer OOMs around ~10 rounds).
-    edges = edges.localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
-    )
-    converged = False
-    for _ in range(20):  # diameter bound; raise below if exceeded
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("n_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == F.col("src"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # silent partial propagation would mean wrong cluster ids —
-        # surface it (chain components deeper than 20 hops need the
-        # large-star/small-star variant)
-        raise RuntimeError(
-            "connected-components did not converge in 20 rounds; "
-            "component diameter exceeds bound"
-        )
-    return labels.select("doc_id", "cluster_id")
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return connected_components(docs, edges)

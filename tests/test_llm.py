@@ -216,3 +216,40 @@ def test_simhash_hamming_separates_neardups(spark, sf_dir):
     assert avg_near < avg_rand * 0.6, (
         f"near-dup avg hamming {avg_near:.1f} not well below random {avg_rand:.1f}"
     )
+
+
+def test_connected_components_deep_chain(spark):
+    """Chain graph of diameter 99: label propagation would need ~100
+    rounds; large-star/small-star must converge well inside its bound
+    and label every node with the chain minimum."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 100
+    nodes = spark.range(n + 10).toDF("id")  # 10 isolated singletons too
+    edges = (
+        spark.range(n - 1)
+        .toDF("u")
+        .select("u", (F.col("u") + 1).alias("v"))
+    )
+    out = connected_components(nodes, edges).collect()
+    labels = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[i] == i for i in range(n, n + 10))
+
+
+def test_connected_components_two_components_and_order(spark):
+    """Components split correctly regardless of edge orientation."""
+    from mkpipe_extractor_clickhouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.range(8).toDF("id")
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 7), (1, 0), (2, 1), (6, 6)], ["u", "v"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 3, 6: 6, 7: 3}
