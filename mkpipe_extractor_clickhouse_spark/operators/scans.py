@@ -52,23 +52,54 @@ def s2_query_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SLICES = 8
+
+
 @register(
     "s5_partitioned_parallel_read",
-    oracle=None,  # partition layout is value-invisible → rows-only
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events
+    )
+    SELECT ((event_id - lo) * {N_SLICES}) // (hi - lo + 1) AS slice_id,
+           COUNT(*) AS n_rows,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events CROSS JOIN b
+    GROUP BY 1
+    """,
     tags=("S5",),
 )
 def s5_partitioned_parallel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-partitioned parallel read (reference README.md:85-89): the
-    fixtures analogue of JDBC partitionColumn/numPartitions is
-    repartitionByRange on the partitions column. Returns per-slice row
-    counts — the balance check a DBA would run on the reference."""
-    ev = load_table(spark, sf_dir, "events").repartitionByRange(8, F.col("event_id"))
+    """Range-partitioned parallel read (reference README.md:85-89):
+    the deterministic stride slicing a JDBC partitioned read performs —
+    partition i covers [lo + i·stride, lo + (i+1)·stride) over the
+    partition column's observed bounds, exactly how Spark's JDBC source
+    turns partitionColumn/lowerBound/upperBound/numPartitions into
+    per-task WHERE clauses (sources/jdbc.py builds the real thing).
+    Emits per-slice row counts and id bounds — the slice-balance check
+    a DBA runs against the reference — and, because the slice function
+    is pure arithmetic on values, the whole layout is verified by the
+    SQL oracle (hash-match), not just row counts."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    sliced = ev.join(F.broadcast(bounds)).select(
+        "event_id",
+        ((F.col("event_id") - F.col("lo")) * N_SLICES)
+        .cast("long")
+        .alias("scaled"),
+        (F.col("hi") - F.col("lo") + 1).alias("width"),
+    )
     return (
-        ev.groupBy(F.spark_partition_id().alias("slice_id"))
+        sliced.select(
+            F.expr("scaled div width").alias("slice_id"), "event_id"
+        )
+        .groupBy("slice_id")
         .agg(
             F.count("*").alias("n_rows"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
         )
-        .orderBy("slice_id")
     )

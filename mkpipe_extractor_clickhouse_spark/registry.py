@@ -111,7 +111,9 @@ def _load_modules() -> None:
 # as early as possible.  Self-maintaining: round N+1 re-reads the
 # artifacts and bubbles up whatever is still unverified.
 _DRIVER_PRIORITY = (
-    # §2 families with no CORRECTNESS_r01 row, one representative each.
+    # §2 families with no CORRECTNESS_r01 row, one representative each
+    # (plus s5, whose r1 row was rows-only before it gained an oracle).
+    "s5_partitioned_parallel_read",
     "u3_intersect", "u4_except",                      # U3 U4
     "f1_string_funcs", "f2_datetime_funcs", "f3_math_funcs",
     "f4_conditional_null", "f5_array_funcs", "f6_map_funcs",
