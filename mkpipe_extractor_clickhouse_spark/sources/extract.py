@@ -85,6 +85,47 @@ class ExtractResult:
     window: FilterSpec | None = None
 
 
+def plan_window(
+    table: TableConfig, last_point: str | None
+) -> tuple[FilterSpec | None, WriteMode]:
+    """The pure extraction decision tree (reference __init__.py:56-94),
+    shared by the fixture extractor and the JDBC plugin surface
+    (plugin.py): returns the window predicate (None = full replication)
+    and the write mode.
+
+      * incremental + static bounds → append, half-open range
+      * incremental + last_point   → append, ``col >= last_point``
+      * incremental initial        → overwrite, trivial filter
+      * full                       → overwrite, no filter
+    """
+    if table.replication_method == "incremental" and table.iterate_column:
+        has_static_bounds = (
+            table.filter_lower_bound is not None
+            or table.filter_upper_bound is not None
+        )
+        if has_static_bounds:
+            return (
+                FilterSpec(
+                    column=table.iterate_column,
+                    column_type=table.iterate_column_type,
+                    lower=table.filter_lower_bound,
+                    upper=table.filter_upper_bound,
+                ),
+                "append",
+            )
+        if last_point:
+            return (
+                FilterSpec(
+                    column=table.iterate_column,
+                    column_type=table.iterate_column_type,
+                    last_point=last_point,
+                ),
+                "append",
+            )
+        return FilterSpec(column=table.iterate_column), "overwrite"
+    return None, "overwrite"
+
+
 class ParquetExtractor:
     """The engine's native extractor over the fixture catalog.
 
@@ -161,30 +202,9 @@ class ParquetExtractor:
             }
         )
         custom_query = self._resolve_custom_query(table)
-        has_static_bounds = (
-            table.filter_lower_bound is not None or table.filter_upper_bound is not None
-        )
+        spec, write_mode = plan_window(table, last_point)
 
-        if table.replication_method == "incremental" and table.iterate_column:
-            if has_static_bounds:
-                spec = FilterSpec(
-                    column=table.iterate_column,
-                    column_type=table.iterate_column_type,
-                    lower=table.filter_lower_bound,
-                    upper=table.filter_upper_bound,
-                )
-                write_mode: WriteMode = "append"
-            elif last_point:
-                spec = FilterSpec(
-                    column=table.iterate_column,
-                    column_type=table.iterate_column_type,
-                    last_point=last_point,
-                )
-                write_mode = "append"
-            else:
-                spec = FilterSpec(column=table.iterate_column)
-                write_mode = "overwrite"
-
+        if spec is not None:
             df = self._read_source(spark, table, spec, custom_query, source_filter)
 
             # Single materialization shared by probe + watermark + write
