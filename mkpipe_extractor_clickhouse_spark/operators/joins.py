@@ -252,7 +252,14 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id, p.ts, c.ts AS ts_right, c.value AS value_right
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- pre-dedup to one row per (user_id, ts): DuckDB's ASOF picks an
+      -- arbitrary tied row, our operator the max payload — collapsing
+      -- ties to MAX(value) in BOTH engines makes the comparison exact
+      -- even if a fixture ever carries duplicate click timestamps
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     tags=("J10",),
@@ -260,10 +267,16 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest click at-or-before each purchase, per user —
     via the union-sort operator (asof.py), validated against DuckDB's
-    native ASOF JOIN."""
+    native ASOF JOIN. Both engines collapse exact (user_id, ts) ties to
+    the max value first, so the tied-row choice is deterministic on each
+    side of the comparison."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
-    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
     out = asof_join(p, c, on="ts", by="user_id", right_payload=["value"])
     return out.select("event_id", "ts", "ts_right", "value_right")
 

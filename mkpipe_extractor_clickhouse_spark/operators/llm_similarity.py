@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
+from ._determinism import DSUM
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -198,7 +199,7 @@ def l9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l9b_nearest_centroid",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings CROSS JOIN range(1, 65) t(i)
@@ -210,7 +211,7 @@ def l9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dists AS (
       SELECT v.vec_id, v.label, cent.c_label,
-             ROUND(SUM((v.x - cent.c) * (v.x - cent.c)), 6) AS d2
+             {DSUM.format(x='(v.x - cent.c) * (v.x - cent.c)')} AS d2
       FROM v JOIN cent USING (i)
       GROUP BY v.vec_id, v.label, cent.c_label
     )
@@ -241,14 +242,24 @@ def l9b_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("pc", lambda s: s["c"]).alias("cv"),
         )
     )
-    d2 = F.round(
+    # Per-dimension squared distances quantized to scaled longs BEFORE
+    # the fold (dsum discipline): the sum is exact in longs, so the
+    # result cannot straddle a 1e-6 rounding boundary differently from
+    # the oracle's accumulation order.
+    d2 = (
         F.aggregate(
-            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
+            F.zip_with(
+                "v",
+                "cv",
+                lambda x, c: ((x - c) * (x - c) * 1_000_000 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        ),
-        6,
-    )
+        )
+        / 1_000_000.0
+    ).cast("double")
     scored = e.join(F.broadcast(cent)).select(
         "vec_id", "label", "c_label", d2.alias("d2")
     )

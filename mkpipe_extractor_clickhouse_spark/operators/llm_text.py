@@ -303,11 +303,9 @@ _BM25_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
       FROM tok WHERE token IN ({_BM25_TERMS_IN}) GROUP BY token
     )
     SELECT tf.doc_id,
-           ROUND(SUM(
-             LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           {DSUM.format(x=f'''LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
              * tf.tf * ({BM25_K1} + 1)
-             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl))
-           ), 6) AS bm25
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl))''')} AS bm25
     FROM tf
     JOIN df USING (token)
     JOIN doclen USING (doc_id)
@@ -322,7 +320,9 @@ def l19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (public Robertson/Sparck-Jones): idf = ln(1 +
     (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, length normalization
     b=0.75. Query-term stats are vocabulary-sized broadcasts; one
-    shuffle for per-doc tf."""
+    shuffle for per-doc tf. Per-term addends are quantized before the
+    sum (dsum) so the score is order- and engine-independent even when
+    a sum lands on a 1e-6 rounding boundary."""
     d = load_table(spark, sf_dir, "documents")
     tok = _tokens(d).select("doc_id", "token")
     doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -349,5 +349,5 @@ def l19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(doclen, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .agg(dsum(score).alias("bm25"))
     )

@@ -35,6 +35,7 @@ from typing import Literal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..catalog import SCHEMAS, load_table, register_views
 from .filter_spec import FilterSpec, splice_query_filter
@@ -168,17 +169,30 @@ class ParquetExtractor:
             # source table) — not the whole catalog on every tick.
             import re
 
+            # Spark SQL resolves identifiers case-insensitively, so the
+            # mention scan must too ('FROM Orders' still needs the view).
             mentioned = [
                 t
                 for t in SCHEMAS
-                if t == table.name or re.search(rf"\b{t}\b", custom_query)
+                if t == table.name
+                or re.search(rf"\b{t}\b", custom_query, re.IGNORECASE)
             ]
             register_views(spark, self.sf_dir, mentioned)
             if source_filter is not None:
                 load_table(spark, self.sf_dir, table.name).filter(
                     source_filter
                 ).createOrReplaceTempView(table.name)
-            return spark.sql(splice_query_filter(custom_query, spec))
+            spliced = splice_query_filter(custom_query, spec)
+            try:
+                return spark.sql(spliced)
+            except AnalysisException:
+                # Quoted/exotic identifiers can defeat the mention scan;
+                # register the whole catalog (cheap, lazy metadata) and
+                # retry before surfacing a resolution error.
+                register_views(
+                    spark, self.sf_dir, [t for t in SCHEMAS if t not in mentioned]
+                )
+                return spark.sql(spliced)
         df = load_table(spark, self.sf_dir, table.name)
         if spec is not None and not spec.is_trivial:
             df = df.filter(spec.to_column())

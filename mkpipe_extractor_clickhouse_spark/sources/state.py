@@ -15,14 +15,36 @@ heavy lifting (max() over the extracted batch) runs distributed.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
 
+import fcntl
+
 
 class WatermarkStore:
+    """Concurrent-safe: read-modify-write commits take an exclusive
+    ``fcntl`` lock on a sidecar ``.lock`` file, so two pipelines sharing
+    one state file (concurrent table ticks) cannot lose each other's
+    committed watermarks.  Reads are lock-free — the atomic
+    ``os.replace`` write means a reader always sees a complete JSON
+    document."""
+
     def __init__(self, path: str):
         self.path = path
+
+    @contextlib.contextmanager
+    def _locked(self):
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(d, exist_ok=True)
+        lock_path = self.path + ".lock"
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _read(self) -> dict[str, str]:
         if not os.path.exists(self.path):
@@ -46,15 +68,17 @@ class WatermarkStore:
                 os.unlink(tmp)
 
     def set(self, table: str, value: str) -> None:
-        state = self._read()
-        state[table] = value
-        self._write(state)
+        with self._locked():
+            state = self._read()
+            state[table] = value
+            self._write(state)
 
     def clear(self, table: str | None = None) -> None:
         if table is None:
             if os.path.exists(self.path):
                 os.unlink(self.path)
             return
-        state = self._read()
-        state.pop(table, None)
-        self._write(state)  # same atomic path as set()
+        with self._locked():
+            state = self._read()
+            state.pop(table, None)
+            self._write(state)  # same atomic path as set()

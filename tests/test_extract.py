@@ -228,3 +228,36 @@ def test_custom_query_watermark_respects_source_filter(spark, sf_dir, runner):
         table, spark, source_filter=F.col("event_id") < 500
     )
     assert res.last_point_value == "499"  # not the full table's max
+
+
+def test_custom_query_case_insensitive_view_registration(spark, sf_dir):
+    """'FROM Orders' must resolve even though the catalog name is
+    lowercase (Spark identifiers are case-insensitive)."""
+    spark.catalog.dropTempView("orders")
+    ex = ParquetExtractor(sf_dir)
+    table = TableConfig(name="events", custom_query="SELECT COUNT(*) AS n FROM Orders")
+    res = ex.extract(table, spark)
+    assert res.df.collect()[0]["n"] > 0
+
+
+def test_watermark_store_concurrent_commits(tmp_path):
+    """Two writers sharing one state file must not lose each other's
+    committed watermarks (fcntl-locked read-modify-write)."""
+    import threading
+
+    from mkpipe_extractor_clickhouse_spark.sources.state import WatermarkStore
+
+    store = WatermarkStore(str(tmp_path / "state.json"))
+
+    def commit(prefix: str):
+        s = WatermarkStore(store.path)  # own fd per writer
+        for i in range(50):
+            s.set(f"{prefix}_{i}", str(i))
+
+    threads = [threading.Thread(target=commit, args=(p,)) for p in ("a", "b", "c")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    state = store._read()
+    assert len(state) == 150
