@@ -65,6 +65,9 @@ class ClickhouseSparkExtractor:
             self.connection,
             fetchsize=int(config.get("fetchsize", 100_000)),
             driver=config.get("driver"),
+            # optional explicit URL: point the same extractor at any
+            # JDBC database (tests: embedded Derby)
+            url_override=config.get("jdbc_url"),
         )
 
     def plan_extract(

@@ -52,8 +52,15 @@ class JdbcSource:
     connection: ConnectionConfig
     fetchsize: int = 100_000  # reference default, README.md:111
     driver: str | None = None
+    # Any JDBC database via explicit URL (the ClickHouse URL is derived
+    # from the connection config otherwise). The end-to-end tests run
+    # this source against the embedded Derby that ships in Spark's own
+    # classpath — a real spark.read.jdbc round-trip with no server.
+    url_override: str | None = None
 
     def url(self) -> str:
+        if self.url_override:
+            return self.url_override
         c = self.connection
         return f"jdbc:clickhouse://{c.host}:{c.port}/{c.database}"
 

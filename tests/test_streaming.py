@@ -292,3 +292,22 @@ def test_stream_static_join_matches_batch(spark, sf_dir, staged, tmp_path):
         .collect()
     )
     assert got == {(r.event_type, r.c_mktsegment): r.n for r in batch}
+
+
+def test_transform_with_state_plan_validates_without_protobuf(spark, staged):
+    """Analysis-level validation of the transformWithState operator —
+    runs everywhere, including containers whose protobuf (needed only
+    by the *execution* worker) is unusable: the query must resolve,
+    stay streaming, carry the declared output schema, and plan the
+    TransformWithState node."""
+    from mkpipe_extractor_clickhouse_spark.streaming import stateful
+
+    stream = runtime.read_event_stream(spark, staged)
+    prof = stateful.user_profiles_tws(stream)
+    assert prof.isStreaming
+    assert prof.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,"
+        "total_value:double,last_event_id:bigint>"
+    )
+    logical = prof._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in logical
