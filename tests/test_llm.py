@@ -253,3 +253,18 @@ def test_connected_components_two_components_and_order(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 3, 6: 6, 7: 3}
+
+
+def test_pq_topk_recall(spark, sf_dir):
+    """PQ-ADC candidates + exact re-rank must recover at least half of
+    the exact top-k. Uniformly random embeddings are PQ's adversarial
+    case (pairwise distances concentrate, so codes carry little
+    signal); structured corpora recall far higher at the same params."""
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        l3_topk_cosine,
+        l21_pq_topk,
+    )
+
+    exact = {r.vec_id for r in l3_topk_cosine(spark, sf_dir).collect()}
+    pq = {r.vec_id for r in l21_pq_topk(spark, sf_dir).collect()}
+    assert len(exact & pq) / len(exact) >= 0.5
