@@ -95,3 +95,33 @@ def test_watermark_filter_pushdown(spark, sf_dir):
     # filter lands on the raw long column via the catalog's conversion —
     # verify *some* predicate pushed and no full-scan-then-filter-only plan.
     assert "Filter" in plan
+
+
+def test_q5_one_fact_shuffle_dims_broadcast(spark, sf_dir):
+    """Q5's six-table star: every dimension rides a broadcast; the only
+    SortMergeJoin (if any) is the lineitem⋈orders fact join."""
+    plan = plan_of("q5_local_supplier_volume", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q6_full_pushdown_three_column_scan(spark, sf_dir):
+    """Q6 must push the date/discount/quantity predicates into the scan
+    and read only the three referenced columns."""
+    plan = plan_of("q6_forecast_revenue", spark, sf_dir)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for absent in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert absent not in read_schema
+
+
+def test_q18_no_locked_join_strategy(spark, sf_dir):
+    """Q18 keeps AQE free: the HAVING-filtered key set must not force a
+    nested-loop or cartesian plan."""
+    plan = plan_of("q18_large_volume_customer", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
