@@ -43,6 +43,58 @@ from mkpipe_extractor_clickhouse_spark.registry import bench_specs  # noqa: E402
 from mkpipe_extractor_clickhouse_spark.session import get_spark  # noqa: E402
 
 
+def _stage_totals(spark) -> dict[str, float]:
+    """Sum task metrics across all completed stages so far, via the
+    status REST API. Returns {} if the UI is unreachable — callers
+    treat the breakdown as best-effort and never fail the bench."""
+    import urllib.request
+
+    try:
+        # The status store is fed asynchronously; drain the listener bus
+        # so the just-finished job's stages are visible before we read.
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(0.2)
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return {}
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return {}
+    keys = (
+        "executorRunTime", "inputBytes", "inputRecords", "outputBytes",
+        "shuffleReadBytes", "shuffleWriteBytes",
+        "memoryBytesSpilled", "diskBytesSpilled", "numTasks",
+    )
+    return {k: float(sum(s.get(k, 0) for s in stages)) for k in keys}
+
+
+def _delta_summary(before: dict, after: dict) -> dict[str, float]:
+    """Human-scale per-query summary of the stage-metric delta."""
+    if not before or not after:
+        return {}
+    d = {k: after[k] - before[k] for k in after}
+    mb = 1024.0 * 1024.0
+    return {
+        "cpu_ms": round(d["executorRunTime"], 0),
+        "input_mb": round(d["inputBytes"] / mb, 2),
+        "input_rows": int(d["inputRecords"]),
+        "shuffle_mb": round(
+            (d["shuffleReadBytes"] + d["shuffleWriteBytes"]) / mb, 3
+        ),
+        "spill_mb": round(
+            (d["memoryBytesSpilled"] + d["diskBytesSpilled"]) / mb, 2
+        ),
+        "tasks": int(d["numTasks"]),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -57,6 +109,12 @@ def main() -> None:
             # Coalesce tiny post-shuffle partitions aggressively — at
             # sf0.1 a 32-way shuffle is pure task-launch overhead.
             "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4m",
+            # Status REST API for the per-query stage breakdown (off in
+            # session.py; the listener bus runs either way, the UI adds
+            # only an idle HTTP thread).
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 
@@ -72,11 +130,20 @@ def main() -> None:
     # the number that scales with data volume. Both are reported.
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
+    stage_metrics: dict[str, dict[str, float]] = {}
     for name, spec in sorted(bench_specs().items()):
+        before = _stage_totals(spark)
         t0 = time.perf_counter()
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+        # Stage-level breakdown of the cold (full-pipeline) pass: CPU,
+        # scan volume, shuffle volume, spill, task count. The steady
+        # pass reuses exchanges, so the cold delta is the one that
+        # attributes every stage of the pipeline to the query.
+        summary = _delta_summary(before, _stage_totals(spark))
+        if summary:
+            stage_metrics[name] = summary
         # steady state: re-run the built DataFrame, best of 2
         runs = []
         for _ in range(2):
@@ -165,6 +232,12 @@ def main() -> None:
                 "chunked_note": (
                     "same rows, ~16 row groups/file (fixtures ship 1 — "
                     "scans can't parallelize); layout-only difference"
+                ),
+                "stage_metrics": stage_metrics,
+                "stage_metrics_note": (
+                    "cold-pass stage deltas via status API: executor CPU "
+                    "ms, parquet scan MB/rows, shuffle read+write MB, "
+                    "spill MB, task count"
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
