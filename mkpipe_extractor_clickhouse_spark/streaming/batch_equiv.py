@@ -227,3 +227,54 @@ def t8_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("n_events").cast("double")).alias("avg_events_per_session"),
         F.max("n_events").alias("max_events"),
     )
+
+
+@register(
+    "t9_interval_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.ts AS purchase_ts,
+           v.ts AS view_ts,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+      AND v.event_type = 'view'
+    """,
+    tags=("T9", "J9"),
+)
+def t9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the stream-stream attribution join
+    (streaming/runtime.py purchase_view_attribution): purchases matched
+    to same-user views within the preceding 30 minutes. The batch plan
+    is a hash join on user_id with the time range as a join residual —
+    one shuffle, no pair blowup beyond the lookback window."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id", "purchase_id", "view_id", "purchase_ts", "view_ts",
+            "purchase_value",
+        )
+    )

@@ -178,3 +178,58 @@ def enriched_stream(
         .groupBy("event_type", "c_mktsegment")
         .agg(F.count("*").alias("n"))
     )
+
+
+def purchase_view_attribution(
+    stream: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T9: stream-stream interval join — each purchase joined to the
+    same user's views in the preceding ``lookback`` window.
+
+    Both sides are watermarked filters over one arrival stream; the
+    join condition carries the event-time range, so Spark bounds the
+    buffered state to watermark + lookback on each side and evicts
+    behind it. At scale this is the canonical attribution join: state
+    per key is O(events in the lookback window), shuffle is hash on
+    user_id, and no side is ever fully materialized. (Same LTZ
+    boundary cast as tumbling_counts — watermarks reject NTZ.)"""
+    ltz = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        ltz.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        ltz.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "purchase_value",
+    )

@@ -311,3 +311,25 @@ def test_transform_with_state_plan_validates_without_protobuf(spark, staged):
     )
     logical = prof._jdf.queryExecution().logical().toString()
     assert "TransformWithStateInPySpark" in logical
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, staged, tmp_path):
+    """Stream-stream interval join (purchase←view attribution) must
+    emit exactly the batch join's pairs. The staged replay is
+    ts-ordered, so a 1-hour watermark never evicts a view that a later
+    purchase inside the 30-minute lookback still needs."""
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+    stream = runtime.read_event_stream(spark, staged)
+    joined = runtime.purchase_view_attribution(stream)
+    runtime.run_available_now(
+        joined, "attribution_out", "append", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM attribution_out").collect()
+    }
+    batch = all_specs()["t9_interval_join"].builder(spark, sf_dir).collect()
+    want = {(r.purchase_id, r.view_id) for r in batch}
+    assert got == want
+    assert len(want) > 0
