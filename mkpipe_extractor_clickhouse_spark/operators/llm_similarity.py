@@ -111,7 +111,14 @@ _TOPK_SCHEMA = T.StructType(
 
 @register(
     "l4_distributed_topk",
-    oracle=None,  # equality with l3 is asserted in tests/test_llm.py
+    # The partition-heap algorithm is exact (local cuts use the same
+    # quantize-then-(score, vec_id) order as the global one), so the
+    # brute-force SQL is a true oracle, not just a recall bound;
+    # equality with l3 is additionally asserted in tests/test_llm.py.
+    oracle=f"""
+    SELECT vec_id, cosine FROM ({_ORACLE_COSINE_TO_QUERY})
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
     tags=("L4", "O4", "D3"),
 )
 def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
