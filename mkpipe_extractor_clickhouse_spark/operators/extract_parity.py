@@ -138,3 +138,45 @@ def x4_watermark_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     unquoted literal, ``>=`` comparison, pushed to the parquet scan."""
     spec = FilterSpec(column="event_id", column_type="int", last_point="5000")
     return load_table(spark, sf_dir, "events").filter(spec.to_column())
+
+
+@register(
+    "x5_upsert_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN year(o_orderdate) = 1998
+                THEN o_totalprice + 1000.0 ELSE o_totalprice
+           END AS o_totalprice,
+           o_orderdate, o_orderpriority,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    """,
+    tags=("S7", "S8"),
+)
+def x5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE semantics end-to-end (sources/merge.py): tick 1 loads all
+    orders partitioned by year; tick 2 re-delivers every 1998 order with
+    a changed o_totalprice. The merge must replace exactly the 1998
+    rows — touched partitions rewritten, every other year's files
+    untouched — so the destination equals "orders with 1998 repriced"."""
+    from ..sources.extract import ExtractResult
+    from ..sources.merge import MergeParquetLoader
+
+    workdir = tempfile.mkdtemp(prefix="x5_merge_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    table = TableConfig(name="orders", dedup_keys=("o_orderkey",))
+    loader = MergeParquetLoader(workdir, partition_col="o_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    loader.load(spark, table, ExtractResult(df=orders, write_mode="overwrite"))
+    updates = orders.filter(F.col("o_year") == 1998).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    loader.load(spark, table, ExtractResult(df=updates, write_mode="append"))
+    merged = spark.read.parquet(loader.path(table))
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.col("o_year").cast("int").alias("o_year"),
+    )
