@@ -137,3 +137,124 @@ def a14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_approx"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
     )
+
+
+from ._determinism import DAVG  # noqa: E402
+from .llm_dedup import JACCARD_T as _T  # noqa: E402
+from .llm_text import _STOP_IN  # noqa: E402
+
+_L22_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+           / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+         LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({_STOP_IN}))) * 1.0
+           / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE stop_ratio >= 0.05 AND n_tokens BETWEEN 10 AND 200 AND ttr > 0.3
+),
+canonical AS (
+  SELECT * FROM gated
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY MD5(text))
+),
+tok AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+  FROM canonical
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+neardup AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= {_T}
+),
+final AS (
+  SELECT * FROM canonical WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {DAVG.format(x='ROUND(ttr, 6)')} AS avg_ttr
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "l22_curation_pipeline",
+    oracle=_L22_ORACLE,
+    tags=("EXT", "pipeline", "L1", "L2"),
+)
+def l22_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation run a pretraining user executes:
+
+      language gate (l10) → quality gate (l11) → exact dedup keeping
+      the canonical copy (l1) → near-dup prune dropping the larger
+      doc of every Jaccard≥t pair (l2's PPJoin) → per-language corpus
+      report (docs, whitespace tokens, mean type-token ratio).
+
+    Composition is the point: every stage is the declared operator's
+    own plan — the gates are row-local codegen, exact dedup shuffles a
+    16-byte hash, the near-dup join is prefix-filtered over survivors
+    only, and the report aggregates a handful of rows. Nothing in the
+    chain materializes to the driver, so the pipeline runs unchanged
+    on the full corpus."""
+    from .llm_dedup import JACCARD_T, ppjoin_pairs
+    from .llm_text import EN_STOPWORDS
+    from ._determinism import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        * F.lit(1.0)
+        / n_tok
+    )
+    scored = d.select(
+        "doc_id", "lang", "text",
+        n_tok.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("stop_ratio") >= 0.05)
+        & F.col("n_tokens").between(10, 200)
+        & (F.col("ttr") > 0.3)
+    )
+    canonical_ids = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    canonical = gated.join(
+        canonical_ids.select("doc_id"), "doc_id", "left_semi"
+    )
+    tok = canonical.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    drop = (
+        ppjoin_pairs(tok, JACCARD_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = canonical.join(drop, "doc_id", "left_anti")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            davg(F.round("ttr", 6)).alias("avg_ttr"),
+        )
+        .orderBy("lang")
+    )
+
+

@@ -88,7 +88,17 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering. The oracle is the naive all-shared-tokens join — this
     query must produce the identical pair set, demonstrating the
     filter loses nothing."""
-    tok = _doc_tokens(spark, sf_dir)
+    verified = ppjoin_pairs(_doc_tokens(spark, sf_dir), JACCARD_T)
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
+    """Exact set-similarity self-join via PPJoin prefix filtering over a
+    distinct (doc_id, token) relation: returns (doc_a < doc_b, jaccard
+    ≥ threshold) pairs with raw jaccard. Reused by l2 and the composed
+    curation pipeline (llm_curation.py) — candidates fan out only on
+    each doc's |d|-⌈t·|d|⌉+1 rarest tokens, so the join is inverted-
+    index-shaped at any corpus size."""
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Global token frequency orders tokens rarest-first: prefixes then
     # collide only on rare tokens, which is what bounds the fan-out.
@@ -103,7 +113,7 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prefix = ranked.filter(
-        F.col("rank") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+        F.col("rank") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc_id", "token")
 
     cand = (
@@ -141,9 +151,9 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.col("overlap") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("overlap")),
         )
-        .filter(F.col("jaccard") >= JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 # ---- MinHash + LSH ----------------------------------------------------

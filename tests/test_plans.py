@@ -125,3 +125,12 @@ def test_q18_no_locked_join_strategy(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_pipeline_no_blowup(spark, sf_dir):
+    """The composed curation pipeline must keep every stage in its
+    operator's declared shape: semi/anti joins on doc_id, the PPJoin
+    candidate join on prefix tokens — never a cartesian/nested-loop."""
+    plan = plan_of("l22_curation_pipeline", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
