@@ -310,3 +310,57 @@ def window_funnel(
         )
         levels = levels.unionByName(reached.select(by, F.lit(i).alias("lv")))
     return levels.groupBy(by).agg(F.max("lv").cast("long").alias("funnel_level"))
+
+
+@register(
+    "ch_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             STRING_AGG(SUBSTRING(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(regexp_matches(s, 'v.*c.*p') AS BIGINT)
+             AS has_view_click_purchase,
+           CAST(regexp_matches(s, 's.*p') AS BIGINT) AS has_signup_purchase,
+           n_events
+    FROM seq
+    """,
+    tags=("EXT", "funnel", "A8", "F1"),
+)
+def ch_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch``-style ordered-pattern detection:
+    per user, does the event-time-ordered stream contain the
+    subsequence view→click→purchase (and signup→…→purchase)?
+
+    Each user's stream collapses to one char per event (the event
+    types' distinct initials) in (ts, event_id) order, and the pattern
+    is a regex over that string — one grouped aggregation, one regex
+    per user, no joins. The per-user string is bounded by that user's
+    event count (the same per-key bound as any sessionization), so the
+    operator scales as an ordinary hash agg at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: F.substring(x["event_type"], 1, 1),
+                ),
+            ).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.col("s").rlike("v.*c.*p").cast("long").alias("has_view_click_purchase"),
+        F.col("s").rlike("s.*p").cast("long").alias("has_signup_purchase"),
+        "n_events",
+    )
