@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DSUM, dsum
+from ._determinism import DAVG, DSUM, davg, dsum
 
 
 @register(
@@ -292,4 +292,173 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(50)
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("J5", "SQ3", "A3"),
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape (correlated EXISTS → count per priority), adapted
+    to this schema: the fixture has no l_commitdate/l_receiptdate, so
+    'late' is proxied by a returned line (l_returnflag = 'R'). The
+    EXISTS compiles to a LEFT SEMI hash join on l_orderkey — at scale
+    the quarter filter prunes orders at the scan and the semi join
+    shuffles only (orderkey) pairs, never duplicating orders rows on
+    multi-line matches."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("J3", "A2", "A3"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13: distribution of orders-per-customer, keeping
+    zero-order customers via the outer join (COUNT(o_orderkey) skips
+    the null-extended rows). Two shuffles — custkey for the per-customer
+    count, then the tiny c_count regroup; at 100 TB the first agg is
+    partial/final on the join output so only (custkey, count) pairs
+    move in stage two."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size BETWEEN 1 AND 15
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    tags=("J6", "SQ2", "A3"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape (supplier diversity per part class, excluding a
+    complained-about supplier set), adapted: the fixture has no
+    partsupp, so lineitem is the part↔supplier bridge. The NOT IN
+    compiles to a LEFT ANTI join against a 6-row broadcast (s_suppkey
+    is non-null, so anti ≡ NOT IN here); part is broadcast; the only
+    shuffle is the distinct-suppkey aggregate. 100 TB note: COUNT
+    DISTINCT expands to a two-phase partial-distinct, so the dedup
+    happens map-side before the (brand,type) exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").between(1, 15)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"))
+    )
+
+
+@register(
+    "q22_dormant_accounts",
+    oracle=f"""
+    WITH threshold AS (
+      SELECT {DAVG.format(x='c_acctbal')} AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           {DSUM.format(x='c_acctbal')} AS totacctbal
+    FROM customer, threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("SQ1", "J6", "A2"),
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape (rich customers with no recent demand), adapted:
+    no phone column, so the grouping is mktsegment and 'no orders at
+    all' (empty on this fixture) becomes 'no orders in the last year'.
+    The scalar-average threshold is one broadcast row; the NOT EXISTS
+    is a LEFT ANTI join against orders pre-filtered to the recency
+    window — at 100 TB that filter prunes orders partitions before the
+    anti join, and the anti side ships only o_custkey. The average is
+    quantized (davg) so the > threshold comparison is engine-exact on
+    boundary rows."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -134,3 +134,29 @@ def test_curation_pipeline_no_blowup(spark, sf_dir):
     plan = plan_of("l22_curation_pipeline", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = plan_of("q4_order_priority_check", spark, sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the quarter filter reaches the orders scan
+    assert "PushedFilters" in plan
+
+
+def test_q16_not_in_compiles_to_broadcast_anti(spark, sf_dir):
+    plan = plan_of("q16_supplier_part_counts", spark, sf_dir)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_threshold_broadcast_no_nested_loop(spark, sf_dir):
+    plan = plan_of("q22_dormant_accounts", spark, sf_dir)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # The single-row threshold joins as one BroadcastNestedLoopJoin with
+    # a 1-row build side — O(n), the correct scalar-subquery plan. Lock
+    # that it stays the ONLY nested-loop in the plan (tree section lists
+    # each node once as "<name> <jointype> <buildside> (<id>)").
+    assert plan.count("BroadcastNestedLoopJoin Inner BuildRight") == 1
