@@ -478,3 +478,69 @@ def l18_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     return connected_components(docs, edges)
+
+
+NGRAM_T = 0.5  # 3-gram shingles separate cleanly: fixture pairs are >=0.5 or <0.1
+
+
+@register(
+    "l23_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= {NGRAM_T}
+    """,
+    tags=("L2",),
+)
+def l23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram (shingle) Jaccard near-dup join — the order-sensitive
+    sibling of l2's token-set Jaccard (SURVEY §2.11 'n-gram Jaccard').
+    Shingling rewards shared *phrases*, not shared vocabulary, so on
+    this fixture's ~40-word vocab it separates true near-dups (>=0.5)
+    from topical noise (<0.1) far better than token sets (avg 0.63).
+    Same PPJoin prefix-filtered plan as l2 over the shingle relation:
+    inverted-index join on each doc's rarest shingles only — no
+    all-pairs stage at any corpus size. Oracle is the naive
+    all-shared-shingles join, so the hash-match proves the prefix
+    filter loses nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    # positions 0..size-3 → concat of 3 consecutive tokens (1-indexed
+    # element_at); docs with <3 tokens yield no shingles, as in the
+    # oracle's empty GENERATE_SERIES.
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(idx).alias("i"),
+            t.alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    verified = ppjoin_pairs(sh, NGRAM_T)
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
