@@ -342,25 +342,69 @@ def ch_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user, no joins. The per-user string is bounded by that user's
     event count (the same per-key bound as any sessionization), so the
     operator scales as an ordinary hash agg at 100 TB."""
-    ev = load_table(spark, sf_dir, "events")
-    seq = (
-        ev.groupBy("user_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda x: F.substring(x["event_type"], 1, 1),
-                ),
-            ).alias("s"),
-            F.count("*").alias("n_events"),
-        )
-    )
+    seq = _event_initial_seq(spark, sf_dir)
     return seq.select(
         "user_id",
         F.col("s").rlike("v.*c.*p").cast("long").alias("has_view_click_purchase"),
         F.col("s").rlike("s.*p").cast("long").alias("has_signup_purchase"),
         "n_events",
+    )
+
+
+def _event_initial_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the event-time-ordered stream collapsed to one char per
+    event (the event types' distinct initials) plus the event count.
+    Shared by ch_sequence_match / ch_sequence_count — one grouped
+    aggregation whose state is bounded by the per-user event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: F.substring(x["event_type"], 1, 1),
+            ),
+        ).alias("s"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "ch_sequence_count",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             STRING_AGG(SUBSTRING(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(regexp_extract_all(s, 'v[^p]*p')) AS BIGINT)
+             AS view_to_purchase_chains,
+           CAST(LEN(regexp_extract_all(s, 'c[^p]*p')) AS BIGINT)
+             AS click_to_purchase_chains
+    FROM seq
+    """,
+    tags=("EXT", "funnel", "A8", "F1"),
+)
+def ch_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount``-style non-overlapping chain counting:
+    per user, how many disjoint view→…→purchase chains occur in event
+    order? The left-to-right scan semantics ('match the next purchase
+    after each unconsumed view, then continue past it') is exactly
+    leftmost non-overlapping regex matching of ``v[^p]*p`` over the
+    collapsed event-initial string — both engines' regex runtimes
+    implement the same POSIX leftmost rule, so counts agree. Same
+    single-hash-agg plan as ch_sequence_match."""
+    seq = _event_initial_seq(spark, sf_dir)
+    return seq.select(
+        "user_id",
+        F.size(F.regexp_extract_all("s", F.lit("v[^p]*p"), F.lit(0)))
+        .cast("long")
+        .alias("view_to_purchase_chains"),
+        F.size(F.regexp_extract_all("s", F.lit("c[^p]*p"), F.lit(0)))
+        .cast("long")
+        .alias("click_to_purchase_chains"),
     )
