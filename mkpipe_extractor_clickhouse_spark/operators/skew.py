@@ -64,3 +64,56 @@ def z1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the direct aggregation bit-for-bit."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return salted_agg(ev, "event_type")
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 16
+) -> DataFrame:
+    """Salted equi-join for a skewed fact key against a small-ish dim
+    that is still too big (or too mid-sized) to broadcast outright:
+    the fact side gets a deterministic per-row salt, the dim side is
+    replicated across all ``n_salts`` shards (explode of a constant
+    array), and the join key becomes (key, salt) — a hot fact key now
+    lands on n_salts reducers instead of one. Row-for-row identical to
+    the plain join; the oracle proves it.
+
+    At 100 TB this is the manual fallback when AQE skew splitting can't
+    help (e.g. the skew is in the *build* of a shuffled hash join, or a
+    deliberate co-partitioning must be preserved). Replication cost is
+    n_salts × |dim|, which is why dim is the replicated side."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+
+
+@register(
+    "z2_salted_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {DSUM.format(x='l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("J1", "A2", "skew"),
+)
+def z2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (lineitem⋈orders on orderkey) followed by a
+    salted-safe aggregation — the end-to-end pattern for a join whose
+    key histogram has hot entries. Must equal the plain join + group-by
+    bit-for-bit (quantized sums make the combine exact)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        (F.sum(_quantize("l_extendedprice")) / 1_000_000.0)
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -160,3 +160,18 @@ def test_q22_threshold_broadcast_no_nested_loop(spark, sf_dir):
     # that it stays the ONLY nested-loop in the plan (tree section lists
     # each node once as "<name> <jointype> <buildside> (<id>)").
     assert plan.count("BroadcastNestedLoopJoin Inner BuildRight") == 1
+
+
+def test_z2_salted_join_distributes_on_salt(spark, sf_dir):
+    """With broadcast off (the regime salting exists for), the join must
+    be a shuffled join keyed on (l_orderkey, _salt) — the hot-key rows
+    spread across n_salts reducers instead of one."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of("z2_salted_join", spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "_salt" in plan
