@@ -148,8 +148,9 @@ def test_append_dedup_bounded_to_window(spark, sf_dir, runner):
     res = runner.run_once(spark, table)
     assert res.write_mode == "append"
     dest = spark.read.parquet(runner.loader.path(table))
-    assert dest.count() == 1000
-    assert dest.select("event_id").distinct().count() == 1000
+    n_source = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert dest.count() == n_source
+    assert dest.select("event_id").distinct().count() == n_source
 
 
 def test_partitioned_destination_prunes_boundary_read(spark, sf_dir, runner):
@@ -168,8 +169,9 @@ def test_partitioned_destination_prunes_boundary_read(spark, sf_dir, runner):
     res = runner.run_once(spark, table)
     assert res.write_mode == "append"
     dest = spark.read.parquet(runner.loader.path(table))
-    assert dest.count() == 1000
-    assert dest.select("event_id").distinct().count() == 1000
+    n_source = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert dest.count() == n_source
+    assert dest.select("event_id").distinct().count() == n_source
     # hive-style layout written
     assert os.path.isdir(os.path.join(runner.loader.path(table), "user_id=0"))
     # the boundary read turns the window predicate into a PartitionFilter
