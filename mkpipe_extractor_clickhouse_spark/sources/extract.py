@@ -290,6 +290,19 @@ class ParquetLoader:
     def path(self, table: TableConfig) -> str:
         return os.path.join(self.dest_dir, f"{table.target_name}.parquet")
 
+    def read(self, spark: SparkSession, table: TableConfig) -> DataFrame:
+        """Destination read that survives schema evolution: appended
+        batches may carry columns earlier batches lack (a source ALTER
+        TABLE mid-stream — the reference passes whatever schema the
+        connector returns, __init__.py:26-43). A plain parquet read
+        adopts one footer's schema and silently drops the others'
+        extra columns; ``mergeSchema`` unions footers instead, so new
+        columns appear null-filled on pre-evolution rows. Footer
+        merging is a driver-side metadata operation (one footer per
+        file, not a data scan), so this stays cheap even on large
+        destinations."""
+        return spark.read.option("mergeSchema", "true").parquet(self.path(table))
+
     def existing_keys(
         self, spark: SparkSession, table: TableConfig, window: FilterSpec | None
     ) -> DataFrame:

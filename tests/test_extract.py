@@ -263,3 +263,47 @@ def test_watermark_store_concurrent_commits(tmp_path):
         t.join()
     state = store._read()
     assert len(state) == 150
+
+
+def test_schema_evolution_append_preserves_new_column(spark, sf_dir, runner):
+    """A column added to the source mid-stream must survive the append
+    and be readable from the destination (null-filled on pre-evolution
+    rows) — the reference ships whatever schema the connector returns,
+    so destination reads must merge footers, not adopt one."""
+    table = TableConfig(
+        name="events",
+        target_name="events_evolve",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        dedup_keys=("event_id",),
+    )
+    runner.run_once(spark, table, source_filter=F.col("event_id") < 500)
+    # source evolves: later batches carry an extra column
+    evolved = F.col("event_id") >= 500
+
+    orig_extract = runner.extractor.extract
+
+    def extract_evolved(tbl, sp, last_point=None, source_filter=None):
+        res = orig_extract(tbl, sp, last_point=last_point, source_filter=source_filter)
+        if res.df is not None:
+            res.df = res.df.filter(evolved).withColumn(
+                "ingest_tag", F.lit("v2")
+            )
+        return res
+
+    runner.extractor.extract = extract_evolved
+    try:
+        res = runner.run_once(spark, table)
+    finally:
+        runner.extractor.extract = orig_extract
+    assert res.write_mode == "append"
+    dest = runner.loader.read(spark, table)
+    n_source = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert "ingest_tag" in dest.columns
+    assert dest.count() == n_source
+    # pre-evolution rows are null-tagged, post-evolution rows tagged v2
+    assert dest.filter(F.col("ingest_tag").isNull()).count() == 500
+    assert dest.filter(F.col("ingest_tag") == "v2").count() == n_source - 500
+    # a plain read would have been footer-lottery; the helper is stable
+    assert set(dest.columns) >= {"event_id", "ingest_tag"}
