@@ -175,3 +175,52 @@ def test_z2_salted_join_distributes_on_salt(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     assert "_salt" in plan
+
+
+def test_q19_disjunct_splits_quantity_pushdown(spark, sf_dir):
+    # Catalyst must extract the single-sided implications of the OR:
+    # l_quantity's 1..30 envelope pushes to the lineitem scan and the
+    # part side broadcasts — no disjunct may force a nested loop.
+    plan = plan_of("q19_discounted_revenue", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed)
+
+
+def test_q2_correlated_min_stays_windowed(spark, sf_dir):
+    # The decorrelated form must not re-scan lineitem for the scalar
+    # MIN: exactly one parquet scan of lineitem, supplier/nation/region
+    # broadcast, window partitioned by part (no global exchange to 1).
+    plan = plan_of("q2_min_cost_supplier", spark, sf_dir)
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan.split("Window")[0].rsplit("Exchange", 1)[-1]
+
+
+def test_q21_double_exists_one_agg_no_blowup(spark, sf_dir):
+    # The EXISTS ∧ NOT-EXISTS rewrite must stay an aggregate-join: no
+    # nested-loop/cartesian pair expansion over lineitem×lineitem.
+    plan = plan_of("q21_waiting_suppliers", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_scalar_max_broadcast(spark, sf_dir):
+    # The = MAX(total_revenue) subquery must arrive as a broadcast onto
+    # the checkpointed aggregate, never a single-partition window.
+    plan = plan_of("q15_top_supplier", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q17_avg_computed_on_brand_slice(spark, sf_dir):
+    # The per-part AVG must aggregate the semi-joined brand slice, not
+    # all of lineitem: both lineitem branches carry the pushed-down
+    # semi-join, visible as exactly two scans with no third for the CTE.
+    plan = plan_of("q17_small_quantity_revenue", spark, sf_dir)
+    assert plan.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in plan
