@@ -1,0 +1,234 @@
+"""Training-set assembly operators — the last mile between a curated
+corpus and a trainer: benchmark decontamination, sequence packing,
+deterministic train/val splitting, and weighted mixture sampling.
+
+All four are pure built-in-function plans (no Python in the hot path)
+and every randomized-looking step is a deterministic integer hash, so
+each has an exact DuckDB oracle: reruns are bit-stable and the split /
+sample / pack assignment of any document can be recomputed from its key
+alone — the property a resumable 100 TB ingestion run needs (no stored
+RNG state, no order dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# Benchmark decontamination: any training document sharing a word
+# n-gram with the held-out set is dropped. 5-grams calibrated on this
+# fixture's ~40-word vocabulary: 3-grams flag ~everything (degenerate
+# vocab), 5-grams flag ~1-6% — the regime a real 13-gram pipeline
+# (public GPT-3 appendix-C / Llama methodology) operates in.
+DECON_N = 5
+EVAL_SOURCES = ("src18", "src19")
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+# Knuth multiplicative hashes for split/sample decisions. Chosen over
+# xxhash64 ONLY because the oracle must be expressible in portable SQL;
+# at production doc_id ranges (>2^33) the multiply would overflow ANSI
+# long arithmetic — swap in F.xxhash64 there (no cross-engine oracle).
+SPLIT_HASH = 2654435761
+SAMPLE_HASH = 1099087573
+M32 = 4294967296
+
+
+def _grams(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, source, gram) word n-grams via one explode —
+    row-local, codegen'd; docs shorter than n yield no grams."""
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    parts = [F.element_at("t", F.col("i") + k) for k in range(n)]
+    return (
+        docs.select("doc_id", "source", F.explode(idx).alias("i"), t.alias("t"))
+        .select("doc_id", "source", F.concat_ws(" ", *parts).alias("gram"))
+        .distinct()
+    )
+
+
+def _gram_sql(n: int) -> str:
+    ids = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+      SELECT DISTINCT doc_id, source, {ids} AS gram
+      FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents),
+           UNNEST(GENERATE_SERIES(1, LEN(t) - {n - 1})) AS s(i)
+    """
+
+
+@register(
+    "l24_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_gram_sql(DECON_N)}),
+    eval_sh AS (
+      SELECT DISTINCT gram FROM sh WHERE source IN {EVAL_SOURCES!r}
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN eval_sh e USING (gram)
+      WHERE s.source NOT IN {EVAL_SOURCES!r}
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source NOT IN {EVAL_SOURCES!r}
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    tags=("L1", "J6", "decontamination"),
+)
+def l24_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares any word 5-gram with the held-out sources (src18/src19 play
+    the benchmark). Plan mirrors the production shape: the eval set is
+    small by nature, so its distinct-gram table BROADCASTS; training
+    grams semi-join against it (flagging), and the surviving corpus is
+    a left-anti join on doc_id. The corpus is never shuffled on gram —
+    only flagged doc_ids move. At 100 TB: eval grams ≈ MBs broadcast,
+    one map-side semi join + one anti join on the (tiny) flag set."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(~F.col("source").isin(*EVAL_SOURCES))
+    sh = _grams(d, DECON_N)
+    eval_grams = (
+        sh.filter(F.col("source").isin(*EVAL_SOURCES)).select("gram").distinct()
+    )
+    contaminated = (
+        sh.filter(~F.col("source").isin(*EVAL_SOURCES))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "l25_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           cum_before % {PACK_BUDGET} AS pack_offset
+    FROM cum
+    """,
+    tags=("W5", "packing"),
+)
+def l25_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each source, documents
+    concatenate in doc_id order and split into fixed 256-token training
+    sequences; each doc gets (pack_id, pack_offset) — docs straddle
+    pack boundaries, exactly like GPT-style pretraining packing (no
+    padding waste, unlike greedy bin-packing). One exclusive-prefix-sum
+    window per source: the shuffle key is the source, sequences stream
+    out sorted, and the assignment is a pure function of (source,
+    doc_id order) — a resumed or re-partitioned run packs identically.
+    At 100 TB, per-source skew is the hazard: a dominant source should
+    be pre-split by a date/shard subkey folded into the partition key
+    (same plan, finer key)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / float(PACK_BUDGET))
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("cum_before") % PACK_BUDGET).alias("pack_offset"),
+        )
+    )
+
+
+@register(
+    "l26_train_val_split",
+    oracle=f"""
+    SELECT CASE WHEN (doc_id * {SPLIT_HASH}) % {M32} % 1000 < 900
+                THEN 'train' ELSE 'val' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    tags=("A2", "split"),
+)
+def l26_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by multiplicative key hash —
+    membership is a pure function of doc_id, so the split is stable
+    under reruns, repartitioning, and incremental appends (new docs
+    land in a split without touching old ones — no stored RNG state).
+    Reported per (split, lang) so drift in the language mix between
+    splits is visible. Pure map-side decision + one tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SPLIT_HASH) % M32 % 1000
+    return (
+        d.withColumn("split", F.when(bucket < 900, "train").otherwise("val"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# Mixture weights: sources sampled at different rates (out of 10000).
+# CASE order matters and is identical in both engines: src1 hits the
+# first branch before the LIKE 'src1%' family catch-all.
+_MIX_SQL = """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 10000
+         WHEN source LIKE 'src1%' THEN 5000
+         ELSE 2500 END"""
+
+
+@register(
+    "l27_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE (doc_id * {SAMPLE_HASH}) % {M32} % 10000 < {_MIX_SQL}
+    """,
+    tags=("P6", "sampling"),
+)
+def l27_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: each source family is kept at its own
+    rate (100% / 50% / 25%) via a per-document hash threshold — the way
+    a pretraining mix upsamples curated sources against crawl. Being
+    hash-gated (not rand()-gated) the sample is deterministic,
+    partition-order-independent, and composable with the l26 split
+    (independent hash multipliers). Pure map-side filter: pushes to the
+    scan, no shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 10000)
+        .when(F.col("source").startswith("src1"), 5000)
+        .otherwise(2500)
+    )
+    keep = ((F.col("doc_id") * SAMPLE_HASH) % M32 % 10000) < rate
+    return d.filter(keep).select("doc_id", "source", "lang")

@@ -224,3 +224,30 @@ def test_q17_avg_computed_on_brand_slice(spark, sf_dir):
     plan = plan_of("q17_small_quantity_revenue", spark, sf_dir)
     assert plan.count("lineitem.parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_l24_eval_grams_broadcast_corpus_never_shuffled_on_gram(spark, sf_dir):
+    # Decontamination must broadcast the eval gram set; the training
+    # corpus must not hash-exchange on the gram column.
+    plan = plan_of("l24_decontaminate", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line
+
+
+def test_l25_single_source_window_no_extra_exchange(spark, sf_dir):
+    # Packing is one prefix-sum window per source: exactly one exchange
+    # (hashpartitioning on source), no global sort.
+    plan = plan_of("l25_pack_sequences", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_l27_mixture_pure_map_no_exchange(spark, sf_dir):
+    # Hash-gated sampling is a scan + filter: no exchange at all.
+    plan = plan_of("l27_mixture_sample", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
