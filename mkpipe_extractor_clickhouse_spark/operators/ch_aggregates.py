@@ -1,0 +1,96 @@
+"""ClickHouse aggregate-function parity beyond the ANSI set: ``sumMap``
+and ``uniqUpTo`` (reference ecosystem: ClickHouse is the source engine —
+``/root/reference/mkpipe_extractor_clickhouse/__init__.py:26-43`` — so
+users port queries written against its aggregate library).
+
+Both stay on the JVM aggregate path:
+
+* sumMap is two-level hash aggregation — per-(group, key) partial sums
+  first (map-side combine collapses the fact table before the shuffle),
+  then a per-group reassembly of the handful of (key, sum) rows into the
+  sorted parallel arrays ClickHouse returns.  No per-row map objects
+  survive the first aggregate, so state size is bounded by the key
+  cardinality, not the row count — the 100 TB shape.
+* uniqUpTo(N) caps an exact distinct count at N+1.  Spark's distinct
+  aggregation already does a partial dedup per partition before the
+  shuffle; the LEAST cap is applied at the end (semantically identical —
+  ClickHouse's bounded-state optimization is an execution detail its
+  results contract hides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import _Q, _quantize
+
+UNIQ_CAP = 50
+
+
+@register(
+    "ch_summap",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, event_type AS k, SUM({_Q.format(x='value')}) AS vq
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           STRING_AGG(k, ',' ORDER BY k) AS sum_map_keys,
+           STRING_AGG(CAST(vq AS VARCHAR), ',' ORDER BY k) AS sum_map_vals_micro
+    FROM per GROUP BY user_id
+    """,
+    tags=("A2", "F6", "EXT"),
+)
+def ch_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap(map(event_type, value))`` per user: merge map
+    states by summing values key-wise, return the sorted key array plus
+    the parallel sums array (micro-unit longs so the doubles are
+    order-independent and hash-exact; arrays CSV-joined per the repo's
+    a8 convention for hashable output)."""
+    ev = load_table(spark, sf_dir, "events")
+    # The map column a ClickHouse user would pass to sumMap; exploding
+    # it back to entries is the distributed merge strategy.
+    entries = ev.select(
+        "user_id", F.explode(F.create_map("event_type", "value")).alias("k", "v")
+    )
+    per_key = entries.groupBy("user_id", "k").agg(
+        F.sum(_quantize("v")).alias("vq")
+    )
+    merged = per_key.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("k", "vq"))).alias("e")
+    )
+    return merged.select(
+        "user_id",
+        F.array_join(F.transform("e", lambda s: s["k"]), ",").alias("sum_map_keys"),
+        F.array_join(
+            F.transform("e", lambda s: s["vq"].cast("string")), ","
+        ).alias("sum_map_vals_micro"),
+    )
+
+
+@register(
+    "ch_uniq_up_to",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           LEAST(COUNT(DISTINCT user_id), {UNIQ_CAP + 1}) AS uniq_users_upto
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    tags=("A3", "A4", "EXT"),
+)
+def ch_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(50)(user_id)`` per (event_type, day): the
+    exact distinct count while it is ≤ 50, else 51 — the "did this
+    slice exceed the threshold" primitive behind alerting rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.least(F.countDistinct("user_id"), F.lit(UNIQ_CAP + 1))
+        .cast("long")
+        .alias("uniq_users_upto")
+    )

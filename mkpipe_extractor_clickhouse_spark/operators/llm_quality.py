@@ -1,0 +1,137 @@
+"""Repetition-based document quality filtering — the Gopher rules
+(Rae et al. 2021, "Scaling Language Models", §A1.1: drop documents
+dominated by repeated n-grams) adapted to the fixtures' token streams.
+
+Per document: bigram duplication fraction (1 − distinct/total), top
+bigram frequency fraction, mean word length, alphabetic-token fraction,
+and the keep/drop gate. The per-doc n-gram frequency table is built
+with explode → (doc, gram) hash aggregation — the shuffle key is the
+(doc_id, gram) pair, so the plan is a single map-side-combined
+aggregation that scales with corpus size and never materializes a
+per-doc map in driver memory. Row-local metrics (word length, charset)
+stay in array built-ins inside the scan's codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# Thresholds: the fixtures' word-soup corpus has bigram dup fractions of
+# 0–0.17 (median ~0.03); these split it near the median, mirroring how
+# Gopher's 0.2-ish thresholds split web text.
+DUP_FRAC_MAX = 0.05
+TOP_FRAC_MAX = 0.06
+
+
+@register(
+    "l28_gopher_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+      FROM tok CROSS JOIN LATERAL (
+        SELECT UNNEST(RANGE(1, LEN(toks))) AS i
+      ) s
+    ),
+    cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ),
+    rep AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct,
+             MAX(c) AS top_cnt
+      FROM cnt GROUP BY doc_id
+    ),
+    rowm AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_tokens,
+             ROUND(LIST_SUM(LIST_TRANSFORM(toks, t -> LEN(t))) * 1.0
+                   / LEN(toks), 6) AS mean_word_len,
+             ROUND(LEN(LIST_FILTER(toks, t -> regexp_matches(t, '^[a-z]+$')))
+                   * 1.0 / LEN(toks), 6) AS alpha_frac
+      FROM tok
+    )
+    SELECT r.doc_id, r.n_tokens, r.mean_word_len, r.alpha_frac,
+           CAST(rep.n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(1.0 - rep.n_distinct * 1.0 / rep.n_bigrams, 6) AS dup_bigram_frac,
+           ROUND(rep.top_cnt * 1.0 / rep.n_bigrams, 6) AS top_bigram_frac,
+           CAST(1.0 - rep.n_distinct * 1.0 / rep.n_bigrams <= {DUP_FRAC_MAX}
+                AND rep.top_cnt * 1.0 / rep.n_bigrams <= {TOP_FRAC_MAX}
+                AS BOOLEAN) AS keep
+    FROM rowm r JOIN rep USING (doc_id)
+    """,
+    tags=("EXT", "quality", "L7"),
+)
+def l28_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: documents whose bigram stream is
+    dominated by duplicates (dup fraction > 0.05 or one bigram > 6% of
+    the stream) are marked for drop. Every fixture doc has ≥ 2 tokens,
+    so the bigram stream is never empty (asserted by the inner join
+    against the per-doc bigram counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    # Row-local metrics: computed inside the scan stage, no shuffle.
+    rowm = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, t: acc + F.length(t)
+            ) * F.lit(1.0) / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+            * F.lit(1.0)
+            / F.size(toks),
+            6,
+        ).alias("alpha_frac"),
+    )
+
+    bigrams = rowm.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    rep = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+
+    dup_frac = F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.col("n_bigrams")
+    top_frac = F.col("top_cnt") * F.lit(1.0) / F.col("n_bigrams")
+    return (
+        rowm.drop("toks")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_word_len",
+            "alpha_frac",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((dup_frac <= DUP_FRAC_MAX) & (top_frac <= TOP_FRAC_MAX)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -251,3 +251,21 @@ def test_l27_mixture_pure_map_no_exchange(spark, sf_dir):
     plan = plan_of("l27_mixture_sample", spark, sf_dir)
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_ch_summap_two_level_agg_no_join(spark, sf_dir):
+    # sumMap is two hash aggregations (per-(user,key) partials, then
+    # per-user reassembly) — never a join, never a per-row map agg.
+    plan = plan_of("ch_summap", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_l28_no_pair_blowup(spark, sf_dir):
+    # The per-doc bigram frequency table joins back to row metrics on
+    # doc_id (equi, co-partitioned) — no nested-loop shapes.
+    plan = plan_of("l28_gopher_repetition", spark, sf_dir)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
