@@ -180,3 +180,41 @@ def x5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderpriority",
         F.col("o_year").cast("int").alias("o_year"),
     )
+
+
+from ._determinism import DSUM  # noqa: E402
+
+
+@register(
+    "x6_incremental_rollup",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {DSUM.format(x='value')} AS sum_value,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    tags=("A2", "T7", "EXT"),
+)
+def x6_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance (AggregatingMergeTree /
+    materialized-view parity, sources/rollup.py): 4 chunked ticks each
+    aggregate only the new window and merge mergeable states into the
+    rollup destination — fact history is never rescanned. Equality with
+    the one-shot GROUP BY over the full table proves state merging,
+    boundary exactly-once, and watermark commits end-to-end."""
+    from ..sources.rollup import IncrementalRollup
+
+    workdir = tempfile.mkdtemp(prefix="x6_rollup_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    rollup = IncrementalRollup(sf_dir, workdir)
+    for cutoff in _CUTOFFS:
+        source_filter = (
+            F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+            if cutoff is not None
+            else None
+        )
+        rollup.tick(spark, source_filter=source_filter)
+    return rollup.result(spark)
