@@ -14,7 +14,7 @@ stay in array built-ins inside the scan's codegen stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -133,5 +133,126 @@ def l28_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dup_frac <= DUP_FRAC_MAX) & (top_frac <= TOP_FRAC_MAX)).alias(
                 "keep"
             ),
+        )
+    )
+
+
+# ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": remove
+# substrings shared verbatim across documents). The suffix-array form
+# is replaced by fixed-length n-gram anchors — every shared substring of
+# length >= SPAN_N tokens is covered by at least one shared SPAN_N-gram,
+# so per-doc coverage is exact at n-gram granularity.
+SPAN_N = 6
+
+
+@register(
+    "l29_dup_span_detect",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS start,
+             ARRAY_TO_STRING(toks[i : i + {SPAN_N - 1}], ' ') AS gram
+      FROM tok CROSS JOIN LATERAL (
+        SELECT UNNEST(RANGE(1, LEN(toks) - {SPAN_N} + 2)) AS i
+      ) s
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (
+      SELECT doc_id, start FROM g WHERE gram IN (SELECT gram FROM dup)
+    ),
+    cov0 AS (
+      SELECT doc_id,
+             LEAST({SPAN_N}, COALESCE(
+               LEAD(start) OVER (PARTITION BY doc_id ORDER BY start) - start,
+               {SPAN_N})) AS c
+      FROM hits
+    ),
+    cov AS (
+      SELECT doc_id, COUNT(*) AS n_dup_grams, SUM(c) AS dup_tokens
+      FROM cov0 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(cov.dup_tokens, 0) * 1.0
+                 / LEN(STRING_SPLIT(d.text, ' ')), 6) AS dup_token_frac
+    FROM documents d LEFT JOIN cov USING (doc_id)
+    """,
+    tags=("EXT", "dedup", "L2"),
+)
+def l29_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage: for every document, the
+    number of tokens lying inside a 6-gram that appears verbatim in at
+    least one OTHER document — the per-doc signal ExactSubstr dedup cuts
+    on. Plan: explode positional 6-grams, one hash aggregation finds
+    cross-doc grams, a semi-join marks hit positions, and a per-doc
+    window merges overlapping spans into exact union coverage (intervals
+    are equal-length, so union length is Σ min(N, next_start − start)).
+    Every stage shuffles on (gram) or (doc_id) hash keys — no pairwise
+    doc comparison anywhere, so cost is linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n") >= SPAN_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - SPAN_N + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(
+                            F.slice("toks", i, SPAN_N), " "
+                        ).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi")
+
+    w = Window.partitionBy("doc_id").orderBy("start")
+    cov = (
+        hits.withColumn(
+            "c",
+            F.least(
+                F.lit(SPAN_N),
+                F.coalesce(
+                    F.lead("start").over(w) - F.col("start"), F.lit(SPAN_N)
+                ),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.sum("c").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n"), 6
+            ).alias("dup_token_frac"),
         )
     )

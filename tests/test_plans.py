@@ -269,3 +269,12 @@ def test_l28_no_pair_blowup(spark, sf_dir):
     plan = plan_of("l28_gopher_repetition", spark, sf_dir)
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_l29_linear_no_pairwise(spark, sf_dir):
+    # Duplicated-span detection must stay linear: gram-keyed aggregation
+    # + semi-join + per-doc window — no pairwise doc comparison shapes.
+    plan = plan_of("l29_dup_span_detect", spark, sf_dir)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert "Window" in plan
