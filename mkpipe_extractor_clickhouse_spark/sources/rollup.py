@@ -186,6 +186,32 @@ class IncrementalRollup:
         finally:
             df.unpersist()
 
+    def merge_batch(
+        self, spark: SparkSession, batch_df: DataFrame, batch_id: int
+    ) -> bool:
+        """Streaming-side maintenance (foreachBatch): merge one
+        micro-batch's states into the rollup. The stream source already
+        delivers each row exactly once per batch_id; what this must
+        survive is foreachBatch RE-delivery after a failure — the
+        committed batch_id high-water mark makes the merge idempotent
+        (a replayed batch is skipped, a new one merges exactly once)."""
+        self._recover()
+        key = f"{self.table}__last_batch"
+        prev = self.store.get(key)
+        if prev is not None and batch_id <= int(prev):
+            return False
+        if not batch_df.isEmpty():
+            delta_states = self._states(batch_df)
+            staged = self.path + ".staged"
+            if os.path.exists(self.path):
+                merged = self._merge(spark.read.parquet(self.path), delta_states)
+            else:
+                merged = delta_states
+            merged.write.mode("overwrite").parquet(staged)
+            self._swap_in(staged)
+        self.store.set(key, str(batch_id))
+        return True
+
     # -- user-facing view -----------------------------------------------------
 
     def result(self, spark: SparkSession) -> DataFrame:

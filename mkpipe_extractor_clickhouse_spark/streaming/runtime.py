@@ -233,3 +233,32 @@ def purchase_view_attribution(
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         "purchase_value",
     )
+
+
+def rollup_sink(
+    spark: SparkSession,
+    stream: DataFrame,
+    dest_dir: str,
+    checkpoint: str,
+):
+    """Stream-maintained aggregate view: every micro-batch's mergeable
+    states fold into the rollup destination (sources/rollup.py) — the
+    streaming face of the AggregatingMergeTree pattern. The stream
+    checkpoint guarantees per-batch delivery; the rollup's batch_id
+    high-water mark makes foreachBatch re-delivery idempotent, so the
+    view is exactly-once end-to-end without rescanning history."""
+    from ..sources.rollup import IncrementalRollup
+
+    rollup = IncrementalRollup(sf_dir="", dest_dir=dest_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rollup.merge_batch(spark, batch_df, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rollup

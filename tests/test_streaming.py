@@ -333,3 +333,36 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, staged, tmp_path):
     want = {(r.purchase_id, r.view_id) for r in batch}
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, staged, tmp_path):
+    """The stream-maintained rollup must converge to the one-shot batch
+    GROUP BY, and a re-delivered micro-batch must merge zero times."""
+    stream = runtime.read_event_stream(spark, staged)
+    dest = str(tmp_path / "rollup_dest")
+    os.makedirs(dest, exist_ok=True)
+    rollup = runtime.rollup_sink(spark, stream, dest, str(tmp_path / "ckpt"))
+
+    got = {
+        (r.event_type, str(r.day)): (r.n_events, r.min_ts, r.max_ts)
+        for r in rollup.result(spark).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"), F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .collect()
+    )
+    want = {(r.event_type, str(r.day)): (r.n, r.mn, r.mx) for r in batch}
+    assert got == want
+
+    # foreachBatch re-delivery: replaying the last committed batch_id is
+    # a no-op (idempotent merge).
+    last = int(rollup.store.get("events__last_batch"))
+    some_rows = load_table(spark, sf_dir, "events").limit(10)
+    assert rollup.merge_batch(spark, some_rows, last) is False
+    after = {
+        (r.event_type, str(r.day)): (r.n_events, r.min_ts, r.max_ts)
+        for r in rollup.result(spark).collect()
+    }
+    assert after == got
