@@ -55,6 +55,7 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.analytics",
     "mkpipe_extractor_clickhouse_spark.operators.analytics2",
     "mkpipe_extractor_clickhouse_spark.operators.funnel",
+    "mkpipe_extractor_clickhouse_spark.operators.activity",
     "mkpipe_extractor_clickhouse_spark.streaming.batch_equiv",
 ]
 
