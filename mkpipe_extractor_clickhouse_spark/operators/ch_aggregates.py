@@ -94,3 +94,65 @@ def ch_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("uniq_users_upto")
     )
+
+
+from ._determinism import DSUM, dsum  # noqa: E402
+
+SPARSE_MIN_VALUE = 180.0  # high-value events → sparse (type, day) grid
+
+
+@register(
+    "ch_with_fill",
+    oracle=f"""
+    WITH actual AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             {DSUM.format(x='value')} AS sum_value
+      FROM events WHERE value >= {SPARSE_MIN_VALUE}
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    span AS (
+      SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+      FROM actual GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type,
+             CAST(UNNEST(generate_series(s.mn, s.mx, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span s
+    )
+    SELECT g.event_type, g.day,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           a.sum_value IS NULL AS was_filled
+    FROM grid g LEFT JOIN actual a USING (event_type, day)
+    """,
+    tags=("F2", "W7", "EXT"),
+)
+def ch_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY day WITH FILL`` parity: densify a sparse
+    per-(event_type, day) series — every calendar day between each
+    type's first and last observation appears, gaps carrying 0 and a
+    fill marker. The grid is generated from the per-type [min, max]
+    span (one tiny aggregate + a sequence explode over days), so the
+    fill cost is O(calendar span), independent of event volume."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value") >= SPARSE_MIN_VALUE
+    )
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("sum_value"))
+    grid = (
+        actual.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    return grid.join(actual, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("sum_value").isNull().alias("was_filled"),
+    )

@@ -544,3 +544,70 @@ def l21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
     )
     return rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+KNN_K = 5
+KNN_QUERY_MOD = 100  # vec_id % 100 == 0 → the query set
+
+
+@register(
+    "l30_knn_join",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (
+      SELECT vec_id AS q_id, i, x AS qx FROM v
+      WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    dots AS (
+      SELECT q.q_id, v.vec_id AS n_id,
+             SUM(v.x * q.qx) AS dot,
+             SQRT(SUM(v.x * v.x)) AS nv,
+             SQRT(SUM(q.qx * q.qx)) AS nq
+      FROM v JOIN q USING (i)
+      WHERE v.vec_id <> q.q_id
+      GROUP BY q.q_id, v.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, ROUND(dot / (nv * nq), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY ROUND(dot / (nv * nq), 6) DESC, n_id
+             ) AS rank
+      FROM dots
+    )
+    SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {KNN_K}
+    """,
+    tags=("L3", "W8", "EXT"),
+)
+def l30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join — exact top-k cosine neighbors for EVERY vector
+    in a query set (the ANN-serving shape, vs l3's single query): the
+    query block broadcasts against one corpus scan, scoring stays in
+    zip_with/aggregate codegen, and the per-query top-k is a
+    (q_id)-partitioned rank window. Shuffle is the Q×N scored pairs
+    hashed on q_id; the partition-heap variant (l4) is the drop-in when
+    Q×N outgrows a shuffle, and IVF bucketing (l14) when the corpus
+    side must shrink first."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(
+                _dot("v", "qv") / (_norm("v") * _norm("qv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+    )
