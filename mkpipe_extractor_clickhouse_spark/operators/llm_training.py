@@ -232,3 +232,57 @@ def l27_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = ((F.col("doc_id") * SAMPLE_HASH) % M32 % 10000) < rate
     return d.filter(keep).select("doc_id", "source", "lang")
+
+
+from ._determinism import DAVG, davg  # noqa: E402
+
+RESAMPLE_HASH = 2246822519  # a third independent multiplicative hash
+
+
+@register(
+    "l31_importance_resample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE (doc_id * {RESAMPLE_HASH}) % {M32} % 10000
+            < CAST(TRUNC(LEAST(GREATEST(ttr, 0.1), 0.9) * 10000) AS BIGINT)
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           {DAVG.format(x='ROUND(ttr, 6)')} AS avg_ttr
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("P6", "sampling", "EXT"),
+)
+def l31_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional resampling: each document is accepted with
+    probability equal to its (clamped) type-token ratio — the
+    importance-weighting step quality-aware curation pipelines apply
+    after scoring. Acceptance is a pure function of (doc_id, score)
+    via multiplicative key hashing, so the sample is deterministic,
+    rerun-stable, and append-stable — no RNG state, no shuffle; the
+    decision executes map-side inside the scan stage. Both engines
+    compute the same IEEE double for the score and truncate the same
+    product, so the oracle is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    accept_below = (
+        F.least(F.greatest(ttr, F.lit(0.1)), F.lit(0.9)) * 10000
+    ).cast("long")
+    bucket = (F.col("doc_id") * RESAMPLE_HASH) % M32 % 10000
+    return (
+        d.select("doc_id", "lang", "source", ttr.alias("ttr"))
+        .filter(bucket < accept_below)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            davg(F.round("ttr", 6)).alias("avg_ttr"),
+        )
+        .orderBy("lang")
+    )
