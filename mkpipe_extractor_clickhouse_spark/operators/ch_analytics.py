@@ -1,0 +1,190 @@
+"""ClickHouse analytic-function parity: ``maxIntersections``,
+``deltaSum`` and ``histogram`` (reference ecosystem: ClickHouse is the
+source engine — ``/root/reference/mkpipe_extractor_clickhouse/
+__init__.py:26-43`` — so users port queries written against its
+analytics library; these are the interval/counter/distribution
+workhorses that have no direct ANSI equivalent).
+
+Spark-first restatements, all on the JVM codegen path:
+
+* maxIntersections(start, end) is a sweep line: every interval emits a
+  (+1 at start, -1 at end) event, a running sum over the ordered events
+  is the live-interval count, and its max is the answer.  We partition
+  the sweep by day (the intervals are per-day by construction), so each
+  day's sweep is an independent window partition — no single-partition
+  global sort, scales with the day dimension.
+* deltaSum is a per-key ordered fold: lag() the previous value, keep
+  positive increments, sum.  The shuffle is one hash partition by key;
+  values are quantized to micro-unit longs *before* differencing so
+  the fold is exact integer arithmetic in both engines.
+* histogram(B) over observed [min, max] uses the same integer slice
+  arithmetic as the range-partitioned read (operators/scans.py s5):
+  bucket = ((vq - lo)·B) div (hi - lo + 1) on micro-unit longs —
+  branchless, exact, and identical in Spark and DuckDB.  The bounds
+  aggregate is a 1-row broadcast, the bucketing runs map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import _Q, _quantize
+
+HIST_BINS = 20
+
+
+@register(
+    "ch_max_intersections",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT day, s AS ts, 1 AS delta FROM iv
+      UNION ALL
+      SELECT day, e AS ts, -1 AS delta FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC)
+               AS live
+      FROM pts
+    )
+    SELECT day, MAX(live) AS max_concurrent
+    FROM run GROUP BY day ORDER BY day
+    """,
+    tags=("W5", "A2", "EXT"),
+)
+def ch_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)`` per day: the peak
+    number of simultaneously-active user sessions, where a session is a
+    user's [first event, last event] span within the day.  Sweep line:
+    +1/-1 boundary events, running sum, max.  Ties sort starts before
+    ends (delta DESC) so touching intervals count as intersecting —
+    ClickHouse's closed-interval semantics.  The default RANGE window
+    frame includes order-by peers in both engines, so rows with equal
+    (ts, delta) see identical running sums — deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "ts",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = iv.select(
+        "day", F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("day", F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = Window.partitionBy("day").orderBy(
+        F.col("ts").asc(), F.col("delta").desc()
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(F.max("live").alias("max_concurrent"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "ch_delta_sum",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, {_Q.format(x='value')} AS vq,
+             LAG({_Q.format(x='value')}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS pvq
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN pvq IS NOT NULL AND vq > pvq
+                         THEN vq - pvq ELSE 0 END) / 1000000.0 AS DOUBLE)
+             AS delta_sum,
+           COUNT(*) AS n_events
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("W3", "A2", "EXT"),
+)
+def ch_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum(value)`` per user: the sum of positive
+    increments between consecutive readings in time order — the
+    counter-reset-tolerant rate primitive (a monotonic counter that
+    resets contributes only its upward movement).  One hash shuffle on
+    user_id; the ordered fold is a lag window inside the partition.
+    Values quantize to micro-unit longs before differencing
+    (operators/_determinism.py), so increment arithmetic is exact
+    integer math and order-stable across engines; (ts, event_id) breaks
+    timestamp ties identically on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _quantize("value").alias("vq"),
+    ).withColumn("pvq", F.lag("vq").over(w))
+    inc = F.when(
+        F.col("pvq").isNotNull() & (F.col("vq") > F.col("pvq")),
+        F.col("vq") - F.col("pvq"),
+    ).otherwise(F.lit(0))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            (F.sum(inc) / 1_000_000.0).cast("double").alias("delta_sum"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ch_histogram",
+    oracle=f"""
+    WITH q AS (SELECT {_Q.format(x='value')} AS vq FROM events),
+    b AS (SELECT MIN(vq) AS lo, MAX(vq) AS hi FROM q)
+    SELECT ((vq - lo) * {HIST_BINS}) // (hi - lo + 1) AS bucket_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(vq) / 1000000.0 AS DOUBLE) AS min_val,
+           CAST(MAX(vq) / 1000000.0 AS DOUBLE) AS max_val
+    FROM q CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("A2", "F3", "EXT"),
+)
+def ch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``histogram(B)(value)``, pinned to equal-width bins
+    over the observed [min, max] (ClickHouse's adaptive bin placement is
+    an execution heuristic; equal-width is the deterministic contract a
+    cross-engine result can hold).  Two passes: a 1-row bounds
+    aggregate (broadcast), then a map-side integer bucketing — the same
+    exact slice arithmetic as the range-partitioned read (s5,
+    operators/scans.py), on micro-unit longs so bucket edges can never
+    straddle a float rounding difference between engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        _quantize("value").alias("vq")
+    )
+    bounds = ev.agg(F.min("vq").alias("lo"), F.max("vq").alias("hi"))
+    return (
+        ev.join(F.broadcast(bounds))
+        .select(
+            F.expr(f"(vq - lo) * {HIST_BINS} div (hi - lo + 1)").alias(
+                "bucket_id"
+            ),
+            "vq",
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.min("vq") / 1_000_000.0).cast("double").alias("min_val"),
+            (F.max("vq") / 1_000_000.0).cast("double").alias("max_val"),
+        )
+        .orderBy("bucket_id")
+    )
