@@ -544,3 +544,108 @@ def l23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = ppjoin_pairs(sh, NGRAM_T)
     return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SEMDEDUP_T = 0.4  # below the fixture's max within-label cosine (0.475
+# at sf0.01, 0.510 at sf0.1) so removals are provably produced.
+_QDOT = "CAST(TRUNC(({x}) * 1000000000000 + (CASE WHEN ({x}) >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT)"
+
+
+@register(
+    "l32_semdedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM({_QDOT.format(x='x * x')}) / 1e12) AS nrm
+      FROM v GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.label, a.vec_id AS keep_id, b.vec_id AS vec_id,
+             SUM({_QDOT.format(x='a.x * b.x')}) / 1e12 AS dot
+      FROM v a JOIN v b ON a.i = b.i AND a.label = b.label
+                       AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.vec_id, p.label,
+           COUNT(*) AS n_dup_smaller,
+           ROUND(MAX(p.dot / (na.nrm * nb.nrm)), 6) AS max_cosine
+    FROM pairs p
+    JOIN norms na ON p.keep_id = na.vec_id
+    JOIN norms nb ON p.vec_id = nb.vec_id
+    WHERE p.dot / (na.nrm * nb.nrm) >= {SEMDEDUP_T}
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("L2", "L3", "EXT", "dedup"),
+)
+def l32_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings, compare pairs
+    ONLY within a cluster, and emit the delete-list — every vector with
+    a same-cluster neighbor of cosine ≥ t and a smaller vec_id (the
+    deterministic keep-first rule standing in for the paper's
+    keep-farthest-from-centroid heuristic, which ties to float order).
+    Output rows are the removals a curation pipeline materializes:
+    (vec_id, label, how many smaller-id near-dups, strongest cosine).
+
+    Scale shape: the pair join is an equi-join on the cluster id —
+    candidate volume is Σ|cluster|², never n² (the paper's K scales
+    with corpus size to hold clusters constant; swap the label
+    quantizer for llm_similarity.kmeans_fit exactly as l2d does).
+
+    Determinism: dot products and squared norms quantize each addend
+    to 1e-12-scaled longs before summing (operators/_determinism.py
+    discipline at cosine precision), so both engines fold identical
+    integers in any order — the ≥ t comparison can never straddle a
+    low-order-bit difference.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    qdot = lambda a, b: F.aggregate(  # noqa: E731  — exact long fold
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (
+                x * y * F.lit(1e12)
+                + F.when(x * y >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) / F.lit(1e12)
+    sided = vecs.withColumn("nrm", F.sqrt(qdot(F.col("v"), F.col("v"))))
+    a = sided.select(
+        F.col("label"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sided.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("keep_id") < F.col("vec_id")),
+    ).select(
+        "vec_id",
+        "label",
+        (qdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine"
+        ),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= SEMDEDUP_T)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.count("*").alias("n_dup_smaller"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )

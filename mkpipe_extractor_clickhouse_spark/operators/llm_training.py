@@ -286,3 +286,61 @@ def l31_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+SHUFFLE_HASH = 2484345967  # fourth independent multiplicative hash
+N_SHARDS = 16
+
+
+@register(
+    "l33_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             (doc_id * {SHUFFLE_HASH}) % {M32} AS k
+      FROM documents
+    )
+    SELECT doc_id, source,
+           k % {N_SHARDS} AS shard_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY k % {N_SHARDS} ORDER BY k // {N_SHARDS}, doc_id
+           ) AS pos
+    FROM keyed ORDER BY shard_id, pos
+    """,
+    tags=("W1", "O1", "EXT", "sampling"),
+)
+def l33_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every
+    document a pseudo-random 32-bit key by multiplicative hashing, put
+    it in shard `key mod S`, and number it within the shard by the
+    remaining key bits — the reproducible epoch permutation a trainer
+    consumes (shard files read round-robin give a uniform shuffle).
+
+    Spark-first scale shape: NO global sort.  The shard assignment is
+    map-side arithmetic; the within-shard ordering is a row_number
+    window partitioned by shard — one hash shuffle into S independent
+    partitions, each sorted locally (exactly how the shard files would
+    be written with partitionBy(shard_id) + sortWithinPartitions).
+    Rerun-stable and append-stable: any document's (shard, pos) is a
+    pure function of the key set, no RNG state — and using the high
+    key bits for in-shard order keeps shard and order decorrelated."""
+    d = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") * SHUFFLE_HASH) % M32
+    keyed = d.select(
+        "doc_id",
+        "source",
+        (k % N_SHARDS).alias("shard_id"),
+        F.expr(f"(doc_id * {SHUFFLE_HASH}) % {M32} div {N_SHARDS}").alias(
+            "subkey"
+        ),
+    )
+    w = Window.partitionBy("shard_id").orderBy("subkey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            "shard_id",
+            F.row_number().over(w).alias("pos"),
+        )
+        .orderBy("shard_id", "pos")
+    )
