@@ -278,3 +278,39 @@ def t9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@register(
+    "t10_stream_static_enrich",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment,
+           COUNT(*) AS n,
+           COUNT(c.c_custkey) AS n_matched
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("T1", "J2", "J3", "EXT"),
+)
+def t10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the stream-static dimension enrichment
+    (streaming/runtime.py enriched_stream, parity-tested in
+    tests/test_streaming.py::test_stream_static_join_matches_batch):
+    each event left-joined to the customer dimension and counted per
+    (event_type, segment).  In the streaming form Spark re-resolves the
+    static side every micro-batch — the streaming analogue of a
+    broadcast dim join, zero state; the batch plan here is exactly that
+    broadcast join, so the declared query and the stream converge on
+    the same result by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey, "left")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("c_custkey").alias("n_matched"),
+        )
+    )
