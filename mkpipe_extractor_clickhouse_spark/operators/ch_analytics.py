@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import _Q, _quantize
+from ._determinism import _Q, DSUM, _quantize, dsum
 
 HIST_BINS = 20
 
@@ -91,7 +91,6 @@ def ch_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.withColumn("live", F.sum("delta").over(sweep))
         .groupBy("day")
         .agg(F.max("live").alias("max_concurrent"))
-        .orderBy("day")
     )
 
 
@@ -141,7 +140,6 @@ def ch_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(inc) / 1_000_000.0).cast("double").alias("delta_sum"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -186,5 +184,90 @@ def ch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("vq") / 1_000_000.0).cast("double").alias("min_val"),
             (F.max("vq") / 1_000_000.0).cast("double").alias("max_val"),
         )
-        .orderBy("bucket_id")
+    )
+
+
+@register(
+    "ch_dict_get",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {DSUM.format(x='c.c_acctbal')} AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("J2", "F6", "EXT"),
+)
+def ch_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``dictGet('nations', 'n_name', c_nationkey)``: the
+    dictionary is a bounded reference table resident on every node, and
+    the lookup is an *expression*, not a join.  Spark-first equivalent:
+    collect the 25-row dictionary once on the driver (bounded by the
+    dictionary contract — ClickHouse dictionaries are RAM-resident by
+    definition), inline it as a map literal, and resolve with
+    element_at inside the scan stage — the plan has NO join node at
+    all, the lookup rides whole-stage codegen map-side, and the
+    aggregate shuffles already-resolved names.  The oracle is the join
+    the dictionary replaces."""
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+    }
+    entries = []
+    for k in sorted(nation):
+        entries.extend([F.lit(k), F.lit(nation[k])])
+    dict_map = F.create_map(*entries)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.element_at(dict_map, F.col("c_nationkey")).alias("nation"),
+            "c_acctbal",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "ch_replacing_final",
+    oracle="""
+    SELECT user_id, event_type, value AS last_value, ts AS last_ts
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("W1", "A11", "EXT"),
+)
+def ch_replacing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ReplacingMergeTree ... FINAL``: collapse each
+    (user_id, event_type) key to its latest version — the read-time
+    dedup a mutable-upsert table presents.  The merge-tree's background
+    collapse becomes one window rank per key ordered by the version
+    column (ts, with event_id as the deterministic tiebreaker — FINAL
+    keeps the last-inserted part, our contract pins that to the larger
+    event_id).  One hash shuffle on the key; at 100 TB this is the
+    standard changelog-compaction plan and pairs with the MERGE loader
+    (sources/extract.py x5) for the write side."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
     )

@@ -647,5 +647,4 @@ def l32_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dup_smaller"),
             F.round(F.max("cosine"), 6).alias("max_cosine"),
         )
-        .orderBy("vec_id")
     )

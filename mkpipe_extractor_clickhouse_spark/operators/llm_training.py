@@ -335,12 +335,9 @@ def l33_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("shard_id").orderBy("subkey", "doc_id")
-    return (
-        keyed.select(
-            "doc_id",
-            "source",
-            "shard_id",
-            F.row_number().over(w).alias("pos"),
-        )
-        .orderBy("shard_id", "pos")
+    return keyed.select(
+        "doc_id",
+        "source",
+        "shard_id",
+        F.row_number().over(w).alias("pos"),
     )

@@ -278,3 +278,43 @@ def test_l29_linear_no_pairwise(spark, sf_dir):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
     assert "Window" in plan
+
+
+def test_semdedup_equi_join_on_cluster(spark, sf_dir):
+    """l32's pair generation must be an equi-join on the cluster id —
+    never a nested-loop/cartesian all-pairs plan."""
+    plan = plan_of("l32_semdedup", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_shuffle_no_global_sort(spark, sf_dir):
+    """l33 orders within hash-partitioned shards only: one hash
+    exchange for the window, no rangepartitioning (global sort)."""
+    plan = plan_of("l33_global_shuffle", spark, sf_dir)
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Exchange") <= 2  # window hash exchange (+AQE read)
+
+
+def test_delta_sum_single_key_shuffle(spark, sf_dir):
+    """ch_delta_sum: per-key ordered fold — hash exchange on user_id,
+    no global sort."""
+    plan = plan_of("ch_delta_sum", spark, sf_dir)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_max_intersections_sweep_partitioned_by_day(spark, sf_dir):
+    """ch_max_intersections: the sweep window partitions by day —
+    no single-partition global-order window (which Spark plans as an
+    empty partitionBy, i.e. Exchange SinglePartition)."""
+    plan = plan_of("ch_max_intersections", spark, sf_dir)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dict_get_no_join_node(spark, sf_dir):
+    """ch_dict_get resolves the dictionary as a map-literal expression:
+    the plan must contain no join operator at all."""
+    plan = plan_of("ch_dict_get", spark, sf_dir)
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan
