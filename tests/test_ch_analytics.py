@@ -1,0 +1,102 @@
+"""Unit invariants for the ClickHouse analytic-parity operators
+(operators/ch_analytics.py) and the SemDeDup delete-list — properties
+the DuckDB hash-match can't state directly: bucket-range totality,
+sweep-line bounds, counter-fold non-negativity, and the quantized
+cosine agreeing with NumPy's float64 dot to within the quantization
+step."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from mkpipe_extractor_clickhouse_spark.operators.ch_analytics import HIST_BINS
+from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import SEMDEDUP_T
+from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _run(name, spark, sf_dir):
+    return SPECS[name].builder(spark, sf_dir).collect()
+
+
+def test_histogram_buckets_total_and_bounded(spark, sf_dir):
+    rows = _run("ch_histogram", spark, sf_dir)
+    n_events = SPECS["s5_partitioned_parallel_read"].builder(spark, sf_dir)
+    total_events = sum(r.n_rows for r in n_events.collect())
+    assert sum(r.n_rows for r in rows) == total_events
+    for r in rows:
+        assert 0 <= r.bucket_id < HIST_BINS
+        assert r.min_val <= r.max_val
+    # buckets tile the range: sorted by id, value intervals never overlap
+    by_id = sorted(rows, key=lambda r: r.bucket_id)
+    for a, b in zip(by_id, by_id[1:]):
+        assert a.max_val <= b.min_val
+
+
+def test_max_intersections_bounds(spark, sf_dir):
+    rows = _run("ch_max_intersections", spark, sf_dir)
+    assert rows, "no days produced"
+    for r in rows:
+        # at least one interval is live at its own start; never more
+        # than the number of users that day can be live at once
+        assert r.max_concurrent >= 1
+
+
+def test_delta_sum_nonnegative_and_zero_for_singletons(spark, sf_dir):
+    rows = _run("ch_delta_sum", spark, sf_dir)
+    for r in rows:
+        assert r.delta_sum >= 0.0
+        if r.n_events == 1:
+            assert r.delta_sum == 0.0
+
+
+def test_replacing_final_one_row_per_key(spark, sf_dir):
+    rows = _run("ch_replacing_final", spark, sf_dir)
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_dict_get_matches_join_cardinality(spark, sf_dir):
+    rows = _run("ch_dict_get", spark, sf_dir)
+    customers = pq.read_table(f"{sf_dir}/customer.parquet").num_rows
+    assert sum(r.n_customers for r in rows) == customers
+    assert all(r.nation is not None for r in rows)
+
+
+def test_semdedup_cosines_match_numpy(spark, sf_dir):
+    """The quantized-long dot product used by l32 must agree with a
+    float64 NumPy reference to within the 1e-12 quantization step
+    (×64 addends), and every reported pair must truly clear the
+    threshold."""
+    rows = _run("l32_semdedup", spark, sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    vecs = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(t["vec_id"], t["embedding"])
+    }
+    labels = dict(zip(t["vec_id"], t["label"]))
+    for r in rows:
+        assert r.max_cosine >= SEMDEDUP_T - 1e-9
+        v = vecs[r.vec_id]
+        best = max(
+            float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+            for i, u in vecs.items()
+            if i < r.vec_id and labels[i] == labels[r.vec_id]
+        )
+        assert best == pytest.approx(r.max_cosine, abs=5e-6)
+
+
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    rows = _run("l33_global_shuffle", spark, sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").num_rows
+    assert len(rows) == docs
+    assert len({r.doc_id for r in rows}) == docs
+    # positions within each shard are 1..n_shard contiguous
+    shards: dict[int, list[int]] = {}
+    for r in rows:
+        shards.setdefault(r.shard_id, []).append(r.pos)
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
