@@ -271,3 +271,63 @@ def ch_replacing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "ch_quantile_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, event_id, {_Q.format(x='value')} AS vq,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, vq, wt,
+             SUM(wt) OVER (PARTITION BY event_type
+                           ORDER BY vq, event_id) AS cw,
+             SUM(wt) OVER (PARTITION BY event_type) AS tw
+      FROM w
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cw * 2 >= tw THEN vq END) / 1000000.0
+                AS DOUBLE) AS weighted_median,
+           MAX(tw) AS total_weight
+    FROM c GROUP BY event_type
+    """,
+    tags=("A9", "W5", "F7", "EXT"),
+)
+def ch_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5)(value, weight)`` per
+    event type, with the weight pulled from the JSON props payload.
+    The 100 TB form of an exact weighted quantile is NOT sort-and-walk
+    on the driver — it is a cumulative-weight window inside each key
+    partition: order by value, running-sum the weights, and the answer
+    is the smallest value whose cumulative weight reaches half the
+    total (the lower weighted median, deterministic with event_id as
+    the unique tiebreaker).  One hash shuffle on event_type; values
+    quantized to micro-longs so the boundary comparison is integer-
+    exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_type",
+        "event_id",
+        _quantize("value").alias("vq"),
+        F.get_json_object("props", "$.k").cast("long").alias("wt"),
+    )
+    cum = Window.partitionBy("event_type").orderBy("vq", "event_id")
+    tot = Window.partitionBy("event_type")
+    c = w.select(
+        "event_type",
+        "vq",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return c.groupBy("event_type").agg(
+        (
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("vq")))
+            / 1_000_000.0
+        )
+        .cast("double")
+        .alias("weighted_median"),
+        F.max("tw").alias("total_weight"),
+    )

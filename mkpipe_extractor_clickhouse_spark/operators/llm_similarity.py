@@ -611,3 +611,75 @@ def l30_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
     )
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "l34_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (
+      SELECT vec_id AS q_id, label AS q_label, i, x AS qx FROM v
+      WHERE vec_id % {KNN_QUERY_MOD} = 0
+    ),
+    dots AS (
+      SELECT q.q_id, v.vec_id AS n_id,
+             SUM(v.x * q.qx) AS dot,
+             SQRT(SUM(v.x * v.x)) AS nv,
+             SQRT(SUM(q.qx * q.qx)) AS nq
+      FROM v JOIN q USING (i)
+      WHERE v.label <> q.q_label
+      GROUP BY q.q_id, v.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, ROUND(dot / (nv * nq), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY ROUND(dot / (nv * nq), 6) DESC, n_id
+             ) AS rank
+      FROM dots
+    )
+    SELECT q_id, n_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {HARD_NEG_K}
+    """,
+    tags=("L3", "W8", "EXT"),
+)
+def l34_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    retrieval-training companion to the k-NN join l30): for each anchor
+    in the query set, the top-k most-similar corpus vectors with a
+    DIFFERENT label — maximally confusable negatives, the pairs an
+    InfoNCE trainer wants in the denominator.  Same plan family as l30
+    (anchor block broadcast against one corpus scan, zip_with/aggregate
+    cosine in codegen, per-anchor rank window); the label-mismatch
+    predicate rides the broadcast join as a residual, so negatives are
+    filtered before scoring ever shuffles.  At 100 TB the broadcast
+    block rotates through anchor chunks while the corpus is scanned
+    once per chunk — or route candidates through IVF buckets (l14) and
+    mine within probed cells only."""
+    vecs = _vectors(spark, sf_dir)
+    anchors = vecs.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = vecs.join(
+        F.broadcast(anchors), F.col("label") != F.col("q_label")
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= HARD_NEG_K)
