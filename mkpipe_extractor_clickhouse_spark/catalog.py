@@ -11,12 +11,15 @@ naive (isAdjustedToUTC=false) timestamps, and NTZ keeps every downstream
 date function independent of the session timezone — which matters because
 the DuckDB oracle sees naive timestamps too.
 
-``events.ts`` is physically INT64(TIMESTAMP(NANOS,false)), which Spark's
-parquet reader rejects; we read it as a raw long (requires
-``spark.sql.legacy.parquet.nanosAsLong=true``, set here at runtime — it is
-a dynamic SQL conf) and rebuild an NTZ value with integer arithmetic only,
-so the conversion is exact and TZ-free. DuckDB truncates the same nanos to
-micros when casting to its TIMESTAMP, so the two engines agree bit-for-bit.
+``events.ts`` has shipped in two physical encodings across fixture
+generations: INT64(TIMESTAMP(NANOS,false)) — which Spark's parquet reader
+rejects unless read as a raw long via
+``spark.sql.legacy.parquet.nanosAsLong=true`` — and plain
+TIMESTAMP(MICROS,false). ``load_table`` probes the parquet footer once per
+``sf_dir`` (driver-side metadata read, no data scan) and branches: nanos
+are read as longs and rebuilt into NTZ with integer arithmetic only
+(exact, TZ-free; DuckDB truncates the same nanos to micros, so the two
+engines agree bit-for-bit), micros are read directly as NTZ.
 """
 
 from __future__ import annotations
@@ -110,7 +113,9 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", _ntz),
         ]
     ),
-    # ts is read as raw nanos (long) and converted in load_table().
+    # ts: LongType is a placeholder — load_table() swaps it for the
+    # encoding the file actually uses (raw nanos long → converted, or
+    # TIMESTAMP(MICROS) → read directly as NTZ).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -144,28 +149,65 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# sf_dir → events.ts parquet time unit ("ns" or "us"); probed once.
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Probe the events parquet footer for ts's physical time unit.
+
+    Driver-side metadata read only (no row groups touched). Fixture
+    generations differ: some store INT64(TIMESTAMP(NANOS,false)), some
+    TIMESTAMP(MICROS,false); the loader must handle both.
+    """
+    unit = _TS_UNIT_CACHE.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        path = table_path(sf_dir, "events")
+        if os.path.isdir(path):
+            part = next(
+                p for p in sorted(os.listdir(path)) if p.endswith(".parquet")
+            )
+            path = os.path.join(path, part)
+        unit = pq.read_schema(path).field("ts").type.unit
+        _TS_UNIT_CACHE[sf_dir] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its explicit schema.
 
     Explicit schemas keep the scan's ReadSchema exact and make column
-    pruning/pushdown predictable; conversion of events.ts stays integer
-    arithmetic (``div``), so it is exact and ANSI-safe.
+    pruning/pushdown predictable; conversion of nanos-encoded events.ts
+    stays integer arithmetic (``div``), so it is exact and ANSI-safe.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    if name == "events":
+    if name != "events":
+        return spark.read.schema(SCHEMAS[name]).parquet(
+            table_path(sf_dir, name)
+        )
+
+    schema = SCHEMAS["events"]
+    if _events_ts_unit(sf_dir) == "ns":
         # Dynamic conf; required for the INT64(TIMESTAMP(NANOS)) column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = df.withColumn(
+        df = spark.read.schema(schema).parquet(table_path(sf_dir, name))
+        return df.withColumn(
             "ts",
             F.expr(
                 "timestampadd(MICROSECOND, ts div 1000, "
                 "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
             ),
         )
-    return df
+    schema = T.StructType(
+        [
+            T.StructField("ts", _ntz) if f.name == "ts" else f
+            for f in schema.fields
+        ]
+    )
+    return spark.read.schema(schema).parquet(table_path(sf_dir, name))
 
 
 def register_views(
