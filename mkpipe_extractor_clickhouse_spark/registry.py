@@ -49,6 +49,8 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.llm_quality",
     "mkpipe_extractor_clickhouse_spark.operators.ch_aggregates",
     "mkpipe_extractor_clickhouse_spark.operators.ch_analytics",
+    "mkpipe_extractor_clickhouse_spark.operators.ch_sql_features",
+    "mkpipe_extractor_clickhouse_spark.operators.llm_signals",
     "mkpipe_extractor_clickhouse_spark.operators.llm_training",
     "mkpipe_extractor_clickhouse_spark.operators.multimodal",
     "mkpipe_extractor_clickhouse_spark.operators.extract_parity",

@@ -318,3 +318,86 @@ def test_dict_get_no_join_node(spark, sf_dir):
     plan = plan_of("ch_dict_get", spark, sf_dir)
     for bad in ("Join", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_limit_by_single_key_exchange(spark, sf_dir):
+    """ch_limit_by: row_number over the BY key — exactly one hash
+    exchange, no global sort, no SinglePartition window."""
+    plan = plan_of("ch_limit_by", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_sample_key_filter_before_exchange(spark, sf_dir):
+    """ch_sample_key: the hash-sample filter runs map-side in the scan
+    stage — only sampled rows reach the single aggregate exchange."""
+    plan = plan_of("ch_sample_key", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+    assert "Join" not in plan
+    # Filter sits below the Exchange in the tree (higher node number
+    # = deeper): the sample never shuffles unsampled rows.
+    filter_line = min(
+        i for i, l in enumerate(tree.splitlines()) if "Filter" in l
+    )
+    exchange_line = min(
+        i for i, l in enumerate(tree.splitlines()) if "Exchange" in l
+    )
+    assert filter_line > exchange_line
+
+
+def test_topk_weighted_two_stage(spark, sf_dir):
+    """ch_topk_weighted: partial-agg → (type,user) exchange → window
+    on type — two exchanges, never a sort of the raw events."""
+    plan = plan_of("ch_topk_weighted", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_moving_sum_array_single_shuffle(spark, sf_dir):
+    """ch_moving_sum_array: the moving-sum window and the per-user
+    collect share the user_id hash partitioning — ONE exchange total."""
+    plan = plan_of("ch_moving_sum_array", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+
+
+def test_with_fill_spine_not_cartesian(spark, sf_dir):
+    """ch_with_fill_interpolate: the day spine joins the daily series
+    by equi-key; the only permitted single-partition stage is the
+    spine-sized interpolation window."""
+    plan = plan_of("ch_with_fill_interpolate", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_no_pairwise(spark, sf_dir):
+    """l35: token→vocabulary equi-join plus re-aggregation — the only
+    nested-loop shape allowed is the 1-row corpus-total broadcast."""
+    plan = plan_of("l35_unigram_logprob", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            break
+    else:
+        line = ""
+    # the BNLJ is the scalar 1-row total; a real pairwise BNLJ would
+    # join two fact-sized relations — locked by requiring the join
+    # keys' equi-join (SortMerge or BroadcastHash) to exist.
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_source_overlap_no_self_join(spark, sf_dir):
+    """l37: pair generation is an array expression over each shingle's
+    capped source set — the plan has NO join on the shingle column
+    (only the two tiny broadcast size lookups), no nested loops."""
+    plan = plan_of("l37_source_overlap", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # every join in the plan must be a broadcast of the size lookup
+    joins = [l for l in plan.splitlines() if "Join" in l and "+-" in l]
+    assert all("BroadcastHashJoin" in l for l in joins)
