@@ -281,6 +281,63 @@ def t9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t11_stream_stream_outer",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.ts AS purchase_ts,
+           v.ts AS view_ts,
+           p.value AS purchase_value
+    FROM events p
+    LEFT JOIN events v
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("T9", "J3", "EXT"),
+)
+def t11_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the stream-stream LEFT OUTER interval join
+    (streaming/runtime.py purchase_view_attribution_outer, runtime
+    parity in tests/test_streaming.py): every purchase row survives,
+    null-extended when no same-user view precedes it within 30 minutes
+    — the unattributed-conversion report. Same single hash shuffle on
+    user_id as the inner form; the outer side adds no state beyond it
+    in batch, and watermark-bounded state in the stream."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_outer",
+        )
+        .select(
+            "user_id", "purchase_id", "view_id", "purchase_ts", "view_ts",
+            "purchase_value",
+        )
+    )
+
+
+@register(
     "t10_stream_static_enrich",
     oracle="""
     SELECT e.event_type, c.c_mktsegment,

@@ -235,6 +235,62 @@ def purchase_view_attribution(
     )
 
 
+def purchase_view_attribution_outer(
+    stream: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T11: stream-stream LEFT OUTER interval join — every purchase
+    emits, attributed to same-user views in the preceding ``lookback``
+    window, or with NULL view columns once the watermark proves no
+    view can still arrive.
+
+    The outer side makes state eviction *observable*: an unmatched
+    purchase is held in state and emitted null-extended only when the
+    join watermark passes purchase_ts + lookback. Caveat discovered
+    empirically and locked by the runtime test: the watermark is
+    declared once on the base arrival stream, but the self-join plans
+    each side as its OWN scan with the event-type filter pushed into
+    it, and each side's watermark operator only sees rows passing that
+    scan — the query watermark is the min of the two. Draining a
+    bounded replay therefore needs flush records that pass BOTH type
+    filters (one sentinel purchase + one sentinel view on non-joining
+    keys); see tests/test_streaming.py. State per key stays O(lookback
+    window); shuffle is hash on user_id."""
+    ltz = stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    purchases = ltz.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ltz.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "purchase_value",
+    )
+
+
 def rollup_sink(
     spark: SparkSession,
     stream: DataFrame,

@@ -366,3 +366,61 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, staged, tmp_path):
         for r in rollup.result(spark).collect()
     }
     assert after == got
+
+
+def test_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER interval join: all purchases emit,
+    null-extended when unattributed — equal to the batch left join.
+
+    Stages its own chunks plus terminal flush records past the last
+    real event: the outer join holds unmatched purchases in state until
+    the watermark passes purchase_ts + lookback, so without the flush
+    the final hour's unmatched purchases would still be pending when
+    AvailableNow terminates. Each flush batch carries one sentinel
+    purchase AND one sentinel view (non-joining negative user ids):
+    the event-type filters are pushed into each branch's file scan, so
+    a record must pass BOTH filters for both branches' watermark
+    operators — the query watermark is their min — to advance."""
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+    stage = runtime.stage_event_chunks(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=5
+    )
+    chunk = spark.read.parquet(os.path.join(stage, "chunk_001"))
+    mx = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+        .first()["m"]
+    )
+    # Two flush batches: the first advances the watermark past every
+    # purchase's lookback, the second gives the join a batch in which
+    # that watermark is already current so remaining pending state is
+    # evicted (watermark updates take effect in the batch AFTER the one
+    # that observed the event time).
+    for i, hours in ((998, 3), (999, 4)):
+        flush = spark.createDataFrame(
+            [
+                (-1, mx, -1, "purchase", 0.0, "{}"),
+                (-2, mx, -2, "view", 0.0, "{}"),
+            ],
+            schema=chunk.schema,
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
+        flush.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"chunk_{i}")
+        )
+
+    stream = runtime.read_event_stream(spark, stage)
+    out = runtime.purchase_view_attribution_outer(stream)
+    runtime.run_available_now(
+        out, "attr_outer_out", "append", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql(
+            "SELECT * FROM attr_outer_out WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = all_specs()["t11_stream_stream_outer"].builder(spark, sf_dir)
+    want = {(r.purchase_id, r.view_id) for r in batch.collect()}
+    assert got == want
+    # the outer join must actually produce null-extended purchases
+    assert any(v is None for (_, v) in want)
