@@ -277,3 +277,48 @@ def ch_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("rev", ignorenulls=True).over(w).alias("revenue_filled"),
         )
     )
+
+
+@register(
+    "ch_returning_users",
+    oracle="""
+    WITH pd AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM pd
+    )
+    SELECT day, COUNT(*) AS returning_users
+    FROM seq
+    WHERE prev_day = day - 1
+    GROUP BY day
+    """,
+    tags=("A3", "W3", "EXT"),
+)
+def ch_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning users — ClickHouse's
+    ``groupBitmapAnd``/retention idiom: |active(d) ∩ active(d-1)| for
+    every day.  The bitmap intersection (or the day×day self-join a
+    naive SQL writes) is restated as a per-user lag: a user "returns"
+    on day d iff their previous active day is d-1, so one (user, day)
+    distinct pass + one lag window + one per-day count answers every
+    day at once.  Shuffles: distinct on (user, day), window on user,
+    final tiny day-level agg — all linear, no self-join, no bitmap
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    pd_ = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        pd_.withColumn("prev_day", F.lag("day").over(w))
+        .filter(F.col("prev_day") == F.date_sub("day", 1))
+        .groupBy("day")
+        .agg(F.count("*").alias("returning_users"))
+    )

@@ -227,3 +227,66 @@ def w8_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "w9_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(TRUNC(value * 1000000
+                    + (CASE WHEN value >= 0 THEN 0.5 ELSE -0.5 END))
+                  AS BIGINT)) AS BIGINT) AS revq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(revq / 1000000.0 AS DOUBLE) AS revenue,
+           CAST(MEDIAN(revq) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             / 1000000.0 AS DOUBLE) AS moving_median
+    FROM daily
+    """,
+    tags=("W6", "A9", "EXT"),
+)
+def w9_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day moving MEDIAN of the daily value series per event
+    type — the robust-location sibling of w6's moving average
+    (ClickHouse ``medianExact`` used as a window aggregate, which ANSI
+    allows and ClickHouse users write routinely; Spark has NO
+    percentile window function).  Restatement: collect the ≤7-element
+    frame into an array, sort, index the middle — per-row cost is
+    O(frame log frame) on a frame bounded by the window spec, so the
+    operator scales exactly like any other bounded-frame window.  The
+    daily series is pre-aggregated (shuffle 1), the window partitions
+    by event_type (shuffle 2, tiny day-level relation).  Median inputs
+    are quantized longs; the even-count midpoint average is one IEEE
+    add + halving in both engines — exact parity."""
+    ev = load_table(spark, sf_dir, "events")
+    from ._determinism import _quantize
+
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(_quantize("value")).alias("revq"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("revq").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("revq") / 1_000_000.0).cast("double").alias("revenue"),
+        (((mid_lo + mid_hi) / 2.0) / 1_000_000.0)
+        .cast("double")
+        .alias("moving_median"),
+    )

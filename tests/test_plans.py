@@ -401,3 +401,21 @@ def test_source_overlap_no_self_join(spark, sf_dir):
     # every join in the plan must be a broadcast of the size lookup
     joins = [l for l in plan.splitlines() if "Join" in l and "+-" in l]
     assert all("BroadcastHashJoin" in l for l in joins)
+
+
+def test_moving_median_partitioned_window(spark, sf_dir):
+    """w9: the median frame is a partitioned bounded-rows window over
+    the pre-aggregated daily series — no SinglePartition stage, no
+    join, no global sort."""
+    plan = plan_of("w9_moving_median", spark, sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_returning_users_no_self_join(spark, sf_dir):
+    """ch_returning_users: the day-over-day intersection is a per-user
+    lag, never a day×day self-join or bitmap materialization."""
+    plan = plan_of("ch_returning_users", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
