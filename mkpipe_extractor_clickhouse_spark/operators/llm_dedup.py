@@ -648,3 +648,117 @@ def l32_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cosine"), 6).alias("max_cosine"),
         )
     )
+
+
+@register(
+    "x7_incremental_neardup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, COUNT(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token
+      WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+      GROUP BY 1, 2
+    )
+    SELECT new_doc, dup_of,
+           ROUND(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON new_doc = sa.doc_id
+    JOIN sizes sb ON dup_of = sb.doc_id
+    WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= {JACCARD_T}
+    """,
+    tags=("L2", "T7", "EXT"),
+)
+def x7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a NEW batch of documents (doc_id % 5 = 4,
+    standing in for this tick's extraction) is checked against the
+    HISTORICAL corpus (the rest) WITHOUT ever pairing history with
+    itself — the operation an incremental 100 TB ingest runs every
+    tick, where re-running the full self-join (l2) would rescan all
+    history for pairs it already knows.
+
+    Plan: both sides keep only their PPJoin prefixes, ranked by the
+    HISTORY token dictionary (the stored index a production pipeline
+    maintains; tokens unseen in history rank rarest, preserving the
+    shared total order the prefix theorem requires), and the candidate
+    join is new-prefix × history-prefix — fan-out bounded by prefix
+    tokens, candidate set bounded by the new batch, zero
+    history×history pairs.  Exact Jaccard verification follows; the
+    oracle is the naive new×history token join, so the hash-match
+    proves the incremental prefix index loses nothing."""
+    tok = _doc_tokens(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 4
+    new_tok = tok.filter(is_new)
+    hist_tok = tok.filter(~is_new)
+
+    # Stored-index side: history's document frequencies define the
+    # rarest-first total order for BOTH sides.
+    dfreq = hist_tok.groupBy("token").agg(F.count("*").alias("df"))
+
+    def prefixes(side: DataFrame) -> DataFrame:
+        sizes = side.groupBy("doc_id").agg(F.count("*").alias("n"))
+        ranked = (
+            side.join(F.broadcast(dfreq), "token", "left")
+            .withColumn("df", F.coalesce("df", F.lit(0)))
+            .join(sizes, "doc_id")
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "token")
+                ),
+            )
+        )
+        return ranked.filter(
+            F.col("rank")
+            <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+        ).select("doc_id", "token")
+
+    cand = (
+        prefixes(new_tok)
+        .select(F.col("doc_id").alias("new_doc"), "token")
+        .join(
+            prefixes(hist_tok).select(
+                F.col("doc_id").alias("dup_of"), "token"
+            ),
+            "token",
+        )
+        .select("new_doc", "dup_of")
+        .distinct()
+    )
+    token_sets = tok.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("token")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    verified = (
+        cand.join(
+            token_sets.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("na"),
+            ),
+            "new_doc",
+        )
+        .join(
+            token_sets.select(
+                F.col("doc_id").alias("dup_of"),
+                F.col("toks").alias("toks_b"),
+                F.col("n").alias("nb"),
+            ),
+            "dup_of",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("overlap")
+            * F.lit(1.0)
+            / (F.col("na") + F.col("nb") - F.col("overlap")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    return verified.select(
+        "new_doc", "dup_of", F.round("jaccard", 6).alias("jaccard")
+    )

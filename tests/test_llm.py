@@ -33,7 +33,7 @@ def test_minhash_lsh_recall(spark, sf_dir):
     0.9 ⇒ band-collision probability ≈ 1 - (1-0.9^4)^4 ≈ 0.97)."""
     truth = {
         (r.doc_a, r.doc_b)
-        for r in _run("l2_jaccard_neardup", spark, sf_dir).collect()
+        for r in __run("l2_jaccard_neardup", spark, sf_dir).collect()
     }
     cand = {
         (r.doc_a, r.doc_b) for r in _run("l2b_minhash_lsh", spark, sf_dir).collect()
@@ -195,7 +195,7 @@ def test_simhash_hamming_separates_neardups(spark, sf_dir):
     sims = {r.doc_id: r.simhash for r in _run("l2c_simhash", spark, sf_dir).collect()}
     near = [
         (r.doc_a, r.doc_b)
-        for r in _run("l2_jaccard_neardup", spark, sf_dir).collect()
+        for r in __run("l2_jaccard_neardup", spark, sf_dir).collect()
     ]
     assert near, "fixture should contain near-dup pairs"
 
@@ -268,3 +268,25 @@ def test_pq_topk_recall(spark, sf_dir):
     exact = {r.vec_id for r in l3_topk_cosine(spark, sf_dir).collect()}
     pq = {r.vec_id for r in l21_pq_topk(spark, sf_dir).collect()}
     assert len(exact & pq) / len(exact) >= 0.5
+
+
+def test_incremental_neardup_equals_full_join_restriction(spark, sf_dir):
+    """x7 (new batch vs history via the stored-index prefix join) must
+    equal the FULL self-join l2 restricted to cross-split pairs — the
+    incremental path finds exactly the pairs the batch path would,
+    never a history×history pair, and never drops one."""
+    x7 = {
+        (r.new_doc, r.dup_of)
+        for r in _run("x7_incremental_neardup", spark, sf_dir).collect()
+    }
+    full = _run("l2_jaccard_neardup", spark, sf_dir).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r.doc_a % 5 == 4, r.doc_b % 5 == 4
+        if a_new and not b_new:
+            want.add((r.doc_a, r.doc_b))
+        elif b_new and not a_new:
+            want.add((r.doc_b, r.doc_a))
+    assert x7 == want
+    assert len(x7) > 0
+    assert all(n % 5 == 4 and d % 5 != 4 for n, d in x7)

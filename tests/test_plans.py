@@ -419,3 +419,11 @@ def test_returning_users_no_self_join(spark, sf_dir):
     plan = plan_of("ch_returning_users", spark, sf_dir)
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_incremental_neardup_no_nested_loop(spark, sf_dir):
+    """x7: candidate generation is an equi-join of prefix relations on
+    token — no cartesian/nested-loop pairing shapes anywhere."""
+    plan = plan_of("x7_incremental_neardup", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
