@@ -179,3 +179,43 @@ def pv1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("F").alias("qty_F"),
         )
     )
+
+
+@register(
+    "sq5_lateral_topn",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, t.o_orderkey AS top_orderkey,
+           t.o_totalprice AS top_price
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) t
+    WHERE c_acctbal > 9000
+    """,
+    tags=("SQ", "W8", "EXT"),
+)
+def sq5_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — "each
+    customer's priciest order", the shape ANSI users write instead of a
+    window-rank filter.  Declared through Spark SQL so Catalyst's
+    subquery decorrelation rewrites the per-row subquery into a set
+    plan (rank inside a partitioned window + equi-join) — the lateral
+    is NEVER executed once per outer row; the physical plan is the same
+    scalable shape as w8, which is exactly the point of letting the
+    optimizer own the rewrite."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, t.o_orderkey AS top_orderkey,
+               t.o_totalprice AS top_price
+        FROM customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        WHERE c_acctbal > 9000
+        """
+    )

@@ -427,3 +427,12 @@ def test_incremental_neardup_no_nested_loop(spark, sf_dir):
     plan = plan_of("x7_incremental_neardup", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_topn_decorrelated(spark, sf_dir):
+    """sq5: the correlated LATERAL LIMIT subquery must decorrelate to a
+    window-group-limit plan — never a per-outer-row nested loop."""
+    plan = plan_of("sq5_lateral_topn", spark, sf_dir)
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
