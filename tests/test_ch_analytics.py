@@ -100,3 +100,89 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
         shards.setdefault(r.shard_id, []).append(r.pos)
     for poss in shards.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_sample_key_all_or_nothing_per_user(spark, sf_dir):
+    """ch_sample_key's contract: sampling is by user-hash, so a user is
+    either fully in or fully out — re-deriving the sampled user set and
+    summing their full event counts must reproduce sampled_rows."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.ch_sql_features import (
+        _HASH_MOD,
+        _KNUTH_A,
+        _SAMPLE_DENOM,
+    )
+
+    got = {
+        r.event_type: r.sampled_rows
+        for r in SPECS["ch_sample_key"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    h = F.pmod(F.col("user_id") * F.lit(_KNUTH_A), F.lit(_HASH_MOD))
+    sampled_users = {
+        r.user_id
+        for r in ev.select("user_id")
+        .distinct()
+        .filter(h * _SAMPLE_DENOM < _HASH_MOD)
+        .collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in ev.filter(F.col("user_id").isin(list(sampled_users)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) > 0
+
+
+def test_with_fill_interpolate_densifies_and_carries(spark, sf_dir):
+    """Every calendar day in [min, max] appears exactly once; filled
+    rows have NULL revenue but a non-null carried value equal to the
+    previous observed revenue."""
+    rows = sorted(
+        SPECS["ch_with_fill_interpolate"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    days = [r.day for r in rows]
+    assert len(days) == (days[-1] - days[0]).days + 1
+    assert len(set(days)) == len(days)
+    carried = None
+    for r in rows:
+        if r.revenue is not None:
+            carried = r.revenue
+            assert r.revenue_filled == r.revenue
+        else:
+            assert r.n_orders == 0
+            assert r.revenue_filled == carried
+    assert any(r.revenue is None for r in rows)
+
+
+def test_returning_users_bounded_by_actives(spark, sf_dir):
+    """returning(d) ≤ distinct actives on d and on d-1."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    ret = {
+        r.day: r.returning_users
+        for r in SPECS["ch_returning_users"].builder(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    act = {
+        r.day: r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    import datetime
+
+    assert len(ret) > 0
+    for day, n in ret.items():
+        assert n <= act[day]
+        assert n <= act[day - datetime.timedelta(days=1)]
