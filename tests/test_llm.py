@@ -33,7 +33,7 @@ def test_minhash_lsh_recall(spark, sf_dir):
     0.9 ⇒ band-collision probability ≈ 1 - (1-0.9^4)^4 ≈ 0.97)."""
     truth = {
         (r.doc_a, r.doc_b)
-        for r in __run("l2_jaccard_neardup", spark, sf_dir).collect()
+        for r in _run("l2_jaccard_neardup", spark, sf_dir).collect()
     }
     cand = {
         (r.doc_a, r.doc_b) for r in _run("l2b_minhash_lsh", spark, sf_dir).collect()
@@ -195,7 +195,7 @@ def test_simhash_hamming_separates_neardups(spark, sf_dir):
     sims = {r.doc_id: r.simhash for r in _run("l2c_simhash", spark, sf_dir).collect()}
     near = [
         (r.doc_a, r.doc_b)
-        for r in __run("l2_jaccard_neardup", spark, sf_dir).collect()
+        for r in _run("l2_jaccard_neardup", spark, sf_dir).collect()
     ]
     assert near, "fixture should contain near-dup pairs"
 
