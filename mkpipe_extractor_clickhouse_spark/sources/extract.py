@@ -16,9 +16,11 @@ Differences (deliberate fixes, SURVEY §4 caveats — *behavior* preserved,
 costs removed):
   * predicates are typed Column expressions pushed into the parquet/JDBC
     scan by Catalyst, not interpolated SQL strings;
-  * the extracted batch df is shared between the empty-probe, the
-    watermark agg, and the caller's write — the reference re-executes the
-    source query for each (``:103, :112``);
+  * the watermark ``max(iterate_column)`` is an ``observe()`` metric
+    computed by the write's own tasks — the reference re-executes the
+    source query for the probe and again for the watermark
+    (``:103, :112``), i.e. up to three scans per tick where this runs
+    one full scan plus a take(1) probe;
   * the loader dedups the ``>=`` boundary re-read on append via a
     key-based anti-join, making incremental runs idempotent (the
     reference leaves boundary duplicates to the destination); the
@@ -33,7 +35,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Literal
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
@@ -78,12 +80,43 @@ class ExtractResult:
 
     ``window`` is the extraction predicate the batch satisfies; the
     loader uses it to bound the idempotent-append anti-join to the
-    watermark boundary instead of scanning every historical key."""
+    watermark boundary instead of scanning every historical key.
+
+    ``observation`` carries the watermark aggregate as an
+    ``df.observe()`` metric riding the batch's FIRST action (normally
+    the loader's write): the reference pays a dedicated
+    ``max(iterate_column)`` scan per tick (__init__.py:112) — at a
+    100 TB source that is a second full read — whereas the observed
+    max is computed by the same tasks that write the data, for free.
+    Call :meth:`resolve_last_point` after the batch is materialized."""
 
     df: DataFrame | None
     write_mode: WriteMode
     last_point_value: str | None = None
     window: FilterSpec | None = None
+    observation: Observation | None = None
+
+    def resolve_last_point(self) -> str | None:
+        """Stringified watermark (reference __init__.py:113-115).
+
+        Zero-cost when an action already ran on ``df`` (the observation
+        captured the max during it). For extract-only callers that
+        never materialized the batch, this triggers the one dedicated
+        scan the reference always pays — detected via the JVM
+        observation's non-blocking probe, so it never deadlocks waiting
+        for an action that will not come."""
+        if self.last_point_value is not None or self.observation is None:
+            return self.last_point_value
+        jo = self.observation._jo
+        if (
+            jo is not None
+            and not jo.getRowOrEmpty().isDefined()
+            and self.df is not None
+        ):
+            self.df.count()
+        val = self.observation.get["max_val"]
+        self.last_point_value = str(val) if val is not None else None
+        return self.last_point_value
 
 
 def plan_window(
@@ -221,9 +254,10 @@ class ParquetExtractor:
         if spec is not None:
             df = self._read_source(spark, table, spec, custom_query, source_filter)
 
-            # Single materialization shared by probe + watermark + write
-            # (fixes the reference's double/triple scan, __init__.py:103/112).
-            df = df.persist()
+            # Empty probe on the un-observed lineage: take(1) touches
+            # minimal input, and must NOT be the observation's first
+            # action (the observed metric would then cover one partial
+            # scan instead of the whole batch).
             if df.isEmpty():
                 if write_mode == "overwrite":
                     # reference __init__.py:105
@@ -231,25 +265,9 @@ class ParquetExtractor:
                         {"table": table.target_name, "status": "empty_source_initial_load"}
                     )
                     return ExtractResult(df=df, write_mode=write_mode, window=spec)
-                df.unpersist()
                 logger.info({"table": table.target_name, "status": "no_new_data"})
                 return ExtractResult(df=None, write_mode=write_mode, window=spec)
 
-            # The reference aggregates max(iterate_column) over the query
-            # *result* (__init__.py:112) and therefore breaks when a
-            # custom query doesn't project the iterate column; here we
-            # fall back to the filtered base table in that case. The
-            # fallback must see the SAME source constraint as the
-            # extraction, or the watermark would advance past rows the
-            # source never delivered and silently skip them forever.
-            if table.iterate_column in df.columns:
-                wm_df = df
-            else:
-                wm_df = self._read_source(spark, table, spec, None, source_filter)
-            row = wm_df.agg(F.max(table.iterate_column).alias("max_val")).first()
-            last_point_value = (
-                str(row["max_val"]) if row and row["max_val"] is not None else None
-            )
             # reference __init__.py:125-131
             logger.info(
                 {
@@ -257,6 +275,28 @@ class ParquetExtractor:
                     "status": "extracted",
                     "write_mode": write_mode,
                 }
+            )
+            if table.iterate_column in df.columns:
+                # Watermark rides the write as an observed metric — no
+                # second source scan (see ExtractResult.observation).
+                obs = Observation()
+                df = df.observe(
+                    obs, F.max(table.iterate_column).alias("max_val")
+                )
+                return ExtractResult(
+                    df, write_mode, window=spec, observation=obs
+                )
+            # The reference aggregates max(iterate_column) over the query
+            # *result* (__init__.py:112) and therefore breaks when a
+            # custom query doesn't project the iterate column; here we
+            # fall back to the filtered base table in that case. The
+            # fallback must see the SAME source constraint as the
+            # extraction, or the watermark would advance past rows the
+            # source never delivered and silently skip them forever.
+            wm_df = self._read_source(spark, table, spec, None, source_filter)
+            row = wm_df.agg(F.max(table.iterate_column).alias("max_val")).first()
+            last_point_value = (
+                str(row["max_val"]) if row and row["max_val"] is not None else None
             )
             return ExtractResult(df, write_mode, last_point_value, window=spec)
 
@@ -365,8 +405,9 @@ class IncrementalRunner:
             table, spark, last_point=last_point, source_filter=source_filter
         )
         self.loader.load(spark, table, result)
-        if result.df is not None:
-            result.df.unpersist()
-        if result.last_point_value is not None:
-            self.store.set(table.target_name, result.last_point_value)
+        # The write above was the observation's action — resolving the
+        # watermark here reads the captured metric, no extra scan.
+        last_point = result.resolve_last_point()
+        if last_point is not None:
+            self.store.set(table.target_name, last_point)
         return result

@@ -307,3 +307,30 @@ def test_schema_evolution_append_preserves_new_column(spark, sf_dir, runner):
     assert dest.filter(F.col("ingest_tag") == "v2").count() == n_source - 500
     # a plain read would have been footer-lottery; the helper is stable
     assert set(dest.columns) >= {"event_id", "ingest_tag"}
+
+
+def test_watermark_observation_rides_the_write(spark, sf_dir, runner):
+    """The watermark must be captured by the load's own action: after
+    run_once the observation is already resolved (no extra scan), and
+    an extract-only caller still gets the value via the explicit
+    fallback scan in resolve_last_point()."""
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        dedup_keys=("event_id",),
+    )
+    res = runner.run_once(spark, table)
+    assert res.observation is not None
+    # resolved during run_once: the JVM observation already holds a row
+    assert res.observation._jo.getRowOrEmpty().isDefined()
+    assert res.last_point_value is not None
+
+    # extract-only path: no action has run; resolve pays one scan
+    res2 = runner.extractor.extract(
+        table, spark, last_point="-1", source_filter=F.col("event_id") < 100
+    )
+    assert res2.last_point_value is None  # lazy until resolved
+    assert not res2.observation._jo.getRowOrEmpty().isDefined()
+    assert res2.resolve_last_point() == "99"
