@@ -293,3 +293,32 @@ def f9_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.startswith("text", F.lit("key")).cast("long").alias("starts_key"),
         F.contains("text", F.lit("join")).cast("long").alias("has_join"),
     )
+
+
+@register(
+    "f11_bitwise_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(BIT_AND(user_id) AS BIGINT) AS and_users,
+           CAST(BIT_OR(user_id) AS BIGINT) AS or_users,
+           CAST(BIT_XOR(event_id) AS BIGINT) AS xor_ids,
+           CAST(SUM(BIT_COUNT(event_id)) AS BIGINT) AS total_bits,
+           CAST(SUM(event_id & 255) AS BIGINT) AS masked_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("F3", "A2", "EXT"),
+)
+def f11_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (ClickHouse ``bitAnd``/``bitOr``/
+    ``bitXor``/``bitCount`` — bitmap/bloom tricks users port from it):
+    bit aggregates per group plus scalar masking/popcount, all integer
+    expressions inside whole-stage codegen, exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("long").alias("and_users"),
+        F.bit_or("user_id").cast("long").alias("or_users"),
+        F.bit_xor("event_id").cast("long").alias("xor_ids"),
+        F.sum(F.bit_count("event_id")).cast("long").alias("total_bits"),
+        F.sum(F.col("event_id").bitwiseAND(255)).cast("long").alias("masked_sum"),
+    )
