@@ -10,7 +10,7 @@ array_join) — row-local, no shuffle, codegen'd.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -258,3 +258,37 @@ def l22_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "l38_balanced_cluster_sample",
+    oracle="""
+    SELECT label, vec_id, rk
+    FROM (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rk
+      FROM embeddings
+    ) WHERE rk <= 20
+    """,
+    tags=("L9", "W8", "EXT"),
+)
+def l38_balanced_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced subset selection: exactly ≤20 vectors per
+    cluster/label, chosen by a deterministic key-hash order — the
+    "equal representation per cluster" sampling step of embedding-based
+    curation (the companion to l32's SemDeDup removal: after near-dups
+    go, balance what remains).  The hash order makes the pick
+    reproducible across runs and engines with no stored random column
+    (same Knuth-multiplicative arithmetic as ch_sample_key).  One hash
+    exchange on label + per-partition top-k — w8's scalable shape, no
+    global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    h = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(1 << 32))
+    w = Window.partitionBy("label").orderBy(h, "vec_id")
+    return (
+        e.select("label", "vec_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
