@@ -102,9 +102,14 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Global token frequency orders tokens rarest-first: prefixes then
     # collide only on rare tokens, which is what bounds the fan-out.
+    # No broadcast hint: a WORD vocabulary fits a broadcast, but this
+    # helper also ranks SHINGLE relations (l23) whose dictionary grows
+    # with the corpus — AQE picks broadcast when dfreq is small and a
+    # shuffle hash join when it is not, which is the correct posture at
+    # both scales.
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     ranked = (
-        tok.join(F.broadcast(dfreq), "token")
+        tok.join(dfreq, "token")
         .join(sizes, "doc_id")
         .withColumn(
             "rank",
@@ -701,8 +706,10 @@ def x7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def prefixes(side: DataFrame) -> DataFrame:
         sizes = side.groupBy("doc_id").agg(F.count("*").alias("n"))
+        # Same no-hint policy as ppjoin_pairs: AQE broadcasts the
+        # dictionary only while it actually fits.
         ranked = (
-            side.join(F.broadcast(dfreq), "token", "left")
+            side.join(dfreq, "token", "left")
             .withColumn("df", F.coalesce("df", F.lit(0)))
             .join(sizes, "doc_id")
             .withColumn(
