@@ -78,15 +78,17 @@ def l5_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l6_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: term frequency per doc × ln(N/df). The df relation is
-    vocabulary-sized → broadcast; the doc count is a broadcast scalar,
-    never a driver-side collect."""
+    vocabulary-sized — no broadcast hint: AQE broadcasts it while the
+    vocabulary fits (always at fixture scale) and falls back to a
+    shuffle hash join when Heaps'-law growth outruns executor memory;
+    the doc count is a broadcast scalar, never a driver-side collect."""
     d = load_table(spark, sf_dir, "documents")
     tok = _tokens(d).select("doc_id", "token")
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -319,7 +321,8 @@ def l19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking primitive for retrieval-based data curation. Okapi
     formulation (public Robertson/Sparck-Jones): idf = ln(1 +
     (N-df+0.5)/(df+0.5)), tf saturation k1=1.2, length normalization
-    b=0.75. Query-term stats are vocabulary-sized broadcasts; one
+    b=0.75. Query-term stats are vocabulary-sized (AQE sizes that
+    join — broadcast while it fits, shuffle beyond); one
     shuffle for per-doc tf. Per-term addends are quantized before the
     sum (dsum) so the score is order- and engine-independent even when
     a sum lands on a 1e-6 rounding boundary."""
@@ -345,7 +348,7 @@ def l19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .join(doclen, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
