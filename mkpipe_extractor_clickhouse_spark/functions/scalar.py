@@ -322,3 +322,39 @@ def f11_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("event_id")).cast("long").alias("total_bits"),
         F.sum(F.col("event_id").bitwiseAND(255)).cast("long").alias("masked_sum"),
     )
+
+
+@register(
+    "f12_rounding_modes",
+    oracle="""
+    SELECT CAST(ROUND(l_quantity / 2) AS DOUBLE) AS half_away,
+           CAST(ROUND_EVEN(l_quantity / 2, 0) AS DOUBLE) AS half_even,
+           CAST(CEIL(l_quantity / 2) AS DOUBLE) AS up,
+           CAST(FLOOR(l_quantity / 2) AS DOUBLE) AS down,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("F3", "F8", "EXT"),
+)
+def f12_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode parity: HALF_UP round vs banker's (HALF_EVEN,
+    ClickHouse ``roundBankers`` / Spark ``bround`` / DuckDB
+    ``round_even``) vs ceil/floor — the four modes whose exact-.5
+    disagreements are the classic silent corruption when porting
+    financial queries between engines.  The inputs are integral
+    quantities halved, so every .5 tie case in the domain is exercised;
+    grouping by the rounded values makes any mode mismatch a row-set
+    difference, not a needle in 600k rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity") / 2
+    return (
+        li.select(
+            F.round(q, 0).alias("half_away"),
+            F.bround(q, 0).alias("half_even"),
+            F.ceil(q).cast("double").alias("up"),
+            F.floor(q).cast("double").alias("down"),
+        )
+        .groupBy("half_away", "half_even", "up", "down")
+        .agg(F.count("*").alias("n"))
+    )
