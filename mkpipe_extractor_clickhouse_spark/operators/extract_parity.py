@@ -218,3 +218,41 @@ def x6_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rollup.tick(spark, source_filter=source_filter)
     return rollup.result(spark)
+
+
+@register(
+    "x8_manifest_replay",
+    oracle="SELECT * FROM events",
+    tags=("S7", "S8", "T7", "EXT"),
+)
+def x8_manifest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x1's incremental lifecycle through the manifest-committed sink
+    (sources/manifest.py): 4 chunked ticks, each one atomic rename
+    publishing data AND watermark together — no sidecar state file, no
+    crash window between write and commit. Reading the final snapshot
+    back equal to the full source proves watermark advancement,
+    snapshot isolation, and boundary dedup under the lakehouse-style
+    commit protocol."""
+    from ..sources.manifest import ManifestIncrementalRunner, ManifestLoader
+
+    workdir = tempfile.mkdtemp(prefix="x8_mfst_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        dedup_keys=("event_id",),
+    )
+    runner = ManifestIncrementalRunner(
+        extractor=ParquetExtractor(sf_dir),
+        loader=ManifestLoader(workdir),
+    )
+    for cutoff in _CUTOFFS:
+        source_filter = (
+            F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+            if cutoff is not None
+            else None
+        )
+        runner.run_once(spark, table, source_filter=source_filter)
+    return runner.loader.table(table).read(spark)

@@ -1,0 +1,329 @@
+"""Manifest-committed parquet table: atomic snapshots without a
+lakehouse dependency (ROADMAP item 1, built from scratch — no
+Delta/Iceberg jars ship in this container).
+
+The commit protocol every table format shares, reduced to its core:
+
+  table_dir/
+    batch-<uuid>/           immutable parquet data, one dir per commit
+    _manifests/
+      v00000001.json        {"dirs": [...], "op": "...", "parent": N-1}
+      v00000002.json
+
+A snapshot IS a manifest: the list of batch directories visible at that
+version. Writers stage a new batch directory (invisible — readers only
+see manifest-listed dirs), then publish by renaming a temp manifest to
+``v<N+1>.json``; ``os.rename`` within a directory is atomic on POSIX,
+so readers observe either the old or the new snapshot, never a torn
+state. A crash before the rename leaves only an unreferenced directory
+for ``vacuum()`` to sweep. Concurrent writers conflict on the version
+file name — the loser's rename lands on an existing name, detected and
+retried from the fresh head (optimistic concurrency, the
+Delta/Iceberg model).
+
+What this buys over bare ``df.write.mode("append")``:
+  * readers never see half-written batches (snapshot isolation);
+  * ``overwrite`` is a metadata operation — the new manifest simply
+    stops listing old dirs; the data stays until vacuum, which is what
+    makes time travel (``read(version=...)``) and instant rollback
+    free;
+  * commits carry the watermark in the same atomic rename, closing the
+    crash window between "data written" and "state committed" that the
+    sidecar WatermarkStore necessarily leaves open.
+
+Scale: manifests hold directory names, not per-file lists — O(commits)
+bytes, pruned by vacuum; reads hand Spark a list of paths and planning
+proceeds exactly as for any multi-dir parquet table (partition pruning
+and pushdown unaffected).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_VERSION_DIGITS = 8
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first; retry from head."""
+
+
+class ManifestedTable:
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+
+    # ---- snapshot bookkeeping -------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(
+            self.table_dir,
+            _MANIFEST_DIR,
+            f"v{version:0{_VERSION_DIGITS}d}.json",
+        )
+
+    def versions(self) -> list[int]:
+        mdir = os.path.join(self.table_dir, _MANIFEST_DIR)
+        out = []
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def head_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.head_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "dirs": [], "op": "init", "meta": {}}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    # ---- writes ----------------------------------------------------
+
+    def stage_batch(self, df: DataFrame) -> str:
+        """Write one immutable batch directory; invisible until a
+        manifest lists it."""
+        name = f"batch-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.table_dir, name)
+        )
+        return name
+
+    def _publish(self, dirs: list[str], op: str, meta: dict) -> int:
+        head = self.head_version()
+        version = head + 1
+        tmp = os.path.join(
+            self.table_dir,
+            _MANIFEST_DIR,
+            f".tmp-{uuid.uuid4().hex[:12]}.json",
+        )
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "parent": head,
+                    "op": op,
+                    "dirs": dirs,
+                    "meta": meta,
+                },
+                f,
+            )
+        target = self._manifest_path(version)
+        if os.path.exists(target):
+            os.unlink(tmp)
+            raise CommitConflict(f"version {version} already published")
+        os.rename(tmp, target)  # atomic POSIX publish
+        return version
+
+    def commit_append(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Stage + publish head∪batch; retries version conflicts (the
+        staged data is reused — only the metadata rename re-runs)."""
+        name = self.stage_batch(df)
+        while True:
+            dirs = self.manifest()["dirs"] + [name]
+            try:
+                return self._publish(dirs, "append", meta or {})
+            except CommitConflict:
+                continue  # re-read head, keep our batch dir
+
+    def commit_overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Stage + publish a manifest listing ONLY the new batch — a
+        metadata-only table replacement; old data remains for time
+        travel until vacuum."""
+        name = self.stage_batch(df)
+        while True:
+            try:
+                return self._publish([name], "overwrite", meta or {})
+            except CommitConflict:
+                continue
+
+    def rollback(self, version: int) -> int:
+        """Publish a new head that re-exposes an old snapshot's dirs —
+        the instant-undo a pipeline needs after a bad batch."""
+        old = self.manifest(version)
+        while True:
+            try:
+                return self._publish(
+                    old["dirs"], "rollback", {"to_version": version}
+                )
+            except CommitConflict:
+                continue
+
+    # ---- reads -----------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot read (head, or time travel to ``version``).
+
+        Returns None for an empty table. mergeSchema for the same
+        schema-evolution tolerance as ParquetLoader.read."""
+        m = self.manifest(version)
+        if not m["dirs"]:
+            return None
+        paths = [os.path.join(self.table_dir, d) for d in m["dirs"]]
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    # ---- maintenance ----------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete batch dirs unreferenced by the newest
+        ``keep_versions`` manifests (and drop older manifests).
+        Returns the removed dir names. With keep_versions=1 only the
+        live snapshot survives — time travel is traded for space."""
+        vs = self.versions()
+        keep = vs[-keep_versions:] if keep_versions > 0 else []
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self.manifest(v)["dirs"])
+        removed = []
+        for name in os.listdir(self.table_dir):
+            full = os.path.join(self.table_dir, name)
+            if (
+                name.startswith("batch-")
+                and os.path.isdir(full)
+                and name not in referenced
+            ):
+                shutil.rmtree(full)
+                removed.append(name)
+        for v in vs:
+            if v not in keep:
+                os.unlink(self._manifest_path(v))
+        return removed
+
+
+# ---- ExtractResult integration ------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+def _staged_rows(batch_dir: str) -> int:
+    """Row count of a staged batch from parquet footers only (driver-
+    side metadata, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(batch_dir):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(batch_dir, f)).num_rows
+    return total
+
+from .extract import (  # noqa: E402
+    ExtractResult,
+    ParquetExtractor,
+    TableConfig,
+    apply_write_partitions,
+)
+
+
+@dataclass
+class ManifestLoader:
+    """ParquetLoader's contract over manifest-committed tables, with
+    the watermark folded INTO the commit: the sidecar WatermarkStore
+    leaves a crash window between "data written" and "state committed"
+    (survivable only because appends are idempotent); here the same
+    atomic manifest rename publishes data and watermark together, so
+    the window does not exist at all."""
+
+    dest_dir: str
+
+    def table(self, table: TableConfig) -> ManifestedTable:
+        name = table.target_name or table.name
+        return ManifestedTable(os.path.join(self.dest_dir, f"{name}.mfst"))
+
+    def last_point(self, table: TableConfig) -> str | None:
+        """Watermark of the newest commit that recorded one."""
+        mt = self.table(table)
+        for v in reversed(mt.versions()):
+            lp = mt.manifest(v)["meta"].get("last_point")
+            if lp is not None:
+                return lp
+        return None
+
+    def load(
+        self, spark: SparkSession, table: TableConfig, result: ExtractResult
+    ) -> int | None:
+        """Stage the batch, resolve the observed watermark (the staging
+        write IS the observation's action), publish both atomically.
+        Same boundary-bounded idempotent-append dedup as ParquetLoader."""
+        if result.df is None:
+            return None
+        df = result.df
+        mt = self.table(table)
+        if (
+            result.write_mode == "append"
+            and table.dedup_keys
+            and mt.manifest()["dirs"]
+        ):
+            existing = mt.read(spark)
+            window = result.window
+            if (
+                window is not None
+                and not window.is_trivial
+                and window.column in existing.columns
+            ):
+                existing = existing.filter(window.to_column())
+            df = df.join(
+                existing.select(*table.dedup_keys),
+                on=list(table.dedup_keys),
+                how="left_anti",
+            )
+        if table.write_partitions:
+            df = apply_write_partitions(df, table.write_partitions)
+
+        name = mt.stage_batch(df)
+        if result.write_mode == "append" and _staged_rows(
+            os.path.join(mt.table_dir, name)
+        ) == 0:
+            # Pure boundary re-read (every batch row was already in the
+            # destination): publishing would only churn versions, and
+            # the watermark cannot have advanced — dedup removes only
+            # rows the destination already holds, all ≤ the stored
+            # last_point. Footer row counts are a driver-side metadata
+            # read, NOT a Spark action, so the write-time observation
+            # is never consumed by this check.
+            shutil.rmtree(os.path.join(mt.table_dir, name))
+            return None
+        meta = {"last_point": result.resolve_last_point()}
+        while True:
+            dirs = (
+                [name]
+                if result.write_mode == "overwrite"
+                else mt.manifest()["dirs"] + [name]
+            )
+            try:
+                return mt._publish(dirs, result.write_mode, meta)
+            except CommitConflict:
+                continue
+
+
+@dataclass
+class ManifestIncrementalRunner:
+    """extract → stage → one atomic publish (data + watermark).
+
+    No WatermarkStore: the incremental state lives in the table's own
+    commit history, read back via ManifestLoader.last_point — a crash
+    anywhere leaves either the old snapshot+old watermark or the new
+    snapshot+new watermark, never a mix."""
+
+    extractor: ParquetExtractor
+    loader: ManifestLoader
+
+    def run_once(
+        self, spark: SparkSession, table: TableConfig, source_filter=None
+    ) -> ExtractResult:
+        last_point = self.loader.last_point(table)
+        result = self.extractor.extract(
+            table, spark, last_point=last_point, source_filter=source_filter
+        )
+        self.loader.load(spark, table, result)
+        return result

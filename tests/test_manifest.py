@@ -1,0 +1,115 @@
+"""Manifest-committed table: snapshot isolation, time travel,
+rollback, optimistic concurrency, vacuum, and the transactional
+watermark (data + state in one atomic rename)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mkpipe_extractor_clickhouse_spark.catalog import load_table
+from mkpipe_extractor_clickhouse_spark.sources.extract import (
+    ParquetExtractor,
+    TableConfig,
+)
+from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+    ManifestedTable,
+    ManifestIncrementalRunner,
+    ManifestLoader,
+)
+
+
+@pytest.fixture
+def mt(tmp_path):
+    return ManifestedTable(str(tmp_path / "t.mfst"))
+
+
+def test_append_visibility_and_crash_invisibility(spark, mt):
+    assert mt.read(spark) is None
+    mt.commit_append(spark.range(5))
+    assert mt.read(spark).count() == 5
+    # crash simulation: a staged-but-unpublished batch stays invisible
+    mt.stage_batch(spark.range(100))
+    assert mt.read(spark).count() == 5
+    mt.commit_append(spark.range(3))
+    assert mt.read(spark).count() == 8
+
+
+def test_overwrite_time_travel_rollback(spark, mt):
+    v1 = mt.commit_append(spark.range(5))
+    v2 = mt.commit_overwrite(spark.range(2))
+    assert mt.read(spark).count() == 2
+    # time travel: the pre-overwrite snapshot is still readable
+    assert mt.read(spark, version=v1).count() == 5
+    # rollback republishes the old dirs as a NEW head
+    v3 = mt.rollback(v1)
+    assert v3 > v2
+    assert mt.read(spark).count() == 5
+
+
+def test_commit_conflict_retries_from_new_head(spark, mt):
+    mt.commit_append(spark.range(4))
+    # interloper steals the next version with a manual manifest
+    steal = mt.head_version() + 1
+    stolen = {
+        "version": steal, "parent": steal - 1, "op": "append",
+        "dirs": mt.manifest()["dirs"], "meta": {},
+    }
+    with open(mt._manifest_path(steal), "w") as f:
+        json.dump(stolen, f)
+    v = mt.commit_append(spark.range(6))
+    assert v == steal + 1  # landed after the interloper, not on it
+    assert mt.read(spark).count() == 10
+
+
+def test_vacuum_drops_only_unreferenced(spark, mt):
+    mt.commit_append(spark.range(5))
+    mt.commit_overwrite(spark.range(2))
+    mt.stage_batch(spark.range(50))  # orphan from a "crash"
+    removed = mt.vacuum(keep_versions=1)
+    # the overwritten v1 batch and the orphan go; live data stays
+    assert len(removed) == 2
+    assert mt.read(spark).count() == 2
+    assert mt.versions() == [mt.head_version()]
+
+
+def test_manifest_runner_transactional_watermark(spark, sf_dir, tmp_path):
+    """Two incremental ticks through the manifest loader: final
+    snapshot equals the source, boundary duplicates absorbed, and the
+    watermark travels inside the commit metadata (no sidecar store)."""
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        dedup_keys=("event_id",),
+    )
+    runner = ManifestIncrementalRunner(
+        extractor=ParquetExtractor(sf_dir),
+        loader=ManifestLoader(str(tmp_path)),
+    )
+    n_source = load_table(spark, sf_dir, "events").count()
+    cut = n_source // 2
+
+    runner.run_once(spark, table, source_filter=F.col("event_id") < cut)
+    assert runner.loader.last_point(table) == str(cut - 1)
+
+    runner.run_once(spark, table)
+    mt = runner.loader.table(table)
+    assert mt.read(spark).count() == n_source  # >= boundary row deduped
+    assert runner.loader.last_point(table) == str(n_source - 1)
+    # watermark is inside the head manifest, not a sidecar file
+    assert mt.manifest()["meta"]["last_point"] == str(n_source - 1)
+    assert not os.path.exists(str(tmp_path / "state.json"))
+
+    # idle tick: the >= boundary re-read extracts one already-loaded
+    # row; the loader detects the fully-deduped batch from parquet
+    # footers and publishes nothing — no version churn
+    head = mt.head_version()
+    res = runner.run_once(spark, table)
+    assert res.df is not None  # boundary row re-extracted by contract
+    assert mt.head_version() == head
+    assert mt.read(spark).count() == n_source
