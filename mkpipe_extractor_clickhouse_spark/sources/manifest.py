@@ -327,3 +327,56 @@ class ManifestIncrementalRunner:
         )
         self.loader.load(spark, table, result)
         return result
+
+
+class ManifestStreamSink:
+    """Exactly-once streaming into a manifest-committed table.
+
+    foreachBatch is at-least-once: after a crash the engine re-delivers
+    the last unacknowledged micro-batch. The manifest's commit metadata
+    carries the batch_id, so a re-delivered batch is recognized at the
+    head and skipped — together with atomic publication this upgrades
+    the sink to exactly-once visibility: a reader at any moment sees
+    each micro-batch's rows exactly once or not yet, never twice and
+    never partially. (Same contract as sources/rollup.py's high-water
+    mark, expressed through the snapshot protocol.)"""
+
+    def __init__(self, table_dir: str):
+        self.table = ManifestedTable(table_dir)
+
+    def last_batch_id(self) -> int | None:
+        for v in reversed(self.table.versions()):
+            b = self.table.manifest(v)["meta"].get("batch_id")
+            if b is not None:
+                return b
+        return None
+
+    def handle(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """foreachBatch body; returns False for a skipped re-delivery."""
+        last = self.last_batch_id()
+        if last is not None and batch_id <= last:
+            return False
+        self.table.commit_append(batch_df, meta={"batch_id": batch_id})
+        return True
+
+    def run_available_now(self, stream: DataFrame, checkpoint: str) -> None:
+        q = (
+            stream.writeStream.foreachBatch(self.handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def manifest_stream_sink(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+) -> ManifestedTable:
+    """Drain ``stream`` into a manifest table with AvailableNow; see
+    ManifestStreamSink for the exactly-once contract."""
+    sink = ManifestStreamSink(table_dir)
+    sink.run_available_now(stream, checkpoint)
+    return sink.table

@@ -113,3 +113,40 @@ def test_manifest_runner_transactional_watermark(spark, sf_dir, tmp_path):
     assert res.df is not None  # boundary row re-extracted by contract
     assert mt.head_version() == head
     assert mt.read(spark).count() == n_source
+
+
+def test_manifest_stream_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed micro-batches land exactly once: the final snapshot
+    equals the source, and re-invoking the handler with an old
+    batch_id publishes nothing."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        manifest_stream_sink,
+    )
+    from mkpipe_extractor_clickhouse_spark.streaming import runtime
+
+    stage = runtime.stage_event_chunks(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=4
+    )
+    stream = runtime.read_event_stream(spark, stage)
+    mt = manifest_stream_sink(
+        spark, stream, str(tmp_path / "t.mfst"), str(tmp_path / "ckpt")
+    )
+    n_source = load_table(spark, sf_dir, "events").count()
+    assert mt.read(spark).count() == n_source
+    assert mt.head_version() == 4  # one commit per micro-batch
+
+    # foreachBatch re-delivery: the handler skips an already-published
+    # batch_id (no new version, no duplicate rows), accepts a fresh one
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestStreamSink,
+    )
+
+    sink = ManifestStreamSink(str(tmp_path / "t.mfst"))
+    head = sink.table.head_version()
+    last_batch = sink.last_batch_id()
+    redelivered = mt.read(spark).limit(5)
+    assert sink.handle(redelivered, last_batch) is False
+    assert sink.table.head_version() == head
+    assert mt.read(spark).count() == n_source
+    assert sink.handle(redelivered, last_batch + 1) is True
+    assert mt.read(spark).count() == n_source + 5
