@@ -98,8 +98,21 @@ class ManifestedTable:
         )
         return name
 
-    def _publish(self, dirs: list[str], op: str, meta: dict) -> int:
-        head = self.head_version()
+    def _publish(
+        self,
+        dirs: list[str],
+        op: str,
+        meta: dict,
+        parent: int | None = None,
+    ) -> int:
+        """Atomic version publish. ``parent`` pins the snapshot this
+        commit replaces: the target name becomes v(parent+1), so ANY
+        intervening publish makes the rename collide and raise — the
+        check is the filesystem name itself, no read-then-write gap.
+        Append-style commits leave parent unset (they rebase onto
+        whatever the head is); replace-style commits (compact) must
+        pin it or they would silently drop concurrent appends."""
+        head = self.head_version() if parent is None else parent
         version = head + 1
         tmp = os.path.join(
             self.table_dir,
@@ -174,6 +187,32 @@ class ManifestedTable:
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # ---- maintenance ----------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the head snapshot's many per-commit batch
+        dirs into one coalesced dir and publish it as a new version —
+        content-identical, metadata-only from a reader's view (readers
+        on the old head keep their snapshot; vacuum reclaims it later).
+        The incremental-append pattern accretes one small dir per tick;
+        periodic compaction restores scan parallelism and bounds the
+        path list, exactly like ClickHouse's background merges or
+        Delta's OPTIMIZE."""
+        base = self.head_version()
+        df = self.read(spark, version=base)
+        if df is None:
+            return base
+        name = self.stage_batch(df.coalesce(target_files))
+        # Unlike append, compaction must replace EXACTLY the snapshot it
+        # rewrote: if any writer published after ``base``, committing
+        # the compacted dir would silently drop their rows. Pinning
+        # parent=base makes any intervening publish collide on the
+        # version file name; on conflict, abandon the orphan dir (for
+        # vacuum) — the next compaction run picks up the new head.
+        try:
+            return self._publish([name], "compact", {}, parent=base)
+        except CommitConflict:
+            shutil.rmtree(os.path.join(self.table_dir, name))
+            return self.head_version()
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete batch dirs unreferenced by the newest

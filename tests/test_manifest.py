@@ -150,3 +150,37 @@ def test_manifest_stream_sink_exactly_once(spark, sf_dir, tmp_path):
     assert mt.read(spark).count() == n_source
     assert sink.handle(redelivered, last_batch + 1) is True
     assert mt.read(spark).count() == n_source + 5
+
+
+def test_compact_content_identical_and_conflict_safe(spark, mt):
+    for i in range(4):
+        mt.commit_append(spark.range(i * 10, i * 10 + 10))
+    before = {r.id for r in mt.read(spark).collect()}
+    v = mt.compact(spark)
+    assert mt.manifest(v)["op"] == "compact"
+    assert len(mt.manifest(v)["dirs"]) == 1
+    assert {r.id for r in mt.read(spark).collect()} == before
+
+    # concurrent append between read and publish → compact must abort
+    # rather than drop the late rows
+    base = mt.head_version()
+    orig_publish = mt._publish
+
+    def racing_publish(dirs, op, meta, parent=None):
+        if op == "compact":
+            orig_publish(
+                mt.manifest()["dirs"]
+                + [mt.stage_batch(spark.range(1000, 1005))],
+                "append",
+                {},
+            )
+        return orig_publish(dirs, op, meta, parent)
+
+    mt._publish = racing_publish
+    try:
+        mt.compact(spark)
+    finally:
+        mt._publish = orig_publish
+    assert {r.id for r in mt.read(spark).collect()} == before | set(
+        range(1000, 1005)
+    )
