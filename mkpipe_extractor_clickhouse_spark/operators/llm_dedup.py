@@ -769,3 +769,79 @@ def x7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "new_doc", "dup_of", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@register(
+    "l40_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) * 1.0 /
+             ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+              + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*))
+             >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT cluster_id, doc_id AS keep_doc,
+           CAST(n AS BIGINT) AS n_distinct_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT c.cluster_id, c.doc_id, s.n,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.n DESC, c.doc_id) AS rk
+      FROM clusters c JOIN sizes s USING (doc_id)
+    ) WHERE rk = 1
+    """,
+    tags=("L1", "L2", "A11", "EXT"),
+)
+def l40_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL decision: one survivor per near-dup
+    cluster, chosen by quality (here lexical richness = distinct-token
+    count; any scored column slots in) with a deterministic doc_id
+    tiebreak — detect (l2) → cluster (l18) → select survivor.  The
+    selection is a per-cluster argmax: one hash exchange on cluster_id
+    over the doc-level relation, w8's shape — the heavy work already
+    happened in the clustering, the decision adds no fact-sized
+    shuffle."""
+    clusters = l18_dedup_clusters(spark, sf_dir)
+    sizes = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    joined = clusters.join(sizes, "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), "doc_id"
+    )
+    return (
+        joined.withColumn("n_members", F.count("*").over(wc))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n").cast("long").alias("n_distinct_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
