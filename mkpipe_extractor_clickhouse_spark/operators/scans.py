@@ -103,3 +103,69 @@ def s5_partitioned_parallel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "s11_format_roundtrip",
+    oracle="""
+    SELECT fmt,
+           COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CAST(TRUNC(value * 1000000
+                  + (CASE WHEN value >= 0 THEN 0.5 ELSE -0.5 END))
+                AS BIGINT)) AS BIGINT) AS value_checksum,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+    CROSS JOIN (SELECT UNNEST(['csv', 'json', 'orc']) AS fmt)
+    GROUP BY fmt
+    """,
+    tags=("S1", "S7", "EXT"),
+)
+def s11_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format coverage beyond parquet/JDBC: events written to
+    and read back from CSV, JSON, and ORC with explicit schemas, then
+    checksummed per format.  The oracle computes the same checksums
+    straight from the parquet source, so a hash-match proves each
+    format's round-trip is LOSSLESS — including timestamp_ntz at
+    microsecond precision, which requires pinning timestampNTZFormat
+    for the text formats (the default truncates).  Explicit read
+    schemas keep inference out of the contract, exactly like
+    catalog.load_table."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..catalog import SCHEMAS
+    from ._determinism import _quantize
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType())
+            if f.name == "ts"
+            else f
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    workdir = tempfile.mkdtemp(prefix="s11_fmt_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ntz = {"timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+    out = None
+    for fmt in ("csv", "json", "orc"):
+        opts = dict(ntz, header="true") if fmt == "csv" else ntz
+        path = os.path.join(workdir, fmt)
+        getattr(ev.write.options(**opts), fmt)(path)
+        back = getattr(spark.read.schema(schema).options(**opts), fmt)(path)
+        agg = back.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+            F.sum(_quantize("value")).cast("long").alias("value_checksum"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out
