@@ -256,3 +256,65 @@ def x8_manifest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         runner.run_once(spark, table, source_filter=source_filter)
     return runner.loader.table(table).read(spark)
+
+
+@register(
+    "x9_manifest_upsert_view",
+    oracle="""
+    WITH updates AS (
+      SELECT event_id, ts, user_id, event_type,
+             CAST(value + 1000 AS DOUBLE) AS value, props,
+             1 AS batch_seq
+      FROM events WHERE event_id % 10 = 0
+    ),
+    base AS (
+      SELECT event_id, ts, user_id, event_type, value, props, 0 AS batch_seq
+      FROM events
+    ),
+    merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    )
+    SELECT event_id, user_id, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY batch_seq DESC) AS rn
+      FROM merged
+    ) WHERE rn = 1
+    """,
+    tags=("S8", "W1", "EXT"),
+)
+def x9_manifest_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ upsert over the manifest table — the sibling of
+    x5's copy-on-write MERGE: updates are simply APPENDED as a new
+    commit (cheap, no partition rewrite), and the read resolves
+    latest-per-key with a row_number over the commit sequence — the
+    ReplacingMergeTree/Delta-MOR strategy.  Write cost O(update batch),
+    read cost one window over the snapshot; compaction (manifest.py)
+    later collapses versions back to read-optimal.  The commit
+    sequence comes from each batch's manifest metadata, not a
+    physical column in the source."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import ManifestedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    )
+    workdir = tempfile.mkdtemp(prefix="x9_mor_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    mt = ManifestedTable(workdir)
+    mt.commit_append(ev.withColumn("batch_seq", F.lit(0)))
+    mt.commit_append(updates.withColumn("batch_seq", F.lit(1)))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(F.desc("batch_seq"))
+    return (
+        mt.read(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
