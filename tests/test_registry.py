@@ -43,9 +43,16 @@ def test_never_covered_queries_sort_first():
 
 
 def test_priority_families_in_first_50():
-    """Every SURVEY §2 family missing from CORRECTNESS_r01 has a
-    representative in the first 50 driver slots."""
+    """Every SURVEY §2 family with no green CORRECTNESS artifact row yet
+    has a representative in the first 50 driver slots.
+
+    Artifact-aware by design: once the driver records a family's
+    representative green, the rotation (registry._driver_order) correctly
+    re-sorts it to the back to make room for never-verified queries, so
+    the slot requirement only applies while the family is uncovered.
+    """
     first50 = set(list(registry.all_specs())[:50])
+    green = _past_green()
     representatives = {
         "u3_intersect": "U3",
         "u4_except": "U4",
@@ -67,7 +74,11 @@ def test_priority_families_in_first_50():
         "l8_lexicon_score": "L8",
         "l9_label_centroids": "L9",
     }
-    missing = {fam for name, fam in representatives.items() if name not in first50}
+    missing = {
+        fam
+        for name, fam in representatives.items()
+        if name not in green and name not in first50
+    }
     assert not missing, f"§2 families without a driver slot: {missing}"
 
 
