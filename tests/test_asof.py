@@ -66,3 +66,26 @@ def test_asof_basics(spark):
         _ts("2024-01-01T04:00:00"),
         20.0,
     )  # latest at-or-before, not the later row
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Two right rows sharing an exact (key, ts): the operator must pick
+    the max-payload row deterministically (struct-max tie-break), the
+    same collapse j10's oracle applies via MAX(value) GROUP BY — so the
+    engine/oracle comparison stays exact if fixtures ever carry ties."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T02:00:00"))], ["k", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T01:00:00"), 7.0),
+            (1, _ts("2024-01-01T01:00:00"), 3.0),  # exact (k, ts) duplicate
+            (1, _ts("2024-01-01T01:00:00"), 5.0),
+        ],
+        ["k", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    for _ in range(3):  # stable across repeated plans/shuffles
+        out = asof_join(left, right, on="ts", by="k").collect()
+        assert len(out) == 1
+        assert out[0].ts_right == _ts("2024-01-01T01:00:00")
+        assert out[0].value_right == 7.0
