@@ -291,8 +291,9 @@ def x9_manifest_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReplacingMergeTree/Delta-MOR strategy.  Write cost O(update batch),
     read cost one window over the snapshot; compaction (manifest.py)
     later collapses versions back to read-optimal.  The commit
-    sequence comes from each batch's manifest metadata, not a
-    physical column in the source."""
+    sequence comes from each batch's manifest metadata — the reader
+    stamps each batch dir with the version that introduced it
+    (read_with_commit_seq), no physical sequence column in the data."""
     import atexit
     import shutil
     import tempfile
@@ -306,14 +307,14 @@ def x9_manifest_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="x9_mor_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     mt = ManifestedTable(workdir)
-    mt.commit_append(ev.withColumn("batch_seq", F.lit(0)))
-    mt.commit_append(updates.withColumn("batch_seq", F.lit(1)))
+    mt.commit_append(ev)
+    mt.commit_append(updates)
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_id").orderBy(F.desc("batch_seq"))
+    w = Window.partitionBy("event_id").orderBy(F.desc("_commit_seq"))
     return (
-        mt.read(spark)
+        mt.read_with_commit_seq(spark)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "value")

@@ -12,14 +12,16 @@ The commit protocol every table format shares, reduced to its core:
 
 A snapshot IS a manifest: the list of batch directories visible at that
 version. Writers stage a new batch directory (invisible — readers only
-see manifest-listed dirs), then publish by renaming a temp manifest to
-``v<N+1>.json``; ``os.rename`` within a directory is atomic on POSIX,
-so readers observe either the old or the new snapshot, never a torn
-state. A crash before the rename leaves only an unreferenced directory
-for ``vacuum()`` to sweep. Concurrent writers conflict on the version
-file name — the loser's rename lands on an existing name, detected and
-retried from the fresh head (optimistic concurrency, the
-Delta/Iceberg model).
+see manifest-listed dirs), then publish by hard-linking a fully-written
+temp manifest to ``v<N+1>.json``; ``os.link`` is atomic AND exclusive
+on POSIX (EEXIST if the name is taken), so readers observe either the
+old or the new snapshot, never a torn state, and two racing writers
+cannot both land on the same version — exactly one link succeeds, the
+loser gets CommitConflict and retries from the fresh head (optimistic
+concurrency, the Delta/Iceberg model). ``os.rename`` would NOT work as
+the CAS: rename-to-existing silently replaces on POSIX, so the name
+check must be the link itself. A crash before the link leaves only an
+unreferenced directory for ``vacuum()`` to sweep.
 
 What this buys over bare ``df.write.mode("append")``:
   * readers never see half-written batches (snapshot isolation);
@@ -107,11 +109,18 @@ class ManifestedTable:
     ) -> int:
         """Atomic version publish. ``parent`` pins the snapshot this
         commit replaces: the target name becomes v(parent+1), so ANY
-        intervening publish makes the rename collide and raise — the
+        intervening publish makes the link collide and raise — the
         check is the filesystem name itself, no read-then-write gap.
         Append-style commits leave parent unset (they rebase onto
         whatever the head is); replace-style commits (compact) must
-        pin it or they would silently drop concurrent appends."""
+        pin it or they would silently drop concurrent appends.
+
+        The publish primitive is ``os.link(tmp, target)``: atomic and
+        *exclusive* (EEXIST when target exists). A bare
+        ``os.rename`` cannot serve as the CAS — rename onto an
+        existing name silently replaces on POSIX, so two racers past
+        an exists() check would both "succeed" and the second would
+        overwrite the first's commit."""
         head = self.head_version() if parent is None else parent
         version = head + 1
         tmp = os.path.join(
@@ -131,10 +140,12 @@ class ManifestedTable:
                 f,
             )
         target = self._manifest_path(version)
-        if os.path.exists(target):
-            os.unlink(tmp)
+        try:
+            os.link(tmp, target)  # atomic-exclusive POSIX publish (CAS)
+        except FileExistsError:
             raise CommitConflict(f"version {version} already published")
-        os.rename(tmp, target)  # atomic POSIX publish
+        finally:
+            os.unlink(tmp)
         return version
 
     def commit_append(self, df: DataFrame, meta: dict | None = None) -> int:
@@ -186,6 +197,41 @@ class ManifestedTable:
         paths = [os.path.join(self.table_dir, d) for d in m["dirs"]]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def read_with_commit_seq(
+        self,
+        spark: SparkSession,
+        seq_col: str = "_commit_seq",
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """Snapshot read with each row stamped with the version of the
+        commit that first introduced its batch dir — derived from the
+        manifest chain, NOT a physical column in the data. This is the
+        merge-on-read primitive: latest-per-key resolution orders by
+        ``seq_col`` (see x9). One lazy per-dir scan unioned — same
+        planning as ``read`` plus a constant column per dir."""
+        from pyspark.sql import functions as F
+
+        v = self.head_version() if version is None else version
+        first_seen: dict[str, int] = {}
+        for ver in self.versions():
+            if ver > v:
+                break
+            for d in self.manifest(ver)["dirs"]:
+                first_seen.setdefault(d, ver)
+        dirs = self.manifest(v)["dirs"]
+        if not dirs:
+            return None
+        parts = [
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(self.table_dir, d))
+            .withColumn(seq_col, F.lit(first_seen[d]))
+            for d in dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     # ---- maintenance ----------------------------------------------
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
@@ -214,16 +260,28 @@ class ManifestedTable:
             shutil.rmtree(os.path.join(self.table_dir, name))
             return self.head_version()
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete batch dirs unreferenced by the newest
         ``keep_versions`` manifests (and drop older manifests).
         Returns the removed dir names. With keep_versions=1 only the
-        live snapshot survives — time travel is traded for space."""
+        live snapshot survives — time travel is traded for space.
+
+        ``min_age_seconds`` is the Delta/Iceberg-style retention guard:
+        a concurrent writer inside stage→publish has a staged dir that
+        is indistinguishable from a crash orphan, so only dirs whose
+        mtime is older than the threshold are swept — an in-flight
+        commit is never deleted out from under its publish. Pass 0 ONLY
+        when the caller holds exclusive access to the table."""
+        import time
+
         vs = self.versions()
         keep = vs[-keep_versions:] if keep_versions > 0 else []
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self.manifest(v)["dirs"])
+        now = time.time()
         removed = []
         for name in os.listdir(self.table_dir):
             full = os.path.join(self.table_dir, name)
@@ -231,6 +289,7 @@ class ManifestedTable:
                 name.startswith("batch-")
                 and os.path.isdir(full)
                 and name not in referenced
+                and now - os.path.getmtime(full) >= min_age_seconds
             ):
                 shutil.rmtree(full)
                 removed.append(name)

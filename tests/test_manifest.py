@@ -69,7 +69,8 @@ def test_vacuum_drops_only_unreferenced(spark, mt):
     mt.commit_append(spark.range(5))
     mt.commit_overwrite(spark.range(2))
     mt.stage_batch(spark.range(50))  # orphan from a "crash"
-    removed = mt.vacuum(keep_versions=1)
+    # min_age_seconds=0: this test holds exclusive access to the table
+    removed = mt.vacuum(keep_versions=1, min_age_seconds=0)
     # the overwritten v1 batch and the orphan go; live data stays
     assert len(removed) == 2
     assert mt.read(spark).count() == 2
@@ -184,3 +185,72 @@ def test_compact_content_identical_and_conflict_safe(spark, mt):
     assert {r.id for r in mt.read(spark).collect()} == before | set(
         range(1000, 1005)
     )
+
+
+def test_publish_is_atomic_exclusive_cas(spark, mt):
+    """Two writers that both read the same head and publish the same
+    target version: exactly one wins, the loser gets CommitConflict —
+    the os.link CAS, not a racy exists()+rename."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        CommitConflict,
+    )
+
+    a = mt.stage_batch(spark.range(1))
+    b = mt.stage_batch(spark.range(2))
+    head = mt.head_version()
+    v = mt._publish([a], "append", {}, parent=head)
+    assert v == head + 1
+    with pytest.raises(CommitConflict):
+        mt._publish([b], "append", {}, parent=head)
+    # the loser's commit did NOT silently replace the winner's manifest
+    assert mt.manifest()["dirs"] == [a]
+    # and no temp manifest litter survives either path
+    mdir = os.path.join(mt.table_dir, "_manifests")
+    assert not [n for n in os.listdir(mdir) if n.startswith(".tmp-")]
+
+
+def test_concurrent_appends_lose_no_commit(spark, mt):
+    """Threaded writers hammering commit_append: every commit must land
+    (the failure mode of rename-over-existing is a silently lost
+    manifest)."""
+    import threading
+
+    errs = []
+
+    def writer():
+        try:
+            for _ in range(5):
+                mt.commit_append(spark.range(1))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert mt.head_version() == 20
+    assert mt.read(spark).count() == 20
+
+
+def test_vacuum_retention_spares_fresh_inflight_dirs(spark, mt):
+    """An in-flight writer's staged dir (young mtime) survives vacuum;
+    only dirs older than the retention window are swept."""
+    mt.commit_append(spark.range(5))
+    mt.commit_overwrite(spark.range(2))
+    staged = mt.stage_batch(spark.range(7))  # "in-flight" stage→publish
+    removed = mt.vacuum(keep_versions=1)  # default retention: 1 h
+    assert removed == []  # everything is seconds old — nothing swept
+    # the in-flight writer's staged dir is still there to publish
+    assert os.path.isdir(os.path.join(mt.table_dir, staged))
+
+
+def test_read_with_commit_seq_stamps_manifest_versions(spark, mt):
+    """Merge-on-read sequence comes from the manifest chain: rows read
+    back stamped with the version that introduced their batch dir."""
+    mt.commit_append(spark.range(3).withColumn("v", F.lit("old")))
+    mt.commit_append(spark.range(3).withColumn("v", F.lit("new")))
+    df = mt.read_with_commit_seq(spark)
+    seqs = {r.v: r._commit_seq for r in df.collect()}
+    assert seqs == {"old": 1, "new": 2}
