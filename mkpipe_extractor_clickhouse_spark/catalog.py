@@ -149,8 +149,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# sf_dir → events.ts parquet time unit ("ns" or "us"); probed once.
-_TS_UNIT_CACHE: dict[str, str] = {}
+# (file path, mtime_ns, size) → events.ts parquet time unit ("ns"/"us").
+# Keyed by the probed file's identity, NOT just sf_dir: fixtures are
+# regenerated in place between driver rounds with differing ts encodings
+# (the very situation this probe exists for), so a dir-keyed cache in a
+# long-lived process would read events with a stale unit — the ~1000×
+# / 1970-date corruption mode. A footer read is cheap; the cache only
+# dedups repeated probes of an *unchanged* file.
+_TS_UNIT_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def _events_ts_unit(sf_dir: str) -> str:
@@ -160,18 +166,20 @@ def _events_ts_unit(sf_dir: str) -> str:
     generations differ: some store INT64(TIMESTAMP(NANOS,false)), some
     TIMESTAMP(MICROS,false); the loader must handle both.
     """
-    unit = _TS_UNIT_CACHE.get(sf_dir)
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        part = next(
+            p for p in sorted(os.listdir(path)) if p.endswith(".parquet")
+        )
+        path = os.path.join(path, part)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    unit = _TS_UNIT_CACHE.get(key)
     if unit is None:
         import pyarrow.parquet as pq
 
-        path = table_path(sf_dir, "events")
-        if os.path.isdir(path):
-            part = next(
-                p for p in sorted(os.listdir(path)) if p.endswith(".parquet")
-            )
-            path = os.path.join(path, part)
         unit = pq.read_schema(path).field("ts").type.unit
-        _TS_UNIT_CACHE[sf_dir] = unit
+        _TS_UNIT_CACHE[key] = unit
     return unit
 
 

@@ -95,6 +95,7 @@ class ExtractResult:
     last_point_value: str | None = None
     window: FilterSpec | None = None
     observation: Observation | None = None
+    iterate_column: str | None = None  # for the guarded-probe fallback
 
     def resolve_last_point(self) -> str | None:
         """Stringified watermark (reference __init__.py:113-115).
@@ -107,12 +108,26 @@ class ExtractResult:
         for an action that will not come."""
         if self.last_point_value is not None or self.observation is None:
             return self.last_point_value
-        jo = self.observation._jo
-        if (
-            jo is not None
-            and not jo.getRowOrEmpty().isDefined()
-            and self.df is not None
-        ):
+        try:
+            # Non-blocking probe via the JVM observation. getRowOrEmpty
+            # is private[sql] Scala — present in the pinned Spark 4.1.2
+            # but not public API, so guard it: a pyspark upgrade or a
+            # Connect session must degrade to the dedicated max() scan
+            # the reference always pays (__init__.py:112), not crash.
+            jo = self.observation._jo
+            pending = jo is not None and not jo.getRowOrEmpty().isDefined()
+        except Exception:
+            if self.df is None or self.iterate_column is None:
+                return None
+            from pyspark.sql import functions as F
+
+            row = self.df.agg(
+                F.max(self.iterate_column).alias("max_val")
+            ).first()
+            val = row["max_val"] if row else None
+            self.last_point_value = str(val) if val is not None else None
+            return self.last_point_value
+        if pending and self.df is not None:
             self.df.count()
         val = self.observation.get["max_val"]
         self.last_point_value = str(val) if val is not None else None
@@ -284,7 +299,11 @@ class ParquetExtractor:
                     obs, F.max(table.iterate_column).alias("max_val")
                 )
                 return ExtractResult(
-                    df, write_mode, window=spec, observation=obs
+                    df,
+                    write_mode,
+                    window=spec,
+                    observation=obs,
+                    iterate_column=table.iterate_column,
                 )
             # The reference aggregates max(iterate_column) over the query
             # *result* (__init__.py:112) and therefore breaks when a

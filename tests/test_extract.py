@@ -334,3 +334,57 @@ def test_watermark_observation_rides_the_write(spark, sf_dir, runner):
     assert res2.last_point_value is None  # lazy until resolved
     assert not res2.observation._jo.getRowOrEmpty().isDefined()
     assert res2.resolve_last_point() == "99"
+
+
+def test_resolve_last_point_survives_private_api_loss(spark, sf_dir):
+    """The observation probe rides a private[sql] JVM method; if a Spark
+    upgrade removes it, resolve_last_point must degrade to the dedicated
+    max(iterate_column) scan — never crash watermark resolution."""
+    ex = ParquetExtractor(sf_dir)
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+    )
+    res = ex.extract(table, spark)
+    assert res.observation is not None
+
+    class _Broken:
+        @property
+        def _jo(self):
+            raise AttributeError("getRowOrEmpty is gone in this Spark")
+
+        @property
+        def get(self):
+            raise AttributeError("unreachable")
+
+    n = res.df.count()  # materialize; fallback then re-aggregates
+    res.observation = _Broken()
+    lp = res.resolve_last_point()
+    assert lp == str(n - 1)  # event_id is 0..n-1 in the fixtures
+
+
+def test_events_ts_unit_cache_invalidated_on_regeneration(tmp_path):
+    """Fixtures are regenerated in place between rounds with differing
+    ts encodings; the footer-probe cache must key on file identity
+    (mtime/size), not directory name, or a long-lived process reads the
+    stale unit — the 1970-dates corruption mode."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mkpipe_extractor_clickhouse_spark import catalog
+
+    path = str(tmp_path / "events.parquet")
+    t_us = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))})
+    pq.write_table(t_us, path)
+    assert catalog._events_ts_unit(str(tmp_path)) == "us"
+
+    t_ns = pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))})
+    pq.write_table(t_ns, path)
+    # ensure a distinct mtime even on coarse-granularity filesystems
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert catalog._events_ts_unit(str(tmp_path)) == "ns"
