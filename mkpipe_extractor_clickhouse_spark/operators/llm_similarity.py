@@ -546,6 +546,128 @@ def l21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
 
 
+# ---- IVF-PQ (IVFADC): coarse quantizer + PQ over residuals -----------
+
+IVFPQ_NLISTS = 10
+IVFPQ_NPROBE = 4
+IVFPQ_RERANK = 150  # exact re-rank depth (constant w.r.t. corpus size)
+
+
+def ivfpq_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build the IVFADC index (Jégou et al., PAMI'11 §IV): a coarse
+    k-means quantizer partitions the corpus into inverted lists, and
+    product quantization encodes each vector's RESIDUAL v − c(v)
+    against its coarse centroid. Residuals have far smaller variance
+    than raw vectors, so the same K·M code budget quantizes them with
+    much lower error — that is the whole point of the two-level scheme.
+
+    Returns (coarse: (cid, cv), assigned: (vec_id, cid),
+    pq_codebook: (block, cid, cv), codes: (vec_id, block, code)).
+
+    Scale shape: the persisted index is assigned ⋈ codes — one int +
+    M bytes per vector, partitionable by list id; both codebooks are
+    tiny broadcasts. Training is Lloyd iterations of broadcast-join +
+    grouped mean (kmeans_fit / pq_train_encode), never an all-pairs."""
+    coarse = kmeans_fit(corpus, k=IVFPQ_NLISTS, max_iter=3)
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        corpus.join(F.broadcast(coarse))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "v")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    residuals = (
+        assigned.join(F.broadcast(coarse), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with("v", "cv", lambda x, c: x - c).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pq_codebook, codes = pq_train_encode(residuals.select("vec_id", "v"))
+    return coarse, assigned.select("vec_id", "cid"), pq_codebook, codes
+
+
+@register(
+    "l21b_ivfpq_topk",
+    oracle=None,  # approximate (IVF cell miss + PQ-ADC candidates) →
+    # rows-only; recall bounds asserted in tests/test_llm.py
+    tags=("L3", "L4", "EXT", "pq", "ivf"),
+)
+def l21b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN top-k: probe the nprobe coarse lists nearest the
+    query, score ONLY their members with asymmetric distance over
+    residual codes, exact-cosine re-rank the survivors.
+
+    ADC over residuals: for each probed list l the query residual is
+    q − c_l, and the per-(list, block, code) lookup table holds
+    ‖(q − c_l)_b − pq_b(code)‖² — summing a vector's M table entries
+    approximates ‖q − (c_l + pq(r_v))‖², the PAMI'11 ADC estimator.
+    The table is nprobe·M·K rows, broadcast; the scan touches
+    nprobe/nlists of the code index and the full vectors only for the
+    PQ_RERANK survivors — the memory-bound 100 TB ANN path."""
+    vecs = _vectors(spark, sf_dir)
+    corpus = vecs.filter(F.col("vec_id") != QUERY_VEC_ID)
+    coarse, assigned, pq_codebook, codes = ivfpq_index(corpus)
+
+    q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cdist = F.aggregate(
+        F.zip_with("cv", "qv", lambda c, x: (c - x) * (c - x)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    probed = (
+        coarse.join(F.broadcast(q))
+        .select("cid", "cv", "qv", cdist.alias("cd2"))
+        .orderBy(F.col("cd2").asc(), F.col("cid"))
+        .limit(IVFPQ_NPROBE)
+    )
+    # Per-list query residual, sliced into PQ blocks.
+    qres = probed.select(
+        F.col("cid").alias("list_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_BLOCKS - 1}), b -> named_struct("
+                f"'block', b, 'qsv', slice(zip_with(qv, cv, (x, c) -> x - c),"
+                f" b * (size(qv) div {PQ_BLOCKS}) + 1, size(qv) div {PQ_BLOCKS})))"
+            )
+        ).alias("s"),
+    ).select("list_id", "s.block", F.col("s.qsv").alias("qsv"))
+    dtable = qres.join(pq_codebook, "block").select(
+        "list_id",
+        "block",
+        F.col("cid").alias("code"),
+        F.aggregate(
+            F.zip_with("cv", "qsv", lambda c, x: (c - x) * (c - x)),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("dq"),
+    )
+    members = assigned.join(
+        F.broadcast(probed.select(F.col("cid").alias("list_id"))),
+        assigned.cid == F.col("list_id"),
+        "inner",
+    ).select("vec_id", "list_id")
+    approx = (
+        members.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["list_id", "block", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("dq").alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
+        .limit(IVFPQ_RERANK)
+    )
+    rerank = approx.join(corpus, "vec_id").join(F.broadcast(q)).select(
+        "vec_id",
+        F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
+    )
+    return rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+
+
 KNN_K = 5
 KNN_QUERY_MOD = 100  # vec_id % 100 == 0 → the query set
 

@@ -290,3 +290,59 @@ def test_incremental_neardup_equals_full_join_restriction(spark, sf_dir):
     assert x7 == want
     assert len(x7) > 0
     assert all(n % 5 == 4 and d % 5 != 4 for n, d in x7)
+
+
+def test_ivfpq_adc_recall_within_probed_lists(spark, sf_dir):
+    """IVFADC (l21b): ADC-over-residuals + exact re-rank must recover
+    ≥0.9 of the exact top-k RESTRICTED to the probed inverted lists —
+    the bound that isolates residual-PQ scoring quality. (End-to-end
+    recall vs the global exact top-k is capped by IVF cell membership,
+    which on near-random fixture embeddings is ~nprobe/nlists and not a
+    property of the scorer; assert a loose sanity floor on it too.)"""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        IVFPQ_NPROBE,
+        QUERY_VEC_ID,
+        TOP_K,
+        _dot,
+        _norm,
+        _vectors,
+        ivfpq_index,
+        l3_topk_cosine,
+        l21b_ivfpq_topk,
+    )
+
+    got = {r.vec_id for r in l21b_ivfpq_topk(spark, sf_dir).collect()}
+
+    vecs = _vectors(spark, sf_dir)
+    corpus = vecs.filter(F.col("vec_id") != QUERY_VEC_ID)
+    coarse, assigned, _, _ = ivfpq_index(corpus)
+    q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cdist = F.aggregate(
+        F.zip_with("cv", "qv", lambda c, x: (c - x) * (c - x)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    probed = (
+        coarse.join(F.broadcast(q))
+        .select("cid", cdist.alias("cd2"))
+        .orderBy(F.col("cd2").asc(), F.col("cid"))
+        .limit(IVFPQ_NPROBE)
+    )
+    members = assigned.join(probed.select("cid"), "cid").select("vec_id")
+    in_list = corpus.join(members, "vec_id").join(F.broadcast(q)).select(
+        "vec_id", (_dot("v", "qv") / (_norm("v") * _norm("qv"))).alias("cos")
+    )
+    truth = {
+        r.vec_id
+        for r in in_list.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.9
+
+    exact = {r.vec_id for r in l3_topk_cosine(spark, sf_dir).collect()}
+    assert len(exact & got) / len(exact) >= 0.2  # cell-miss-capped floor
