@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,31 +87,51 @@ def decode_image(blob: bytes) -> "object":
 
 def fake_features(blob: bytes) -> list[float]:
     """Deterministic stand-in featurizer: byte histogram over
-    N_HIST_BINS equal ranges + mean byte value."""
-    counts = [0] * N_HIST_BINS
-    total = 0
-    for b in blob:
-        counts[b * N_HIST_BINS // 256] += 1
-        total += b
-    mean = total / len(blob) if blob else 0.0
-    return [mean, *counts]
+    N_HIST_BINS equal ranges + mean byte value. Vectorized — the blob
+    never touches a per-byte Python loop (np.frombuffer is a zero-copy
+    view; bincount does the binning in C), so the m1 path stays
+    Arrow-fast end-to-end even as a stub."""
+    if not blob:
+        return [0.0] + [0.0] * N_HIST_BINS
+    a = np.frombuffer(blob, dtype=np.uint8)
+    # b * N // 256 == b >> 5 for N=8; keep the general form in int32
+    counts = np.bincount(
+        (a.astype(np.int32) * N_HIST_BINS) >> 8, minlength=N_HIST_BINS
+    )
+    return [float(a.mean()), *counts.astype(float).tolist()]
 
 
 def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch of blobs in → one batch of
-    fixed-width features out. Never materializes more than a batch."""
+    fixed-width features out. Never materializes more than a batch;
+    the whole batch's histograms come from ONE bincount over the
+    concatenated blob bytes with per-blob segment ids (reduceat-style),
+    not a Python loop over rows."""
     for pdf in batches:
-        feats = [fake_features(b) for b in pdf["blob"]]
+        blobs = list(pdf["blob"])
+        lengths = np.fromiter((len(b) for b in blobs), dtype=np.int64)
+        cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        # per-blob segment id for every byte, then one 2-D bincount:
+        # flat index = seg * N_HIST_BINS + bin
+        seg = np.repeat(np.arange(len(blobs)), lengths)
+        bins = (cat.astype(np.int32) * N_HIST_BINS) >> 8
+        hist = np.bincount(
+            seg * N_HIST_BINS + bins, minlength=len(blobs) * N_HIST_BINS
+        ).reshape(len(blobs), N_HIST_BINS)
+        sums = np.bincount(seg, weights=cat, minlength=len(blobs))
+        means = np.divide(
+            sums, lengths, out=np.zeros(len(blobs)), where=lengths > 0
+        )
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
                 "format": [m["format"] for m in pdf["meta"]],
-                "mean_byte": [round(f[0], 6) for f in feats],
+                "mean_byte": np.round(means, 6),
             }
         )
         for i in range(N_HIST_BINS):
-            out[f"hist_{i}"] = [f[1 + i] for f in feats]
+            out[f"hist_{i}"] = hist[:, i]
         yield out
 
 
