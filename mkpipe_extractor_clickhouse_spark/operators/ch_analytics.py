@@ -331,3 +331,46 @@ def ch_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median"),
         F.max("tw").alias("total_weight"),
     )
+
+
+@register(
+    "ch_collapsing_final",
+    oracle=f"""
+    SELECT user_id,
+           SUM(sign) AS net_rows,
+           CAST(SUM({_Q.format(x='value')} * sign) / 1000000.0 AS DOUBLE)
+             AS net_value
+    FROM (
+      SELECT user_id, value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM events
+    )
+    GROUP BY user_id
+    HAVING SUM(sign) > 0
+    """,
+    tags=("A2", "A5", "EXT"),
+)
+def ch_collapsing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``CollapsingMergeTree(sign)`` query-time collapse —
+    the documented idiom for reading an insert/cancel changelog:
+    ``SELECT key, sum(value * sign) ... GROUP BY key HAVING
+    sum(sign) > 0`` (cancel rows carry sign=-1 and annihilate their
+    insert). Here the changelog is modeled on events (even event_id →
+    insert, odd → cancel). The background-merge collapse becomes one
+    hash aggregation — partial map-side sums of (sign, value·sign),
+    one exchange of per-key states, HAVING as a post-agg filter; at
+    100 TB this is the changelog-netting plan (quantized addends keep
+    the double sum order-independent, _determinism.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    sign = F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        ev.select("user_id", "value", sign.alias("sign"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("sign").alias("net_rows"),
+            (F.sum(_quantize("value") * F.col("sign")) / 1_000_000.0)
+            .cast("double")
+            .alias("net_value"),
+        )
+        .filter(F.col("net_rows") > 0)
+    )

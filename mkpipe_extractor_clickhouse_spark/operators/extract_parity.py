@@ -319,3 +319,44 @@ def x9_manifest_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register(
+    "x10_scd2_dimension",
+    oracle="""
+    SELECT user_id,
+           event_type AS status,
+           value,
+           ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+    tags=("S8", "W3", "EXT"),
+)
+def x10_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: turn a change stream
+    (per-key attribute updates ordered by time) into versioned
+    dimension rows with [effective_from, effective_to) validity and an
+    is_current flag — the warehouse-standard history table the
+    reference's append sink feeds but never materializes. One window
+    (lead over the key's time order) — a single hash shuffle on the
+    dimension key, no self-join; at 100 TB this is the canonical
+    changelog→dimension plan and composes with the manifest sink's
+    merge-on-read view (x9) for the serving side."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "value",
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )

@@ -292,3 +292,65 @@ def l38_balanced_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
     )
+
+
+# PII patterns kept deliberately RE2-compatible (DuckDB) AND java.util
+# .regex-compatible (Spark): no backrefs, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "l41_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call +1-555-'
+                  || LPAD(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones
+    FROM synth
+    """,
+    tags=("F1", "EXT", "pii"),
+)
+def l41_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data
+    pipeline runs before tokenization: redact email addresses and
+    phone numbers, count what was removed (the audit metric). The
+    fixture text carries no PII, so deterministic synthetic contact
+    strings are injected first and then redacted — the operator is
+    exercised on real matches, not vacuous zero-counts.
+
+    Pure row-local regexp built-ins (JVM codegen, no UDF, no
+    shuffle) — at 100 TB this is a map-only stage that fuses into
+    whatever scan precedes it. Patterns are restricted to the
+    RE2 ∩ java.util.regex common subset so engine and oracle agree."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", synth.alias("text"))
+    return t.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
