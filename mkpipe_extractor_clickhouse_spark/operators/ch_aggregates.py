@@ -156,3 +156,37 @@ def ch_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.col("sum_value").isNull().alias("was_filled"),
     )
+
+
+@register(
+    "ch_uniq_merge_rollup",
+    oracle=None,  # HLL estimate (approximate by contract) → rows-only;
+    # mergeability + accuracy invariants asserted in tests/test_rollup.py
+    tags=("A4", "A2", "EXT"),
+)
+def ch_uniq_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqState`` / ``uniqMerge`` parity — the
+    AggregatingMergeTree pattern for distinct counts: per-(type, day)
+    HLL sketches are the stored partial states, and coarser rollups
+    (here per event_type) come from UNIONING states, never from
+    rescanning facts. Spark-native via the Datasketches functions
+    (hll_sketch_agg → binary state, hll_union_agg → merge,
+    hll_sketch_estimate → read): the exact mergeable-aggregate
+    discipline x6's sum/count rollup uses, extended to the one
+    aggregate that is NOT trivially mergeable. At 100 TB the daily
+    sketch table is O(days·types·sketch_size) and a month's distinct
+    count is a ~30-row union — fact history untouched."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_states = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("uniq_state"))
+    return (
+        daily_states.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("uniq_state"))
+            .cast("long")
+            .alias("uniq_users_est"),
+            F.count("*").alias("n_daily_states"),
+        )
+        .orderBy("event_type")
+    )

@@ -94,3 +94,42 @@ def test_tick_reads_only_the_new_window(spark, sf_dir, tmp_path):
     n_window = window.count()
     n_all = ev.count()
     assert n_window < n_all
+
+
+def test_uniq_merge_rollup_mergeable_and_accurate(spark, sf_dir):
+    """The HLL-state rollup (ch_uniq_merge_rollup) must satisfy the
+    AggregatingMergeTree contract: merging daily partial states gives
+    EXACTLY the same estimate as sketching the month directly (same
+    deterministic sketch algorithm), and the estimate tracks the exact
+    distinct count within HLL's error envelope."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.ch_aggregates import (
+        ch_uniq_merge_rollup,
+    )
+
+    merged = {
+        r.event_type: r.uniq_users_est
+        for r in ch_uniq_merge_rollup(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    assert merged == direct  # state-merge == direct sketch, exactly
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05  # lgK=12 → ~1.6% rse
