@@ -436,3 +436,43 @@ def test_lateral_topn_decorrelated(spark, sf_dir):
     assert "WindowGroupLimit" in plan or "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_collapsing_final_single_exchange(spark, sf_dir):
+    """ch_collapsing_final: changelog netting is one partial→final hash
+    aggregation — exactly one exchange, no join, no window."""
+    plan = plan_of("ch_collapsing_final", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "Window" not in tree
+
+
+def test_scd2_single_shuffle_no_join(spark, sf_dir):
+    """x10_scd2_dimension: the changelog→dimension build is one window
+    over the key partition — a single exchange, never a self-join."""
+    plan = plan_of("x10_scd2_dimension", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+    assert "Join" not in tree
+
+
+def test_pii_redact_map_only(spark, sf_dir):
+    """l41_pii_redact: redaction is a map-only stage — no exchange at
+    all, no UDF (pure JVM regexp expressions fused into the scan)."""
+    plan = plan_of("l41_pii_redact", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree
+    assert "ArrowEvalPython" not in tree
+
+
+def test_uniq_merge_two_level_agg(spark, sf_dir):
+    """ch_uniq_merge_rollup: daily sketch states then a state-union
+    rollup — two aggregation levels, no fact-table rescan (single scan
+    node) and no join."""
+    plan = plan_of("ch_uniq_merge_rollup", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
