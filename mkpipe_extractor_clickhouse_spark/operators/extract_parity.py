@@ -360,3 +360,77 @@ def x10_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("effective_to"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "double":
+            mn = f"CAST(CAST(ROUND(MIN({c}) * 1000000) AS BIGINT) AS VARCHAR)"
+            mx = f"CAST(CAST(ROUND(MAX({c}) * 1000000) AS BIGINT) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) - COUNT({c}) AS null_count,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "x11_table_profile",
+    oracle=_profile_oracle(),
+    tags=("A1", "A3", "EXT"),
+)
+def x11_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile — one row per column with null
+    count, exact distinct count, and min/max (stringified; doubles as
+    1e-6-scaled longs so formatting is engine-independent). The data
+    engineer's first query against any new table, and the statistics a
+    cost-based optimizer ingests.
+
+    ONE scan: all per-column aggregates run in a single agg (Spark
+    expands the multi-count-distinct internally), the single stats row
+    is exploded to per-column rows driver-free. At 100 TB swap the
+    exact count-distincts for approx_count_distinct — same plan shape
+    minus the expand."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs, structs = [], []
+    for c, kind in _PROFILE_COLS:
+        if kind == "double":
+            mn = F.round(F.min(c) * 1_000_000).cast("long").cast("string")
+            mx = F.round(F.max(c) * 1_000_000).cast("long").cast("string")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("null_count"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+        )
+    return (
+        o.agg(*aggs)
+        .select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+    )

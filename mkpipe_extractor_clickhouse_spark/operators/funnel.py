@@ -408,3 +408,50 @@ def ch_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("click_to_purchase_chains"),
     )
+
+
+@register(
+    "ch_cohort_matrix",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((a.week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT f.user_id) AS active_users
+    FROM first_seen f
+    JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+    tags=("A2", "A3", "J1", "EXT"),
+)
+def ch_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics
+    rollup: users bucketed by first-seen week (cohort), counted in
+    every later week they return, keyed by (cohort_week, week_offset).
+    Two aggregations over one events scan plus a user-keyed self-join;
+    the join is on user_id (co-partitioned with both groupings, AQE
+    picks shuffle-hash), never on time — at 100 TB the matrix is
+    O(weeks²) rows from O(rows) input, the standard cohort plan."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
