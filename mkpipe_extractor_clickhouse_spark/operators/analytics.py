@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DAVG, DSUM, davg, dsum
+from ._determinism import DAVG, DSUM, _quantize, davg, dsum
 
 
 @register(
@@ -35,7 +35,12 @@ from ._determinism import DAVG, DSUM, davg, dsum
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3 shape: segment filter → star join → revenue per order →
     top-10. The customer filter broadcasts; lineitem⋈orders is the one
-    shuffle; top-k is TakeOrderedAndProject."""
+    shuffle; top-k is TakeOrderedAndProject.
+
+    Same aggregate-below-join rewrite as q10: the group key contains
+    l_orderkey, so lineitem revenue pre-sums per order (quantized
+    longs, exactness order-independent) before the join — the big
+    exchange carries per-order subtotals, not line items."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -45,14 +50,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
     )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            _quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rq")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        .select(
+            "l_orderkey",
+            (F.col("rq") / 1_000_000.0).cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -77,19 +88,31 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10 shape: lost-revenue ranking of customers who returned
     items — returnflag filter pushed to the lineitem scan, dims
-    broadcast, one shuffle for the fact join + one for the agg."""
+    broadcast, one shuffle for the fact join + one for the agg.
+
+    Aggregate-below-join rewrite (Catalyst does not push aggregates
+    through joins): lineitem revenue is pre-summed per l_orderkey
+    BEFORE the orders join, so the fact-fact exchange carries one
+    aggregated row per order instead of every line item — at 100 TB
+    that shrinks the big shuffle by the lines-per-order factor.
+    Exactness is free under the dsum discipline: per-line addends are
+    quantized to longs, and a sum of per-order long subtotals equals
+    the direct per-customer long sum in any order."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            _quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rq")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
-        )
+        .agg((F.sum("rq") / 1_000_000.0).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
