@@ -476,3 +476,33 @@ def test_uniq_merge_two_level_agg(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q10_returned_items"])
+def test_fact_join_carries_preaggregated_rows(name, spark, sf_dir):
+    """q3/q10 rewrite lock: lineitem revenue must aggregate BELOW the
+    orders join (per-orderkey subtotals), so the fact-fact exchange
+    never carries raw line items. In the formatted plan the lineitem
+    scan must reach a HashAggregate before any join node does."""
+    df = SPECS[name].builder(spark, sf_dir)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    lines = plan.splitlines()
+    li_scan = next(
+        i for i, l in enumerate(lines) if "FileScan" in l and "lineitem" in l
+    )
+    # simple mode prints root→leaves; the operators applied to the
+    # lineitem branch are the lines between the last join above the
+    # scan and the scan itself — an aggregate must sit in between
+    branch = lines[:li_scan]
+    agg_above = max(
+        (i for i, l in enumerate(branch) if "HashAggregate" in l), default=-1
+    )
+    join_above = max(
+        (i for i, l in enumerate(branch) if "Join" in l), default=-1
+    )
+    assert agg_above > join_above, (
+        f"{name}: lineitem rows reach a join before being aggregated"
+    )
