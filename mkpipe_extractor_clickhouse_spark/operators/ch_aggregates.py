@@ -190,3 +190,143 @@ def ch_uniq_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- A/B statistical aggregates (welchTTest / mannWhitneyUTest) ------
+
+TTEST_A, TTEST_B = "click", "purchase"
+
+
+@register(
+    "ch_welch_ttest",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(vq) AS sq,
+             SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ssq
+      FROM q GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sq AS DOUBLE) / 1000000.0 / n AS mean,
+             (CAST(ssq AS DOUBLE) / 1000000000000.0
+              - (CAST(sq AS DOUBLE) / 1000000.0)
+                * (CAST(sq AS DOUBLE) / 1000000.0) / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT ROUND((a.mean - b.mean)
+                 / SQRT(a.var / a.n + b.var / b.n), 6) AS t_stat,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean - b.mean, 6) AS mean_diff
+    FROM (SELECT * FROM m WHERE event_type = '{TTEST_A}') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = '{TTEST_B}') b
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest(value, group)`` — the unequal-variance
+    two-sample t statistic behind A/B readouts. Exactness discipline:
+    per-group (n, Σq, Σq²) accumulate as integers (q = 1e-6-quantized
+    value; Σq² in decimal(38,0) — a long would overflow at ~2e3 rows
+    of 1e8-scale squares), and the final mean/variance/t chain is the
+    SAME IEEE expression tree in both engines over those exact
+    integers, so the rounded t is bit-reproducible. One partial→final
+    aggregation, two group rows joined — O(1) output from O(rows)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    )
+    q = ev.select("event_type", _quantize("value").alias("vq"))
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("sq"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ssq"),
+    )
+    mean = F.col("sq").cast("double") / 1_000_000.0 / F.col("n")
+    var = (
+        F.col("ssq").cast("double") / 1_000_000_000_000.0
+        - (F.col("sq").cast("double") / 1_000_000.0)
+        * (F.col("sq").cast("double") / 1_000_000.0)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    m = s.select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    a = m.filter(F.col("event_type") == TTEST_A).alias("a")
+    b = m.filter(F.col("event_type") == TTEST_B).alias("b")
+    return a.join(b).select(
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            6,
+        ).alias("t_stat"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+    )
+
+
+@register(
+    "ch_mannwhitney_u",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, event_type, {_Q.format(x='value')} AS vq FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    r AS (
+      SELECT event_type,
+             -- average rank over value ties = mean of the tied ranks:
+             -- dyadic (.5 steps), exact in doubles
+             CAST(RANK() OVER (ORDER BY vq) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY vq) AS DOUBLE) - 1) / 2
+               AS arank
+      FROM q
+    )
+    SELECT SUM(CASE WHEN event_type = '{TTEST_A}' THEN arank END) AS rank_sum_a,
+           SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS n_a,
+           SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) AS n_b,
+           SUM(CASE WHEN event_type = '{TTEST_A}' THEN arank END)
+             - SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END)
+               * (SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) + 1)
+               / 2.0 AS u_a
+    FROM r
+    """,
+    tags=("A9", "W1", "EXT", "abtest"),
+)
+def ch_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest(value, group)`` core — the
+    rank-sum U statistic (nonparametric A/B test). Ranks are midranks
+    over the quantized values (RANK + (ties-1)/2 — the textbook
+    average-rank formula), which are dyadic rationals, so every sum is
+    exact in doubles and the hash oracle is stable. One global sort
+    (RANK over vq) — the same single-sort cost ClickHouse pays; at
+    100 TB use the histogram-based rank approximation instead."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    )
+    from pyspark.sql import Window
+
+    q = ev.select("event_id", "event_type", _quantize("value").alias("vq"))
+    arank = (
+        F.rank().over(Window.orderBy("vq")).cast("double")
+        + (F.count("*").over(Window.partitionBy("vq")).cast("double") - 1) / 2
+    )
+    r = q.select("event_type", arank.alias("arank"))
+    is_a = (F.col("event_type") == TTEST_A).cast("long")
+    agg = r.agg(
+        F.sum(F.when(F.col("event_type") == TTEST_A, F.col("arank"))).alias(
+            "rank_sum_a"
+        ),
+        F.sum(is_a).alias("n_a"),
+        F.sum(1 - is_a).alias("n_b"),
+    )
+    return agg.select(
+        "rank_sum_a",
+        "n_a",
+        "n_b",
+        (
+            F.col("rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+        ).alias("u_a"),
+    )
