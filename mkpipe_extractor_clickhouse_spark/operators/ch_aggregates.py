@@ -330,3 +330,71 @@ def ch_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
         ).alias("u_a"),
     )
+
+
+HIST_BUCKET = 0.01  # histogram resolution for the mergeable quantile
+
+
+@register(
+    "a15_histogram_quantile",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(value / {HIST_BUCKET}) AS BIGINT) AS bucket,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, bucket
+    ),
+    cum AS (
+      SELECT event_type, bucket, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type,
+           ROUND(MIN(CASE WHEN cc * 2 >= n THEN bucket END)
+                 * {HIST_BUCKET}, 6) AS p50_est,
+           ROUND(MIN(CASE WHEN cc * 20 >= n * 19 THEN bucket END)
+                 * {HIST_BUCKET}, 6) AS p95_est,
+           MAX(n) AS n
+    FROM cum GROUP BY event_type
+    """,
+    tags=("A9", "A4", "EXT"),
+)
+def a15_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile — the 100 TB scale path this
+    repo's exact medians (a9/w9) and rank stats (ch_mannwhitney_u)
+    point at: bucket values into a fixed-width integer histogram (one
+    hash aggregation, mergeable across partitions/days exactly like
+    x6's rollup states), then read any percentile from the cumulative
+    counts at ±bucket-width accuracy. Unlike percentile_approx's
+    sketch, the result is implementation-independent — the same
+    bucketing in any engine yields the same answer, so this op
+    hash-matches its oracle instead of settling for rows-only.
+    Histogram size is O(value_range / width), independent of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / HIST_BUCKET).cast("long").alias("bucket"),
+    ).agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = b.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.round(
+            F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("bucket")))
+            * HIST_BUCKET,
+            6,
+        ).alias("p50_est"),
+        F.round(
+            F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bucket")))
+            * HIST_BUCKET,
+            6,
+        ).alias("p95_est"),
+        F.max("n").alias("n"),
+    )

@@ -186,3 +186,39 @@ def test_returning_users_bounded_by_actives(spark, sf_dir):
     for day, n in ret.items():
         assert n <= act[day]
         assert n <= act[day - datetime.timedelta(days=1)]
+
+
+def test_histogram_quantile_within_bucket_of_exact(spark, sf_dir):
+    """a15's histogram p50/p95 must land within one bucket width of the
+    exact percentiles — the accuracy contract of the mergeable path."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.ch_aggregates import (
+        HIST_BUCKET,
+        a15_histogram_quantile,
+    )
+
+    import math
+
+    est = {
+        r.event_type: (r.p50_est, r.p95_est)
+        for r in a15_histogram_quantile(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    # type-1 (non-interpolated) quantile: the smallest observed value
+    # with cdf >= p — the order statistic the histogram brackets.
+    # (Interpolated `percentile` can land mid-gap between data points,
+    # which no histogram of the DATA should be expected to hit.)
+    by_type = {
+        r.event_type: sorted(v for v in r.vals)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    for et, (p50e, p95e) in est.items():
+        vals = by_type[et]
+        q1_50 = vals[math.ceil(0.5 * len(vals)) - 1]
+        q1_95 = vals[math.ceil(0.95 * len(vals)) - 1]
+        assert abs(p50e - q1_50) <= HIST_BUCKET
+        assert abs(p95e - q1_95) <= HIST_BUCKET
