@@ -354,3 +354,45 @@ def l41_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+# Per-language keep fractions, in parts-per-1024 for exact integer
+# comparison (Knuth multiplicative hash over doc_id — identical pure
+# integer arithmetic in Spark and DuckDB, no RNG, no partition
+# dependence).
+SAMPLE_PPK = {"en": 512, "es": 1024, "de": 1024, "fr": 1024, "zh": 1024}
+_KNUTH = 2654435761  # 2^32 / golden ratio
+
+
+def _sample_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_PPK.items()
+    )
+    return f"CASE {whens} ELSE 1024 END"
+
+
+@register(
+    "l16b_reproducible_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % 4294967296 % 1024 < {_sample_case_sql()}
+    """,
+    tags=("EXT", "sampling"),
+)
+def l16b_reproducible_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling — the deterministic sibling of
+    l16's sampleBy: membership is a pure function of doc_id (Knuth
+    multiplicative hash to a 10-bit lane, compared against the
+    stratum's parts-per-1024 keep rate), so the SAME corpus subset
+    falls out on any engine, partitioning, or retry — the property a
+    resumable training-data pipeline actually needs from its sampler
+    (seed-based Bernoulli sampling is partition-order-dependent and
+    cannot be oracle-checked; this can, and is). Map-only, no shuffle;
+    scales as a pushed-down filter."""
+    d = load_table(spark, sf_dir, "documents")
+    ppk = F.lit(1024)
+    for k, v in SAMPLE_PPK.items():
+        ppk = F.when(F.col("lang") == k, F.lit(v)).otherwise(ppk)
+    lane = (F.col("doc_id") * _KNUTH) % 4294967296 % 1024
+    return d.filter(lane < ppk).select("doc_id", "lang")
