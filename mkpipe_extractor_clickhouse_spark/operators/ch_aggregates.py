@@ -398,3 +398,105 @@ def a15_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p95_est"),
         F.max("n").alias("n"),
     )
+
+
+@register(
+    "ch_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a,
+             CAST(dayofweek(ts) AS BIGINT) AS b,
+             COUNT(*) AS n_ij
+      FROM events GROUP BY a, b
+    ),
+    m AS (
+      SELECT a, b, n_ij,
+             SUM(n_ij) OVER (PARTITION BY a) AS n_i,
+             SUM(n_ij) OVER (PARTITION BY b) AS n_j,
+             SUM(n_ij) OVER () AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT n, a, b,
+             (CAST(n_ij AS DOUBLE)
+              - CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_ij AS DOUBLE)
+                - CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+               AS addend
+      FROM m
+    ),
+    chi AS (
+      -- per-cell addends are bit-identical across engines (same IEEE
+      -- chain over exact integers); quantize them before summing so
+      -- the total is accumulation-order-independent too (dsum rule)
+      SELECT MAX(n) AS n,
+             COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+             CAST(SUM(CAST(TRUNC(addend * 1000000
+                    + (CASE WHEN addend >= 0 THEN 0.5 ELSE -0.5 END))
+                  AS BIGINT)) / 1000000.0 AS DOUBLE) AS chi2
+      FROM cells
+    )
+    SELECT ROUND(chi2, 6) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
+           n, r, c
+    FROM chi
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)`` — the χ²-based association
+    strength between two categorical columns (here event_type ×
+    day-of-week). The contingency table is exact integers (one hash
+    aggregation over O(rows), then windows over the O(r·c)-row table);
+    the χ²/V chain is the same IEEE expression tree in both engines
+    over those integers, so the rounded result is bit-reproducible —
+    the same discipline as ch_welch_ttest. Cells-only marginals mean
+    the χ² sum skips zero-count cells, which contribute exactly
+    n_i·n_j/n; the SQL and Spark sides skip identically, so parity
+    holds (the full-table χ² would differ — documented limitation,
+    matching how both sides compute here)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").cast("long").alias("b"),
+    ).agg(F.count("*").alias("n_ij"))
+    m = obs.select(
+        "a",
+        "b",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("a")).alias("n_i"),
+        F.sum("n_ij").over(Window.partitionBy("b")).alias("n_j"),
+        F.sum("n_ij").over(Window.partitionBy()).alias("n"),
+    )
+    e = (
+        F.col("n_i").cast("double")
+        * F.col("n_j").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("n_ij").cast("double") - e
+    # quantize per-cell addends before the sum (dsum rule): the chi2
+    # total must not depend on accumulation order
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        (F.sum(_quantize(d * d / e)) / 1_000_000.0)
+        .cast("double")
+        .alias("chi2"),
+    )
+    return chi.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        "n",
+        "r",
+        "c",
+    )
