@@ -500,3 +500,46 @@ def ch_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         "c",
     )
+
+
+@register(
+    "ch_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS k, SUM(COUNT(*)) OVER () AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(SUM(CAST(TRUNC(
+             -(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+               * LN(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / LN(2)
+               * 1000000
+             + 0.5) AS BIGINT)) / 1000000.0 AS DOUBLE) AS entropy_bits,
+           MAX(n) AS n
+    FROM c
+    """,
+    tags=("A3", "EXT", "abtest"),
+)
+def ch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy(event_type)`` — Shannon entropy (bits) of a
+    column's value distribution, the screening statistic for skew and
+    information content. Category counts are exact integers from one
+    hash aggregation; each -p·log2(p) addend is a mirrored IEEE chain
+    over those integers (addends always ≥ 0, so a bare +0.5 quantizes
+    correctly) and quantized before the category sum, making the total
+    accumulation-order independent. O(categories) state — scales as a
+    plain group-count."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    c = ev.groupBy("event_type").agg(F.count("*").alias("k"))
+    c = c.select(
+        "k", F.sum("k").over(Window.partitionBy()).alias("n")
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    addend = -p * F.log(p) / F.log(F.lit(2.0))
+    return c.agg(
+        (F.sum(_quantize(addend)) / 1_000_000.0)
+        .cast("double")
+        .alias("entropy_bits"),
+        F.max("n").alias("n"),
+    )
