@@ -1,0 +1,502 @@
+"""ClickHouse statistical-aggregate parity, continued: the classical
+test statistics and weighted/decayed aggregates a ClickHouse analytics
+user reaches for next after welchTTest / mannWhitneyUTest / cramersV
+(reference ecosystem: ClickHouse is the source engine —
+``/root/reference/mkpipe_extractor_clickhouse/__init__.py:26-43`` — so
+queries written against its aggregate library must keep working here).
+
+Determinism discipline (SURVEY §5.5, operators/_determinism.py): every
+float total is a sum of per-row/per-cell addends that are (a) computed
+by an identical IEEE expression tree over exact integers in both
+engines and (b) quantized to 1e-6 longs *before* the sum, so the total
+is accumulation-order independent; divisions/ROUNDs happen once, at the
+end, over those exact totals. Rank/ECDF statistics stay in pure integer
+arithmetic until a single final division.
+
+Scale notes per operator are inline; none of these materialize more
+than O(groups) or O(distinct-values) state past the first hash
+aggregation, so they all ride Spark's partial→final aggregate path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import _Q, _quantize
+
+TTEST_A, TTEST_B = "click", "purchase"
+
+
+@register(
+    "ch_student_ttest",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(vq) AS sq,
+             SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ssq
+      FROM q GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sq AS DOUBLE) / 1000000.0 / n AS mean,
+             (CAST(ssq AS DOUBLE) / 1000000000000.0
+              - (CAST(sq AS DOUBLE) / 1000000.0)
+                * (CAST(sq AS DOUBLE) / 1000000.0) / n) AS css
+      FROM s
+    )
+    SELECT ROUND((a.mean - b.mean)
+                 / SQRT(((a.css + b.css) / (a.n + b.n - 2))
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS t_stat,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean - b.mean, 6) AS mean_diff
+    FROM (SELECT * FROM m WHERE event_type = '{TTEST_A}') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = '{TTEST_B}') b
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest(value, group)`` — the equal-variance
+    two-sample t statistic (pooled variance). Same integer-moment
+    discipline as ch_welch_ttest: per-group (n, Σq, Σq²) are exact
+    integers from one partial→final aggregation, and the pooled
+    mean/variance/t chain is the identical IEEE tree in both engines,
+    so the rounded t is bit-reproducible. O(1) output from O(rows)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    )
+    q = ev.select("event_type", _quantize("value").alias("vq"))
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("sq"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ssq"),
+    )
+    mean = F.col("sq").cast("double") / 1_000_000.0 / F.col("n")
+    # centered sum of squares (n·var without the 1/(n-1)); pooled below
+    css = F.col("ssq").cast("double") / 1_000_000_000_000.0 - (
+        F.col("sq").cast("double") / 1_000_000.0
+    ) * (F.col("sq").cast("double") / 1_000_000.0) / F.col("n")
+    m = s.select("event_type", "n", mean.alias("mean"), css.alias("css"))
+    a = m.filter(F.col("event_type") == TTEST_A).alias("a")
+    b = m.filter(F.col("event_type") == TTEST_B).alias("b")
+    pooled = ((F.col("a.css") + F.col("b.css")) / (F.col("a.n") + F.col("b.n") - 2)) * (
+        1.0 / F.col("a.n") + 1.0 / F.col("b.n")
+    )
+    return a.join(b).select(
+        F.round((F.col("a.mean") - F.col("b.mean")) / F.sqrt(pooled), 6).alias(
+            "t_stat"
+        ),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean") - F.col("b.mean"), 6).alias("mean_diff"),
+    )
+
+
+@register(
+    "ch_ks_test",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+      WHERE event_type IN ('{TTEST_A}', '{TTEST_B}')
+    ),
+    per AS (
+      SELECT vq,
+             SUM(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = '{TTEST_B}' THEN 1 ELSE 0 END) AS cb
+      FROM q GROUP BY vq
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY vq) AS cum_a,
+             SUM(cb) OVER (ORDER BY vq) AS cum_b,
+             SUM(ca) OVER () AS n_a,
+             SUM(cb) OVER () AS n_b
+      FROM per
+    )
+    SELECT MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num,
+           MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+           ROUND(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                 / (MAX(n_a) * MAX(n_b)), 6) AS d_stat
+    FROM cum
+    """,
+    tags=("A9", "EXT", "abtest"),
+)
+def ch_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest(value, group)`` core — the
+    two-sample KS D statistic: max ECDF gap between the A and B value
+    distributions. Pure integer arithmetic end-to-end — per-distinct-
+    value counts, cumulative counts, and the cross-multiplied gap
+    |cumA·nB − cumB·nA| are all exact longs; the single final division
+    by nA·nB is the only float op, so the rounded D is bit-identical
+    across engines. One hash agg over O(rows) then one sort over
+    O(distinct values) — the same single-sort cost as the rank stats;
+    at 100 TB swap the exact ECDF for the a15 histogram buckets."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(TTEST_A, TTEST_B)
+    )
+    q = ev.select("event_type", _quantize("value").alias("vq"))
+    per = q.groupBy("vq").agg(
+        F.count_if(F.col("event_type") == TTEST_A).alias("ca"),
+        F.count_if(F.col("event_type") == TTEST_B).alias("cb"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return cum.agg(
+        F.max(gap).alias("d_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(
+            F.max(gap).cast("double") / (F.max("n_a") * F.max("n_b")), 6
+        ).alias("d_stat"),
+    )
+
+
+@register(
+    "ch_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a,
+             CAST(dayofweek(ts) AS BIGINT) AS b,
+             COUNT(*) AS n_ij
+      FROM events GROUP BY a, b
+    ),
+    m AS (
+      SELECT a, b, n_ij,
+             SUM(n_ij) OVER (PARTITION BY a) AS n_i,
+             SUM(n_ij) OVER (PARTITION BY b) AS n_j,
+             SUM(n_ij) OVER () AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT n, a, b,
+             (CAST(n_ij AS DOUBLE)
+              - CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_ij AS DOUBLE)
+                - CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE) / CAST(n AS DOUBLE))
+               AS addend
+      FROM m
+    ),
+    chi AS (
+      SELECT MAX(n) AS n,
+             COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+             CAST(SUM(CAST(TRUNC(addend * 1000000
+                    + (CASE WHEN addend >= 0 THEN 0.5 ELSE -0.5 END))
+                  AS BIGINT)) / 1000000.0 AS DOUBLE) AS chi2
+      FROM cells
+    )
+    SELECT ROUND(SQRT(chi2 / (chi2 + n)), 6) AS contingency_coeff,
+           ROUND(SQRT(chi2 / (n * SQRT(CAST((r - 1) * (c - 1) AS DOUBLE)))), 6)
+             AS tschuprow_t,
+           n, r, c
+    FROM chi
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``contingency(a, b)`` and ``tschuprowT(a, b)`` — the
+    two remaining χ²-family association coefficients next to cramersV
+    (C = √(χ²/(χ²+n)); T = √(χ²/(n·√((r−1)(c−1))))). Shares the exact
+    integer contingency table + quantized-addend χ² discipline with
+    ch_cramers_v (same zero-cell caveat, mirrored identically in both
+    engines). O(r·c) state after one hash aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").cast("long").alias("b"),
+    ).agg(F.count("*").alias("n_ij"))
+    m = obs.select(
+        "a",
+        "b",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("a")).alias("n_i"),
+        F.sum("n_ij").over(Window.partitionBy("b")).alias("n_j"),
+        F.sum("n_ij").over(Window.partitionBy()).alias("n"),
+    )
+    e = (
+        F.col("n_i").cast("double")
+        * F.col("n_j").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("n_ij").cast("double") - e
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        (F.sum(_quantize(d * d / e)) / 1_000_000.0).cast("double").alias("chi2"),
+    )
+    return chi.select(
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 6).alias(
+            "contingency_coeff"
+        ),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.sqrt(((F.col("r") - 1) * (F.col("c") - 1)).cast("double"))
+                )
+            ),
+            6,
+        ).alias("tschuprow_t"),
+        "n",
+        "r",
+        "c",
+    )
+
+
+@register(
+    "ch_theils_u",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a,
+             CAST(dayofweek(ts) AS BIGINT) AS b,
+             COUNT(*) AS c_ab
+      FROM events GROUP BY a, b
+    ),
+    tot AS (SELECT SUM(c_ab) AS n FROM obs),
+    ha AS (
+      SELECT CAST(SUM(CAST(TRUNC(
+               -(CAST(k AS DOUBLE) / n) * LN(CAST(k AS DOUBLE) / n) / LN(2)
+               * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS DOUBLE) AS h
+      FROM (SELECT a, SUM(c_ab) AS k FROM obs GROUP BY a), tot
+    ),
+    hb AS (
+      SELECT CAST(SUM(CAST(TRUNC(
+               -(CAST(k AS DOUBLE) / n) * LN(CAST(k AS DOUBLE) / n) / LN(2)
+               * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS DOUBLE) AS h
+      FROM (SELECT b, SUM(c_ab) AS k FROM obs GROUP BY b), tot
+    ),
+    hab AS (
+      SELECT CAST(SUM(CAST(TRUNC(
+               -(CAST(c_ab AS DOUBLE) / n) * LN(CAST(c_ab AS DOUBLE) / n)
+               / LN(2) * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS DOUBLE) AS h
+      FROM obs, tot
+    )
+    SELECT ROUND((ha.h + hb.h - hab.h) / ha.h, 6) AS theils_u,
+           ROUND(ha.h, 6) AS h_a, ROUND(hb.h, 6) AS h_b,
+           ROUND(hab.h, 6) AS h_ab
+    FROM ha, hb, hab
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU(a, b)`` — the asymmetric uncertainty
+    coefficient U(a|b) = (H(a) + H(b) − H(a,b)) / H(a): how much of
+    event_type's entropy the day-of-week explains. All three entropies
+    follow the ch_entropy discipline (exact integer counts from ONE
+    hash aggregation over rows; −p·ln(p)/ln2 addends mirrored and
+    quantized before each sum), so the rounded U is bit-reproducible.
+    Everything after the first aggregation is O(r·c)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").cast("long").alias("b"),
+    ).agg(F.count("*").alias("c_ab"))
+
+    def entropy(df: DataFrame, k: str) -> DataFrame:
+        # Σ over rows of −(k/n)·log2(k/n), quantized per addend.
+        d = df.select(
+            F.col(k).alias("k"),
+            F.sum(k).over(Window.partitionBy()).alias("n"),
+        )
+        p = F.col("k").cast("double") / F.col("n").cast("double")
+        addend = -p * F.log(p) / F.log(F.lit(2.0))
+        return d.agg(
+            (F.sum(_quantize(addend)) / 1_000_000.0).cast("double").alias("h")
+        )
+
+    ha = entropy(
+        obs.groupBy("a").agg(F.sum("c_ab").alias("k")), "k"
+    ).withColumnRenamed("h", "ha")
+    hb = entropy(
+        obs.groupBy("b").agg(F.sum("c_ab").alias("k")), "k"
+    ).withColumnRenamed("h", "hb")
+    hab = entropy(obs, "c_ab").withColumnRenamed("h", "hab")
+    return (
+        ha.join(hb)
+        .join(hab)
+        .select(
+            F.round(
+                (F.col("ha") + F.col("hb") - F.col("hab")) / F.col("ha"), 6
+            ).alias("theils_u"),
+            F.round("ha", 6).alias("h_a"),
+            F.round("hb", 6).alias("h_b"),
+            F.round("hab", 6).alias("h_ab"),
+        )
+    )
+
+
+@register(
+    "ch_avg_weighted",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST({_Q.format(x='l_extendedprice')} AS DECIMAL(38,0))
+                          * {_Q.format(x='l_quantity')}) AS DOUBLE)
+                 / CAST(SUM({_Q.format(x='l_quantity')}) AS DOUBLE)
+                 / 1000000.0, 6) AS avg_price_weighted,
+           SUM({_Q.format(x='l_quantity')}) AS total_weight_micro,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("A2", "EXT"),
+)
+def ch_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(l_extendedprice, l_quantity)`` per
+    return flag — the weighted mean. Numerator Σ(price_q·qty_q)
+    accumulates in decimal(38,0) (a long would overflow: per-row
+    products reach ~5e12 micro² and sum over millions of rows);
+    denominator Σqty_q stays a long. One partial→final hash
+    aggregation; the only float ops are the two final divisions, so
+    the rounded result is order-independent and engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = _quantize("l_extendedprice")
+    wq = _quantize("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(pq.cast("decimal(38,0)") * wq).alias("num"),
+        F.sum(wq).alias("den"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double") / 1_000_000.0,
+            6,
+        ).alias("avg_price_weighted"),
+        F.col("den").alias("total_weight_micro"),
+        "n",
+    )
+
+
+@register(
+    "ch_bounding_ratio",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             epoch_us(ts) AS x,
+             {_Q.format(x='value')} AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, x, y,
+             MIN(x) OVER (PARTITION BY event_type) AS mnx,
+             MAX(x) OVER (PARTITION BY event_type) AS mxx
+      FROM q
+    )
+    SELECT event_type,
+           MIN(CASE WHEN x = mnx THEN y END) AS y_first_micro,
+           MIN(CASE WHEN x = mxx THEN y END) AS y_last_micro,
+           MAX(mxx) - MAX(mnx) AS span_us,
+           ROUND((CAST(MIN(CASE WHEN x = mxx THEN y END) AS DOUBLE)
+                  - CAST(MIN(CASE WHEN x = mnx THEN y END) AS DOUBLE))
+                 / CAST(MAX(mxx) - MAX(mnx) AS DOUBLE) * 1000000.0, 9)
+             AS slope_per_sec_micro
+    FROM m GROUP BY event_type
+    """,
+    tags=("A11", "EXT"),
+)
+def ch_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio(ts, value)`` per event_type — the
+    slope between the chronologically first and last points,
+    (y_last − y_first)/(x_last − x_first). ClickHouse's argMin/argMax
+    pick arbitrary rows on x ties; here ties break to the MINIMUM y on
+    both ends (mirrored in both engines) so the result is total-order
+    deterministic. Single pass: min/max-x via struct-ordered aggregates
+    (min(struct(x,y)) is lexicographic → min x, tie min y; the max end
+    negates y to keep the min-y tie-break), integer micros throughout,
+    one final division. The SQL mirror states the same value via
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        # ts is TIMESTAMP_NTZ; the cast goes through the session tz,
+        # which is UTC both here and in the driver's default session
+        # (container tz), matching DuckDB's naive-as-UTC epoch_us.
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        _quantize("value").alias("y"),
+    )
+    agg = q.groupBy("event_type").agg(
+        F.min(F.struct("x", "y")).alias("lo"),
+        F.max(F.struct(F.col("x"), (-F.col("y")).alias("ny"))).alias("hi"),
+    )
+    y0 = F.col("lo.y")
+    y1 = -F.col("hi.ny")
+    span = F.col("hi.x") - F.col("lo.x")
+    return agg.select(
+        "event_type",
+        y0.alias("y_first_micro"),
+        y1.alias("y_last_micro"),
+        span.alias("span_us"),
+        F.round(
+            (y1.cast("double") - y0.cast("double")) / span.cast("double") * 1_000_000.0,
+            9,
+        ).alias("slope_per_sec_micro"),
+    )
+
+
+DECAY_REF = "2000-01-01"  # after every event ts in the fixtures
+DECAY_CUTOFF = 40  # 2^-40 · value·1e6 < 1 micro for any fixture value
+
+
+@register(
+    "ch_exp_decay_sum",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type, value,
+             LEAST(GREATEST(date_diff('day', CAST(ts AS DATE),
+                                      DATE '{DECAY_REF}'), 0), 62) AS lag_days
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN lag_days < {DECAY_CUTOFF} THEN
+             {_Q.format(x='value / CAST((1::BIGINT << lag_days) AS DOUBLE)')}
+             ELSE 0 END) / 1000000.0 AS DOUBLE) AS decayed_sum,
+           COUNT(*) AS n
+    FROM k GROUP BY event_type
+    """,
+    tags=("A2", "F2", "EXT"),
+)
+def ch_exp_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedSum`` with a one-day
+    half-life, evaluated at a fixed reference date: Σ value·2^(−lag)
+    where lag = whole days to the reference. 2^(−lag) is computed as
+    division by a shifted long (1<<lag) — EXACT in IEEE doubles, no
+    libm pow whose last ulp could differ across engines — and each
+    decayed addend is quantized before the sum (dsum rule). Lags ≥ 40
+    days contribute < 1e-6 of any fixture value and are zeroed
+    identically on both sides. Plain partial→final hash aggregate —
+    the mergeable-decay shape ClickHouse uses for time-weighted
+    rollups, O(groups) state."""
+    ev = load_table(spark, sf_dir, "events")
+    lag = F.least(
+        F.greatest(
+            F.datediff(F.lit(DECAY_REF).cast("date"), F.col("ts").cast("date")),
+            F.lit(0),
+        ),
+        F.lit(62),
+    )
+    k = ev.select("event_type", "value", lag.alias("lag_days"))
+    addend = F.when(
+        F.col("lag_days") < DECAY_CUTOFF,
+        _quantize(
+            F.col("value")
+            / F.expr("shiftleft(cast(1 as bigint), lag_days)").cast("double")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return k.groupBy("event_type").agg(
+        (F.sum(addend) / 1_000_000.0).cast("double").alias("decayed_sum"),
+        F.count("*").alias("n"),
+    )
