@@ -500,3 +500,301 @@ def ch_exp_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(addend) / 1_000_000.0).cast("double").alias("decayed_sum"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "ch_minmax_map",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, event_type AS k,
+             MIN({_Q.format(x='value')}) AS mn,
+             MAX({_Q.format(x='value')}) AS mx
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           STRING_AGG(k, ',' ORDER BY k) AS map_keys,
+           STRING_AGG(CAST(mn AS VARCHAR), ',' ORDER BY k) AS min_vals_micro,
+           STRING_AGG(CAST(mx AS VARCHAR), ',' ORDER BY k) AS max_vals_micro
+    FROM per GROUP BY user_id
+    """,
+    tags=("A2", "F6", "EXT"),
+)
+def ch_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` — key-wise min/max merge of
+    map states, the companion to ch_summap. Identical two-level
+    aggregation shape: per-(user, key) extrema collapse map-side
+    before the shuffle, then a per-user reassembly into sorted
+    parallel arrays (CSV-joined per the a8 hashable-output
+    convention). Quantized longs — exact. State bounded by key
+    cardinality, not rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", F.col("event_type").alias("k")).agg(
+        F.min(_quantize("value")).alias("mn"),
+        F.max(_quantize("value")).alias("mx"),
+    )
+    merged = per.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("k", "mn", "mx"))).alias("e")
+    )
+    return merged.select(
+        "user_id",
+        F.array_join(F.transform("e", lambda s: s["k"]), ",").alias("map_keys"),
+        F.array_join(
+            F.transform("e", lambda s: s["mn"].cast("string")), ","
+        ).alias("min_vals_micro"),
+        F.array_join(
+            F.transform("e", lambda s: s["mx"].cast("string")), ","
+        ).alias("max_vals_micro"),
+    )
+
+
+GAS_K = 10
+
+
+@register(
+    "ch_group_array_sorted",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY {_Q.format(x='value')}, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           STRING_AGG(CAST(vq AS VARCHAR), ',' ORDER BY rn) AS smallest_micro
+    FROM ranked WHERE rn <= {GAS_K}
+    GROUP BY event_type
+    """,
+    tags=("A8", "W8", "EXT"),
+)
+def ch_group_array_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySorted(10)(value)`` per event_type — the
+    10 smallest values as a sorted array (CSV-joined). Implemented as
+    bounded per-group top-k (W8 window + row_number ≤ k), NOT an
+    unbounded collect_list-then-slice: per-partition state never
+    exceeds k rows per group, which is the 100 TB-safe shape
+    ClickHouse's own bounded heap uses. event_id breaks value ties so
+    the kept set is total-order deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.select(
+        "event_type", _quantize("value").alias("vq"), "event_id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("vq", "event_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= GAS_K)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "vq"))),
+                    lambda s: s["vq"].cast("string"),
+                ),
+                ",",
+            ).alias("smallest_micro")
+        )
+    )
+
+
+QUANTS = (25, 50, 75, 95)  # percent levels, integers → exact thresholds
+
+
+@register(
+    "ch_quantiles_disc",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq, COUNT(*) AS c
+      FROM events GROUP BY event_type, vq
+    ),
+    cum AS (
+      SELECT event_type, vq,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY vq) AS cc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM per
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cc * 100 >= 25 * n THEN vq END) / 1000000.0
+                AS DOUBLE) AS p25,
+           CAST(MIN(CASE WHEN cc * 100 >= 50 * n THEN vq END) / 1000000.0
+                AS DOUBLE) AS p50,
+           CAST(MIN(CASE WHEN cc * 100 >= 75 * n THEN vq END) / 1000000.0
+                AS DOUBLE) AS p75,
+           CAST(MIN(CASE WHEN cc * 100 >= 95 * n THEN vq END) / 1000000.0
+                AS DOUBLE) AS p95,
+           MAX(n) AS n
+    FROM cum GROUP BY event_type
+    """,
+    tags=("A9", "EXT"),
+)
+def ch_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantilesExact(0.25,0.5,0.75,0.95)(value)`` —
+    multiple exact type-1 (discrete) quantiles in one pass: the
+    smallest value whose cumulative count reaches ⌈p·n⌉. The
+    comparison is pure integer (cc·100 ≥ p·n, p an integer percent),
+    so no float threshold can straddle engines. One hash agg over
+    O(rows) collapses to distinct values; the window + final agg run
+    over O(distinct) — same mergeable shape as a15, but exact."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", _quantize("value").alias("vq")).agg(
+        F.count("*").alias("c")
+    )
+    cum = per.select(
+        "event_type",
+        "vq",
+        F.sum("c")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("vq")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    exprs = [
+        (
+            F.min(F.when(F.col("cc") * 100 >= p * F.col("n"), F.col("vq")))
+            / 1_000_000.0
+        )
+        .cast("double")
+        .alias(f"p{p}")
+        for p in QUANTS
+    ]
+    return cum.groupBy("event_type").agg(*exprs, F.max("n").alias("n"))
+
+
+@register(
+    "ch_interval_length_sum",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + {_Q.format(x='value')} AS e
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e
+      FROM iv
+    )
+    SELECT user_id,
+           SUM(GREATEST(e - GREATEST(s, COALESCE(prev_e, s)), 0))
+             AS covered_us,
+           COUNT(*) AS n_intervals
+    FROM w GROUP BY user_id
+    """,
+    tags=("W5", "EXT"),
+)
+def ch_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum(start, end)`` per user — total
+    length of the UNION of [ts, ts + value seconds) intervals,
+    overlaps counted once. Classic sweep: order intervals by start,
+    track the running max end, and each row contributes only the part
+    past both its own start and everything already covered. The
+    contribution sum is order-independent under start ties, and all
+    arithmetic is integer microseconds (value·1e6 = the quantized
+    long), so the result is exact. One window per user — state is a
+    single long per partition, linear scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", s.alias("s"), (s + _quantize("value")).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wd = iv.withColumn("prev_e", F.max("e").over(w))
+    contrib = F.greatest(
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(F.col("prev_e"), F.col("s"))),
+        F.lit(0).cast("long"),
+    )
+    return wd.groupBy("user_id").agg(
+        F.sum(contrib).alias("covered_us"), F.count("*").alias("n_intervals")
+    )
+
+
+@register(
+    "ch_corr_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT {_Q.format(x='l_quantity')} AS x,
+             {_Q.format(x='l_extendedprice')} AS y,
+             {_Q.format(x='l_discount')} AS z
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * z) AS sxz,
+             SUM(CAST(y AS DECIMAL(38,0)) * z) AS syz
+      FROM q
+    )
+    SELECT n,
+      ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS corr_qty_price,
+      ROUND((n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+        AS corr_qty_disc,
+      ROUND((n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        / SQRT((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+        AS corr_price_disc
+    FROM m
+    """,
+    tags=("A10", "EXT"),
+)
+def ch_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corrMatrix(x, y, z)`` — all pairwise Pearson
+    correlations of three measures in ONE pass: accumulate the 9
+    cross-moments (Σx, Σx², Σxy, …) as exact integers/decimals in a
+    single partial→final hash aggregate, then evaluate each corr from
+    the closed form over exact totals (identical IEEE chain both
+    engines, rounded once). Contrast with calling corr() three times:
+    one scan instead of three, O(1) state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        _quantize("l_quantity").alias("x"),
+        _quantize("l_extendedprice").alias("y"),
+        _quantize("l_discount").alias("z"),
+    )
+    d38 = "decimal(38,0)"
+    m = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("z").cast(d38) * F.col("z")).alias("szz"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("z")).alias("sxz"),
+        F.sum(F.col("y").cast(d38) * F.col("z")).alias("syz"),
+    )
+
+    def corr(sab: str, sa: str, sb: str, saa: str, sbb: str):
+        n = F.col("n")
+        num = n * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+        den = F.sqrt(
+            (n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa).cast("double"))
+            * (n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb).cast("double"))
+        )
+        return F.round(num / den, 6)
+
+    return m.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_disc"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("corr_price_disc"),
+    )
