@@ -484,3 +484,77 @@ def a17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
     )
     return li.groupBy("l_returnflag").agg(F.round(corr, 6).alias("corr_qty_price"))
+
+
+@register(
+    "a20_mode",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    r AS (
+      SELECT user_id, event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    tags=("A2", "A11", "EXT"),
+)
+def a20_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode()`` — the most frequent value (here: each user's dominant
+    event_type), with count ties broken to the lexicographically
+    smallest value so the answer is total-order deterministic (ANSI
+    mode() and ClickHouse topK(1) both leave ties arbitrary; a
+    differential oracle cannot). Two hash aggregations — (user, type)
+    counts, then min(struct(-cnt, type)) per user — both
+    partial→final mergeable; no window, no sort, O(types) state."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    best = c.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("event_type"))).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.event_type").alias("mode_event_type"),
+        (-F.col("b.neg")).alias("mode_count"),
+    )
+
+
+@register(
+    "a21_listagg",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS journey,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("A8", "EXT"),
+)
+def a21_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LISTAGG / string_agg(expr, ',' ORDER BY ...)`` — the ordered
+    concatenation aggregate (ClickHouse: arrayStringConcat(groupArray)).
+    Spark has no ordered string_agg; the idiomatic restatement is
+    collect_list(struct(orderkeys..., val)) → array_sort → transform →
+    array_join, which keeps the whole aggregate in JVM codegen and one
+    partial→final exchange. ts ties break on event_id, so the
+    concatenation order is total and the string hash-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("journey"),
+            F.count("*").alias("n_events"),
+        )
+    )

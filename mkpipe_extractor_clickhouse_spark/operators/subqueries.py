@@ -9,7 +9,7 @@ exercised end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
@@ -218,4 +218,33 @@ def sq5_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c_acctbal > 9000
         """
+    )
+
+
+@register(
+    "sq6_qualify",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    """,
+    tags=("SQ", "W8", "EXT"),
+)
+def sq6_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``QUALIFY`` — filter on a window function without a subquery
+    (DuckDB/Snowflake/BigQuery syntax; the oracle uses the literal
+    QUALIFY clause). Spark has no QUALIFY keyword; the desugared form
+    IS the implementation: window + filter, which Catalyst compiles to
+    the same WindowGroupLimit plan as sq5's LATERAL top-n — per-group
+    limits are pushed below the exchange, so each partition keeps at
+    most k rows per group before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
     )

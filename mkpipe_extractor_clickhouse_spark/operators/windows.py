@@ -290,3 +290,49 @@ def w9_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("moving_median"),
     )
+
+
+@register(
+    "w10_locf_fill",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS reading
+      FROM events
+    )
+    SELECT user_id, event_id, reading,
+           LAST_VALUE(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM r
+    """,
+    tags=("W4", "EXT"),
+)
+def w10_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS / last-observation-carried-forward gap fill — the
+    sensor-reading idiom (ClickHouse users reach for
+    ``last_value(...) IGNORE NULLS`` or ``anyLast``): sparse readings
+    (here: value only on purchase events) forward-filled along each
+    user's timeline. ``F.last(ignorenulls=True)`` over an ordered
+    per-user frame — one hash exchange on user_id, linear scan, O(1)
+    window state. Values pass through untouched (no arithmetic), so
+    parity is exact without quantization; event_id breaks ts ties for
+    a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
