@@ -374,3 +374,59 @@ def ch_collapsing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("net_rows") > 0)
     )
+
+
+@register(
+    "ch_sequence_next_node",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(ROW(ts, event_id)) AS fk
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(o.next_type, 'none') AS next_type,
+           COUNT(*) AS n_users
+    FROM ordered o
+    JOIN firsts f
+      ON o.user_id = f.user_id
+     AND ROW(o.ts, o.event_id) = f.fk
+    GROUP BY COALESCE(o.next_type, 'none')
+    """,
+    tags=("W3", "EXT", "funnel"),
+)
+def ch_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward','first_match')`` — what
+    happens AFTER each user's first 'click': the distribution of the
+    immediately-following event type ('none' when the click closed the
+    session). One per-user window (lead over ts,event_id — total order)
+    plus a per-user min-struct aggregate to locate the first click;
+    the two meet on the user_id partitioning already in place, then
+    collapse to O(event types) rows. The path-analysis primitive
+    behind 'next page' reports, join-free at fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    firsts = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fk"))
+    )
+    j = ordered.join(
+        firsts,
+        (ordered.user_id == firsts.user_id)
+        & (F.struct(ordered.ts, ordered.event_id) == firsts.fk),
+    )
+    return j.groupBy(
+        F.coalesce("next_type", F.lit("none")).alias("next_type")
+    ).agg(F.count("*").alias("n_users"))

@@ -1,0 +1,185 @@
+"""Corpus-level statistics for pretraining-data analysis: collocation
+mining (PMI) and rank-frequency (Zipf) profiling over the ``documents``
+table — the vocabulary-design / tokenizer-diagnostics companions to
+l5-l8's per-document text metrics.
+
+Both are explode→aggregate pipelines: the corpus-wide counts collapse
+map-side before any shuffle, the dictionaries that meet afterwards are
+vocabulary-sized (AQE broadcasts them), and every logarithm follows the
+repo's mirrored-LN + quantized-addend determinism discipline
+(operators/_determinism.py, proven by ch_entropy/l35), so both queries
+hash-match a DuckDB oracle despite being log-scale statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import _quantize
+
+PMI_MIN_COUNT = 20
+PMI_TOP = 20
+
+
+@register(
+    "l44_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2),
+    cx AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM toks) AS n_uni,
+             (SELECT COUNT(*) FROM bi) AS n_bi
+    ),
+    scored AS (
+      SELECT w1, w2, c_xy,
+             ROUND(LN((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                       * CAST(n_uni AS DOUBLE))
+                      / (CAST(n_bi AS DOUBLE) * CAST(x.c AS DOUBLE)
+                         * CAST(y.c AS DOUBLE))), 6) AS pmi
+      FROM cxy
+      JOIN cx x ON cxy.w1 = x.w
+      JOIN cx y ON cxy.w2 = y.w
+      CROSS JOIN tot
+      WHERE c_xy >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_xy, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP}
+    """,
+    tags=("L5", "L6", "EXT", "collocation"),
+)
+def l44_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — pointwise mutual information of adjacent
+    word pairs, PMI = ln(p(x,y)/(p(x)p(y))), the classic statistic for
+    discovering multi-word units before tokenizer training. Bigrams
+    come from zipping each token array with its tail (no self-join —
+    the SQL oracle's positional join is restated as an array zip);
+    bigram and unigram counts collapse in partial aggregates; the two
+    dictionary joins are vocabulary-sized (AQE broadcasts them at any
+    corpus scale). The PMI log runs over exact integer counts with an
+    identical parse tree in both engines, and the top-20 is totally
+    ordered (pmi, w1, w2) — deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # adjacent pairs: zip tokens with their own tail
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    bi = d.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = d.select(F.explode(toks).alias("w"))
+    cxy = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    cx = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n_uni")).join(
+        bi.agg(F.count("*").alias("n_bi"))
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        cxy.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(cx.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+        .join(cx.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (dd("c_xy") * dd("n_uni") * dd("n_uni"))
+                    / (dd("n_bi") * dd("c_x") * dd("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)
+
+
+ZIPF_TOP = 100
+
+
+@register(
+    "l47_zipf_fit",
+    oracle=f"""
+    WITH cx AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM cx GROUP BY w),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      FROM freq
+      QUALIFY r <= {ZIPF_TOP}
+    ),
+    terms AS (
+      SELECT
+        CAST(TRUNC(LN(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qx,
+        CAST(TRUNC(LN(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qy,
+        CAST(TRUNC(LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE)) * 1000000
+                   + 0.5) AS BIGINT) AS qxy,
+        CAST(TRUNC(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE)) * 1000000
+                   + 0.5) AS BIGINT) AS qxx
+      FROM ranked
+    )
+    SELECT ROUND((COUNT(*) * CAST(SUM(qxy) AS DOUBLE) / 1000000.0
+                  - (CAST(SUM(qx) AS DOUBLE) / 1000000.0)
+                    * (CAST(SUM(qy) AS DOUBLE) / 1000000.0))
+                 / (COUNT(*) * CAST(SUM(qxx) AS DOUBLE) / 1000000.0
+                    - (CAST(SUM(qx) AS DOUBLE) / 1000000.0)
+                      * (CAST(SUM(qx) AS DOUBLE) / 1000000.0)), 6) AS zipf_slope,
+           COUNT(*) AS n_words
+    FROM terms
+    """,
+    tags=("L5", "L7", "EXT"),
+)
+def l47_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank) over the top-100 words (a healthy
+    natural-language corpus slopes ≈ −1; collapsed or templated text
+    drifts far off — a cheap corpus-health gate). Ranks are total-order
+    deterministic (count desc, word); the regression's Σx/Σy/Σxy/Σx²
+    addends are mirrored LN chains over exact integers, quantized
+    before summation (ch_entropy discipline), and the closed-form slope
+    is evaluated once over the exact totals. One explode→count
+    aggregation at corpus scale; everything after is 100 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = d.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = uni.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = (
+        freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+        )
+        .filter(F.col("r") <= ZIPF_TOP)
+        .select("r", "c")
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    terms = ranked.select(
+        _quantize(lx).alias("qx"),
+        _quantize(ly).alias("qy"),
+        _quantize(lx * ly).alias("qxy"),
+        _quantize(lx * lx).alias("qxx"),
+    )
+    n = F.count("*")
+    sx = F.sum("qx").cast("double") / 1_000_000.0
+    sy = F.sum("qy").cast("double") / 1_000_000.0
+    sxy = F.sum("qxy").cast("double") / 1_000_000.0
+    sxx = F.sum("qxx").cast("double") / 1_000_000.0
+    return terms.agg(
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+        n.alias("n_words"),
+    )

@@ -91,3 +91,76 @@ def dq1_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orphan_lineitem").alias("rule"), "n_violations")
     )
     return rules.unionByName(orphans)
+
+
+from ._determinism import _Q, _quantize  # noqa: E402
+
+
+@register(
+    "dq2_zscore_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(vq) AS sq,
+             SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ssq
+      FROM q GROUP BY event_type
+    ),
+    s AS (
+      SELECT event_type, n,
+             CAST(sq AS DOUBLE) / 1000000.0 / n AS mean,
+             SQRT((CAST(ssq AS DOUBLE) / 1000000000000.0
+                   - (CAST(sq AS DOUBLE) / 1000000.0)
+                     * (CAST(sq AS DOUBLE) / 1000000.0) / n) / (n - 1)) AS std
+      FROM m
+    )
+    SELECT q.event_type,
+           MAX(s.n) AS n,
+           SUM(CASE WHEN ABS(CAST(vq AS DOUBLE) / 1000000.0 - mean)
+                         > 3 * std THEN 1 ELSE 0 END) AS outliers,
+           ROUND(MAX(mean), 6) AS mean,
+           ROUND(MAX(std), 6) AS std
+    FROM q JOIN s ON q.event_type = s.event_type
+    GROUP BY q.event_type
+    """,
+    tags=("A10", "EXT", "dq"),
+)
+def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly screening — per-group 3σ outlier counts, the monitoring
+    rule a pipeline evaluates on every extracted batch next to dq1's
+    constraint report. Two passes: an integer-moment aggregate (n, Σq,
+    Σq² — exact, order-independent) yields mean/std per group, then the
+    per-row |x−μ| > 3σ test re-reads the fact with the tiny stats
+    broadcast — the flag comparison runs over identical doubles in
+    both engines, so counts match exactly. At 100 TB both passes are
+    scan + map-side work; only O(groups) rows ever shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select("event_type", _quantize("value").alias("vq"))
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("sq"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ssq"),
+    )
+    mean = F.col("sq").cast("double") / 1_000_000.0 / F.col("n")
+    std = F.sqrt(
+        (
+            F.col("ssq").cast("double") / 1_000_000_000_000.0
+            - (F.col("sq").cast("double") / 1_000_000.0)
+            * (F.col("sq").cast("double") / 1_000_000.0)
+            / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    s = m.select("event_type", "n", mean.alias("mean"), std.alias("std"))
+    j = q.join(F.broadcast(s), "event_type")
+    flag = (
+        F.abs(F.col("vq").cast("double") / 1_000_000.0 - F.col("mean"))
+        > 3 * F.col("std")
+    ).cast("long")
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(flag).alias("outliers"),
+        F.round(F.max("mean"), 6).alias("mean"),
+        F.round(F.max("std"), 6).alias("std"),
+    )
