@@ -430,3 +430,59 @@ def ch_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.coalesce("next_type", F.lit("none")).alias("next_type")
     ).agg(F.count("*").alias("n_users"))
+
+
+PATH_LEN = 3
+PATH_TOP = 10
+
+
+@register(
+    "ch_top_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {PATH_TOP}
+    """,
+    tags=("W8", "A8", "EXT", "funnel"),
+)
+def ch_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys — each user's first 3 events concatenated into
+    a path string, ranked by popularity (the ClickHouse path-analysis
+    idiom built from groupArray + arrayStringConcat over a LIMIT BY
+    prefix). Per-user prefix via row_number ≤ 3 (bounded window state,
+    the W8 shape), ordered concatenation via the sorted-struct
+    collect, then a path-count aggregation and a total-order top-10
+    (count desc, path) — deterministic end to end, one exchange on
+    user_id plus one on path."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(PATH_TOP)
+    )

@@ -341,3 +341,76 @@ def l33_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.row_number().over(w).alias("pos"),
     )
+
+
+TEMP_HASH = 2654435761  # Knuth multiplicative, independent of the others
+
+
+@register(
+    "l46_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_s) AS n,
+             CAST(SUM(CAST(TRUNC(SQRT(CAST(n_s AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / 1000000.0 AS s_sqrt
+      FROM counts
+    ),
+    rates AS (
+      SELECT source, n_s,
+             CAST(TRUNC(LEAST(
+               (CAST(n AS DOUBLE) / 2.0) * SQRT(CAST(n_s AS DOUBLE))
+                 / (s_sqrt * CAST(n_s AS DOUBLE)),
+               1.0) * 10000) AS BIGINT) AS rate_bp
+      FROM counts CROSS JOIN tot
+    )
+    SELECT r.source, MAX(r.n_s) AS n_docs, MAX(r.rate_bp) AS rate_bp,
+           SUM(CASE WHEN (d.doc_id * {TEMP_HASH}) % {M32} % 10000 < r.rate_bp
+                    THEN 1 ELSE 0 END) AS kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source
+    """,
+    tags=("P6", "EXT", "sampling"),
+)
+def l46_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the Gopher/PaLM τ=0.5 recipe):
+    sampling weights ∝ (source share)^τ flatten the source distribution
+    — small curated sources get upsampled relative to bulk crawl —
+    then each source keeps documents at rate min(1, target·w_s/n_s)
+    via the deterministic doc-hash gate (composable with l26/l27's
+    independent multipliers). τ=0.5 means the weight is √n_s, so the
+    only non-rational op is SQRT — IEEE-exact in both engines, no libm
+    pow. The √n_s normalizer sums QUANTIZED addends (dsum rule), rates
+    truncate to integer basis points, and the per-doc keep test is
+    pure integer hashing — end-to-end reproducible. Counts + a tiny
+    broadcast rate table + a map-side filter: no extra shuffle at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    from ._determinism import _quantize
+
+    sqrt_n = F.sqrt(F.col("n_s").cast("double"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n"),
+        (F.sum(_quantize(sqrt_n)).cast("double") / 1_000_000.0).alias("s_sqrt"),
+    )
+    rate = F.least(
+        (F.col("n").cast("double") / 2.0)
+        * F.sqrt(F.col("n_s").cast("double"))
+        / (F.col("s_sqrt") * F.col("n_s").cast("double")),
+        F.lit(1.0),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "source", "n_s", (rate * 10000).cast("bigint").alias("rate_bp")
+    )
+    j = d.join(F.broadcast(rates), "source")
+    keep = ((F.col("doc_id") * TEMP_HASH) % M32 % 10000 < F.col("rate_bp")).cast(
+        "long"
+    )
+    return j.groupBy("source").agg(
+        F.max("n_s").alias("n_docs"),
+        F.max("rate_bp").alias("rate_bp"),
+        F.sum(keep).alias("kept"),
+    )
