@@ -358,3 +358,40 @@ def f12_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("half_away", "half_even", "up", "down")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "f13_edit_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, p_type) AS lev_name_type,
+           levenshtein(p_brand, p_type) AS lev_brand_type,
+           ROUND(1.0 - CAST(levenshtein(p_name, p_type) AS DOUBLE)
+                 / GREATEST(length(p_name), length(p_type)), 6)
+             AS name_type_similarity
+    FROM part
+    """,
+    tags=("F1", "EXT", "fuzzy"),
+)
+def f13_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string functions — the fuzzy-matching primitives
+    behind entity resolution and near-dup candidate scoring
+    (ClickHouse: editDistance / levenshteinDistance). Spark's builtin
+    ``levenshtein`` is JVM-codegen row-local work that rides the scan
+    (no shuffle at any scale); the normalized similarity divides two
+    exact integers, so parity is bit-stable. ClickHouse's
+    editDistanceUTF8 differs only in unit (codepoints); these fixture
+    strings are ASCII where the two agree."""
+    p = load_table(spark, sf_dir, "part")
+    lev_nt = F.levenshtein("p_name", "p_type")
+    return p.select(
+        "p_partkey",
+        lev_nt.alias("lev_name_type"),
+        F.levenshtein("p_brand", "p_type").alias("lev_brand_type"),
+        F.round(
+            1.0
+            - lev_nt.cast("double")
+            / F.greatest(F.length("p_name"), F.length("p_type")),
+            6,
+        ).alias("name_type_similarity"),
+    )

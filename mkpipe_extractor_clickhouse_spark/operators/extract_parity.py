@@ -16,7 +16,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -433,4 +433,130 @@ def x11_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.agg(*aggs)
         .select(F.explode(F.array(*structs)).alias("p"))
         .select("p.*")
+    )
+
+
+CDC_T1 = "1998-04-01"
+CDC_T2 = "1998-07-01"
+
+
+@register(
+    "x12_cdc_snapshot_diff",
+    oracle=f"""
+    WITH old_state AS (
+      SELECT user_id,
+             MAX({{'ts': ts, 'event_id': event_id}}).event_id AS event_id
+      FROM events WHERE ts < TIMESTAMP '{CDC_T1} 00:00:00'
+      GROUP BY user_id
+    ),
+    new_state AS (
+      SELECT user_id,
+             MAX({{'ts': ts, 'event_id': event_id}}).event_id AS event_id
+      FROM events WHERE ts < TIMESTAMP '{CDC_T2} 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN o.event_id <> n.event_id THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           o.event_id AS old_event_id,
+           n.event_id AS new_event_id
+    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    """,
+    tags=("S8", "J4", "EXT", "cdc"),
+)
+def x12_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshot times — the diff a
+    downstream consumer reads after two incremental ticks (Delta CDF /
+    Debezium shape): per user, the latest state row as of T1 vs as of
+    T2, classified insert / update / unchanged (the source is
+    append-only, so deletes cannot occur — documented contract).
+    Each state is one argmax aggregate (max(struct(ts, event_id)) —
+    deterministic, event_id breaks ts ties); the full-outer join on
+    the state keys is user-cardinality, not event-cardinality. At
+    100 TB both aggregates collapse map-side and the join shuffles
+    only O(users) state rows."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def state(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id")).alias("s"))
+            .select("user_id", F.col("s.event_id").alias("event_id"))
+        )
+
+    o = state(f"{CDC_T1} 00:00:00").alias("o")
+    n = state(f"{CDC_T2} 00:00:00").alias("n")
+    j = o.join(n, F.col("o.user_id") == F.col("n.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias("user_id"),
+        F.when(F.col("o.user_id").isNull(), "insert")
+        .when(F.col("o.event_id") != F.col("n.event_id"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("o.event_id").alias("old_event_id"),
+        F.col("n.event_id").alias("new_event_id"),
+    )
+
+
+@register(
+    "x13_temporal_dim_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id AS dim_event_id, value AS dim_value,
+             ts AS eff_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS eff_to
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, d.dim_event_id,
+           ROUND(d.dim_value, 6) AS dim_value
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.eff_from
+     AND (f.ts < d.eff_to OR d.eff_to IS NULL)
+    WHERE f.event_type = 'click'
+    """,
+    tags=("J9", "W3", "EXT", "scd"),
+)
+def x13_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-fact enrichment against a slowly-changing
+    dimension: each click fact joins the purchase-state row that was
+    VALID AT the fact's timestamp (the x10 SCD2 validity intervals,
+    queried j9-style). The join keeps an equi key (user_id) next to
+    the interval predicate, so Spark plans a hash/sort-merge join on
+    user_id with the range as a residual filter — never a cartesian;
+    at 100 TB both sides co-partition on user_id and the interval
+    check stays row-local. Intervals are half-open and tie-broken by
+    event_id, so every fact matches at most one dimension row —
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("dim_event_id"),
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("eff_from"),
+        )
+        .withColumn("eff_to", F.lead("eff_from").over(
+            Window.partitionBy("user_id").orderBy("eff_from", "dim_event_id")
+        ))
+    )
+    f = ev.filter(F.col("event_type") == "click").alias("f")
+    d = dim.alias("d")
+    j = f.join(
+        d,
+        (F.col("f.user_id") == F.col("d.user_id"))
+        & (F.col("f.ts") >= F.col("d.eff_from"))
+        & ((F.col("f.ts") < F.col("d.eff_to")) | F.col("d.eff_to").isNull()),
+    )
+    return j.select(
+        F.col("f.event_id").alias("event_id"),
+        F.col("f.user_id").alias("user_id"),
+        "dim_event_id",
+        F.round("dim_value", 6).alias("dim_value"),
     )
