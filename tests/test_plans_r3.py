@@ -1,0 +1,81 @@
+"""Physical-plan locks for the round-3 operator additions — same
+contract as test_plans.py: the 100 TB posture (broadcast where small,
+equi-join where keyed, map-side where row-local) must be visible in the
+plan, so a regression fails here before it fails at scale."""
+
+from __future__ import annotations
+
+from .test_plans import plan_of
+
+
+def test_temporal_dim_join_is_equi(spark, sf_dir):
+    """x13's interval predicate must ride an equi join on user_id —
+    never a nested-loop/cartesian pair blowup."""
+    plan = plan_of("x13_temporal_dim_join", spark, sf_dir)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert "Join" in plan  # hash or sort-merge equi join on user_id
+
+
+def test_cdc_diff_no_cartesian(spark, sf_dir):
+    plan = plan_of("x12_cdc_snapshot_diff", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+
+
+def test_zscore_stats_broadcast(spark, sf_dir):
+    """dq2's per-group stats table must broadcast back to the fact —
+    the fact side must not shuffle for the join."""
+    plan = plan_of("dq2_zscore_outliers", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_array_sorted_bounded_state(spark, sf_dir):
+    """ch_group_array_sorted must keep per-partition window state
+    bounded at k rows per group (WindowGroupLimit pushed below the
+    exchange), never collect-then-slice."""
+    plan = plan_of("ch_group_array_sorted", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_qualify_window_group_limit(spark, sf_dir):
+    plan = plan_of("sq6_qualify", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_top_paths_bounded_prefix(spark, sf_dir):
+    plan = plan_of("ch_top_paths", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_pmi_no_cartesian_fact_join(spark, sf_dir):
+    """l44's dictionary joins may broadcast or shuffle, but nothing in
+    the plan may degrade to a row-pair cartesian (the 1-row totals
+    join is a broadcast nested loop over ONE row — allowed)."""
+    plan = plan_of("l44_bigram_pmi", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_map_side(spark, sf_dir):
+    """f13 is pure row-local work: the plan must contain no exchange
+    at all — it rides the scan."""
+    plan = plan_of("f13_edit_distance", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_sequence_next_node_no_cartesian(spark, sf_dir):
+    plan = plan_of("ch_sequence_next_node", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mixture_broadcast_rates(spark, sf_dir):
+    """l46's rate table join must broadcast (it is O(sources) rows);
+    the documents side must not shuffle before the filter."""
+    plan = plan_of("l46_temperature_mixture", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
