@@ -798,3 +798,68 @@ def ch_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_disc"),
         corr("syz", "sy", "sz", "syy", "szz").alias("corr_price_disc"),
     )
+
+
+@register(
+    "ch_exp_decay_avg",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type, value,
+             LEAST(GREATEST(date_diff('day', CAST(ts AS DATE),
+                                      DATE '{DECAY_REF}'), 0), 62) AS lag_days
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(CASE WHEN lag_days < {DECAY_CUTOFF} THEN
+               {_Q.format(x='value / CAST((1::BIGINT << lag_days) AS DOUBLE)')}
+               ELSE 0 END) AS dsum_micro,
+             SUM(CASE WHEN lag_days < {DECAY_CUTOFF} THEN
+               {_Q.format(x='1.0 / CAST((1::BIGINT << lag_days) AS DOUBLE)')}
+               ELSE 0 END) AS dcount_micro
+      FROM k GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CAST(dsum_micro AS DOUBLE)
+                 / CAST(dcount_micro AS DOUBLE), 6) AS decayed_avg,
+           dsum_micro, dcount_micro
+    FROM s
+    """,
+    tags=("A2", "F2", "EXT"),
+)
+def ch_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedAvg`` — the time-weighted
+    mean: decayed sum over decayed count, both accumulated with the
+    ch_exp_decay_sum discipline (2^-lag as an exact shifted-long
+    division, addends quantized, lags >= 40 days zeroed identically).
+    The ratio of two exact micro-unit longs is a single mirrored IEEE
+    division — bit-reproducible. Same one-pass mergeable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    lag = F.least(
+        F.greatest(
+            F.datediff(F.lit(DECAY_REF).cast("date"), F.col("ts").cast("date")),
+            F.lit(0),
+        ),
+        F.lit(62),
+    )
+    k = ev.select("event_type", "value", lag.alias("lag_days"))
+    pow2 = F.expr("shiftleft(cast(1 as bigint), lag_days)").cast("double")
+    live = F.col("lag_days") < DECAY_CUTOFF
+    zero = F.lit(0).cast("long")
+    s = k.groupBy("event_type").agg(
+        F.sum(
+            F.when(live, _quantize(F.col("value") / pow2)).otherwise(zero)
+        ).alias("dsum_micro"),
+        F.sum(
+            F.when(live, _quantize(F.lit(1.0) / pow2)).otherwise(zero)
+        ).alias("dcount_micro"),
+    )
+    return s.select(
+        "event_type",
+        F.round(
+            F.col("dsum_micro").cast("double") / F.col("dcount_micro").cast("double"),
+            6,
+        ).alias("decayed_avg"),
+        "dsum_micro",
+        "dcount_micro",
+    )

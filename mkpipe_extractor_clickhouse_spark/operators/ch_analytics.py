@@ -486,3 +486,47 @@ def ch_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(PATH_TOP)
     )
+
+
+@register(
+    "ch_audience_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS users_both
+    FROM s a JOIN s b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+    tags=("A3", "F5", "EXT", "retention"),
+)
+def ch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix — for every pair of event types, how
+    many users did BOTH (the ClickHouse groupBitmapAnd / retention
+    idiom). The oracle states it as the textbook fact self-join; the
+    engine never self-joins: each user's distinct-type set collapses
+    in one aggregation, the (a,b) pairs expand from that tiny sorted
+    array with nested array transforms (≤ types² per user, types ≈ 5),
+    and a second count aggregation finishes. At 100 TB the fact is
+    scanned ONCE and nothing ever pairs at row granularity — the
+    self-join the oracle pays would shuffle the fact twice."""
+    ev = load_table(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    n = F.size("ts")
+    pairs = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice("ts", i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("users_both"))
+    )
