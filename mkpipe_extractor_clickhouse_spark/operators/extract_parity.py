@@ -560,3 +560,47 @@ def x13_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_event_id",
         F.round("dim_value", 6).alias("dim_value"),
     )
+
+
+@register(
+    "x14_clickhouse_dialect_query",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) FILTER (WHERE value > 100) AS big_events,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+             AS purchases,
+           COUNT(DISTINCT user_id) AS uniq_users,
+           MAX(event_id) AS max_id
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY date_trunc('day', ts)
+    """,
+    tags=("S3", "EXT", "dialect"),
+)
+def x14_clickhouse_dialect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The porting path end-to-end: a custom_query written in
+    CLICKHOUSE dialect (toStartOfDay / countIf / sumIf / uniqExact —
+    exactly what a reference user's passthrough SQL looks like) runs
+    through the extractor with custom_query_dialect='clickhouse'.
+    sources/ch_dialect.py translates the documented dialect subset to
+    Spark SQL, then the ordinary S3 native-execution path takes over;
+    the oracle is the ANSI equivalent, so a hash-match proves the
+    translation preserves semantics, not just syntax."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    table = TableConfig(
+        name="events",
+        custom_query=(
+            "SELECT toStartOfDay(ts) AS day, "
+            "countIf(value > 100) AS big_events, "
+            "sumIf(1, event_type = 'purchase') AS purchases, "
+            "uniqExact(user_id) AS uniq_users, "
+            "max(event_id) AS max_id "
+            "FROM events "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY toStartOfDay(ts)"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    result = ParquetExtractor(sf_dir).extract(table, spark)
+    return result.df

@@ -62,6 +62,10 @@ class TableConfig:
     filter_upper_bound: object | None = None
     custom_query: str | None = None
     custom_query_file: str | None = None
+    # "clickhouse" translates the custom query's ClickHouse dialect to
+    # Spark SQL (sources/ch_dialect.py) before execution — the porting
+    # path for queries written against the reference's passthrough.
+    custom_query_dialect: Literal["spark", "clickhouse"] = "spark"
     write_partitions: int | None = None
     partition_columns: tuple[str, ...] = ()  # destination partitionBy
     dedup_keys: tuple[str, ...] = ()  # idempotent-append keys
@@ -189,13 +193,18 @@ class ParquetExtractor:
 
     def _resolve_custom_query(self, table: TableConfig) -> str | None:
         # reference __init__.py:45-54
+        sql = None
         if table.custom_query:
-            return table.custom_query
-        if table.custom_query_file:
+            sql = table.custom_query
+        elif table.custom_query_file:
             base = self.sql_dir or os.path.join(os.getcwd(), "sql")
             with open(os.path.join(base, table.custom_query_file)) as f:
-                return f.read()
-        return None
+                sql = f.read()
+        if sql is not None and table.custom_query_dialect == "clickhouse":
+            from .ch_dialect import translate
+
+            sql = translate(sql)
+        return sql
 
     def _read_source(
         self,
