@@ -192,6 +192,18 @@ _RENAMES = {
     "countIf": "count_if",
     "lcase": "lower",
     "ucase": "upper",
+    "arrayDistinct": "array_distinct",
+    "arrayReverse": "reverse",
+    "arrayConcat": "concat",
+    "indexOf": "array_position",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "substringUTF8": "substring",
+    "lengthUTF8": "length",
+    "ifNull": "ifnull",
+    "assumeNotNull": "",
 }
 
 _CASTS = {
@@ -295,6 +307,94 @@ def _translate_functions(sql: str) -> str:
         out,
         "toYYYYMM",
         lambda a: f"CAST(date_format({a[0]}, 'yyyyMM') AS INT)",
+    )
+
+    # higher-order array functions: ClickHouse puts the lambda FIRST
+    # (arrayMap(x -> …, arr)); Spark puts it last. Lambda syntax itself
+    # (x -> expr) is identical in both dialects.
+    for ch, spark_name in (
+        ("arrayMap", "transform"),
+        ("arrayFilter", "filter"),
+        ("arrayExists", "exists"),
+        ("arrayAll", "forall"),
+    ):
+        out = _rewrite_calls(
+            out,
+            ch,
+            lambda a, s=spark_name: f"{s}({', '.join(a[1:])}, {a[0]})",
+        )
+
+    # arraySort(arr) renames; the key-lambda form has no Spark
+    # equivalent (array_sort takes a two-arg comparator, not a key)
+    def _array_sort(a: list[str]) -> str:
+        if len(a) > 1 or "->" in a[0]:
+            raise ChDialectError(
+                "arraySort with a key lambda has no direct Spark "
+                "equivalent; sort a struct projection instead"
+            )
+        return f"array_sort({a[0]})"
+
+    out = _rewrite_calls(out, "arraySort", _array_sort)
+
+    # arrayStringConcat(arr[, sep]) → array_join(arr, sep)
+    out = _rewrite_calls(
+        out,
+        "arrayStringConcat",
+        lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})",
+    )
+
+    # empty/notEmpty (arrays; ClickHouse also applies them to strings —
+    # size() returns -1 for NULL either way, so the comparison is safe)
+    out = _rewrite_calls(out, "notEmpty", lambda a: f"(size({a[0]}) > 0)")
+    out = _rewrite_calls(out, "empty", lambda a: f"(size({a[0]}) = 0)")
+
+    # date arithmetic: addDays(x, n) → timestampadd(DAY, n, x), etc.
+    for ch, unit in (
+        ("addSeconds", "SECOND"),
+        ("addMinutes", "MINUTE"),
+        ("addHours", "HOUR"),
+        ("addDays", "DAY"),
+        ("addWeeks", "WEEK"),
+        ("addMonths", "MONTH"),
+        ("addYears", "YEAR"),
+    ):
+        out = _rewrite_calls(
+            out, ch, lambda a, u=unit: f"timestampadd({u}, {a[1]}, {a[0]})"
+        )
+        sub = "subtract" + ch[3:]
+        out = _rewrite_calls(
+            out, sub, lambda a, u=unit: f"timestampadd({u}, -({a[1]}), {a[0]})"
+        )
+
+    # dateDiff('day', a, b) → timestampdiff(DAY, a, b)
+    def _date_diff(a: list[str]) -> str:
+        unit = a[0].strip().strip("'\"").upper()
+        return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+
+    out = _rewrite_calls(out, "dateDiff", _date_diff)
+
+    # regex / prefix predicates
+    out = _rewrite_calls(out, "match", lambda a: f"({a[0]} RLIKE {a[1]})")
+
+    # JSON extraction: JSONExtractString(j, 'k') → get_json_object
+    out = _rewrite_calls(
+        out,
+        "JSONExtractString",
+        lambda a: f"get_json_object({a[0]}, concat('$.', {a[1]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "JSONExtractInt",
+        lambda a: (
+            f"CAST(get_json_object({a[0]}, concat('$.', {a[1]})) AS BIGINT)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "JSONExtractFloat",
+        lambda a: (
+            f"CAST(get_json_object({a[0]}, concat('$.', {a[1]})) AS DOUBLE)"
+        ),
     )
 
     # plain renames last (uniqExact before uniq is handled by dict

@@ -203,3 +203,72 @@ def test_ansi_passthrough(spark):
     sql = """SELECT event_type, count(*) AS n FROM events
              WHERE value BETWEEN 10 AND 20 GROUP BY event_type"""
     assert translate(sql).strip() == sql.strip()
+
+
+# ---- extended subset -------------------------------------------------------
+
+
+def test_array_lambdas_and_helpers(spark):
+    _same(
+        spark,
+        """SELECT arrayMap(x -> x * 2, sequence(1, 3)) AS m,
+                  arrayFilter(x -> x > 1, sequence(1, 3)) AS f,
+                  arrayExists(x -> x = 2, sequence(1, 3)) AS e,
+                  arrayAll(x -> x > 0, sequence(1, 3)) AS al,
+                  arrayDistinct(array(1, 1, 2)) AS d,
+                  arrayReverse(sequence(1, 3)) AS r,
+                  indexOf(sequence(5, 7), 6) AS idx,
+                  arraySort(array(3, 1, 2)) AS srt,
+                  arrayStringConcat(array('a', 'b'), '-') AS joined,
+                  empty(array()) AS is_empty,
+                  notEmpty(array(1)) AS non_empty
+           FROM events WHERE event_id = 1""",
+        """SELECT transform(sequence(1, 3), x -> x * 2) AS m,
+                  filter(sequence(1, 3), x -> x > 1) AS f,
+                  exists(sequence(1, 3), x -> x = 2) AS e,
+                  forall(sequence(1, 3), x -> x > 0) AS al,
+                  array_distinct(array(1, 1, 2)) AS d,
+                  reverse(sequence(1, 3)) AS r,
+                  array_position(sequence(5, 7), 6) AS idx,
+                  array_sort(array(3, 1, 2)) AS srt,
+                  array_join(array('a', 'b'), '-') AS joined,
+                  (size(array()) = 0) AS is_empty,
+                  (size(array(1)) > 0) AS non_empty
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_date_arithmetic(spark):
+    _same(
+        spark,
+        """SELECT addDays(ts, 3) AS d3, subtractHours(ts, 2) AS h2,
+                  addMonths(ts, 1) AS m1,
+                  dateDiff('day', ts, addDays(ts, 10)) AS dd
+           FROM events WHERE event_id < 50""",
+        """SELECT timestampadd(DAY, 3, ts) AS d3,
+                  timestampadd(HOUR, -(2), ts) AS h2,
+                  timestampadd(MONTH, 1, ts) AS m1,
+                  timestampdiff(DAY, ts, timestampadd(DAY, 10, ts)) AS dd
+           FROM events WHERE event_id < 50""",
+    )
+
+
+def test_string_predicates_and_json(spark):
+    _same(
+        spark,
+        """SELECT startsWith(event_type, 'cl') AS sw,
+                  endsWith(event_type, 'ck') AS ew,
+                  match(event_type, '^c.*k$') AS m,
+                  JSONExtractInt(props, 'k') AS k
+           FROM events WHERE event_id < 50""",
+        """SELECT startswith(event_type, 'cl') AS sw,
+                  endswith(event_type, 'ck') AS ew,
+                  (event_type RLIKE '^c.*k$') AS m,
+                  CAST(get_json_object(props, concat('$.', 'k')) AS BIGINT) AS k
+           FROM events WHERE event_id < 50""",
+    )
+
+
+def test_array_sort_lambda_raises():
+    with pytest.raises(ChDialectError, match="arraySort"):
+        translate("SELECT arraySort(x -> -x, arr) FROM t")
