@@ -863,3 +863,96 @@ def ch_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsum_micro",
         "dcount_micro",
     )
+
+
+# milli-resolution quantizer for the 3rd/4th-moment sums: at 1e-6 the
+# 4th powers of ~2e8-scale longs would overflow decimal(38,0); at 1e-3
+# the sums stay < 1e27 for any realistic group size.
+_Q3 = (
+    "CAST(TRUNC(({x}) * 1000"
+    " + (CASE WHEN ({x}) >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT)"
+)
+
+
+@register(
+    "ch_skew_kurt",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q3.format(x='value')} AS v FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(v) AS s1,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2,
+             SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,
+             SUM(CAST(v AS DECIMAL(38,0)) * v * v * v) AS s4
+      FROM q GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m
+    ),
+    k AS (
+      SELECT event_type, n, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+             r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+               AS m4
+      FROM c
+    )
+    SELECT event_type, n,
+           ROUND(m3 / POW(SQRT(m2), 3), 6) AS skew_pop,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurt_excess
+    FROM k
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` — population skewness and
+    excess kurtosis per group, from one pass of exact integer raw
+    moments (Σv, Σv², Σv³, Σv⁴ in decimal(38,0) over milli-quantized
+    values — the coarser 1e-3 grid keeps 4th-power sums inside
+    decimal range). The central-moment conversion and the final
+    normalizations are the identical IEEE chain in both engines over
+    those exact integers, so the rounded statistics are
+    bit-reproducible. Spark's own skewness()/kurtosis() builtins use
+    streaming float updates whose low bits differ from DuckDB's — the
+    moment-sum restatement is what makes this oracle-checkable.
+    POW(x, 3) on a nonneg base is exact-mirrored too (both engines
+    delegate to libm pow over identical doubles; the cube could also
+    be written x*x*x — kept as POW to match ClickHouse's formula).
+    One partial→final hash aggregate, O(groups) state."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("value") * 1000
+    v = (y + F.when(y >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
+    q = ev.select("event_type", v.alias("v"))
+    d38 = "decimal(38,0)"
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v").cast(d38) * F.col("v")).alias("s2"),
+        F.sum(F.col("v").cast(d38) * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(
+            F.col("v").cast(d38) * F.col("v") * F.col("v") * F.col("v")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    c = m.select("event_type", "n", mu.alias("mu"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    mu, r2, r3, r4 = F.col("mu"), F.col("r2"), F.col("r3"), F.col("r4")
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    return c.select(
+        "event_type",
+        "n",
+        F.round(m3 / F.pow(F.sqrt(m2), 3), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_excess"),
+    )
