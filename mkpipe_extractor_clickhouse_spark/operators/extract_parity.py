@@ -604,3 +604,47 @@ def x14_clickhouse_dialect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = ParquetExtractor(sf_dir).extract(table, spark)
     return result.df
+
+
+@register(
+    "x15_partitioned_destination",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    """,
+    tags=("S7", "S9", "P4", "EXT"),
+)
+def x15_partitioned_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned destination + pruned readback: events written
+    partitionBy(day), then read with a day-range predicate. The filter
+    prunes at the DIRECTORY level — Spark lists only the 3 matching
+    day=… partitions, the skipped days' files are never opened (the
+    same partition-pruning contract tests/test_partition_pruning.py
+    locks on the plan; this query proves the round-trip VALUES).
+    Partition columns come back as strings from directory names, so
+    day is re-cast; at 100 TB this layout is what makes incremental
+    backfills touch only their date range."""
+    workdir = tempfile.mkdtemp(prefix="x15_part_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    dest = os.path.join(workdir, "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(dest)
+    back = spark.read.parquet(dest)
+    return back.filter(
+        F.col("day").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("day").cast("date").alias("day"),
+    )

@@ -195,3 +195,34 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", (F.col("frame_idx") * 64).alias("byte_offset")
     )
+
+
+@register(
+    "m4_payload_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS payload_hash FROM documents
+    )
+    SELECT payload_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM h GROUP BY payload_hash
+    HAVING COUNT(*) > 1
+    """,
+    tags=("L1", "EXT", "multimodal", "dedup"),
+)
+def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact multimodal dedup — the first pass any image/audio
+    corpus runs: hash the OPAQUE binary payload (never decode it),
+    group by digest, keep the lowest doc_id per duplicate set. The
+    hash is computed payload-side (md5 over the blob bytes), so the
+    operator works for any modality; the oracle recomputes the same
+    digest from the text the fixture blobs encode. 16-byte shuffle
+    key regardless of payload size — the l1 economics on binary
+    columns. At 100 TB, hashing rides the scan and only digests move."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    h = blobs.select("doc_id", F.md5("blob").alias("payload_hash"))
+    return (
+        h.groupBy("payload_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
