@@ -183,3 +183,72 @@ def l47_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
         n.alias("n_words"),
     )
+
+
+PPB = 1_000_000_000
+
+
+@register(
+    "l52_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cxy AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    cx AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+    vocab AS (SELECT COUNT(*) AS v FROM cx)
+    SELECT bi.doc_id,
+           COUNT(*) AS n_bigrams,
+           (SUM(((c12 + 1) * {PPB}) // (c1 + v)) // COUNT(*))
+             AS mean_cond_prob_ppb
+    FROM bi
+    JOIN cxy ON bi.w1 = cxy.w1 AND bi.w2 = cxy.w2
+    JOIN cx ON bi.w1 = cx.w
+    CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """,
+    tags=("L8", "EXT", "quality"),
+)
+def l52_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — each document's mean smoothed
+    conditional probability P(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V) under
+    the corpus's own bigram model (add-one smoothing). The
+    second-order upgrade of l35's unigram signal: repetitive or
+    scrambled documents score high/low where a unigram model cannot
+    tell them apart. All arithmetic is exact integer parts-per-billion
+    with floor division mirrored on both engines — no logs, no floats,
+    no quantization slack. Shapes: one explode→count per model table,
+    then bigram-level dictionary joins (vocabulary-sized, AQE
+    broadcasts) and a per-doc aggregation — the l6/l19 economics."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
+    bi = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    uni = d.select(F.explode(toks).alias("w"))
+    cxy = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cx = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = cx.agg(F.count("*").alias("v"))
+    j = (
+        bi.join(cxy, ["w1", "w2"])
+        .join(cx.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(vocab))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr(f"sum(((c12 + 1) * {PPB}) DIV (c1 + v)) DIV count(*)").alias(
+            "mean_cond_prob_ppb"
+        ),
+    )
