@@ -648,3 +648,98 @@ def x15_partitioned_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("day").cast("date").alias("day"),
     )
+
+
+@register(
+    "x16_manifest_merge",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN year(o_orderdate) = 1998
+                THEN o_totalprice + 500.0 ELSE o_totalprice END
+             AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 1000 = 7
+    """,
+    tags=("S7", "S8", "EXT", "merge"),
+)
+def x16_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the manifest table (copy-on-write): load orders,
+    then merge a source batch carrying (a) every 1998 order repriced
+    (matched → update) and (b) a synthetic new-key slice (not matched
+    → insert). The read-back must equal "orders with 1998 repriced
+    plus the inserts" — proving both MERGE arms and snapshot
+    atomicity through the optimistic-retry publish. Time travel to
+    the pre-merge version keeps working (tests cover it); the oracle
+    checks the post-merge head."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x16_merge_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(os.path.join(workdir, "orders"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    full = load_table(spark, sf_dir, "orders")
+    t.commit_overwrite(orders)
+    updates = (
+        full.filter(F.year("o_orderdate") == 1998)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+        )
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    t.merge(spark, updates.unionByName(inserts), keys=("o_orderkey",))
+    return t.read(spark)
+
+
+@register(
+    "x17_stats_pruned_read",
+    oracle="""
+    SELECT * FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-14 23:59:59'
+    """,
+    tags=("S1", "P4", "EXT", "pruning"),
+)
+def x17_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone maps end-to-end: events land in four date-ranged
+    append batches with per-batch ts min/max recorded in the manifest
+    (read from parquet footers at commit — no extra scan), then a
+    5-day range read goes through read_pruned, which opens ONLY the
+    batch dirs whose range can intersect (tests assert ≥2 of 4 dirs
+    are skipped). The oracle is the plain filtered table, so the
+    hash-match proves skipping loses no rows — the Iceberg
+    min/max-skipping model at directory granularity, which at 100 TB
+    turns a time-bounded backfill from a full scan into a handful of
+    directory opens."""
+    from datetime import datetime
+
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x17_zone_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(os.path.join(workdir, "events"), stats_cols=("ts",))
+    ev = load_table(spark, sf_dir, "events")
+    bounds = [None, "2024-01-08", "2024-01-15", "2024-01-22", None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        t.commit_append(chunk)
+    return t.read_pruned(
+        spark,
+        "ts",
+        lo=datetime(2024, 1, 10),
+        hi=datetime(2024, 1, 14, 23, 59, 59),
+    )

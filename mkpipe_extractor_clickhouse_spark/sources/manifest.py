@@ -56,9 +56,23 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first; retry from head."""
 
 
+def _json_safe(v):
+    """min/max values → JSON-storable, order-preserving encodings.
+    Timestamps become ISO-8601 strings (lexicographic order == time
+    order for a fixed format); numbers pass through."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 class ManifestedTable:
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, stats_cols: tuple[str, ...] = ()):
         self.table_dir = table_dir
+        # Columns whose per-batch min/max land in the manifest (zone
+        # maps): commits compute them once, reads prune whole batch
+        # dirs whose range cannot match a predicate — the Iceberg
+        # metadata-skipping model at directory granularity.
+        self.stats_cols = tuple(stats_cols)
         os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
 
     # ---- snapshot bookkeeping -------------------------------------
@@ -100,12 +114,48 @@ class ManifestedTable:
         )
         return name
 
+    def _compute_stats(self, name: str) -> dict:
+        """Per-batch min/max zone maps for ``stats_cols``, read from
+        the staged batch's parquet FOOTERS — driver-side metadata
+        only, no Spark job and no second scan of the data."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        batch_dir = os.path.join(self.table_dir, name)
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for fname in os.listdir(batch_dir):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(batch_dir, fname))
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    cname = col.path_in_schema
+                    if cname not in self.stats_cols:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if cname not in mins or st.min < mins[cname]:
+                        mins[cname] = st.min
+                    if cname not in maxs or st.max > maxs[cname]:
+                        maxs[cname] = st.max
+        return {
+            c: [_json_safe(mins[c]), _json_safe(maxs[c])]
+            for c in mins
+            if c in maxs
+        }
+
     def _publish(
         self,
         dirs: list[str],
         op: str,
         meta: dict,
         parent: int | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Atomic version publish. ``parent`` pins the snapshot this
         commit replaces: the target name becomes v(parent+1), so ANY
@@ -136,6 +186,11 @@ class ManifestedTable:
                     "op": op,
                     "dirs": dirs,
                     "meta": meta,
+                    "stats": {
+                        d: s
+                        for d, s in (stats or {}).items()
+                        if d in dirs and s
+                    },
                 },
                 f,
             )
@@ -152,10 +207,13 @@ class ManifestedTable:
         """Stage + publish head∪batch; retries version conflicts (the
         staged data is reused — only the metadata rename re-runs)."""
         name = self.stage_batch(df)
+        new_stats = self._compute_stats(name)
         while True:
-            dirs = self.manifest()["dirs"] + [name]
+            head = self.manifest()
+            dirs = head["dirs"] + [name]
+            stats = {**head.get("stats", {}), name: new_stats}
             try:
-                return self._publish(dirs, "append", meta or {})
+                return self._publish(dirs, "append", meta or {}, stats=stats)
             except CommitConflict:
                 continue  # re-read head, keep our batch dir
 
@@ -164,9 +222,12 @@ class ManifestedTable:
         metadata-only table replacement; old data remains for time
         travel until vacuum."""
         name = self.stage_batch(df)
+        stats = {name: self._compute_stats(name)}
         while True:
             try:
-                return self._publish([name], "overwrite", meta or {})
+                return self._publish(
+                    [name], "overwrite", meta or {}, stats=stats
+                )
             except CommitConflict:
                 continue
 
@@ -255,10 +316,119 @@ class ManifestedTable:
         # version file name; on conflict, abandon the orphan dir (for
         # vacuum) — the next compaction run picks up the new head.
         try:
-            return self._publish([name], "compact", {}, parent=base)
+            return self._publish(
+                [name],
+                "compact",
+                {},
+                parent=base,
+                stats={name: self._compute_stats(name)},
+            )
         except CommitConflict:
             shutil.rmtree(os.path.join(self.table_dir, name))
             return self.head_version()
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: tuple[str, ...],
+        meta: dict | None = None,
+    ) -> int:
+        """MERGE INTO (upsert): source rows REPLACE current rows with
+        the same key (matched → update), unmatched source rows insert.
+        Copy-on-write, the Delta/Iceberg CoW model: the merged snapshot
+        is staged as a fresh batch and published with ``parent``
+        pinned to the snapshot it merged against — a concurrent append
+        between our read and publish collides on the version name and
+        the merge retries against the new head (staged data from the
+        failed attempt is left for vacuum). Readers always see either
+        the pre-merge or the post-merge snapshot, never a mix.
+
+        Scale note: CoW rewrites the whole snapshot, the right trade
+        for merge-heavy-but-small tables (dimensions, state). For fact
+        tables, partition-scope the rewrite (sources/merge.py does
+        this for the plain parquet loader) or layer the x9
+        merge-on-read view and compact lazily."""
+        keep_keys = list(keys)
+        while True:
+            base = self.head_version()
+            current = self.read(spark)
+            if current is None:
+                merged = source
+            else:
+                remaining = current.join(
+                    source.select(*keep_keys).distinct(), keep_keys, "left_anti"
+                )
+                merged = remaining.unionByName(source)
+            name = self.stage_batch(merged)
+            try:
+                return self._publish(
+                    [name],
+                    "merge",
+                    meta or {},
+                    parent=base,
+                    stats={name: self._compute_stats(name)},
+                )
+            except CommitConflict:
+                shutil.rmtree(os.path.join(self.table_dir, name))
+                continue  # re-read the new head and re-merge
+
+    # ---- metadata skipping (zone maps) -----------------------------
+
+    def prune_dirs(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Split a snapshot's batch dirs into (kept, skipped) for a
+        range predicate ``lo <= col <= hi`` using the manifest's
+        per-batch min/max. A dir is skipped only when its recorded
+        range PROVABLY cannot intersect the query range; dirs without
+        stats are always kept (skipping is an optimization, never a
+        filter). Bounds are compared in the same encoding the stats
+        were stored in (_json_safe: timestamps as ISO strings)."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        lo_k = _json_safe(lo) if lo is not None else None
+        hi_k = _json_safe(hi) if hi is not None else None
+        kept, skipped = [], []
+        for d in m["dirs"]:
+            rng = stats.get(d, {}).get(col)
+            if rng is None:
+                kept.append(d)
+                continue
+            mn, mx = rng
+            if (hi_k is not None and mn > hi_k) or (
+                lo_k is not None and mx < lo_k
+            ):
+                skipped.append(d)
+            else:
+                kept.append(d)
+        return kept, skipped
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """Snapshot read that opens ONLY the batch dirs whose zone map
+        can match ``lo <= col <= hi`` — manifest-level file skipping on
+        top of parquet's own row-group pruning. The predicate is still
+        applied to the surviving rows (stats skip, they do not
+        filter)."""
+        from pyspark.sql import functions as F
+
+        kept, _ = self.prune_dirs(col, lo, hi, version)
+        if not kept:
+            return None
+        paths = [os.path.join(self.table_dir, d) for d in kept]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0

@@ -167,7 +167,7 @@ def test_compact_content_identical_and_conflict_safe(spark, mt):
     base = mt.head_version()
     orig_publish = mt._publish
 
-    def racing_publish(dirs, op, meta, parent=None):
+    def racing_publish(dirs, op, meta, parent=None, stats=None):
         if op == "compact":
             orig_publish(
                 mt.manifest()["dirs"]
@@ -254,3 +254,122 @@ def test_read_with_commit_seq_stamps_manifest_versions(spark, mt):
     df = mt.read_with_commit_seq(spark)
     seqs = {r.v: r._commit_seq for r in df.collect()}
     assert seqs == {"old": 1, "new": 2}
+
+
+# ---- round-3 continuation: zone maps + MERGE ------------------------------
+
+
+def test_zone_map_stats_recorded_and_pruned(spark, sf_dir, tmp_path):
+    from datetime import datetime
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+    from pyspark.sql import functions as F
+
+    t = ManifestedTable(str(tmp_path / "events"), stats_cols=("ts", "event_id"))
+    ev = load_table(spark, sf_dir, "events")
+    bounds = [None, "2024-01-08", "2024-01-15", "2024-01-22", None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        t.commit_append(chunk)
+
+    m = t.manifest()
+    assert len(m["dirs"]) == 4
+    # every batch carries min/max for both stats columns
+    for d in m["dirs"]:
+        assert set(m["stats"][d]) == {"ts", "event_id"}
+
+    kept, skipped = t.prune_dirs(
+        "ts", lo=datetime(2024, 1, 16), hi=datetime(2024, 1, 18)
+    )
+    # a 3-day window inside batch 3 must skip at least the other three
+    assert len(skipped) >= 3 and len(kept) >= 1
+
+    # pruned read returns exactly the filtered rows
+    got = t.read_pruned(
+        spark, "ts", lo=datetime(2024, 1, 16), hi=datetime(2024, 1, 18)
+    ).count()
+    want = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp_ntz"))
+        & (F.col("ts") <= F.lit("2024-01-18").cast("timestamp_ntz"))
+    ).count()
+    assert got == want
+
+    # dirs without stats are always kept (skip is an optimization)
+    kept2, skipped2 = t.prune_dirs("value", lo=0, hi=1)
+    assert kept2 == m["dirs"] and not skipped2
+
+
+def test_merge_updates_inserts_and_time_travel(spark, tmp_path):
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    t = ManifestedTable(str(tmp_path / "dim"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k INT, name STRING, v DOUBLE",
+    )
+    v1 = t.commit_overwrite(base)
+    src = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k INT, name STRING, v DOUBLE"
+    )
+    v2 = t.merge(spark, src, keys=("k",))
+    assert v2 == v1 + 1
+
+    rows = {r.k: (r.name, r.v) for r in t.read(spark).collect()}
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b2", 99.0),  # matched → updated
+        3: ("c", 30.0),
+        4: ("d", 40.0),  # not matched → inserted
+    }
+    # time travel to the pre-merge snapshot still works
+    old = {r.k: r.v for r in t.read(spark, version=v1).collect()}
+    assert old == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert t.manifest()["op"] == "merge"
+
+
+def test_merge_retries_on_concurrent_append(spark, tmp_path):
+    """A commit published between merge's read and publish must not be
+    lost: the merge retries against the new head."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    t = ManifestedTable(str(tmp_path / "dim"))
+    t.commit_overwrite(
+        spark.createDataFrame([(1, 10.0)], "k INT, v DOUBLE")
+    )
+
+    # interleave: after merge reads the head, another writer appends
+    real_publish = t._publish
+    raced = {"done": False}
+
+    def racing_publish(dirs, op, meta, parent=None, stats=None):
+        if op == "merge" and not raced["done"]:
+            raced["done"] = True
+            t.commit_append(
+                spark.createDataFrame([(7, 70.0)], "k INT, v DOUBLE")
+            )
+        return real_publish(dirs, op, meta, parent=parent, stats=stats)
+
+    t._publish = racing_publish
+    try:
+        t.merge(
+            spark,
+            spark.createDataFrame([(1, 11.0)], "k INT, v DOUBLE"),
+            keys=("k",),
+        )
+    finally:
+        t._publish = real_publish
+
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    # both the racing append (k=7) and the merge update (k=1) survive
+    assert rows == {1: 11.0, 7: 70.0}
