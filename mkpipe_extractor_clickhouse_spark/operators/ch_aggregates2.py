@@ -956,3 +956,163 @@ def ch_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(F.sqrt(m2), 3), 6).alias("skew_pop"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_excess"),
     )
+
+
+@register(
+    "ch_simple_linreg",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             {_Q.format(x='value')} AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 1000000.0, 6) AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE))
+                 / n / 1000000.0, 6) AS intercept
+    FROM m
+    """,
+    tags=("A10", "EXT"),
+)
+def ch_simple_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` — per-group
+    least-squares slope and intercept of value against the day index
+    (trend-per-day, the drift detector behind metric monitoring).
+    Integer moments (x = whole days from a fixed epoch, y = quantized
+    micros; Σx², Σxy in decimal) from ONE partial→final aggregate;
+    the closed-form slope/intercept chain is the identical IEEE tree
+    in both engines over those exact integers. O(groups) state."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+        _quantize("value").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope / 1_000_000.0, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n / 1_000_000.0, 6).alias("intercept"),
+    )
+
+
+@register(
+    "ch_covar",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             {_Q.format(x='l_quantity')} AS x,
+             {_Q.format(x='l_extendedprice')} AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(sxy AS DOUBLE) / 1000000000000.0
+                  - (CAST(sx AS DOUBLE) / 1000000.0)
+                    * (CAST(sy AS DOUBLE) / 1000000.0) / n) / n, 6)
+             AS covar_pop,
+           ROUND((CAST(sxy AS DOUBLE) / 1000000000000.0
+                  - (CAST(sx AS DOUBLE) / 1000000.0)
+                    * (CAST(sy AS DOUBLE) / 1000000.0) / n) / (n - 1), 6)
+             AS covar_samp
+    FROM m
+    """,
+    tags=("A10", "EXT"),
+)
+def ch_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``covarPop`` / ``covarSamp`` per group from exact integer
+    moments — same discipline as ch_corr_matrix (Spark's builtin
+    covar_pop streams float updates whose low bits differ from
+    DuckDB's; the moment-sum restatement is what hash-matches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        _quantize("l_quantity").alias("x"),
+        _quantize("l_extendedprice").alias("y"),
+    )
+    m = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    css = F.col("sxy").cast("double") / 1_000_000_000_000.0 - (
+        F.col("sx").cast("double") / 1_000_000.0
+    ) * (F.col("sy").cast("double") / 1_000_000.0) / n
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(css / n, 6).alias("covar_pop"),
+        F.round(css / (n - 1), 6).alias("covar_samp"),
+    )
+
+
+@register(
+    "ch_majority",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY user_id) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           MAX(CASE WHEN cnt * 2 > n THEN event_type END) AS majority_type,
+           MAX(n) AS n_events
+    FROM c GROUP BY user_id
+    """,
+    tags=("A2", "A11", "EXT"),
+)
+def ch_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``anyHeavy`` made exact: the strict-majority element
+    per user (the value occurring in > half the rows), NULL when none
+    exists. anyHeavy's Boyer-Moore sketch returns SOME frequent value
+    with no guarantee — useless under a differential oracle — so this
+    is the deterministic contract a user actually wants from it: at
+    most one value can hold a strict majority, so the aggregation is
+    well-defined without tie-break rules. Two mergeable hash
+    aggregates, O(types) state."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    c = c.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    return c.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("cnt") * 2 > F.col("n"), F.col("event_type"))
+        ).alias("majority_type"),
+        F.max("n").alias("n_events"),
+    )
