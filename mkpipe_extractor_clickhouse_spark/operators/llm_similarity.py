@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DSUM
+from ._determinism import DSUM, _Q, _quantize
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -805,3 +805,120 @@ def l34_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= HARD_NEG_K)
+
+
+@register(
+    "l53_embedding_outliers",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label, i,
+             CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                    AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE) AS c
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    dims AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    d AS (
+      SELECT vec_id, dims.label,
+             SUM({_Q.format(x='(x - c) * (x - c)')}) AS d2q
+      FROM dims JOIN cent ON dims.label = cent.label AND dims.i = cent.i
+      GROUP BY vec_id, dims.label
+    ),
+    s AS (
+      SELECT label, COUNT(*) AS n, SUM(d2q) AS sq,
+             SUM(CAST(d2q AS DECIMAL(38,0)) * d2q) AS ssq
+      FROM d GROUP BY label
+    ),
+    t AS (
+      SELECT label, n,
+             CAST(sq AS DOUBLE) / 1000000.0 / n AS mean_d2,
+             SQRT((CAST(ssq AS DOUBLE) / 1000000000000.0
+                   - (CAST(sq AS DOUBLE) / 1000000.0)
+                     * (CAST(sq AS DOUBLE) / 1000000.0) / n) / (n - 1))
+               AS std_d2
+      FROM s
+    )
+    SELECT d.label, MAX(t.n) AS n_vecs,
+           SUM(CASE WHEN CAST(d2q AS DOUBLE) / 1000000.0
+                         > mean_d2 + 3 * std_d2 THEN 1 ELSE 0 END)
+             AS outliers,
+           ROUND(MAX(mean_d2), 6) AS mean_d2,
+           ROUND(MAX(std_d2), 6) AS std_d2
+    FROM d JOIN t ON d.label = t.label
+    GROUP BY d.label
+    """,
+    tags=("L9", "L3", "EXT", "dq"),
+)
+def l53_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screening — per label: squared L2
+    distance of every vector to its label centroid, then a one-sided
+    3σ count (mislabeled / corrupt embedding detector, the dq2 rule
+    lifted into vector space). Determinism: centroids use the l9
+    decimal-sum convention; per-dimension (x−c)² addends are
+    quantized before the 64-dim sum (a raw float sum over dims would
+    associate differently per engine); the distance moments reuse the
+    dq2 integer discipline. Shapes: dims explode to a (label, dim)
+    dictionary join (≤ labels·64 rows, broadcast), one vec-level
+    aggregate, one label-level aggregate — all partial→final, no
+    all-pairs anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = dims.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        )
+        .cast("double")
+        .alias("c")
+    )
+    d = (
+        dims.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                _quantize((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            ).alias("d2q")
+        )
+    )
+    s = d.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("d2q").alias("sq"),
+        F.sum(F.col("d2q").cast("decimal(38,0)") * F.col("d2q")).alias("ssq"),
+    )
+    mean_d2 = F.col("sq").cast("double") / 1_000_000.0 / F.col("n")
+    std_d2 = F.sqrt(
+        (
+            F.col("ssq").cast("double") / 1_000_000_000_000.0
+            - (F.col("sq").cast("double") / 1_000_000.0)
+            * (F.col("sq").cast("double") / 1_000_000.0)
+            / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    t = s.select(
+        "label", "n", mean_d2.alias("mean_d2"), std_d2.alias("std_d2")
+    )
+    j = d.join(F.broadcast(t), "label")
+    flag = (
+        F.col("d2q").cast("double") / 1_000_000.0
+        > F.col("mean_d2") + 3 * F.col("std_d2")
+    ).cast("long")
+    return j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(flag).alias("outliers"),
+        F.round(F.max("mean_d2"), 6).alias("mean_d2"),
+        F.round(F.max("std_d2"), 6).alias("std_d2"),
+    )
