@@ -417,7 +417,11 @@ def _translate_functions(sql: str) -> str:
 # clause surgery
 # ---------------------------------------------------------------------------
 
-_FINAL_RE = re.compile(r"\bFINAL\b", re.IGNORECASE)
+_FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)\s+FINAL\b", re.IGNORECASE)
+_SETTINGS_RE = re.compile(
+    r"\bSETTINGS\s+\w+\s*=\s*[^,\s]+(\s*,\s*\w+\s*=\s*[^,\s]+)*",
+    re.IGNORECASE,
+)
 _SAMPLE_RE = re.compile(r"\bSAMPLE\s+[\d./]+", re.IGNORECASE)
 _PREWHERE_RE = re.compile(r"\bPREWHERE\b", re.IGNORECASE)
 _LIMIT_BY_RE = re.compile(
@@ -427,12 +431,32 @@ _LIMIT_BY_RE = re.compile(
 _ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
 
 
-def _translate_clauses(sql: str) -> str:
-    if _FINAL_RE.search(sql):
-        raise ChDialectError(
-            "FINAL depends on the table engine's dedup key; use the "
-            "ch_replacing_final / ch_collapsing_final operators instead"
+def _translate_clauses(
+    sql: str,
+    final_dedup_keys: tuple[str, ...] = (),
+    final_order_col: str | None = None,
+) -> str:
+    # execution-engine knobs have no Spark meaning; drop harmlessly
+    sql = _SETTINGS_RE.sub("", sql).rstrip()
+
+    m = _FINAL_RE.search(sql)
+    if m:
+        if not final_dedup_keys or not final_order_col:
+            raise ChDialectError(
+                "FINAL depends on the table engine's dedup key; either "
+                "configure dedup_keys + iterate_column on the table (the "
+                "translator then emulates ReplacingMergeTree FINAL) or "
+                "use the ch_replacing_final / ch_collapsing_final "
+                "operators instead"
+            )
+        tbl = m.group(1)
+        keys = ", ".join(final_dedup_keys)
+        sub = (
+            f"FROM (SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY {keys} ORDER BY {final_order_col} DESC) "
+            f"AS __rn FROM {tbl}) WHERE __rn = 1) {tbl}"
         )
+        sql = sql[: m.start()] + sub + sql[m.end() :]
     if _SAMPLE_RE.search(sql):
         raise ChDialectError(
             "SAMPLE k is engine-defined sampling; use the deterministic "
@@ -482,6 +506,17 @@ def _translate_clauses(sql: str) -> str:
     return sql
 
 
-def translate(sql: str) -> str:
-    """ClickHouse-dialect SQL → Spark SQL (documented subset)."""
-    return _translate_clauses(_translate_functions(sql))
+def translate(
+    sql: str,
+    final_dedup_keys: tuple[str, ...] = (),
+    final_order_col: str | None = None,
+) -> str:
+    """ClickHouse-dialect SQL → Spark SQL (documented subset).
+
+    ``final_dedup_keys`` + ``final_order_col`` let ``FROM t FINAL``
+    translate into a keep-latest-version dedup subquery (the
+    ReplacingMergeTree contract) using the key/version columns the
+    table config already declares; without them FINAL raises."""
+    return _translate_clauses(
+        _translate_functions(sql), final_dedup_keys, final_order_col
+    )

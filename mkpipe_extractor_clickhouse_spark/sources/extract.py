@@ -203,7 +203,13 @@ class ParquetExtractor:
         if sql is not None and table.custom_query_dialect == "clickhouse":
             from .ch_dialect import translate
 
-            sql = translate(sql)
+            # dedup_keys + iterate_column double as the ReplacingMergeTree
+            # (key, version) contract, letting `FROM t FINAL` translate.
+            sql = translate(
+                sql,
+                final_dedup_keys=table.dedup_keys,
+                final_order_col=table.iterate_column,
+            )
         return sql
 
     def _read_source(

@@ -272,3 +272,37 @@ def test_string_predicates_and_json(spark):
 def test_array_sort_lambda_raises():
     with pytest.raises(ChDialectError, match="arraySort"):
         translate("SELECT arraySort(x -> -x, arr) FROM t")
+
+
+def test_settings_stripped(spark):
+    _same(
+        spark,
+        """SELECT count(*) AS n FROM events SETTINGS max_threads = 8,
+           max_memory_usage = 1000000""",
+        "SELECT count(*) AS n FROM events",
+    )
+
+
+def test_final_with_configured_keys(spark):
+    # ReplacingMergeTree FINAL: keep the latest version per key
+    got = spark.sql(
+        translate(
+            """SELECT user_id, count(*) AS n FROM events FINAL
+               GROUP BY user_id""",
+            final_dedup_keys=("user_id",),
+            final_order_col="ts",
+        )
+    )
+    want = spark.sql(
+        """SELECT user_id, count(*) AS n FROM (
+             SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC) AS rn
+               FROM events) WHERE rn = 1)
+           GROUP BY user_id"""
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # every group deduped to exactly one row
+    assert all(r.n == 1 for r in got.collect())
