@@ -289,7 +289,14 @@ def _translate_functions(sql: str) -> str:
         lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
     )
 
-    out = _rewrite_calls(out, "intDiv", lambda a: f"({a[0]} DIV {a[1]})")
+    # Spark's DIV needs integral operands; ClickHouse's intDiv accepts
+    # floats (truncating them) — the casts reproduce that for the
+    # documented nonnegative range and are no-ops on integer inputs.
+    out = _rewrite_calls(
+        out,
+        "intDiv",
+        lambda a: f"(CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT))",
+    )
 
     def _multi_if(args: list[str]) -> str:
         if len(args) < 3 or len(args) % 2 == 0:
