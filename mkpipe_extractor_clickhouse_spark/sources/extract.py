@@ -69,6 +69,9 @@ class TableConfig:
     write_partitions: int | None = None
     partition_columns: tuple[str, ...] = ()  # destination partitionBy
     dedup_keys: tuple[str, ...] = ()  # idempotent-append keys
+    # columns whose per-batch min/max land in manifest zone maps (the
+    # ManifestLoader destination only; plain parquet loaders ignore it)
+    stats_columns: tuple[str, ...] = ()
     tags: tuple[str, ...] = ()  # selective execution (reference README.md:116)
     pass_on_error: bool = False
 

@@ -506,7 +506,10 @@ class ManifestLoader:
 
     def table(self, table: TableConfig) -> ManifestedTable:
         name = table.target_name or table.name
-        return ManifestedTable(os.path.join(self.dest_dir, f"{name}.mfst"))
+        return ManifestedTable(
+            os.path.join(self.dest_dir, f"{name}.mfst"),
+            stats_cols=getattr(table, "stats_columns", ()),
+        )
 
     def last_point(self, table: TableConfig) -> str | None:
         """Watermark of the newest commit that recorded one."""
@@ -562,14 +565,16 @@ class ManifestLoader:
             shutil.rmtree(os.path.join(mt.table_dir, name))
             return None
         meta = {"last_point": result.resolve_last_point()}
+        new_stats = mt._compute_stats(name)
         while True:
-            dirs = (
-                [name]
-                if result.write_mode == "overwrite"
-                else mt.manifest()["dirs"] + [name]
-            )
+            head = mt.manifest()
+            if result.write_mode == "overwrite":
+                dirs, stats = [name], {name: new_stats}
+            else:
+                dirs = head["dirs"] + [name]
+                stats = {**head.get("stats", {}), name: new_stats}
             try:
-                return mt._publish(dirs, result.write_mode, meta)
+                return mt._publish(dirs, result.write_mode, meta, stats=stats)
             except CommitConflict:
                 continue
 

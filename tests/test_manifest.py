@@ -373,3 +373,50 @@ def test_merge_retries_on_concurrent_append(spark, tmp_path):
     rows = {r.k: r.v for r in t.read(spark).collect()}
     # both the racing append (k=7) and the merge update (k=1) survive
     assert rows == {1: 11.0, 7: 70.0}
+
+
+def test_loader_records_zone_maps_per_tick(spark, sf_dir, tmp_path):
+    """An incremental pipeline with stats_columns configured gets zone
+    maps on every tick's batch for free (footer metadata, no extra
+    scan) — the seam a time-bounded backfill later prunes on."""
+    from mkpipe_extractor_clickhouse_spark.sources.extract import (
+        ParquetExtractor,
+        TableConfig,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestIncrementalRunner,
+        ManifestLoader,
+    )
+    from pyspark.sql import functions as F
+
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        dedup_keys=("event_id",),
+        stats_columns=("ts",),
+    )
+    loader = ManifestLoader(str(tmp_path))
+    runner = ManifestIncrementalRunner(
+        extractor=ParquetExtractor(sf_dir), loader=loader
+    )
+    for cutoff in ("2024-01-10", "2024-01-20", None):
+        sf = (
+            F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+            if cutoff
+            else None
+        )
+        runner.run_once(spark, table, source_filter=sf)
+
+    t = loader.table(table)
+    m = t.manifest()
+    with_stats = [d for d in m["dirs"] if m.get("stats", {}).get(d, {}).get("ts")]
+    assert len(with_stats) == len(m["dirs"]) >= 3
+    # and the zone map actually prunes an out-of-range read
+    from datetime import datetime
+
+    kept, skipped = t.prune_dirs(
+        "ts", lo=datetime(2024, 1, 25), hi=datetime(2024, 1, 31)
+    )
+    assert skipped  # the early ticks' batches cannot match
