@@ -306,3 +306,30 @@ def test_final_with_configured_keys(spark):
     )
     # every group deduped to exactly one row
     assert all(r.n == 1 for r in got.collect())
+
+
+def test_final_through_extractor(spark, sf_dir):
+    """End-to-end: a ClickHouse custom_query using FROM events FINAL
+    runs through the extractor when the table config declares the
+    (dedup key, version column) pair — the ReplacingMergeTree port."""
+    from mkpipe_extractor_clickhouse_spark.sources.extract import (
+        ParquetExtractor,
+        TableConfig,
+    )
+
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        dedup_keys=("user_id",),
+        custom_query=(
+            "SELECT count(*) AS n, uniqExact(user_id) AS users "
+            "FROM events FINAL"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    res = ParquetExtractor(sf_dir).extract(table, spark)
+    row = res.df.collect()[0]
+    # FINAL keeps exactly one (latest) row per user
+    assert row.n == row.users
