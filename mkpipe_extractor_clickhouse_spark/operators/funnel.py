@@ -455,3 +455,87 @@ def ch_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "ch_funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT s1.user_id, MIN(e.ts) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY s1.user_id
+    ),
+    s3 AS (
+      SELECT s2.user_id
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+      JOIN s1 ON s1.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY s2.user_id
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 
+      n1 AS reached_step1, n2 AS reached_step2, n3 AS reached_step3,
+      CAST(n2 * 1000000 // n1 AS BIGINT) AS conv_1_to_2_ppm,
+      CAST(n3 * 1000000 // GREATEST(n2, 1) AS BIGINT) AS conv_2_to_3_ppm,
+      CAST(n3 * 1000000 // n1 AS BIGINT) AS conv_overall_ppm
+    FROM c
+    """,
+    tags=("A7", "EXT", "funnel"),
+)
+def ch_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-rate report — the one-row summary a product
+    dashboard renders from windowFunnel levels: users reaching each
+    step of signup → click → purchase (7-day window, first-touch
+    anchor, same staged min-over-condition chain as ch_window_funnel)
+    and the step-to-step conversion rates in exact integer
+    parts-per-million (floor division, no float ratios to disagree
+    on). Each stage is a per-user broadcastable relation; the final
+    counts collapse to one row."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr("INTERVAL 7 DAY")
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(F.broadcast(s1), "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(F.broadcast(s2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    c = (
+        s1.agg(F.count("*").alias("n1"))
+        .join(s2.agg(F.count("*").alias("n2")))
+        .join(s3.agg(F.count("*").alias("n3")))
+    )
+    return c.select(
+        F.col("n1").alias("reached_step1"),
+        F.col("n2").alias("reached_step2"),
+        F.col("n3").alias("reached_step3"),
+        F.expr("n2 * 1000000 DIV n1").alias("conv_1_to_2_ppm"),
+        F.expr("n3 * 1000000 DIV greatest(n2, 1)").alias("conv_2_to_3_ppm"),
+        F.expr("n3 * 1000000 DIV n1").alias("conv_overall_ppm"),
+    )

@@ -327,3 +327,51 @@ def j11_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "j12_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN value < 50 THEN NULL
+                  ELSE CAST(TRUNC(value) AS BIGINT) // 50 END AS bucket
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT CASE WHEN value < 50 THEN NULL
+                  ELSE CAST(TRUNC(value) AS BIGINT) // 50 END AS bucket,
+             COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT a.event_id, a.bucket, b.n_purchases
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+    tags=("J1", "EXT"),
+)
+def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL-bucket rows MATCH each other instead of silently dropping —
+    the semantics dimension-key joins need when "unknown" is itself a
+    category. Spark's eqNullSafe keeps this a hash-joinable equality
+    (EqualNullSafe is an equi-join key, not a residual), so the plan
+    is a plain broadcast/shuffle hash join — no null-handling
+    nested-loop degradation. Bucket derivation truncates on both
+    sides identically (double→long cast ≡ DuckDB //)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") < 50, F.lit(None).cast("long")).otherwise(
+        (F.col("value").cast("bigint") / 50).cast("bigint")
+    )
+    a = ev.filter(F.col("event_type") == "click").select(
+        "event_id", bucket.alias("bucket")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return a.join(b, a.bucket.eqNullSafe(b.bucket)).select(
+        "event_id", a.bucket.alias("bucket"), "n_purchases"
+    )

@@ -123,3 +123,44 @@ def u5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "u6_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS id, o_totalprice AS amount,
+           o_orderpriority AS priority, NULL AS l_returnflag
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT l_orderkey AS id, l_extendedprice AS amount,
+           NULL AS priority, l_returnflag
+    FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1
+    """,
+    tags=("U1", "EXT", "schema-evolution"),
+)
+def u6_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — ``unionByName(allowMissingColumns)``:
+    two relations sharing only part of their schema combine by COLUMN
+    NAME with absent columns null-filled (the old-snapshot/new-snapshot
+    shape after an ALTER TABLE, and the only safe union for evolving
+    pipelines — positional UNION silently mis-aligns). The oracle
+    states the equivalent explicit NULL padding."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1))
+        .select(
+            F.col("l_orderkey").alias("id"),
+            F.col("l_extendedprice").alias("amount"),
+            "l_returnflag",
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True)

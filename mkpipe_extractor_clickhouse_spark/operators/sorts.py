@@ -70,3 +70,34 @@ def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+PAGE_SIZE = 50
+PAGE_NO = 3  # zero-based
+
+
+@register(
+    "o5_pagination",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {PAGE_SIZE} OFFSET {PAGE_NO * PAGE_SIZE}
+    """,
+    tags=("O1", "O2", "EXT"),
+)
+def o5_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination — page 4 of the order book by price.
+    Total order (price desc, key) makes every page deterministic.
+    Spark's offset() + limit() compile to a single
+    TakeOrderedAndProject of offset+limit rows (top-200 here), never a
+    global sort — the right shape as long as page_no stays shallow;
+    deep pagination should switch to keyset (WHERE (price, key) <
+    last_seen) which is the same top-k plan at any depth."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(PAGE_NO * PAGE_SIZE)
+        .limit(PAGE_SIZE)
+    )
