@@ -79,3 +79,29 @@ def test_temperature_mixture_broadcast_rates(spark, sf_dir):
     plan = plan_of("l46_temperature_mixture", spark, sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A fact table partitioned by day joined to a filtered dim must
+    plan a dynamicpruning subquery on the partition column — at scale
+    this is what keeps a dim-filtered star join from scanning every
+    fact partition."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    dest = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(dest)
+    fact = spark.read.parquet(dest)
+    dim = ev.select("day").distinct().filter(
+        F.col("day").between("2024-01-10", "2024-01-11")
+    )
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()
