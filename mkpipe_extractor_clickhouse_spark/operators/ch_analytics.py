@@ -530,3 +530,211 @@ def ch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("users_both"))
     )
+
+
+MARKOV_ITERS = 3
+
+
+@register(
+    "g1_markov_stationary",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, COUNT(*) AS c FROM ordered
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    p AS (
+      SELECT cur, nxt,
+             (c * 1000000) // SUM(c) OVER (PARTITION BY cur) AS p_ppm
+      FROM trans
+    ),
+    types AS (SELECT DISTINCT cur AS t FROM trans),
+    r0 AS (
+      SELECT t, 1000000 // (SELECT COUNT(*) FROM types) AS r FROM types
+    ),
+    r1 AS (
+      SELECT p.nxt AS t, SUM(r0.r * p.p_ppm) // 1000000 AS r
+      FROM r0 JOIN p ON p.cur = r0.t GROUP BY p.nxt
+    ),
+    r2 AS (
+      SELECT p.nxt AS t, SUM(r1.r * p.p_ppm) // 1000000 AS r
+      FROM r1 JOIN p ON p.cur = r1.t GROUP BY p.nxt
+    ),
+    r3 AS (
+      SELECT p.nxt AS t, SUM(r2.r * p.p_ppm) // 1000000 AS r
+      FROM r2 JOIN p ON p.cur = r2.t GROUP BY p.nxt
+    )
+    SELECT t AS event_type, r AS stationary_ppm FROM r3
+    """,
+    tags=("W3", "EXT", "graph"),
+)
+def g1_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain analysis of user journeys: the event-type
+    transition matrix (from consecutive per-user events) powered
+    through 3 iterations from a uniform start — the power-iteration
+    core of PageRank, landing on the near-stationary visit
+    distribution. EVERYTHING is integer: transition probabilities in
+    floor-ppm, rank mass in ppm, each iteration Σ r·p // 1e6 — so the
+    result is bit-identical across engines with no quantization slack.
+    Shapes: one window pass for transitions, then 3 joins over the
+    O(types²) matrix — iteration cost is independent of the fact
+    table; the same unrolled-iteration pattern runs PageRank on any
+    edge list (l18's CC machinery is the unbounded-iteration
+    variant)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        ordered.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    p = trans.select(
+        "cur",
+        "nxt",
+        F.expr(
+            "(c * 1000000) DIV sum(c) OVER (PARTITION BY cur)"
+        ).alias("p_ppm"),
+    )
+    types = trans.select(F.col("cur").alias("t")).distinct()
+    k = types.count()  # O(types) driver-side scalar, like ch_dict_get
+    r = types.select("t", F.lit(1_000_000 // k).alias("r"))
+    for _ in range(MARKOV_ITERS):
+        r = (
+            r.join(F.broadcast(p), r.t == p.cur)
+            .groupBy(F.col("nxt").alias("t2"))
+            .agg(F.expr("sum(r * p_ppm) DIV 1000000").alias("r"))
+            .withColumnRenamed("t2", "t")
+        )
+    return r.select(F.col("t").alias("event_type"), F.col("r").alias("stationary_ppm"))
+
+
+INTERP_MIN_VALUE = 180.0  # high-value events → sparse (type, day) grid
+
+
+@register(
+    "ts1_linear_interpolate",
+    oracle=f"""
+    WITH actual AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM({_Q.format(x='value')}) AS yq
+      FROM events WHERE value >= {INTERP_MIN_VALUE}
+      GROUP BY event_type, d
+    ),
+    span AS (
+      SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+      FROM actual GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, CAST(UNNEST(generate_series(s.mn, s.mx)) AS BIGINT) AS d
+      FROM span s
+    ),
+    joined AS (
+      SELECT g.event_type, g.d, a.yq FROM grid g
+      LEFT JOIN actual a ON a.event_type = g.event_type AND a.d = g.d
+    ),
+    bounds AS (
+      SELECT event_type, d, yq,
+        LAST_VALUE(yq IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+        LAST_VALUE(CASE WHEN yq IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d0,
+        FIRST_VALUE(yq IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1,
+        FIRST_VALUE(CASE WHEN yq IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1
+      FROM joined
+    )
+    SELECT event_type, d AS day_index,
+           ROUND(CASE
+             WHEN yq IS NOT NULL THEN CAST(yq AS DOUBLE) / 1000000.0
+             ELSE (CAST(y0 AS DOUBLE)
+                   + CAST(y1 - y0 AS DOUBLE) * CAST(d - d0 AS DOUBLE)
+                     / CAST(d1 - d0 AS DOUBLE)) / 1000000.0
+           END, 6) AS value_interp,
+           (yq IS NULL) AS interpolated
+    FROM bounds
+    """,
+    tags=("W4", "W7", "EXT", "timeseries"),
+)
+def ts1_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — the
+    companion to ch_with_fill_interpolate's carry-forward: missing
+    days on the daily grid get y0 + (y1−y0)·(d−d0)/(d1−d0) between
+    the surrounding known points. Determinism: daily sums are
+    quantized longs, day indexes are ints, so the lerp is ONE
+    mirrored IEEE chain over exact integers (no float divisions of
+    floats). The spine generates from each group's min/max day
+    aggregate (never driver-side); the four IGNORE NULLS windows are
+    two linear passes per group. Interior gaps only by construction
+    (spine spans known points), so d1/d0 are never NULL at a gap."""
+    ev = load_table(spark, sf_dir, "events")
+    actual = (
+        ev.filter(F.col("value") >= INTERP_MIN_VALUE)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.sum(_quantize("value")).alias("yq"))
+    )
+    span = actual.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx")).alias("d"),
+    ).select("event_type", F.col("d").cast("long").alias("d"))
+    joined = grid.join(actual, ["event_type", "d"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_d = F.when(F.col("yq").isNotNull(), F.col("d"))
+    b = joined.select(
+        "event_type",
+        "d",
+        "yq",
+        F.last("yq", ignorenulls=True).over(back).alias("y0"),
+        F.last(known_d, ignorenulls=True).over(back).alias("d0"),
+        F.first("yq", ignorenulls=True).over(fwd).alias("y1"),
+        F.first(known_d, ignorenulls=True).over(fwd).alias("d1"),
+    )
+    lerp = (
+        F.col("y0").cast("double")
+        + (F.col("y1") - F.col("y0")).cast("double")
+        * (F.col("d") - F.col("d0")).cast("double")
+        / (F.col("d1") - F.col("d0")).cast("double")
+    ) / 1_000_000.0
+    return b.select(
+        "event_type",
+        F.col("d").alias("day_index"),
+        F.round(
+            F.when(
+                F.col("yq").isNotNull(),
+                F.col("yq").cast("double") / 1_000_000.0,
+            ).otherwise(lerp),
+            6,
+        ).alias("value_interp"),
+        F.col("yq").isNull().alias("interpolated"),
+    )

@@ -248,3 +248,52 @@ def sq6_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
     )
+
+
+PV2_FLAGS = ("A", "N", "R")
+
+
+@register(
+    "pv2_multi_agg_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {DSUM.format(x="CASE WHEN l_returnflag = 'A' THEN l_quantity END")}
+             AS A_qty,
+           COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A_n,
+           {DSUM.format(x="CASE WHEN l_returnflag = 'N' THEN l_quantity END")}
+             AS N_qty,
+           COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N_n,
+           {DSUM.format(x="CASE WHEN l_returnflag = 'R' THEN l_quantity END")}
+             AS R_qty,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R_n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("A6", "A7", "EXT", "pivot"),
+)
+def pv2_multi_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate PIVOT — sum AND count per pivoted return flag
+    in one pass (`.pivot(col, values).agg(sum, count)`), the
+    crosstab-with-margins shape. Pivot values are declared explicitly
+    (the distinct-scan shortcut is nondeterministic column order and
+    a second job); Spark compiles this to a single hash aggregate
+    with conditional columns — exactly the oracle's FILTER form, so
+    one scan and map-side partial aggregation regardless of flag
+    count. Quantized sums per the dsum rule."""
+    from ..operators._determinism import _quantize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", list(PV2_FLAGS))
+        .agg(
+            (F.sum(_quantize("l_quantity")) / 1_000_000.0)
+            .cast("double")
+            .alias("qty"),
+            F.count(F.lit(1)).alias("n"),  # count(*) is invalid inside Pivot
+        )
+    )
+    cols = [F.col("l_linestatus")]
+    for flag in PV2_FLAGS:
+        cols.append(F.col(f"{flag}_qty"))
+        cols.append(F.col(f"{flag}_n"))
+    return pivoted.select(*cols)
