@@ -1,0 +1,217 @@
+"""Jar-free ClickHouse connector over the HTTP interface.
+
+The reference ships JDBC/binary jars and delegates every read to them
+(``/root/reference/mkpipe_extractor_clickhouse/__init__.py:8-12,26-43``);
+in environments without those jars this module reads ClickHouse through
+its plain HTTP interface (``POST /?query=... FORMAT JSONEachRow``) with
+nothing but the Python standard library — and still DISTRIBUTES the
+read: each Spark task opens its own HTTP connection and fetches one
+range-partitioned slice via ``mapInPandas``, mirroring the S5
+partitioned-parallel-read contract of the JDBC path.
+
+Wire protocol used (public, stable since early ClickHouse):
+  * query text goes in the POST body, response format is pinned by a
+    trailing ``FORMAT JSONEachRow`` (one JSON object per line);
+  * schema probe: ``SELECT * FROM (…) WHERE 1=0 FORMAT JSONCompact``
+    whose ``meta`` array carries (name, ClickHouse type) pairs;
+  * auth via ``X-ClickHouse-User`` / ``X-ClickHouse-Key`` headers.
+
+Scale posture: the DRIVER sends only the 0-row schema probe; all data
+volume flows through executor-side HTTP fetches, one bounded slice per
+task (the same split strategy ``sources/jdbc.py`` hands to Spark's JDBC
+datasource). Pushdown works textually exactly like the reference: the
+FilterSpec-rendered predicate is part of each slice's SQL, so ClickHouse
+scans only matching granules.
+
+Tested end-to-end against an in-process HTTP stub that executes the
+received SQL in DuckDB over the fixture parquet and answers in the
+ClickHouse wire format (tests/test_ch_http.py) — every layer except
+ClickHouse's own SQL engine is the real code path.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["ClickHouseHttpSource", "ch_type_to_spark"]
+
+
+# ---- ClickHouse type names → Spark types (documented subset) --------
+
+_CH_SIMPLE = {
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "UInt8": T.ShortType(),
+    "UInt16": T.IntegerType(),
+    "UInt32": T.LongType(),
+    "UInt64": T.LongType(),  # values > 2^63-1 unsupported, like JDBC
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
+    "String": T.StringType(),
+    "Bool": T.BooleanType(),
+    "Date": T.DateType(),
+    "Date32": T.DateType(),
+    "UUID": T.StringType(),
+    "BIGINT": T.LongType(),  # duckdb-dialect names, for the test stub
+    "INTEGER": T.IntegerType(),
+    "DOUBLE": T.DoubleType(),
+    "FLOAT": T.FloatType(),
+    "VARCHAR": T.StringType(),
+    "DATE": T.DateType(),
+    "TIMESTAMP": T.TimestampNTZType(),
+    "BOOLEAN": T.BooleanType(),
+}
+
+
+def ch_type_to_spark(ch_type: str) -> T.DataType:
+    t = ch_type.strip()
+    while t.startswith(("Nullable(", "LowCardinality(")):
+        t = t[t.index("(") + 1 : -1]
+    if t.startswith(("DateTime64", "DateTime")):
+        # ClickHouse DateTime is wall-clock in the server tz; the
+        # engine's convention for fixtures is NTZ (catalog.py)
+        return T.TimestampNTZType()
+    if t.startswith("Decimal"):
+        inner = t[t.index("(") + 1 : -1]
+        p, s = (int(x) for x in inner.split(","))
+        return T.DecimalType(p, s)
+    if t.startswith("FixedString"):
+        return T.StringType()
+    if t in _CH_SIMPLE:
+        return _CH_SIMPLE[t]
+    raise ValueError(f"unsupported ClickHouse type: {ch_type}")
+
+
+def _http_post(url: str, body: bytes, headers: dict[str, str]) -> bytes:
+    req = urllib.request.Request(url, data=body, headers=headers)
+    with urllib.request.urlopen(req) as resp:
+        return resp.read()
+
+
+@dataclass
+class ClickHouseHttpSource:
+    """Distributed reader over the ClickHouse HTTP interface."""
+
+    host: str
+    port: int = 8123
+    user: str = "default"
+    password: str = ""
+    database: str = "default"
+
+    @property
+    def _url(self) -> str:
+        q = urllib.parse.urlencode({"database": self.database})
+        return f"http://{self.host}:{self.port}/?{q}"
+
+    @property
+    def _headers(self) -> dict[str, str]:
+        return {
+            "X-ClickHouse-User": self.user,
+            "X-ClickHouse-Key": self.password,
+            "Content-Type": "text/plain; charset=utf-8",
+        }
+
+    # ---- wire calls ------------------------------------------------
+
+    def _execute(self, sql: str) -> bytes:
+        return _http_post(self._url, sql.encode("utf-8"), self._headers)
+
+    def probe_schema(self, base_query: str) -> T.StructType:
+        """0-row probe: the JSONCompact ``meta`` carries (name, type)."""
+        raw = self._execute(
+            f"SELECT * FROM ({base_query}) AS __probe WHERE 1 = 0 "
+            "FORMAT JSONCompact"
+        )
+        meta = json.loads(raw)["meta"]
+        return T.StructType(
+            [
+                T.StructField(m["name"], ch_type_to_spark(m["type"]), True)
+                for m in meta
+            ]
+        )
+
+    # ---- reads -----------------------------------------------------
+
+    def load(
+        self,
+        spark: SparkSession,
+        table_or_query: str,
+        is_query: bool = False,
+        partition_column: str | None = None,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        num_partitions: int = 1,
+    ) -> DataFrame:
+        """Read a table or query result as a DataFrame.
+
+        With ``partition_column`` + bounds, the range splits into
+        ``num_partitions`` half-open slices and EACH SPARK TASK fetches
+        its own slice over its own HTTP connection — the driver never
+        sees row data. Without them, a single task fetches everything
+        (fine for dimensions; facts should always pass bounds)."""
+        base = table_or_query if is_query else f"SELECT * FROM {table_or_query}"
+        schema = self.probe_schema(base)
+
+        if partition_column is None:
+            slices = [""]
+        else:
+            if lower_bound is None or upper_bound is None:
+                raise ValueError("partitioned read requires explicit bounds")
+            span = upper_bound - lower_bound
+            num_partitions = max(1, num_partitions)
+            step = max(1, span // num_partitions)
+            slices = []
+            for i in range(num_partitions):
+                lo = lower_bound + i * step
+                hi = upper_bound + 1 if i == num_partitions - 1 else lo + step
+                slices.append(
+                    f" WHERE {partition_column} >= {lo}"
+                    f" AND {partition_column} < {hi}"
+                )
+
+        url, headers = self._url, dict(self._headers)
+        ntz_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        ]
+        date_cols = [
+            f.name for f in schema.fields if isinstance(f.dataType, T.DateType)
+        ]
+        names = [f.name for f in schema.fields]
+
+        def fetch(iterator: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in iterator:
+                for _, row in pdf.iterrows():
+                    sql = (
+                        f"SELECT * FROM ({base}) AS __t{row['slice']}"
+                        " FORMAT JSONEachRow"
+                    )
+                    raw = _http_post(url, sql.encode("utf-8"), headers)
+                    records = [
+                        json.loads(line)
+                        for line in raw.decode("utf-8").splitlines()
+                        if line.strip()
+                    ]
+                    out = pd.DataFrame.from_records(records, columns=names)
+                    for c in ntz_cols:
+                        out[c] = pd.to_datetime(out[c])
+                    for c in date_cols:
+                        out[c] = pd.to_datetime(out[c]).dt.date
+                    yield out
+
+        tasks = spark.createDataFrame(
+            [(s,) for s in slices], "slice string"
+        ).repartition(len(slices))
+        return tasks.mapInPandas(fetch, schema=schema)

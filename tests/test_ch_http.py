@@ -1,0 +1,180 @@
+"""Live-wire integration test for the jar-free ClickHouse HTTP source:
+an in-process HTTP server speaks the ClickHouse wire format (POST body
+query, JSONCompact meta probe, JSONEachRow data, X-ClickHouse-* auth)
+and executes the received SQL in DuckDB over the fixture parquet — so
+everything except ClickHouse's own SQL engine is the real code path,
+including the per-task executor-side HTTP fetches."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mkpipe_extractor_clickhouse_spark.catalog import load_table
+from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+    ClickHouseHttpSource,
+    ch_type_to_spark,
+)
+
+USER, KEY = "graft", "s3cret"
+
+
+def _make_handler(sf_dir: str, query_log: list[str]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_POST(self):
+            if (
+                self.headers.get("X-ClickHouse-User") != USER
+                or self.headers.get("X-ClickHouse-Key") != KEY
+            ):
+                self.send_response(401)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            sql = self.rfile.read(n).decode("utf-8").strip()
+            query_log.append(sql)
+            fmt = "TSV"
+            for f in ("JSONCompact", "JSONEachRow"):
+                if sql.endswith(f"FORMAT {f}"):
+                    fmt = f
+                    sql = sql[: -len(f"FORMAT {f}")].strip()
+            con = duckdb.connect()
+            for t in ("events", "nation", "orders"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            try:
+                cur = con.sql(sql)
+                cols = cur.columns
+                types = [str(t) for t in cur.types]
+                rows = cur.fetchall()
+            except Exception as e:  # pragma: no cover
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+                return
+            if fmt == "JSONCompact":
+                body = json.dumps(
+                    {
+                        "meta": [
+                            {"name": c, "type": t}
+                            for c, t in zip(cols, types)
+                        ],
+                        "data": [list(map(str, r)) for r in rows],
+                    }
+                ).encode()
+            else:
+                body = "\n".join(
+                    json.dumps(dict(zip(cols, r)), default=str) for r in rows
+                ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+@pytest.fixture(scope="module")
+def ch_server(sf_dir):
+    log: list[str] = []
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), _make_handler(sf_dir, log)
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server.server_address[1], log
+    server.shutdown()
+
+
+def _source(port: int) -> ClickHouseHttpSource:
+    return ClickHouseHttpSource(
+        host="127.0.0.1", port=port, user=USER, password=KEY
+    )
+
+
+def test_type_mapping():
+    from pyspark.sql import types as T
+
+    assert ch_type_to_spark("Nullable(Int64)") == T.LongType()
+    assert ch_type_to_spark("LowCardinality(String)") == T.StringType()
+    assert ch_type_to_spark("DateTime64(6)") == T.TimestampNTZType()
+    assert ch_type_to_spark("Decimal(28, 6)") == T.DecimalType(28, 6)
+    with pytest.raises(ValueError):
+        ch_type_to_spark("AggregateFunction(uniq, UInt64)")
+
+
+def test_full_table_read(spark, sf_dir, ch_server):
+    port, _ = ch_server
+    df = _source(port).load(spark, "nation")
+    want = load_table(spark, sf_dir, "nation")
+    assert sorted(df.columns) == sorted(want.columns)
+    assert df.count() == want.count()
+
+
+def test_pushdown_query_read(spark, sf_dir, ch_server):
+    port, log = ch_server
+    n_before = len(log)
+    df = _source(port).load(
+        spark,
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE value > 100 GROUP BY event_type",
+        is_query=True,
+    )
+    got = {(r.event_type, r.n) for r in df.collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 100)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the aggregation text reached the server (pushdown, not local agg)
+    assert any("GROUP BY event_type" in q for q in log[n_before:])
+
+
+def test_partitioned_parallel_read(spark, sf_dir, ch_server):
+    port, log = ch_server
+    n_before = len(log)
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    df = _source(port).load(
+        spark,
+        "events",
+        partition_column="event_id",
+        lower_bound=0,
+        upper_bound=int(hi),
+        num_partitions=4,
+    )
+    assert df.count() == ev.count()
+    # 1 probe + 4 slice fetches, each with its own bounded predicate
+    slice_queries = [
+        q for q in log[n_before:] if "JSONEachRow" in q and "WHERE" in q
+    ]
+    assert len(slice_queries) == 4
+    assert len({q for q in slice_queries}) == 4  # distinct bounds
+    # values round-trip exactly (ts via NTZ parse, doubles via JSON)
+    a = {tuple(r) for r in df.select("event_id", "ts", "value").collect()}
+    b = {tuple(r) for r in ev.select("event_id", "ts", "value").collect()}
+    assert a == b
+
+
+def test_bad_credentials_fail(spark, ch_server):
+    port, _ = ch_server
+    import urllib.error
+
+    bad = ClickHouseHttpSource(
+        host="127.0.0.1", port=port, user="wrong", password="nope"
+    )
+    with pytest.raises(urllib.error.HTTPError):
+        bad.probe_schema("SELECT * FROM nation")
