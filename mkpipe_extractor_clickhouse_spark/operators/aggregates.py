@@ -558,3 +558,37 @@ def a21_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "a22_distinct_if",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                               THEN user_id END) AS buyers,
+           COUNT(DISTINCT CASE WHEN event_type = 'click'
+                               THEN user_id END) AS clickers,
+           COUNT(DISTINCT user_id) AS actives
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    tags=("A3", "A7", "EXT"),
+)
+def a22_distinct_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqExactIf`` — conditional distinct counts (daily
+    buyers vs clickers vs all actives) in ONE aggregation: each
+    conditional distinct is COUNT(DISTINCT CASE WHEN …), which Spark
+    plans as a single expand + two-level aggregate rather than three
+    scans. The A7-combinator applied to A3."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", u)
+        ).alias("buyers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", u)
+        ).alias("clickers"),
+        F.countDistinct(u).alias("actives"),
+    )

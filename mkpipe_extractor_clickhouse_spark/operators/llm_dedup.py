@@ -845,3 +845,44 @@ def l40_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@register(
+    "l55_dedup_survivorship",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)
+    ),
+    tagged AS (
+      SELECT d.source, (d.doc_id = g.keeper) AS kept
+      FROM documents d JOIN groups g ON md5(d.text) = g.h
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS kept,
+           SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS dropped
+    FROM tagged GROUP BY source
+    """,
+    tags=("L1", "EXT", "dedup"),
+)
+def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship report — after exact dedup (l1's keep-lowest
+    rule), how many documents each SOURCE contributes vs loses: the
+    accounting a curation pipeline publishes alongside the deduped
+    corpus ("crawl-B lost 40% to crawl-A" drives mixture decisions).
+    One digest aggregation plus a digest-keyed join back — both shuffle
+    on the 16-byte hash, never on text."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", F.md5("text").alias("h"))
+    groups = h.groupBy("h").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("keeper")
+    )
+    tagged = h.join(groups, "h").select(
+        "source", (F.col("doc_id") == F.col("keeper")).alias("kept")
+    )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("dropped"),
+    )
