@@ -122,6 +122,22 @@ def _load_modules() -> None:
 # as early as possible.  Self-maintaining: round N+1 re-reads the
 # artifacts and bubbles up whatever is still unverified.
 _DRIVER_PRIORITY = (
+    # Round-3-continuation flagships: new FEATURE surfaces (dialect
+    # translation, manifest MERGE/zone maps, the stats family's
+    # hardest cases) earn a driver row before more same-family breadth.
+    "x14_clickhouse_dialect_query",
+    "x16_manifest_merge",
+    "x17_stats_pruned_read",
+    "ch_ks_test",
+    "ch_corr_matrix",
+    "ch_theils_u",
+    "g1_markov_stationary",
+    "ts1_linear_interpolate",
+    "l44_bigram_pmi",
+    "l52_bigram_lm_score",
+    "x12_cdc_snapshot_diff",
+    "x13_temporal_dim_join",
+    "m4_payload_dedup",
     # §2 families with no CORRECTNESS_r01 row, one representative each
     # (plus s5, whose r1 row was rows-only before it gained an oracle).
     "s5_partitioned_parallel_read",
