@@ -395,3 +395,58 @@ def f13_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("name_type_similarity"),
     )
+
+
+@register(
+    "f14_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?ref=crawl&page='
+               || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           split_part(split_part(url, '//', 2), '/', 1) AS host,
+           split_part(split_part(split_part(url, '//', 2), '/', 1),
+                      '.', 1) AS subdomain,
+           '/' || split_part(split_part(url, '//', 2), '/', 2) || '/doc/'
+             || CAST(doc_id AS VARCHAR) AS path,
+           split_part(url, '?', 2) AS query_string,
+           split_part(split_part(url, 'page=', 2), '&', 1) AS page_param
+    FROM u
+    """,
+    tags=("F1", "EXT", "url"),
+)
+def f14_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dissection — ClickHouse's domain()/path()/queryString()/
+    extractURLParameter() family, a staple of crawl-data curation.
+    URLs are synthesized deterministically from documents (fixtures
+    carry no URL column), then parsed with Spark's builtin
+    ``parse_url`` (HOST / PATH / QUERY / QUERY:key) — JVM-codegen,
+    row-local, rides the scan. The oracle reconstructs identical
+    answers with split_part arithmetic, so the parse semantics are
+    value-checked, not just smoke-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.split(F.parse_url("url", F.lit("HOST")), "\\.").getItem(0).alias(
+            "subdomain"
+        ),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )

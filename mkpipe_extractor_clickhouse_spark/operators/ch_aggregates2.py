@@ -1116,3 +1116,31 @@ def ch_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("majority_type"),
         F.max("n").alias("n_events"),
     )
+
+
+@register(
+    "ch_group_bit_ops",
+    oracle="""
+    SELECT event_type,
+           BIT_AND(event_id) AS band,
+           BIT_OR(event_id) AS bor,
+           BIT_XOR(event_id) AS bxor,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("A2", "F3", "EXT"),
+)
+def ch_group_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor`` —
+    bitwise-accumulating aggregates (flag-mask intersection/union and
+    parity fingerprints over ID sets). Pure integer lattice operations:
+    commutative, associative, exact — nothing to quantize. Spark has
+    bit_and/bit_or/bit_xor builtins; one partial→final hash aggregate,
+    O(groups) state."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+        F.count("*").alias("n"),
+    )
