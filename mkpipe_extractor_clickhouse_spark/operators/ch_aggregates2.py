@@ -1144,3 +1144,74 @@ def ch_group_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("event_id").alias("bxor"),
         F.count("*").alias("n"),
     )
+
+
+PZ_A, PZ_B = "click", "view"
+PZ_THRESHOLD = 150.0  # "conversion" = a high-value event
+
+
+@register(
+    "ch_proportions_ztest",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CASE WHEN value > {PZ_THRESHOLD} THEN 1 ELSE 0 END) AS x
+      FROM events WHERE event_type IN ('{PZ_A}', '{PZ_B}')
+      GROUP BY event_type
+    ),
+    ab AS (
+      SELECT
+        (SELECT x FROM s WHERE event_type = '{PZ_A}') AS xa,
+        (SELECT n FROM s WHERE event_type = '{PZ_A}') AS na,
+        (SELECT x FROM s WHERE event_type = '{PZ_B}') AS xb,
+        (SELECT n FROM s WHERE event_type = '{PZ_B}') AS nb
+    )
+    SELECT xa, na, xb, nb,
+           ROUND((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / SQRT((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_stat,
+           ROUND(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb, 6)
+             AS rate_diff
+    FROM ab
+    """,
+    tags=("A10", "EXT", "abtest"),
+)
+def ch_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``proportionsZTest`` — the two-proportion pooled
+    z statistic (conversion-rate A/B readout: do click events convert
+    to high-value outcomes more often than view events?). Successes
+    and trials are exact integers from one conditional aggregate; the
+    pooled-rate z chain is a single mirrored IEEE tree over them,
+    rounded once. Completes the A/B family next to welch/student/
+    mannwhitney/ks. O(1) output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(PZ_A, PZ_B)
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("value") > PZ_THRESHOLD).alias("x"),
+    )
+    a = s.filter(F.col("event_type") == PZ_A).select(
+        F.col("x").alias("xa"), F.col("n").alias("na")
+    )
+    b = s.filter(F.col("event_type") == PZ_B).select(
+        F.col("x").alias("xb"), F.col("n").alias("nb")
+    )
+    ab = a.join(b)
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pp = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    return ab.select(
+        "xa",
+        "na",
+        "xb",
+        "nb",
+        F.round(
+            (pa - pb)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            6,
+        ).alias("z_stat"),
+        F.round(pa - pb, 6).alias("rate_diff"),
+    )

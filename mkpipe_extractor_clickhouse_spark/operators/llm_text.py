@@ -12,7 +12,7 @@ before the shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -353,4 +353,54 @@ def l19_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(dsum(score).alias("bm25"))
+    )
+
+
+@register(
+    "l57_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        t -> t IN ({_STOP_IN})))
+                       * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted_lang
+      FROM documents
+    )
+    SELECT lang AS actual_lang, predicted_lang,
+           COUNT(*) AS n,
+           SUM(SUM(CASE WHEN (lang = 'en') = (predicted_lang = 'en')
+                        THEN 1 ELSE 0 END)) OVER ()
+             * 1000000 // SUM(COUNT(*)) OVER () AS overall_accuracy_ppm
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+    tags=("EXT", "language-id", "dq"),
+)
+def l57_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine: the confusion matrix of l10's
+    language-ID heuristic against the labeled ``lang`` column, plus
+    corpus accuracy in exact floor-ppm (en-vs-other collapse, matching
+    the classifier's output space). The model-eval loop a curation
+    pipeline runs after changing a filter: one row-local prediction
+    pass (the l10 expression), one matrix aggregation, all integer —
+    no new shuffle shape beyond a groupBy on O(langs²) keys."""
+    pred = l10_language_id(spark, sf_dir)
+    m = pred.groupBy(
+        F.col("lang").alias("actual_lang"), F.col("predicted_lang")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                (F.col("lang") == "en") == (F.col("predicted_lang") == "en")
+            ).cast("long")
+        ).alias("correct"),
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.expr("sum(correct) OVER () * 1000000 DIV sum(n) OVER ()").alias(
+            "overall_accuracy_ppm"
+        ),
     )
