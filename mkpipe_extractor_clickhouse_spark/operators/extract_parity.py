@@ -183,6 +183,7 @@ def x5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ._determinism import DSUM  # noqa: E402
+from ._determinism import _quantize as _quantize_local  # noqa: E402
 
 
 @register(
@@ -743,3 +744,58 @@ def x17_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=datetime(2024, 1, 10),
         hi=datetime(2024, 1, 14, 23, 59, 59),
     )
+
+
+@register(
+    "x18_catalog_transaction",
+    oracle=f"""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {DSUM.format(x='value')} AS sum_value,
+           (SELECT COUNT(*) FROM events) AS catalog_events_total
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+    tags=("S7", "S8", "T7", "EXT", "transaction"),
+)
+def x18_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transactional tick: raw events AND their daily
+    rollup land through ManifestCatalog.commit_multi — one atomic
+    catalog flip exposes both or neither (the torn-pair hazard
+    single-table formats leave to the reader). Two chunked ticks run;
+    the result reads BOTH tables through the same catalog snapshot:
+    the rollup rows plus the raw-event total they must reconcile
+    with. A hash-match proves the pair stayed consistent through the
+    multi-commit sequence. Catalog mechanics covered further by
+    tests/test_manifest.py (crash window, concurrent publish)."""
+    from ..sources.manifest import ManifestCatalog
+
+    workdir = tempfile.mkdtemp(prefix="x18_cat_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    cat = ManifestCatalog(workdir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoffs = [(None, "2024-01-15"), ("2024-01-15", None)]
+    for lo, hi in cutoffs:
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        rollup = chunk.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(_quantize_local("value")).alias("svq"),
+        )
+        cat.commit_multi(
+            {"events": (chunk, "append"), "rollup": (rollup, "append")}
+        )
+    ro = cat.read(spark, "rollup")
+    raw = cat.read(spark, "events")
+    total = raw.agg(F.count("*").alias("catalog_events_total"))
+    merged = ro.groupBy("event_type", "day").agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("svq") / 1_000_000.0).cast("double").alias("sum_value"),
+    )
+    return merged.join(F.broadcast(total))

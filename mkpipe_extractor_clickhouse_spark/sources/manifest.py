@@ -653,3 +653,116 @@ def manifest_stream_sink(
     sink = ManifestStreamSink(table_dir)
     sink.run_available_now(stream, checkpoint)
     return sink.table
+
+
+# ---- catalog-level multi-table transactions ------------------------
+
+
+class ManifestCatalog:
+    """Cross-table atomic commits over manifest tables — the capability
+    single-table formats (Delta, Iceberg) lack without an external
+    transactional catalog: a pipeline tick that lands `events` AND its
+    `orders` rollup must expose BOTH new snapshots or NEITHER, or a
+    reader joining them sees a torn combination.
+
+    Mechanism: one more manifest level. Each catalog version is a JSON
+    file pinning {table_name: table_version}; it publishes with the
+    same os.link atomic-exclusive CAS the tables use. A transactional
+    commit first lands each table's own version (data + per-table
+    manifest, invisible to catalog readers), then publishes ONE catalog
+    version pinning all of them. Catalog readers resolve every table
+    through the catalog head, so the multi-table flip is a single
+    filesystem link — readers observe the old tuple or the new tuple,
+    never a mix. Crash between table publish and catalog publish leaves
+    the new table versions unreferenced-by-catalog (still time-travel
+    readable; the next successful tick's catalog version supersedes).
+
+    Scale: a catalog version is O(tables) bytes; contention is on one
+    tiny link per tick, identical to the per-table cost."""
+
+    def __init__(self, root_dir: str):
+        self.root_dir = root_dir
+        self._dir = os.path.join(root_dir, "_catalog")
+        os.makedirs(self._dir, exist_ok=True)
+
+    # versions ------------------------------------------------------
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self._dir, f"c{version:0{_VERSION_DIGITS}d}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._dir):
+            if name.startswith("c") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def head_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def snapshot(self, version: int | None = None) -> dict[str, int]:
+        v = self.head_version() if version is None else version
+        if v == 0:
+            return {}
+        with open(self._path(v)) as f:
+            return json.load(f)["tables"]
+
+    # tables --------------------------------------------------------
+
+    def table(self, name: str, stats_cols: tuple[str, ...] = ()) -> ManifestedTable:
+        return ManifestedTable(
+            os.path.join(self.root_dir, f"{name}.mfst"), stats_cols=stats_cols
+        )
+
+    # commits -------------------------------------------------------
+
+    def _publish_catalog(self, tables: dict[str, int], meta: dict) -> int:
+        while True:
+            version = self.head_version() + 1
+            tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"version": version, "tables": tables, "meta": meta}, f
+                )
+            try:
+                os.link(tmp, self._path(version))
+                return version
+            except FileExistsError:
+                continue  # another tick published; re-read head
+            finally:
+                os.unlink(tmp)
+
+    def commit_multi(
+        self,
+        writes: dict[str, tuple[DataFrame, str]],
+        meta: dict | None = None,
+    ) -> int:
+        """Atomic multi-table commit: ``writes`` maps table name →
+        (df, mode) with mode 'append' | 'overwrite'. Each table's own
+        version lands first (catalog-invisible), then one catalog
+        version pins them all. Unlisted tables carry forward at their
+        current pinned version."""
+        pinned = dict(self.snapshot())
+        for name, (df, mode) in writes.items():
+            t = self.table(name)
+            if mode == "overwrite":
+                pinned[name] = t.commit_overwrite(df)
+            elif mode == "append":
+                pinned[name] = t.commit_append(df)
+            else:
+                raise ValueError(f"unknown mode: {mode}")
+        return self._publish_catalog(pinned, meta or {})
+
+    # reads ---------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame | None:
+        """Read a table AT the catalog snapshot — cross-table
+        consistent: two reads against the same catalog version always
+        join coherently, whatever writers do meanwhile."""
+        snap = self.snapshot(version)
+        if name not in snap:
+            return None
+        return self.table(name).read(spark, version=snap[name])

@@ -420,3 +420,79 @@ def test_loader_records_zone_maps_per_tick(spark, sf_dir, tmp_path):
         "ts", lo=datetime(2024, 1, 25), hi=datetime(2024, 1, 31)
     )
     assert skipped  # the early ticks' batches cannot match
+
+
+# ---- catalog-level multi-table transactions -------------------------------
+
+
+def test_catalog_multi_table_commit_atomic_view(spark, tmp_path):
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestCatalog,
+    )
+
+    cat = ManifestCatalog(str(tmp_path))
+    ev1 = spark.createDataFrame([(1, 10)], "k INT, v INT")
+    ro1 = spark.createDataFrame([(1, 100)], "k INT, total INT")
+    c1 = cat.commit_multi(
+        {"events": (ev1, "overwrite"), "rollup": (ro1, "overwrite")}
+    )
+
+    # a second tick advances BOTH tables in one catalog flip
+    ev2 = spark.createDataFrame([(2, 20)], "k INT, v INT")
+    ro2 = spark.createDataFrame([(1, 100), (2, 200)], "k INT, total INT")
+    c2 = cat.commit_multi(
+        {"events": (ev2, "append"), "rollup": (ro2, "overwrite")}
+    )
+    assert c2 == c1 + 1
+
+    # head snapshot: consistent pair
+    assert cat.read(spark, "events").count() == 2
+    assert cat.read(spark, "rollup").count() == 2
+    # time travel to the FIRST catalog version: the OLD pair together
+    assert cat.read(spark, "events", version=c1).count() == 1
+    assert cat.read(spark, "rollup", version=c1).count() == 1
+
+
+def test_catalog_readers_never_see_torn_tuple(spark, tmp_path):
+    """A table version published WITHOUT its catalog commit (the crash
+    window) stays invisible to catalog readers — the old consistent
+    tuple remains."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestCatalog,
+    )
+
+    cat = ManifestCatalog(str(tmp_path))
+    cat.commit_multi(
+        {
+            "a": (spark.createDataFrame([(1,)], "x INT"), "overwrite"),
+            "b": (spark.createDataFrame([(1,)], "x INT"), "overwrite"),
+        }
+    )
+    # simulate a crash mid-transaction: table 'a' advanced, catalog not
+    cat.table("a").commit_append(spark.createDataFrame([(2,)], "x INT"))
+    assert cat.read(spark, "a").count() == 1  # catalog still pins v1
+    assert cat.read(spark, "b").count() == 1
+    # direct (non-catalog) read sees the newer data — time travel intact
+    assert cat.table("a").read(spark).count() == 2
+
+
+def test_catalog_concurrent_publish_retries(spark, tmp_path):
+    """Two ticks publishing catalog versions concurrently both land,
+    on distinct versions."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestCatalog,
+    )
+
+    cat = ManifestCatalog(str(tmp_path))
+    df = spark.createDataFrame([(1,)], "x INT")
+    v1 = cat.commit_multi({"t": (df, "overwrite")})
+    # steal the next catalog version to force the retry path
+    stolen = cat.head_version() + 1
+    import json as _json
+
+    snap = cat.snapshot()  # before creating the file (head moves then)
+    with open(cat._path(stolen), "w") as f:
+        _json.dump({"version": stolen, "tables": snap, "meta": {}}, f)
+    v2 = cat.commit_multi({"t": (df, "append")})
+    assert v2 == stolen + 1
+    assert cat.read(spark, "t").count() == 2
