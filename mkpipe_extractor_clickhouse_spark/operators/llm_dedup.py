@@ -886,3 +886,94 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("kept").cast("long")).alias("kept"),
         F.sum((~F.col("kept")).cast("long")).alias("dropped"),
     )
+
+
+MHP_P = 1_000_000_007
+MHP_HASHES = 16
+MHP_BAND_ROWS = 4
+
+
+@register(
+    "l58_minhash_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+             ((2 * i + 1) * (('0x' || substr(md5(t), 1, 15))::BIGINT % {MHP_P})
+              + 1000003 * i) % {MHP_P} AS h
+      FROM toks CROSS JOIN range(0, {MHP_HASHES}) r(i)
+    ),
+    sigs AS (
+      SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MHP_BAND_ROWS} AS band,
+             STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY doc_id, i // {MHP_BAND_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l58_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates made DIFFERENTIALLY TESTABLE:
+    the repo's l2b uses Spark's xxhash64 (engine-private, so the
+    driver can only rows-only it); this variant derives the token hash
+    from md5 hex — identical in every engine — and runs the same
+    16-hash / 4-band LSH pipeline in pure integer arithmetic, so the
+    candidate-pair set hash-matches a DuckDB oracle exactly. The
+    recall/precision trade is still probabilistic in the corpus, but
+    the COMPUTATION is reproducible — which is what a correctness gate
+    can check. Shapes: explode distinct tokens ×16 hash slots (map-
+    side), per-(doc, slot) min, band-signature equi-join — never
+    all-pairs. md5-per-token costs ~2× xxhash64; at 100 TB keep l2b
+    for production and this for cross-engine verification."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MHP_HASHES - 1))).alias("i"),
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("ht"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            ((2 * F.col("i") + 1) * (F.col("ht") % MHP_P) + 1000003 * F.col("i"))
+            % MHP_P
+        ).alias("h"),
+    )
+    sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        sigs.withColumn("band", (F.col("i") / MHP_BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
