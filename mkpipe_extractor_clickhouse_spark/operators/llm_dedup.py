@@ -890,15 +890,20 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MHP_P = 1_000_000_007
 MHP_HASHES = 16
-MHP_BAND_ROWS = 4
+MHP_BAND_ROWS = 8
 
 
 @register(
     "l58_minhash_portable",
     oracle=f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
-      FROM documents
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(p) - 1),
+                    i -> p[i] || ' ' || p[i+1] || ' ' || p[i+2])) AS t
+      FROM parts WHERE len(p) >= 3
     ),
     hashed AS (
       SELECT doc_id, i,
@@ -925,17 +930,28 @@ def l58_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's l2b uses Spark's xxhash64 (engine-private, so the
     driver can only rows-only it); this variant derives the token hash
     from md5 hex — identical in every engine — and runs the same
-    16-hash / 4-band LSH pipeline in pure integer arithmetic, so the
+    16-hash / 2-band (8 rows each, s* ≈ 0.92) LSH pipeline over 3-gram
+    SHINGLE sets (order-sensitive, the l23 representation — unigram
+    sets are near-degenerate on a small vocabulary) in pure integer
+    arithmetic, so the
     candidate-pair set hash-matches a DuckDB oracle exactly. The
     recall/precision trade is still probabilistic in the corpus, but
     the COMPUTATION is reproducible — which is what a correctness gate
-    can check. Shapes: explode distinct tokens ×16 hash slots (map-
+    can check. Shapes: explode distinct shingles ×16 hash slots (map-
     side), per-(doc, slot) min, band-signature equi-join — never
     all-pairs. md5-per-token costs ~2× xxhash64; at 100 TB keep l2b
     for production and this for cross-engine verification."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    p = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(p) - 2), i -> concat("
+        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
+        " element_at(p, i + 2)))"
+    )
+    toks = (
+        d.select("doc_id", p.alias("p"))
+        .filter(F.size("p") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
     )
     hashed = toks.select(
         "doc_id",
