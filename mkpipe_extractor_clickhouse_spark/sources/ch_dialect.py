@@ -383,6 +383,35 @@ def _translate_functions(sql: str) -> str:
     # regex / prefix predicates
     out = _rewrite_calls(out, "match", lambda a: f"({a[0]} RLIKE {a[1]})")
 
+    # ClickHouse's named arithmetic/comparison operator functions
+    # (generated SQL uses these instead of infix operators)
+    for ch, op in (
+        ("plus", "+"),
+        ("minus", "-"),
+        ("multiply", "*"),
+        ("divide", "/"),
+        ("modulo", "%"),
+        ("equals", "="),
+        ("notEquals", "<>"),
+        ("less", "<"),
+        ("greater", ">"),
+        ("lessOrEquals", "<="),
+        ("greaterOrEquals", ">="),
+    ):
+        out = _rewrite_calls(
+            out, ch, lambda a, o=op: f"({a[0]} {o} {a[1]})"
+        )
+    out = _rewrite_calls(out, "negate", lambda a: f"(-({a[0]}))")
+    out = _rewrite_calls(out, "isNull", lambda a: f"({a[0]} IS NULL)")
+    out = _rewrite_calls(
+        out, "isNotNull", lambda a: f"({a[0]} IS NOT NULL)"
+    )
+    # arrayElement(arr, i) → element_at (both 1-based; ClickHouse's
+    # negative index = from-the-end matches element_at too)
+    out = _rewrite_calls(
+        out, "arrayElement", lambda a: f"element_at({a[0]}, {a[1]})"
+    )
+
     # JSON extraction: JSONExtractString(j, 'k') → get_json_object
     out = _rewrite_calls(
         out,

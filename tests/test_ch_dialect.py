@@ -333,3 +333,27 @@ def test_final_through_extractor(spark, sf_dir):
     row = res.df.collect()[0]
     # FINAL keeps exactly one (latest) row per user
     assert row.n == row.users
+
+
+def test_named_operator_functions(spark):
+    _same(
+        spark,
+        """SELECT plus(event_id, 1) AS p, minus(event_id, 1) AS m,
+                  multiply(event_id, 3) AS t, modulo(event_id, 7) AS md,
+                  negate(event_id) AS neg,
+                  equals(event_type, 'click') AS eq,
+                  greater(value, 100) AS gt,
+                  isNull(event_type) AS isn,
+                  isNotNull(event_type) AS isnn,
+                  arrayElement(sequence(5, 9), 2) AS el
+           FROM events WHERE event_id < 50""",
+        """SELECT (event_id + 1) AS p, (event_id - 1) AS m,
+                  (event_id * 3) AS t, (event_id % 7) AS md,
+                  (-(event_id)) AS neg,
+                  (event_type = 'click') AS eq,
+                  (value > 100) AS gt,
+                  (event_type IS NULL) AS isn,
+                  (event_type IS NOT NULL) AS isnn,
+                  element_at(sequence(5, 9), 2) AS el
+           FROM events WHERE event_id < 50""",
+    )
