@@ -496,3 +496,62 @@ def test_catalog_concurrent_publish_retries(spark, tmp_path):
     v2 = cat.commit_multi({"t": (df, "append")})
     assert v2 == stolen + 1
     assert cat.read(spark, "t").count() == 2
+
+
+def test_streaming_multi_table_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch → ManifestCatalog.commit_multi: every micro-batch
+    lands raw events AND the batch rollup in ONE catalog flip, with
+    batch_id re-delivery dedup — exactly-once across BOTH tables."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestCatalog,
+    )
+    from mkpipe_extractor_clickhouse_spark.streaming import runtime
+
+    cat = ManifestCatalog(str(tmp_path / "cat"))
+
+    def handle(batch_df, batch_id):
+        head = cat.snapshot()
+        meta_batch = None
+        if head:
+            import json as _json
+
+            with open(cat._path(cat.head_version())) as f:
+                meta_batch = _json.load(f)["meta"].get("batch_id")
+        if meta_batch is not None and batch_id <= meta_batch:
+            return  # re-delivered batch: skip BOTH tables
+        rollup = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        )
+        cat.commit_multi(
+            {"events": (batch_df, "append"), "rollup": (rollup, "append")},
+            meta={"batch_id": batch_id},
+        )
+
+    stage = runtime.stage_event_chunks(
+        spark, sf_dir, str(tmp_path / "stage"), n_chunks=3
+    )
+    stream = runtime.read_event_stream(spark, stage)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_source = load_table(spark, sf_dir, "events").count()
+    assert cat.read(spark, "events").count() == n_source
+    rolled = cat.read(spark, "rollup").groupBy("event_type").agg(
+        F.sum("n").alias("n")
+    )
+    want = load_table(spark, sf_dir, "events").groupBy("event_type").count()
+    got = {(r.event_type, r.n) for r in rolled.collect()}
+    assert got == {(r.event_type, r["count"]) for r in want.collect()}
+
+    # re-delivery: replaying the last batch_id advances NOTHING
+    head = cat.head_version()
+    handle(cat.read(spark, "events").limit(5), 0)
+    assert cat.head_version() == head
