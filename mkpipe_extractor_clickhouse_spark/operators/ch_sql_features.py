@@ -322,3 +322,57 @@ def ch_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("returning_users"))
     )
+
+
+@register(
+    "ch_moving_avg_array",
+    oracle=f"""
+    SELECT user_id,
+           LIST(ROUND(CAST(msq AS DOUBLE) / 1000000.0 / cnt, 6)
+                ORDER BY ts, event_id) AS moving_avgs
+    FROM (
+      SELECT user_id, ts, event_id,
+             SUM({_Q.format(x='value')}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS msq,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt
+      FROM events
+    ) GROUP BY user_id
+    """,
+    tags=("A8", "W6", "EXT"),
+)
+def ch_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingAvg(3)(value)`` — the moving-AVG
+    companion of ch_moving_sum_array: per user, the 3-row trailing
+    mean at every event, gathered into the ordered array ClickHouse
+    returns. Numerator is the quantized moving sum (exact long),
+    denominator the same frame's COUNT (1-3 at the edges, like
+    ClickHouse's partial windows), so each element is one mirrored
+    IEEE division rounded once. One hash exchange serves the two
+    frame windows AND the final collect — single-shuffle plan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(_quantize("value")).over(w).alias("msq"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    elem = F.round(
+        F.col("msq").cast("double") / 1_000_000.0 / F.col("cnt"), 6
+    )
+    return rows.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", elem.alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("moving_avgs")
+    )

@@ -183,8 +183,9 @@ def minhash_signatures(tok: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 @register(
     "l2b_minhash_lsh",
-    oracle=None,  # hash-function-dependent → rows-only; recall vs the
-    # exact join is asserted in tests/test_llm.py
+    oracle=None,  # xxhash64-dependent → rows-only; recall vs the exact
+    # join is asserted in tests/test_llm.py, and l58_minhash_portable
+    # is the engine-portable variant whose pairs hash-match DuckDB
     tags=("L2",),
 )
 def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -336,3 +336,39 @@ def w10_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reading",
         F.last("reading", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@register(
+    "w11_nth_value",
+    oracle="""
+    SELECT user_id, event_id,
+           NTH_VALUE(value, 2) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_value,
+           NTH_VALUE(event_type, 3) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_type
+    FROM events
+    """,
+    tags=("W4", "EXT"),
+)
+def w11_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` — the k-th row of an ordered frame (each user's
+    second reading / third event type), completing the W4 first/last
+    family. Full-partition frame + total order (ts, event_id) makes
+    the answer constant per partition and deterministic; values pass
+    through unchanged, so parity needs no quantization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+    )
