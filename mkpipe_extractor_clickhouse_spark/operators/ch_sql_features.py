@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import _Q, DSUM, _quantize
+from ._determinism import _Q, DSUM, _quantize, dsum
 
 # Knuth multiplicative hash on the sampling key: h(k) = (k·A) mod 2^32.
 # Both engines evaluate it in 64-bit integer arithmetic (k ≤ ~3.4e9
@@ -375,4 +375,32 @@ def ch_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda s: s["v"],
         ).alias("moving_avgs")
+    )
+
+
+@register(
+    "ch_with_totals",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {DSUM.format(x='value')} AS sum_value,
+           CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS is_totals
+    FROM events
+    GROUP BY ROLLUP (event_type)
+    """,
+    tags=("A6", "EXT"),
+)
+def ch_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY … WITH TOTALS`` — the grouped rows plus
+    ONE grand-total row in the same result (dashboards render it as
+    the footer). ANSI restatement: ROLLUP over a single key emits
+    exactly the group rows + the NULL-keyed total, one aggregation
+    pass with partial aggregates for both levels — no second scan, no
+    union. The is_totals flag mirrors how ClickHouse clients separate
+    the totals block."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+        F.when(F.col("event_type").isNull(), 1).otherwise(0).alias("is_totals"),
     )

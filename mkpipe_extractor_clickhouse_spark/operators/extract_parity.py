@@ -799,3 +799,56 @@ def x18_catalog_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("svq") / 1_000_000.0).cast("double").alias("sum_value"),
     )
     return merged.join(F.broadcast(total))
+
+
+@register(
+    "x19_backfill_plan",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS mn, CAST(MAX(ts) AS DATE) AS mx
+      FROM events
+    ),
+    starts AS (
+      SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 7 DAY)) AS DATE)
+               AS win_start, mx
+      FROM bounds
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY win_start) AS tick,
+           win_start,
+           LEAST(win_start + INTERVAL 7 DAY,
+                 CAST(mx AS TIMESTAMP) + INTERVAL 1 DAY) AS win_end
+    FROM starts
+    """,
+    tags=("P4", "T7", "EXT"),
+)
+def x19_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner — the tick schedule an orchestrator runs to
+    replay a table through x2-style static-bounds windows: the
+    source's [min(ts), max(ts)] span carved into half-open 7-day
+    windows, each one a (filter_lower_bound, filter_upper_bound) pair
+    for the extractor. Pure date arithmetic from ONE min/max
+    aggregate; the window list generates engine-side (sequence +
+    explode), never driver-side, so planning a 10-year backfill is
+    still one tiny job. Windows are half-open and adjacent — replay
+    through them provably covers every row exactly once (the x1
+    idempotency property per tick)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("mn"),
+        F.max(F.col("ts").cast("date")).alias("mx"),
+    )
+    starts = b.select(
+        F.explode(
+            F.expr("sequence(mn, mx, interval 7 day)")
+        ).alias("win_start"),
+        "mx",
+    )
+    w = Window.orderBy("win_start")
+    return starts.select(
+        F.row_number().over(w).alias("tick"),
+        "win_start",
+        F.least(
+            F.col("win_start").cast("timestamp_ntz") + F.expr("INTERVAL 7 DAY"),
+            F.col("mx").cast("timestamp_ntz") + F.expr("INTERVAL 1 DAY"),
+        ).alias("win_end"),
+    )

@@ -256,3 +256,81 @@ def l29_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_token_frac"),
         )
     )
+
+
+from .llm_text import _STOP_IN, EN_STOPWORDS  # noqa: E402
+
+
+@register(
+    "l59_gopher_gate",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             t -> t IN ({_STOP_IN}))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio,
+             CAST(n_chars AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CONCAT_WS(',',
+             CASE WHEN n_tok < 10 THEN 'too_short' END,
+             CASE WHEN n_tok > 500 THEN 'too_long' END,
+             CASE WHEN ttr <= 0.2 THEN 'repetitive' END,
+             CASE WHEN stop_ratio < 0.01 THEN 'no_function_words' END,
+             CASE WHEN mean_word_len < 2 OR mean_word_len > 12
+                  THEN 'weird_word_len' END
+           ) AS fail_reasons,
+           CAST(n_tok >= 10 AND n_tok <= 500 AND ttr > 0.2
+                AND stop_ratio >= 0.01
+                AND mean_word_len >= 2 AND mean_word_len <= 12
+             AS BIGINT) AS keep
+    FROM m
+    """,
+    tags=("L7", "EXT", "quality", "pipeline"),
+)
+def l59_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined Gopher-rules quality GATE — every document gets a
+    keep/drop verdict AND the list of failed rules (length bounds,
+    type-token repetition, function-word floor, mean-word-length
+    band), the audit artifact a curation pipeline stores next to the
+    filtered corpus (l11/l28 report the raw metrics; this is the
+    decision layer). All row-local array arithmetic on exact integer
+    counts — the float ratios compare through identical IEEE chains —
+    and CONCAT_WS drops the NULL (passing) rules identically in both
+    engines, so the reason strings hash-match. Rides the scan, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        * F.lit(1.0)
+        / n_tok
+    )
+    mwl = F.col("n_chars").cast("double") / n_tok
+    keep = (
+        (n_tok >= 10)
+        & (n_tok <= 500)
+        & (ttr > 0.2)
+        & (stop_ratio >= 0.01)
+        & (mwl >= 2)
+        & (mwl <= 12)
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(n_tok < 10, "too_short"),
+            F.when(n_tok > 500, "too_long"),
+            F.when(ttr <= 0.2, "repetitive"),
+            F.when(stop_ratio < 0.01, "no_function_words"),
+            F.when((mwl < 2) | (mwl > 12), "weird_word_len"),
+        ).alias("fail_reasons"),
+        keep.cast("long").alias("keep"),
+    )
