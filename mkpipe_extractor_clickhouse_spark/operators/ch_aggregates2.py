@@ -1215,3 +1215,90 @@ def ch_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_stat"),
         F.round(pa - pb, 6).alias("rate_diff"),
     )
+
+
+@register(
+    "ch_mad",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+    ),
+    med AS (
+      SELECT event_type, vq,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY vq) AS cc,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS n
+      FROM q GROUP BY event_type, vq
+    ),
+    m1 AS (
+      SELECT event_type, MIN(CASE WHEN cc * 2 >= n THEN vq END) AS med_q
+      FROM med GROUP BY event_type
+    ),
+    dev AS (
+      SELECT q.event_type, ABS(q.vq - m1.med_q) AS dq
+      FROM q JOIN m1 ON q.event_type = m1.event_type
+    ),
+    dcum AS (
+      SELECT event_type, dq,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY dq) AS cc,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type) AS n
+      FROM dev GROUP BY event_type, dq
+    )
+    SELECT d.event_type,
+           CAST(MAX(m1.med_q) / 1000000.0 AS DOUBLE) AS median,
+           CAST(MIN(CASE WHEN cc * 2 >= n THEN dq END) / 1000000.0 AS DOUBLE)
+             AS mad,
+           MAX(n) AS n
+    FROM dcum d JOIN m1 ON d.event_type = m1.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("A9", "A10", "EXT"),
+)
+def ch_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust scale estimate behind
+    outlier fences that survive the outliers themselves (dq2's 3σ
+    rule breaks down when σ is inflated; MAD does not). Two exact
+    type-1 median passes (the integer cum-count formulation of
+    ch_quantiles_disc): the value median, then the median of
+    |value − median| — every step integer micros, so the result is
+    exact and engine-identical. Each pass is a distinct-value
+    aggregation + window; the deviation join broadcasts the O(groups)
+    median table."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select("event_type", _quantize("value").alias("vq"))
+
+    def median_of(df: DataFrame, col: str) -> DataFrame:
+        per = df.groupBy("event_type", col).agg(F.count("*").alias("c"))
+        cum = per.select(
+            "event_type",
+            col,
+            F.sum("c")
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy(col)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("cc"),
+            F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cc") * 2 >= F.col("n"), F.col(col))
+            ).alias(f"med_{col}"),
+            F.max("n").alias("n"),
+        )
+
+    m1 = median_of(q, "vq").withColumnRenamed("med_vq", "med_q")
+    dev = q.join(F.broadcast(m1.select("event_type", "med_q")), "event_type").select(
+        "event_type", F.abs(F.col("vq") - F.col("med_q")).alias("dq")
+    )
+    m2 = median_of(dev, "dq").withColumnRenamed("med_dq", "mad_q")
+    return (
+        m1.select("event_type", "med_q")
+        .join(m2, "event_type")
+        .select(
+            "event_type",
+            (F.col("med_q") / 1_000_000.0).cast("double").alias("median"),
+            (F.col("mad_q") / 1_000_000.0).cast("double").alias("mad"),
+            "n",
+        )
+    )

@@ -372,3 +372,52 @@ def w11_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_value"),
         F.nth_value("event_type", 3).over(w).alias("third_type"),
     )
+
+
+@register(
+    "w12_session_islands",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS session_no
+    FROM flagged
+    """,
+    tags=("W3", "W5", "T4", "EXT"),
+)
+def w12_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization — the window-function form of
+    T4's session_window: a boundary flag where the gap to the previous
+    event exceeds 30 minutes, then a running sum numbers each user's
+    sessions 1..k. Unlike session_window (which emits per-session
+    aggregates), this keeps EVERY event row tagged with its session
+    ordinal — the shape attribution joins need. Two window passes over
+    one user_id exchange; boundary flags are exact integer/interval
+    comparisons, so parity is trivial."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull()
+        | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE"))
+    ).cast("long")
+    flagged = ev.select(
+        "user_id", "event_id", "ts", new_session.alias("new_session")
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(run).alias("session_no"),
+    )
