@@ -164,3 +164,42 @@ def dq2_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mean"), 6).alias("mean"),
         F.round(F.max("std"), 6).alias("std"),
     )
+
+
+@register(
+    "dq5_freshness_report",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS head_ts FROM events)
+    SELECT event_type,
+           MAX(ts) AS latest_ts,
+           epoch_us(MAX(head_ts)) - epoch_us(MAX(ts)) AS lag_us,
+           SUM(CASE WHEN ts >= head_ts - INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END) AS events_last_day,
+           COUNT(*) AS events_total
+    FROM events CROSS JOIN g
+    GROUP BY event_type
+    """,
+    tags=("A1", "EXT", "dq"),
+)
+def dq5_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness monitoring — per event stream: its latest watermark,
+    the lag behind the table head (a partition that stopped flowing
+    shows a growing lag while the others advance), and last-day volume
+    — the staleness alarm a pipeline evaluates each tick next to
+    dq1/dq2. Anchored on max(ts) rather than now() so the report is a
+    pure function of the data (deterministic, backtestable). One
+    aggregation plus a broadcast 1-row head — O(streams) output."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("head_ts"))
+    j = ev.join(F.broadcast(g))
+    return j.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"),
+        (
+            F.unix_micros(F.max("head_ts").cast("timestamp"))
+            - F.unix_micros(F.max("ts").cast("timestamp"))
+        ).alias("lag_us"),
+        F.count_if(
+            F.col("ts") >= F.col("head_ts") - F.expr("INTERVAL 1 DAY")
+        ).alias("events_last_day"),
+        F.count("*").alias("events_total"),
+    )
