@@ -738,3 +738,82 @@ def ts1_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_interp"),
         F.col("yq").isNull().alias("interpolated"),
     )
+
+
+LTTB_BUCKETS = 20
+
+
+@register(
+    "ch_lttb_downsample",
+    oracle=None,  # sequential point selection is not SQL-expressible;
+    # determinism pinned by the rows-only rerun plus the endpoint/
+    # bucket-count invariants in tests/test_ch_analytics.py
+    tags=("A11", "EXT", "timeseries"),
+)
+def ch_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(20)(ts, value)`` — the
+    LTTB downsampling algorithm (Steinarsson 2013): keep the first and
+    last points, split the rest into buckets, and from each bucket
+    keep the point forming the largest triangle with the PREVIOUSLY
+    selected point and the next bucket's centroid — the downsample
+    that preserves visual shape (spikes survive; averaging would
+    flatten them). The selection is inherently sequential per series,
+    so it runs as an applyInPandas kernel per event_type — series are
+    independent, so the shape distributes across groups exactly like
+    D4; within a series the cost is one linear pass. Deterministic:
+    ties break to the earliest point, input order is fixed by
+    (ts, event_id)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        _quantize("value").alias("y"),
+        "event_id",
+    )
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["x", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        k = LTTB_BUCKETS
+        if n <= k:
+            keep = pdf
+        else:
+            xs = pdf["x"].to_numpy(dtype="float64")
+            ys = pdf["y"].to_numpy(dtype="float64")
+            # bucket boundaries over the interior points [1, n-1)
+            import numpy as np
+
+            edges = np.linspace(1, n - 1, k - 1).astype("int64")
+            chosen = [0]
+            for b in range(k - 2):
+                lo, hi = edges[b], edges[b + 1]
+                if hi <= lo:
+                    continue
+                nlo, nhi = edges[b + 1], (
+                    edges[b + 2] if b + 2 < len(edges) else n
+                )
+                cx = xs[nlo:nhi].mean() if nhi > nlo else xs[-1]
+                cy = ys[nlo:nhi].mean() if nhi > nlo else ys[-1]
+                ax, ay = xs[chosen[-1]], ys[chosen[-1]]
+                area = np.abs(
+                    (ax - cx) * (ys[lo:hi] - ay) - (ax - xs[lo:hi]) * (cy - ay)
+                )
+                chosen.append(lo + int(area.argmax()))
+            chosen.append(n - 1)
+            keep = pdf.iloc[chosen]
+        out = keep[["event_type", "x", "y", "event_id"]].copy()
+        return out
+
+    schema = "event_type string, x long, y long, event_id long"
+    return (
+        pts.groupBy("event_type")
+        .applyInPandas(lttb, schema=schema)
+        .select(
+            "event_type",
+            "x",
+            (F.col("y") / 1_000_000.0).cast("double").alias("value"),
+            "event_id",
+        )
+    )

@@ -222,3 +222,46 @@ def test_histogram_quantile_within_bucket_of_exact(spark, sf_dir):
         q1_95 = vals[math.ceil(0.95 * len(vals)) - 1]
         assert abs(p50e - q1_50) <= HIST_BUCKET
         assert abs(p95e - q1_95) <= HIST_BUCKET
+
+
+def test_lttb_invariants(spark, sf_dir):
+    """LTTB: per series exactly min(n, k) points, both endpoints kept,
+    every kept point is a real input point, deterministic rerun."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.ch_analytics import (
+        LTTB_BUCKETS,
+        ch_lttb_downsample,
+    )
+
+    out = ch_lttb_downsample(spark, sf_dir)
+    rows = out.collect()
+    ev = load_table(spark, sf_dir, "events")
+    per_series = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, pts in by_type.items():
+        assert len(pts) == min(per_series[t], LTTB_BUCKETS)
+        xs = sorted(p.x for p in pts)
+        # endpoints survive
+        bounds = (
+            ev.filter(F.col("event_type") == t)
+            .agg(
+                F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+                F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mx"),
+            )
+            .first()
+        )
+        assert xs[0] == bounds.mn and xs[-1] == bounds.mx
+    # kept points are genuine input rows (event_id join-back)
+    kept_ids = {r.event_id for r in rows}
+    all_ids = {r.event_id for r in ev.select("event_id").collect()}
+    assert kept_ids <= all_ids
+    # deterministic rerun
+    again = {tuple(r) for r in ch_lttb_downsample(spark, sf_dir).collect()}
+    assert {tuple(r) for r in rows} == again
