@@ -331,6 +331,26 @@ def _translate_functions(sql: str) -> str:
             lambda a, s=spark_name: f"{s}({', '.join(a[1:])}, {a[0]})",
         )
 
+    # more lambda-first array functions
+    out = _rewrite_calls(
+        out,
+        "arrayCount",
+        lambda a: f"size(filter({', '.join(a[1:])}, {a[0]}))",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayFirst",
+        lambda a: f"element_at(filter({', '.join(a[1:])}, {a[0]}), 1)",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayFirstIndex",
+        lambda a: (
+            f"coalesce(array_position({', '.join(a[1:])}, "
+            f"element_at(filter({', '.join(a[1:])}, {a[0]}), 1)), 0)"
+        ),
+    )
+
     # arraySort(arr) renames; the key-lambda form has no Spark
     # equivalent (array_sort takes a two-arg comparator, not a key)
     def _array_sort(a: list[str]) -> str:

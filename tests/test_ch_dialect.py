@@ -357,3 +357,23 @@ def test_named_operator_functions(spark):
                   element_at(sequence(5, 9), 2) AS el
            FROM events WHERE event_id < 50""",
     )
+
+
+def test_array_count_first(spark):
+    _same(
+        spark,
+        """SELECT arrayCount(x -> x > 6, sequence(5, 9)) AS c,
+                  arrayFirst(x -> x > 6, sequence(5, 9)) AS f,
+                  arrayFirstIndex(x -> x > 6, sequence(5, 9)) AS fi,
+                  arrayFirstIndex(x -> x > 99, sequence(5, 9)) AS none
+           FROM events WHERE event_id = 1""",
+        """SELECT size(filter(sequence(5, 9), x -> x > 6)) AS c,
+                  element_at(filter(sequence(5, 9), x -> x > 6), 1) AS f,
+                  coalesce(array_position(sequence(5, 9),
+                    element_at(filter(sequence(5, 9), x -> x > 6), 1)), 0)
+                    AS fi,
+                  coalesce(array_position(sequence(5, 9),
+                    element_at(filter(sequence(5, 9), x -> x > 99), 1)), 0)
+                    AS none
+           FROM events WHERE event_id = 1""",
+    )
