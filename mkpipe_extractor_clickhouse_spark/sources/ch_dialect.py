@@ -340,14 +340,14 @@ def _translate_functions(sql: str) -> str:
     out = _rewrite_calls(
         out,
         "arrayFirst",
-        lambda a: f"element_at(filter({', '.join(a[1:])}, {a[0]}), 1)",
+        lambda a: f"try_element_at(filter({', '.join(a[1:])}, {a[0]}), 1)",
     )
     out = _rewrite_calls(
         out,
         "arrayFirstIndex",
         lambda a: (
             f"coalesce(array_position({', '.join(a[1:])}, "
-            f"element_at(filter({', '.join(a[1:])}, {a[0]}), 1)), 0)"
+            f"try_element_at(filter({', '.join(a[1:])}, {a[0]}), 1)), 0)"
         ),
     )
 

@@ -368,12 +368,12 @@ def test_array_count_first(spark):
                   arrayFirstIndex(x -> x > 99, sequence(5, 9)) AS none
            FROM events WHERE event_id = 1""",
         """SELECT size(filter(sequence(5, 9), x -> x > 6)) AS c,
-                  element_at(filter(sequence(5, 9), x -> x > 6), 1) AS f,
+                  try_element_at(filter(sequence(5, 9), x -> x > 6), 1) AS f,
                   coalesce(array_position(sequence(5, 9),
-                    element_at(filter(sequence(5, 9), x -> x > 6), 1)), 0)
+                    try_element_at(filter(sequence(5, 9), x -> x > 6), 1)), 0)
                     AS fi,
                   coalesce(array_position(sequence(5, 9),
-                    element_at(filter(sequence(5, 9), x -> x > 99), 1)), 0)
+                    try_element_at(filter(sequence(5, 9), x -> x > 99), 1)), 0)
                     AS none
            FROM events WHERE event_id = 1""",
     )
