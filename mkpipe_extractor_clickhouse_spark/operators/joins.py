@@ -375,3 +375,46 @@ def j12_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.bucket.eqNullSafe(b.bucket)).select(
         "event_id", a.bucket.alias("bucket"), "n_purchases"
     )
+
+
+@register(
+    "j17_existence_flags",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           COALESCE(l.has_return, 0) AS has_returned_item,
+           COALESCE(l.has_high_qty, 0) AS has_high_qty_line,
+           COALESCE(l.n_lines, 0) AS n_lines
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return,
+             MAX(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS has_high_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    tags=("J5", "J6", "A7", "EXT"),
+)
+def j17_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as projection columns — every order tagged with boolean
+    facts about its lines (any returned item? any bulk line?). Writing
+    the two EXISTS subqueries naively costs two semi joins; the
+    scalable restatement aggregates the fact ONCE into per-key flag
+    maxima and left-joins that single relation — one lineitem scan and
+    one join however many flags you add (the conditional-aggregate A7
+    combinator fused with the J5/J6 semi/anti shapes)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = li.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_return"),
+        F.max((F.col("l_quantity") > 45).cast("int")).alias("has_high_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    j = o.join(flags, o.o_orderkey == flags.l_orderkey, "left")
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce("has_return", F.lit(0)).alias("has_returned_item"),
+        F.coalesce("has_high_qty", F.lit(0)).alias("has_high_qty_line"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+    )

@@ -331,6 +331,17 @@ def _translate_functions(sql: str) -> str:
             lambda a, s=spark_name: f"{s}({', '.join(a[1:])}, {a[0]})",
         )
 
+    # countSubstrings(haystack, needle) → occurrence count via the
+    # length-difference identity (both engines, same integer result)
+    out = _rewrite_calls(
+        out,
+        "countSubstrings",
+        lambda a: (
+            f"((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+            f" DIV length({a[1]}))"
+        ),
+    )
+
     # more lambda-first array functions
     out = _rewrite_calls(
         out,

@@ -377,3 +377,17 @@ def test_array_count_first(spark):
                     AS none
            FROM events WHERE event_id = 1""",
     )
+
+
+def test_count_substrings(spark):
+    _same(
+        spark,
+        """SELECT countSubstrings(event_type, 'c') AS c1,
+                  countSubstrings(event_type, 'ick') AS c2
+           FROM events WHERE event_id < 50""",
+        """SELECT ((length(event_type) - length(replace(event_type, 'c', '')))
+                   DIV length('c')) AS c1,
+                  ((length(event_type) - length(replace(event_type, 'ick', '')))
+                   DIV length('ick')) AS c2
+           FROM events WHERE event_id < 50""",
+    )
