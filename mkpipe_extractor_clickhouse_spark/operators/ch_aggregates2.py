@@ -1302,3 +1302,37 @@ def ch_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "ch_argmax_if",
+    oracle="""
+    SELECT event_type,
+           MAX(CASE WHEN value > 150 THEN {'ts': ts, 'eid': event_id} END)
+             .eid AS peak_event_id,
+           MAX(CASE WHEN value > 150 THEN {'ts': ts, 'eid': event_id} END)
+             .ts AS peak_ts,
+           COUNT(CASE WHEN value > 150 THEN 1 END) AS n_qualifying
+    FROM events GROUP BY event_type
+    """,
+    tags=("A11", "A7", "EXT"),
+)
+def ch_argmax_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMaxIf(event_id, ts, cond)`` — the -If
+    combinator applied to argMax: per group, the id of the LATEST
+    event satisfying a condition (NULL when none does). One
+    conditional struct-max — rows failing the condition contribute
+    NULL, which max() skips identically in both engines, and the
+    (ts, event_id) struct ordering makes ties deterministic. Single
+    partial→final aggregate, no join, no filter pass."""
+    ev = load_table(spark, sf_dir, "events")
+    qual = F.when(
+        F.col("value") > 150,
+        F.struct(F.col("ts"), F.col("event_id").alias("eid")),
+    )
+    m = F.max(qual)
+    return ev.groupBy("event_type").agg(
+        m["eid"].alias("peak_event_id"),
+        m["ts"].alias("peak_ts"),
+        F.count(F.when(F.col("value") > 150, 1)).alias("n_qualifying"),
+    )

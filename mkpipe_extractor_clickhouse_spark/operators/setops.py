@@ -164,3 +164,35 @@ def u6_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(li, allowMissingColumns=True)
+
+
+@register(
+    "u7_intersect_except_all",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, user_id FROM events WHERE value > 100
+    ),
+    b AS (
+      SELECT event_type, user_id FROM events WHERE event_id % 2 = 0
+    ),
+    i AS (SELECT *, 'intersect_all' AS op FROM (
+            SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+    e AS (SELECT *, 'except_all' AS op FROM (
+            SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+    SELECT * FROM i UNION ALL SELECT * FROM e
+    """,
+    tags=("U3", "U4", "EXT"),
+)
+def u7_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INTERSECT ALL`` / ``EXCEPT ALL`` — the bag-semantics set
+    operations (U3/U4 are the DISTINCT forms): multiplicities are
+    min(m, n) and max(m − n, 0) respectively, which is what row-level
+    audit diffs need (a dropped DUPLICATE must count). Spark's
+    intersectAll/exceptAll plan as a single aggregate-on-count
+    exchange per side — no pairwise anything."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 100).select("event_type", "user_id")
+    b = ev.filter(F.col("event_id") % 2 == 0).select("event_type", "user_id")
+    i = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    e = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return i.unionByName(e)
