@@ -105,3 +105,26 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "day")
     plan = joined._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_existence_flags_single_fact_scan(spark, sf_dir):
+    """j17 must scan lineitem ONCE (flag aggregation), not once per
+    EXISTS — the whole point of the rewrite."""
+    plan = plan_of("j17_existence_flags", spark, sf_dir)
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_session_islands_single_exchange(spark, sf_dir):
+    """w12's two window passes share one user_id exchange — Spark must
+    not re-shuffle between the lag flag and the running sum."""
+    plan = plan_of("w12_session_islands", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_lttb_distributes_per_series(spark, sf_dir):
+    """LTTB runs as grouped-map Pandas over event_type — the plan must
+    show the Arrow-batched python exec, not a collect."""
+    plan = plan_of("ch_lttb_downsample", spark, sf_dir)
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
