@@ -334,3 +334,68 @@ def l59_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fail_reasons"),
         keep.cast("long").alias("keep"),
     )
+
+
+@register(
+    "l68_source_quality_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             t -> t IN ({_STOP_IN}))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio,
+             CAST(n_chars AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_tok >= 10 AND n_tok <= 500 AND ttr > 0.2
+                         AND stop_ratio >= 0.01
+                         AND mean_word_len >= 2 AND mean_word_len <= 12
+                    THEN 1 ELSE 0 END) AS kept,
+           SUM(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS fail_too_short,
+           SUM(CASE WHEN ttr <= 0.2 THEN 1 ELSE 0 END) AS fail_repetitive,
+           SUM(CASE WHEN stop_ratio < 0.01 THEN 1 ELSE 0 END)
+             AS fail_no_function_words
+    FROM m GROUP BY source
+    """,
+    tags=("L7", "EXT", "quality", "dq"),
+)
+def l68_source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate attribution — the l59 verdicts rolled up per
+    SOURCE with per-rule failure counts: which crawl is costing
+    coverage and WHY, the report that drives per-source threshold
+    tuning and the l46 mixture weights. Same row-local rule
+    expressions as l59 (mirrored IEEE ratio comparisons), one
+    aggregation, O(sources) output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        * F.lit(1.0)
+        / n_tok
+    )
+    mwl = F.col("n_chars").cast("double") / n_tok
+    keep = (
+        (n_tok >= 10)
+        & (n_tok <= 500)
+        & (ttr > 0.2)
+        & (stop_ratio >= 0.01)
+        & (mwl >= 2)
+        & (mwl <= 12)
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).alias("kept"),
+        F.sum((n_tok < 10).cast("long")).alias("fail_too_short"),
+        F.sum((ttr <= 0.2).cast("long")).alias("fail_repetitive"),
+        F.sum((stop_ratio < 0.01).cast("long")).alias(
+            "fail_no_function_words"
+        ),
+    )

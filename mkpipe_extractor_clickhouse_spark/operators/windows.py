@@ -421,3 +421,54 @@ def w12_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session").over(run).alias("session_no"),
     )
+
+
+@register(
+    "w13_wow_change",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({{q}}) AS revq
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day,
+           CAST(revq / 1000000.0 AS DOUBLE) AS revenue,
+           CAST(LAG(revq, 7) OVER (PARTITION BY event_type ORDER BY day)
+                / 1000000.0 AS DOUBLE) AS revenue_prev_week,
+           ROUND((CAST(revq AS DOUBLE)
+                  - CAST(LAG(revq, 7) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS DOUBLE))
+                 / CAST(LAG(revq, 7) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS DOUBLE)
+                 * 100, 6) AS pct_change_wow
+    FROM daily
+    """.format(q="CAST(TRUNC(value * 1000000 + (CASE WHEN value >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT)"),
+    tags=("W3", "EXT", "timeseries"),
+)
+def w13_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change — daily revenue per stream
+    against the same weekday last week (lag 7 over the daily series),
+    the seasonality-aware trend KPI (day-over-day confuses weekends
+    with regressions). Daily sums are quantized longs; the percent
+    change is one mirrored IEEE chain over two exact longs, rounded
+    once. Window over the O(days) rollup, not the fact table."""
+    from ._determinism import _quantize
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("revq", 7).over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("revq") / 1_000_000.0).cast("double").alias("revenue"),
+        (prev / 1_000_000.0).cast("double").alias("revenue_prev_week"),
+        F.round(
+            (F.col("revq").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+            * 100,
+            6,
+        ).alias("pct_change_wow"),
+    )
