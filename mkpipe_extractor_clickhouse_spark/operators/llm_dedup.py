@@ -994,3 +994,37 @@ def l58_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "l69_dup_multiplicity_histogram",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS h, COUNT(*) AS copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT copies,
+           COUNT(*) AS n_groups,
+           SUM(copies) AS n_docs,
+           SUM(copies - 1) AS removable
+    FROM groups GROUP BY copies
+    """,
+    tags=("L1", "EXT", "dedup"),
+)
+def l69_dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-multiplicity histogram — how many content groups have
+    exactly k copies, and how many documents dedup would remove at
+    each multiplicity. The capacity-planning companion to l55's
+    per-source view: a corpus dominated by k=2 pairs dedups cheaply;
+    a fat tail of k>100 groups signals template spam and changes the
+    strategy (cluster-level sampling instead of keep-one). Two
+    digest-keyed aggregations, O(multiplicities) output."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("copies")
+    )
+    return groups.groupBy("copies").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("copies").alias("n_docs"),
+        F.sum(F.col("copies") - 1).alias("removable"),
+    )
