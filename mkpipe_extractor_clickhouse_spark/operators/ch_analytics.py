@@ -817,3 +817,53 @@ def ch_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
+
+
+@register(
+    "ts2_weekday_profile",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    dow AS (
+      SELECT event_type,
+             -- DuckDB dayofweek is 0-based (Sun=0); Spark's is Sun=1
+             CAST(dayofweek(day) AS BIGINT) + 1 AS dow,
+             SUM(revq) AS dow_revq,
+             SUM(SUM(revq)) OVER (PARTITION BY event_type) AS total_revq
+      FROM daily GROUP BY event_type, dayofweek(day)
+    )
+    SELECT event_type, dow,
+           CAST(dow_revq / 1000000.0 AS DOUBLE) AS dow_revenue,
+           dow_revq * 1000000 // total_revq AS share_ppm
+    FROM dow
+    """,
+    tags=("A2", "F2", "EXT", "timeseries"),
+)
+def ts2_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile — each stream's revenue mass by day
+    of week, with the share of the week in exact floor-ppm: the
+    baseline w13's week-over-week comparison implicitly assumes, made
+    explicit (a flat profile says WoW and DoD are interchangeable; a
+    spiky one says only WoW is honest). Two rollup aggregations over
+    quantized longs; shares divide exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    dow = daily.groupBy(
+        "event_type", F.dayofweek("day").cast("long").alias("dow")
+    ).agg(F.sum("revq").alias("dow_revq"))
+    dow = dow.withColumn(
+        "total_revq",
+        F.sum("dow_revq").over(Window.partitionBy("event_type")),
+    )
+    return dow.select(
+        "event_type",
+        "dow",
+        (F.col("dow_revq") / 1_000_000.0).cast("double").alias("dow_revenue"),
+        F.expr("dow_revq * 1000000 DIV total_revq").alias("share_ppm"),
+    )

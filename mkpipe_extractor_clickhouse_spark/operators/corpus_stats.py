@@ -252,3 +252,63 @@ def l52_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cond_prob_ppb"
         ),
     )
+
+
+@register(
+    "l70_shingle_novelty",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(p) - 1),
+                    i -> p[i] || ' ' || p[i+1] || ' ' || p[i+2])) AS s
+      FROM parts WHERE len(p) >= 3
+    ),
+    firsts AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN firsts.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS novel_shingles,
+           SUM(CASE WHEN firsts.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS novelty_ppm
+    FROM sh JOIN firsts ON sh.s = firsts.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("L2", "EXT", "dedup", "quality"),
+)
+def l70_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty — for each document, the fraction of its 3-gram
+    shingles appearing in NO lower-numbered document (processing-order
+    novelty, the signal behind dedup-aware data ordering: train on
+    high-novelty docs first, drop the near-zero tail). One global
+    min-per-shingle aggregation (the first-seen dictionary), one
+    dictionary join back, exact integer ppm. The shingle dictionary is
+    the same relation l23/l58 build — at 100 TB it shuffles 16-byte
+    hashes, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    p = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(p) - 2), i -> concat("
+        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
+        " element_at(p, i + 2)))"
+    )
+    sh = (
+        d.select("doc_id", p.alias("p"))
+        .filter(F.size("p") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(firsts, "s")
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(novel).alias("novel_shingles"),
+        F.expr(
+            "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*)"
+        ).alias("novelty_ppm"),
+    )
