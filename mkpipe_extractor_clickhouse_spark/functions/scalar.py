@@ -450,3 +450,38 @@ def f14_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query_string"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
     )
+
+
+@register(
+    "f15_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_stem,
+           CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS BIGINT)
+             AS src_num,
+           regexp_replace(lang, '[aeiou]', '_', 'g') AS lang_masked,
+           len(regexp_extract_all(text, 'the')) AS the_count,
+           regexp_matches(text, '^key') AS starts_key
+    FROM documents
+    """,
+    tags=("F1", "EXT", "regex"),
+)
+def f15_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family — extract (group capture), global
+    replace, occurrence count, and boolean match: the F1 string
+    surface's pattern layer (ClickHouse: extract / replaceRegexpAll /
+    countMatches / match). Patterns stay in the character-class subset
+    where Java regex (Spark) and RE2 (DuckDB) agree — documented
+    boundary, same caveat as the dialect translator. Row-local JVM
+    codegen, rides the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 1).alias("src_stem"),
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2)
+        .cast("bigint")
+        .alias("src_num"),
+        F.regexp_replace("lang", "[aeiou]", "_").alias("lang_masked"),
+        F.regexp_count("text", F.lit("the")).alias("the_count"),
+        F.col("text").rlike("^key").alias("starts_key"),
+    )
