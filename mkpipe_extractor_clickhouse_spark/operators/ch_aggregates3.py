@@ -1,0 +1,251 @@
+"""ClickHouse aggregate parity, third installment: rank statistics,
+timestamp-ordered delta aggregation, and a two-window distribution-
+drift report (reference ecosystem: ClickHouse is the source engine —
+``/root/reference/mkpipe_extractor_clickhouse/__init__.py:26-43`` — so
+analytics written against ``rankCorr`` / ``deltaSumTimestamp`` must
+keep working here).
+
+Determinism discipline (SURVEY §5.5, operators/_determinism.py): rank
+statistics stay in pure integer arithmetic (doubled average ranks so
+midranks of even tie-groups remain integral) until one final IEEE
+expression; delta sums ride quantized longs; the chi-square drift
+terms are quantized per-bucket BEFORE the sum so the total is
+accumulation-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import _Q, _quantize
+
+
+@register(
+    "ch_rank_corr",
+    oracle="""
+    WITH r AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY l_quantity)
+          + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+        2 * RANK() OVER (ORDER BY l_extendedprice)
+          + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry
+      FROM lineitem
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy,
+             SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+             SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy
+      FROM r
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+    tags=("A10", "EXT", "stats"),
+)
+def ch_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)`` — Spearman's rank correlation
+    with standard midrank tie handling, exactly. The midrank of a tie
+    group is RANK + (ties-1)/2; doubling it (2·RANK + ties − 1) keeps
+    every rank integral, so all five moments are exact integers
+    (DECIMAL(38,0) for the squares — Σr² overflows int64 past ~3M
+    rows) and the single final IEEE expression is bit-identical across
+    engines. Doubling both rank vectors leaves Pearson-on-ranks
+    invariant (correlation is scale-free). Scale: the two unpartitioned
+    rank windows serialize to one partition (same posture as
+    ch_ks_test's global ECDF); the scale path replaces them with the
+    closed-form midrank 2·cntLess + cntEq + 1 — per-value counts plus
+    a prefix sum over distinct values, joined back — keeping every
+    stage partial→final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rx = (
+        2 * F.rank().over(Window.orderBy("l_quantity"))
+        + F.count("*").over(Window.partitionBy("l_quantity"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.orderBy("l_extendedprice"))
+        + F.count("*").over(Window.partitionBy("l_extendedprice"))
+        - 1
+    )
+    r = li.select(rx.alias("rx"), ry.alias("ry"))
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(F.col("n"), F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "ch_delta_sum_ts",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             {_Q.format(x='value')} AS vq
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             vq - LAG(vq) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS dq
+      FROM q
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END) / 1000000.0
+                AS DOUBLE) AS delta_sum
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A2", "W3", "EXT", "timeseries"),
+)
+def ch_delta_sum_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSumTimestamp(value, ts)`` — the sum of
+    positive value deltas taken in timestamp order per series (the
+    counter-increase primitive behind rate dashboards; ch_delta_sum is
+    the unordered-state variant). Order is made total with the
+    event_id tiebreak so the lag is deterministic; values ride
+    quantized longs so the positive-delta sum is exact. One window
+    shuffle on the series key, then partial→final agg — O(rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        (_quantize("value") - F.lag(_quantize("value")).over(w)).alias("dq"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("dq") > 0, F.col("dq")).otherwise(0))
+                / 1_000_000.0
+            )
+            .cast("double")
+            .alias("delta_sum")
+        )
+        .orderBy("event_type")
+    )
+
+
+DRIFT_SPLIT = "2024-01-16 00:00:00"
+DRIFT_BUCKET_WIDTH = 50.0
+
+
+@register(
+    "dq3_histogram_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(value / {DRIFT_BUCKET_WIDTH}) AS INT) AS bucket,
+             CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 0 ELSE 1 END AS half
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bucket,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM b GROUP BY event_type, bucket
+    ),
+    t AS (
+      SELECT event_type, bucket, ca, cb,
+             SUM(ca) OVER (PARTITION BY event_type) AS na,
+             SUM(cb) OVER (PARTITION BY event_type) AS nb
+      FROM c
+    ),
+    term AS (
+      SELECT event_type,
+             ABS(ca * 1000000 // na - cb * 1000000 // nb) AS tvd_term_ppm,
+             {_Q.format(
+                 x="(ca - CAST(ca + cb AS DOUBLE) * na / (na + nb))"
+                   " * (ca - CAST(ca + cb AS DOUBLE) * na / (na + nb))"
+                   " / (CAST(ca + cb AS DOUBLE) * na / (na + nb))"
+                   " + (cb - CAST(ca + cb AS DOUBLE) * nb / (na + nb))"
+                   " * (cb - CAST(ca + cb AS DOUBLE) * nb / (na + nb))"
+                   " / (CAST(ca + cb AS DOUBLE) * nb / (na + nb))"
+             )} AS chi_q
+      FROM t
+    )
+    SELECT event_type,
+           SUM(tvd_term_ppm) // 2 AS tvd_ppm,
+           ROUND(SUM(chi_q) / 1000000.0, 6) AS chi2
+    FROM term GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A7", "A10", "EXT", "quality"),
+)
+def dq3_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two time windows — the
+    data-quality check a pipeline runs before trusting a new
+    extraction tick: per series, the value histogram of the first half
+    of the month vs the second, scored by total-variation distance
+    (pure integer ppm) and the two-sample chi-square homogeneity
+    statistic. Each chi² bucket term is an identical IEEE tree over
+    exact integer counts, quantized to 1e-6 longs BEFORE the sum
+    (operators/_determinism.py), so both scores are bit-stable across
+    engines and partitionings. Counts come from one partial→final agg
+    over (series, bucket, half); everything downstream is O(series ×
+    buckets). The drift gate composes with dq5's freshness report."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.floor(F.col("value") / DRIFT_BUCKET_WIDTH).cast("int").alias("bucket"),
+        F.when(
+            F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp_ntz"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+    )
+    ntot = (F.col("na") + F.col("nb")).cast("double")
+    ea = (F.col("ca") + F.col("cb")).cast("double") * F.col("na") / ntot
+    eb = (F.col("ca") + F.col("cb")).cast("double") * F.col("nb") / ntot
+    chi_term = (F.col("ca") - ea) * (F.col("ca") - ea) / ea + (
+        F.col("cb") - eb
+    ) * (F.col("cb") - eb) / eb
+    term = t.select(
+        "event_type",
+        F.abs(
+            F.expr("ca * 1000000 DIV na") - F.expr("cb * 1000000 DIV nb")
+        ).alias("tvd_term_ppm"),
+        _quantize(chi_term).alias("chi_q"),
+    )
+    return (
+        term.groupBy("event_type")
+        .agg(
+            F.expr("SUM(tvd_term_ppm) DIV 2").alias("tvd_ppm"),
+            F.round(F.sum("chi_q") / 1_000_000.0, 6).alias("chi2"),
+        )
+        .orderBy("event_type")
+    )

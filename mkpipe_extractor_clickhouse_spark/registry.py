@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.llm_quality",
     "mkpipe_extractor_clickhouse_spark.operators.ch_aggregates",
     "mkpipe_extractor_clickhouse_spark.operators.ch_aggregates2",
+    "mkpipe_extractor_clickhouse_spark.operators.ch_aggregates3",
     "mkpipe_extractor_clickhouse_spark.operators.corpus_stats",
     "mkpipe_extractor_clickhouse_spark.operators.ch_analytics",
     "mkpipe_extractor_clickhouse_spark.operators.ch_sql_features",
