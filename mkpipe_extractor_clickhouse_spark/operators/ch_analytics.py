@@ -867,3 +867,121 @@ def ts2_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dow_revq") / 1_000_000.0).cast("double").alias("dow_revenue"),
         F.expr("dow_revq * 1000000 DIV total_revq").alias("share_ppm"),
     )
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMP_PCT = 85  # d = 0.85, held as an exact integer percent
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration in pure integer arithmetic
+    (shared by the DuckDB oracle below)."""
+    return f"""
+    {out} AS (
+      SELECT ty.t,
+             (1000000 - {PAGERANK_DAMP_PCT} * 10000)
+               // (SELECT COUNT(*) FROM types)
+             + ({PAGERANK_DAMP_PCT}
+                * (COALESCE(SUM({prev}.r * p.p_ppm), 0) // 1000000)) // 100 AS r
+      FROM types ty
+      LEFT JOIN p ON p.nxt = ty.t
+      LEFT JOIN {prev} ON {prev}.t = p.cur
+      GROUP BY ty.t
+    )"""
+
+
+@register(
+    "g2_pagerank",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, COUNT(*) AS c FROM ordered
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    p AS (
+      SELECT cur, nxt,
+             (c * 1000000) // SUM(c) OVER (PARTITION BY cur) AS p_ppm
+      FROM trans
+    ),
+    types AS (
+      SELECT DISTINCT t FROM (
+        SELECT cur AS t FROM trans UNION SELECT nxt FROM trans
+      )
+    ),
+    r0 AS (
+      SELECT t, 1000000 // (SELECT COUNT(*) FROM types) AS r FROM types
+    ),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT t AS event_type, r AS pagerank_ppm
+    FROM r3 ORDER BY pagerank_ppm DESC, event_type
+    """,
+    tags=("W3", "EXT", "graph"),
+)
+def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d = 0.85) over the event-type transition graph
+    — g1's power iteration plus the teleport term, the full algorithm
+    behind source-importance scoring on web/link graphs. EVERYTHING is
+    integer: edge probabilities in floor-ppm, rank mass in ppm, each
+    iteration ``(1−d)·1e6 // N + d·(Σ r·p // 1e6) // 100`` with d held
+    as an integer percent — bit-identical across engines, no
+    quantization slack. Nodes are the UNION of sources and sinks, and
+    the left join keeps in-edge-free nodes alive on the teleport mass
+    (the two cases plain power iteration drops). Shapes: one window
+    pass builds edges; each iteration is one broadcast join over the
+    O(types²) matrix, so iteration cost is independent of the fact
+    table — on a billion-edge graph the same loop runs with the edge
+    list left partitioned by cur and localCheckpoint() lineage
+    truncation every few rounds (the l18 CC posture)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        ordered.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    p = trans.select(
+        "cur",
+        "nxt",
+        F.expr("(c * 1000000) DIV sum(c) OVER (PARTITION BY cur)").alias(
+            "p_ppm"
+        ),
+    )
+    types = (
+        trans.select(F.col("cur").alias("t"))
+        .union(trans.select("nxt"))
+        .distinct()
+    )
+    n_types = types.count()  # O(types) driver-side scalar, like g1
+    teleport = (1_000_000 - PAGERANK_DAMP_PCT * 10_000) // n_types
+    r = types.select("t", F.lit(1_000_000 // n_types).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            r.join(F.broadcast(p), r.t == p.cur)
+            .groupBy(F.col("nxt").alias("t2"))
+            .agg(F.expr("sum(r * p_ppm) DIV 1000000").alias("c"))
+        )
+        r = types.join(
+            F.broadcast(contrib), types.t == contrib.t2, "left"
+        ).select(
+            "t",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({PAGERANK_DAMP_PCT} * coalesce(c, 0)) DIV 100"
+                )
+            ).alias("r"),
+        )
+    return r.select(
+        F.col("t").alias("event_type"), F.col("r").alias("pagerank_ppm")
+    ).orderBy(F.desc("pagerank_ppm"), "event_type")
