@@ -34,6 +34,28 @@ Supported rewrites
   ORDER BY for determinism).
 * ``FINAL`` and ``SAMPLE`` raise ChDialectError naming the native
   replacement operator rather than silently changing semantics.
+* array toolkit: ``arraySlice``→``slice`` (open-ended form filled
+  with ``size``), ``arraySum/arrayAvg`` (plain + lambda-first) →
+  ``aggregate`` folds, ``arrayUniq``, ``arrayPush*/arrayPop*``,
+  ``hasAll``/``hasAny``, ``range`` (empty-safe), ``arrayMin/Max``,
+  ``arrayFlatten``, ``arrayZip``.
+* tuples: ``tuple``→``named_struct`` with ordinal field names,
+  ``tupleElement(t, n)``→``t.coln``.
+* regex: ``extract``/``extractAll`` (capture-group-aware; ANSI
+  ``EXTRACT(YEAR FROM …)`` untouched), ``replaceRegexpAll`` (\\1
+  backrefs → $1), ``replaceOne``/``replaceAll``, ``like``/``ilike``/
+  ``notLike``/``notILike`` function forms → operators.
+* dates: ``toMonday``, ``toStartOfWeek`` (Sunday/Monday modes),
+  ``age``, ``formatDateTime`` (literal %-subset → Spark pattern),
+  ``toQuarter``/``toDayOfYear``/``toISOWeek``,
+  ``fromUnixTimestamp``→``timestamp_seconds``.
+* ints/bits: ``intDivOrZero``/``moduloOrZero``, ``bitAnd/Or/Xor/Not``
+  → operators, ``bitShiftLeft/Right``→``shiftleft/right``,
+  ``roundBankers``→``bround``.
+* bytes: ``MD5``/``SHA256``→``unhex(md5/sha2(…))`` (byte parity, so
+  ``hex(MD5(x))`` round-trips), ``base64Encode/Decode``,
+  ``IPv4NumToString``/``IPv4StringToNum`` as arithmetic;
+  ClickHouse-private hashes (cityHash64 …) raise with guidance.
 
 Scope note: this is a pragmatic string-level rewriter with a
 paren-aware argument splitter, not a full parser — the documented
@@ -204,6 +226,26 @@ _RENAMES = {
     "lengthUTF8": "length",
     "ifNull": "ifnull",
     "assumeNotNull": "",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayFlatten": "flatten",
+    "arrayZip": "arrays_zip",
+    "toQuarter": "quarter",
+    "toDayOfYear": "dayofyear",
+    "toISOWeek": "weekofyear",
+    "fromUnixTimestamp": "timestamp_seconds",
+    "roundBankers": "bround",
+    "reverseUTF8": "reverse",
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "trimBoth": "trim",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "concatWithSeparator": "concat_ws",
+    "base64Encode": "base64",
+    "replaceAll": "replace",
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
 }
 
 _CASTS = {
@@ -463,6 +505,282 @@ def _translate_functions(sql: str) -> str:
             f"CAST(get_json_object({a[0]}, concat('$.', {a[1]})) AS DOUBLE)"
         ),
     )
+
+    # ---- array builders / slices -------------------------------------
+    def _array_slice(a: list[str]) -> str:
+        if len(a) == 2:
+            return f"slice({a[0]}, {a[1]}, size({a[0]}))"
+        return f"slice({a[0]}, {a[1]}, {a[2]})"
+
+    out = _rewrite_calls(out, "arraySlice", _array_slice)
+
+    def _array_sum_expr(a: list[str]) -> str:
+        # lambda-first variant arraySum(x -> …, arr) maps first
+        arr = f"transform({a[1]}, {a[0]})" if len(a) == 2 else a[0]
+        return f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+    out = _rewrite_calls(out, "arraySum", lambda a: _array_sum_expr(a))
+    out = _rewrite_calls(
+        out,
+        "arrayAvg",
+        lambda a: (
+            f"({_array_sum_expr(a)}"
+            f" / size({f'transform({a[1]}, {a[0]})' if len(a) == 2 else a[0]}))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "arrayUniq", lambda a: f"size(array_distinct({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out, "arrayPushBack", lambda a: f"concat({a[0]}, array({a[1]}))"
+    )
+    out = _rewrite_calls(
+        out, "arrayPushFront", lambda a: f"concat(array({a[1]}), {a[0]})"
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopBack",
+        lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayPopFront",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    )
+    out = _rewrite_calls(
+        out,
+        "hasAll",
+        lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+    )
+    out = _rewrite_calls(
+        out, "hasAny", lambda a: f"arrays_overlap({a[0]}, {a[1]})"
+    )
+
+    def _range(a: list[str]) -> str:
+        # range(n) → [0, n); range(s, e) → [s, e); empty-safe (Spark's
+        # sequence would count DOWN for e < s, so clamp + slice)
+        if len(a) == 1:
+            return (
+                f"slice(sequence(0, greatest(({a[0]}) - 1, 0)), 1, "
+                f"greatest({a[0]}, 0))"
+            )
+        if len(a) == 2:
+            return (
+                f"slice(sequence({a[0]}, greatest(({a[1]}) - 1, {a[0]})), 1, "
+                f"greatest(({a[1]}) - ({a[0]}), 0))"
+            )
+        raise ChDialectError("range with an explicit step is not supported")
+
+    out = _rewrite_calls(out, "range", _range)
+
+    # ---- tuples -------------------------------------------------------
+    # tuple() must carry ORDINAL field names (col1, col2, …) so that
+    # tupleElement-by-index resolves; struct() would keep source column
+    # names instead.
+    out = _rewrite_calls(
+        out,
+        "tuple",
+        lambda a: (
+            "named_struct("
+            + ", ".join(f"'col{i + 1}', {x}" for i, x in enumerate(a))
+            + ")"
+        ),
+    )
+
+    def _tuple_element(a: list[str]) -> str:
+        idx = a[1].strip()
+        if not idx.isdigit():
+            raise ChDialectError(
+                "tupleElement requires a literal 1-based index"
+            )
+        return f"({a[0]}).col{idx}"
+
+    out = _rewrite_calls(out, "tupleElement", _tuple_element)
+
+    # ---- LIKE-family predicate functions ------------------------------
+    for ch, op in (
+        ("notILike", "NOT ILIKE"),
+        ("notLike", "NOT LIKE"),
+        ("ilike", "ILIKE"),
+        ("like", "LIKE"),
+    ):
+        out = _rewrite_calls(
+            out,
+            ch,
+            # `x LIKE (p)` (operator + parenthesized pattern) parses as
+            # 1 arg — re-emit the operator form, not a function call
+            lambda a, o=op, n=ch: (
+                f"({a[0]} {o} {a[1]})" if len(a) == 2 else f"{n} ({a[0]})"
+            ),
+        )
+
+    # ---- regex extraction / replacement -------------------------------
+    def _has_capture_group(pat: str) -> bool:
+        if not pat or pat[0] not in "'\"":
+            raise ChDialectError(
+                "extract/extractAll need a literal regex pattern"
+            )
+        body = pat[1:-1]
+        i = 0
+        while i < len(body):
+            if body[i] == "\\":
+                i += 2
+                continue
+            if body[i] == "(" and body[i : i + 3] != "(?:":
+                return True
+            i += 1
+        return False
+
+    def _extract(a: list[str]) -> str:
+        if len(a) == 1:  # ANSI EXTRACT(YEAR FROM x) — not ours
+            return f"extract({a[0]})"
+        grp = 1 if _has_capture_group(a[1].strip()) else 0
+        return f"regexp_extract({a[0]}, {a[1]}, {grp})"
+
+    out = _rewrite_calls(out, "extractAll", lambda a: (
+        f"regexp_extract_all({a[0]}, {a[1]}, "
+        f"{1 if _has_capture_group(a[1].strip()) else 0})"
+    ))
+    out = _rewrite_calls(out, "extract", _extract)
+
+    def _replace_regexp(a: list[str]) -> str:
+        repl = a[2]
+        if repl and repl[0] in "'\"":
+            # ClickHouse re2 backrefs \1 (written \\1 in a literal) →
+            # Java's $1
+            repl = re.sub(r"\\{1,2}(\d)", r"$\1", repl)
+        return f"regexp_replace({a[0]}, {a[1]}, {repl})"
+
+    out = _rewrite_calls(out, "replaceRegexpAll", _replace_regexp)
+
+    def _replace_one(a: list[str]) -> str:
+        h, n, r = a
+        loc = f"locate({n}, {h})"
+        return (
+            f"CASE WHEN {loc} > 0 THEN concat(substr({h}, 1, {loc} - 1), "
+            f"{r}, substr({h}, {loc} + length({n}))) ELSE {h} END"
+        )
+
+    out = _rewrite_calls(out, "replaceOne", _replace_one)
+
+    # ---- date/time additions ------------------------------------------
+    out = _rewrite_calls(
+        out, "toMonday", lambda a: f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
+    )
+
+    def _to_start_of_week(a: list[str]) -> str:
+        mode = a[1].strip() if len(a) > 1 else "0"
+        if mode in ("1", "3"):  # Monday-first modes
+            return f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
+        if mode == "0":  # ClickHouse default: Sunday-first
+            return f"date_sub(CAST({a[0]} AS DATE), dayofweek({a[0]}) - 1)"
+        raise ChDialectError("toStartOfWeek mode must be a literal 0, 1 or 3")
+
+    out = _rewrite_calls(out, "toStartOfWeek", _to_start_of_week)
+    out = _rewrite_calls(out, "age", _date_diff)
+
+    _FDT = {
+        "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+        "i": "mm", "S": "ss", "e": "d", "F": "yyyy-MM-dd",
+        "T": "HH:mm:ss", "%": "%",
+    }
+
+    def _format_datetime(a: list[str]) -> str:
+        fmt = a[1].strip()
+        if len(fmt) < 2 or fmt[0] not in "'\"" or fmt[-1] != fmt[0]:
+            raise ChDialectError(
+                "formatDateTime requires a literal format string"
+            )
+        body, parts, i = fmt[1:-1], [], 0
+        while i < len(body):
+            c = body[i]
+            if c == "%":
+                spec = body[i + 1 : i + 2]
+                if spec not in _FDT:
+                    raise ChDialectError(
+                        f"formatDateTime specifier %{spec} is outside the "
+                        "documented subset (%Y %y %m %d %H %i %S %e %F %T)"
+                    )
+                parts.append(_FDT[spec])
+                i += 2
+            elif c.isalpha() or c == "'":
+                raise ChDialectError(
+                    "formatDateTime literal letters outside % specifiers "
+                    "would be read as Spark pattern letters; quote them as "
+                    "%-specifiers instead"
+                )
+            else:
+                parts.append(c)
+                i += 1
+        return f"date_format({a[0]}, '{''.join(parts)}')"
+
+    out = _rewrite_calls(out, "formatDateTime", _format_datetime)
+
+    # ---- integer-safe arithmetic variants -----------------------------
+    out = _rewrite_calls(
+        out,
+        "intDivOrZero",
+        lambda a: (
+            f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE "
+            f"CAST({a[0]} AS BIGINT) DIV CAST({a[1]} AS BIGINT) END"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "moduloOrZero",
+        lambda a: (
+            f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END"
+        ),
+    )
+
+    # ---- bit functions → operators ------------------------------------
+    for ch, op in (("bitAnd", "&"), ("bitOr", "|"), ("bitXor", "^")):
+        out = _rewrite_calls(out, ch, lambda a, o=op: f"({a[0]} {o} {a[1]})")
+    out = _rewrite_calls(out, "bitNot", lambda a: f"(~({a[0]}))")
+    out = _rewrite_calls(
+        out, "bitShiftLeft", lambda a: f"shiftleft({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(
+        out, "bitShiftRight", lambda a: f"shiftright({a[0]}, {a[1]})"
+    )
+
+    # ---- IPv4 / hash / encoding ---------------------------------------
+    out = _rewrite_calls(
+        out,
+        "IPv4NumToString",
+        lambda a: (
+            f"concat(CAST((({a[0]}) DIV 16777216) % 256 AS STRING), '.', "
+            f"CAST((({a[0]}) DIV 65536) % 256 AS STRING), '.', "
+            f"CAST((({a[0]}) DIV 256) % 256 AS STRING), '.', "
+            f"CAST(({a[0]}) % 256 AS STRING))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "IPv4StringToNum",
+        lambda a: (
+            f"(CAST(split_part({a[0]}, '.', 1) AS BIGINT) * 16777216 "
+            f"+ CAST(split_part({a[0]}, '.', 2) AS BIGINT) * 65536 "
+            f"+ CAST(split_part({a[0]}, '.', 3) AS BIGINT) * 256 "
+            f"+ CAST(split_part({a[0]}, '.', 4) AS BIGINT))"
+        ),
+    )
+    # binary-identical digests (ClickHouse returns FixedString bytes;
+    # Spark's md5/sha2 return hex text — unhex restores byte parity, so
+    # hex(MD5(x)) round-trips to the exact ClickHouse output)
+    out = _rewrite_calls(out, "MD5", lambda a: f"unhex(md5({a[0]}))")
+    out = _rewrite_calls(out, "SHA256", lambda a: f"unhex(sha2({a[0]}, 256))")
+    out = _rewrite_calls(
+        out, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    )
+    for h in ("cityHash64", "sipHash64", "farmHash64", "halfMD5"):
+        def _no_hash(a, name=h):
+            raise ChDialectError(
+                f"{name} is a ClickHouse-private hash with no portable "
+                "equivalent; use xxhash64(…) explicitly (stable within "
+                "Spark, but NOT equal to ClickHouse's values)"
+            )
+        out = _rewrite_calls(out, h, _no_hash)
 
     # plain renames last (uniqExact before uniq is handled by dict
     # order + word boundary with the longer name first)

@@ -391,3 +391,301 @@ def test_count_substrings(spark):
                    DIV length('ick')) AS c2
            FROM events WHERE event_id < 50""",
     )
+
+
+# ---- round-3 continuation: array toolkit -----------------------------------
+
+
+def test_array_slice_sum_avg(spark):
+    _same(
+        spark,
+        """SELECT arraySlice(sequence(5, 9), 2, 2) AS sl,
+                  arraySlice(sequence(5, 9), 3) AS open_end,
+                  arraySlice(sequence(5, 9), -2) AS neg_start,
+                  arraySum(sequence(5, 9)) AS s,
+                  arraySum(x -> x * 2, sequence(5, 9)) AS s2,
+                  arrayAvg(sequence(5, 9)) AS av
+           FROM events WHERE event_id = 1""",
+        """SELECT slice(sequence(5, 9), 2, 2) AS sl,
+                  slice(sequence(5, 9), 3, 5) AS open_end,
+                  slice(sequence(5, 9), -2, 5) AS neg_start,
+                  CAST(35 AS DOUBLE) AS s,
+                  CAST(70 AS DOUBLE) AS s2,
+                  CAST(7 AS DOUBLE) AS av
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_array_push_pop_uniq(spark):
+    _same(
+        spark,
+        """SELECT arrayPushBack(sequence(1, 3), 9) AS pb,
+                  arrayPushFront(sequence(1, 3), 0) AS pf,
+                  arrayPopBack(sequence(1, 3)) AS popb,
+                  arrayPopFront(sequence(1, 3)) AS popf,
+                  arrayUniq(arrayConcat(sequence(1, 3), sequence(2, 4))) AS u
+           FROM events WHERE event_id = 1""",
+        """SELECT concat(sequence(1, 3), array(9)) AS pb,
+                  concat(array(0), sequence(1, 3)) AS pf,
+                  array(1, 2) AS popb,
+                  array(2, 3) AS popf,
+                  4 AS u
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_has_all_any_range(spark):
+    _same(
+        spark,
+        """SELECT hasAll(sequence(1, 5), sequence(2, 3)) AS all_in,
+                  hasAll(sequence(1, 5), sequence(4, 7)) AS not_all,
+                  hasAny(sequence(1, 5), sequence(5, 8)) AS any_in,
+                  range(4) AS r0,
+                  range(0) AS r_empty,
+                  range(2, 5) AS r2
+           FROM events WHERE event_id = 1""",
+        """SELECT true AS all_in, false AS not_all, true AS any_in,
+                  array(0, 1, 2, 3) AS r0,
+                  slice(sequence(0, 0), 1, 0) AS r_empty,
+                  array(2, 3, 4) AS r2
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_array_min_max_flatten_zip(spark):
+    _same(
+        spark,
+        """SELECT arrayMin(sequence(3, 7)) AS mn,
+                  arrayMax(sequence(3, 7)) AS mx,
+                  arrayFlatten(array(sequence(1, 2), sequence(3, 4))) AS fl
+           FROM events WHERE event_id = 1""",
+        """SELECT 3 AS mn, 7 AS mx, sequence(1, 4) AS fl
+           FROM events WHERE event_id = 1""",
+    )
+
+
+# ---- tuples ----------------------------------------------------------------
+
+
+def test_tuple_element(spark):
+    _same(
+        spark,
+        """SELECT tupleElement(tuple(event_id, event_type), 1) AS id,
+                  tupleElement(tuple(event_id, event_type), 2) AS ty
+           FROM events WHERE event_id < 20""",
+        """SELECT event_id AS id, event_type AS ty
+           FROM events WHERE event_id < 20""",
+    )
+
+
+# ---- LIKE family and regex -------------------------------------------------
+
+
+def test_like_function_forms(spark):
+    _same(
+        spark,
+        """SELECT like(event_type, 'cl%') AS l,
+                  notLike(event_type, 'cl%') AS nl,
+                  ilike(event_type, 'CL%') AS il,
+                  notILike(event_type, 'CL%') AS nil
+           FROM events WHERE event_id < 50""",
+        """SELECT event_type LIKE 'cl%' AS l,
+                  event_type NOT LIKE 'cl%' AS nl,
+                  event_type ILIKE 'CL%' AS il,
+                  event_type NOT ILIKE 'CL%' AS nil
+           FROM events WHERE event_id < 50""",
+    )
+
+
+def test_like_operator_with_parenthesized_pattern_untouched(spark):
+    # `x LIKE ('cl%')` is the OPERATOR — must stay an operator
+    _same(
+        spark,
+        "SELECT event_type LIKE ('cl%') AS l FROM events WHERE event_id < 50",
+        "SELECT event_type LIKE 'cl%' AS l FROM events WHERE event_id < 50",
+    )
+
+
+def test_extract_and_extract_all(spark):
+    _same(
+        spark,
+        """SELECT extract(event_type, '[a-z]+') AS whole,
+                  extract(props, '"k": (\\d+)') AS grp,
+                  extractAll(props, '\\d') AS digits,
+                  extract(YEAR FROM ts) AS y
+           FROM events WHERE event_id < 20""",
+        """SELECT regexp_extract(event_type, '[a-z]+', 0) AS whole,
+                  regexp_extract(props, '"k": (\\d+)', 1) AS grp,
+                  regexp_extract_all(props, '\\d', 0) AS digits,
+                  extract(YEAR FROM ts) AS y
+           FROM events WHERE event_id < 20""",
+    )
+
+
+def test_replace_family(spark):
+    _same(
+        spark,
+        """SELECT replaceAll(event_type, 'c', 'k') AS ra,
+                  replaceOne(event_type, 'c', 'k') AS ro,
+                  replaceOne(event_type, 'zz', 'k') AS ro_miss,
+                  replaceRegexpAll(event_type, '([aeiou])', '<\\1>') AS rr
+           FROM events WHERE event_id < 50""",
+        """SELECT replace(event_type, 'c', 'k') AS ra,
+                  CASE WHEN locate('c', event_type) > 0
+                       THEN concat(substr(event_type, 1,
+                                          locate('c', event_type) - 1), 'k',
+                                   substr(event_type,
+                                          locate('c', event_type) + 1))
+                       ELSE event_type END AS ro,
+                  event_type AS ro_miss,
+                  regexp_replace(event_type, '([aeiou])', '<$1>') AS rr
+           FROM events WHERE event_id < 50""",
+    )
+
+
+# ---- dates -----------------------------------------------------------------
+
+
+def test_week_starts_and_parts(spark):
+    _same(
+        spark,
+        """SELECT toMonday(ts) AS mon,
+                  toStartOfWeek(ts) AS sun,
+                  toStartOfWeek(ts, 1) AS mon2,
+                  toQuarter(ts) AS q,
+                  toDayOfYear(ts) AS doy,
+                  toISOWeek(ts) AS iw
+           FROM events WHERE event_id < 50""",
+        """SELECT CAST(date_trunc('WEEK', ts) AS DATE) AS mon,
+                  date_sub(CAST(ts AS DATE), dayofweek(ts) - 1) AS sun,
+                  CAST(date_trunc('WEEK', ts) AS DATE) AS mon2,
+                  quarter(ts) AS q,
+                  dayofyear(ts) AS doy,
+                  weekofyear(ts) AS iw
+           FROM events WHERE event_id < 50""",
+    )
+
+
+def test_format_datetime_and_age(spark):
+    _same(
+        spark,
+        """SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS f,
+                  formatDateTime(ts, '%F') AS iso,
+                  age('day', toDate('2024-01-01'), ts) AS days
+           FROM events WHERE event_id < 20""",
+        """SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS f,
+                  date_format(ts, 'yyyy-MM-dd') AS iso,
+                  timestampdiff(DAY, to_date('2024-01-01'), ts) AS days
+           FROM events WHERE event_id < 20""",
+    )
+
+
+def test_format_datetime_rejects_unknown_specifier(spark):
+    with pytest.raises(ChDialectError):
+        translate("SELECT formatDateTime(ts, '%Q') FROM events")
+    with pytest.raises(ChDialectError):
+        translate("SELECT formatDateTime(ts, 'T') FROM events")
+
+
+def test_from_unix_timestamp(spark):
+    _same(
+        spark,
+        """SELECT fromUnixTimestamp(toUnixTimestamp(ts)) AS rt
+           FROM events WHERE event_id < 20""",
+        """SELECT timestamp_seconds(unix_timestamp(ts)) AS rt
+           FROM events WHERE event_id < 20""",
+    )
+
+
+# ---- ints / bits -----------------------------------------------------------
+
+
+def test_int_div_or_zero_bits(spark):
+    _same(
+        spark,
+        """SELECT intDivOrZero(event_id, 7) AS d,
+                  intDivOrZero(event_id, 0) AS dz,
+                  moduloOrZero(event_id, 7) AS m,
+                  moduloOrZero(event_id, 0) AS mz,
+                  bitAnd(event_id, 12) AS ba,
+                  bitOr(event_id, 5) AS bo,
+                  bitXor(event_id, 255) AS bx,
+                  bitNot(event_id) AS bn,
+                  bitShiftLeft(event_id, 2) AS sl,
+                  bitShiftRight(event_id, 2) AS sr,
+                  roundBankers(value, 1) AS rb
+           FROM events WHERE event_id < 50""",
+        """SELECT (CAST(event_id AS BIGINT) DIV CAST(7 AS BIGINT)) AS d,
+                  0 AS dz,
+                  (event_id % 7) AS m,
+                  0 AS mz,
+                  (event_id & 12) AS ba,
+                  (event_id | 5) AS bo,
+                  (event_id ^ 255) AS bx,
+                  (~event_id) AS bn,
+                  shiftleft(event_id, 2) AS sl,
+                  shiftright(event_id, 2) AS sr,
+                  bround(value, 1) AS rb
+           FROM events WHERE event_id < 50""",
+    )
+
+
+# ---- IPv4 / digests / base64 -----------------------------------------------
+
+
+def test_ipv4_roundtrip(spark):
+    _same(
+        spark,
+        """SELECT IPv4NumToString(3232235777) AS ip,
+                  IPv4StringToNum('192.168.1.1') AS num,
+                  IPv4NumToString(IPv4StringToNum('10.0.0.255')) AS rt
+           FROM events WHERE event_id = 1""",
+        """SELECT '192.168.1.1' AS ip,
+                  CAST(3232235777 AS BIGINT) AS num,
+                  '10.0.0.255' AS rt
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_md5_sha_base64(spark):
+    _same(
+        spark,
+        """SELECT hex(MD5(event_type)) AS h,
+                  hex(SHA256(event_type)) AS s,
+                  base64Encode(event_type) AS b,
+                  base64Decode(base64Encode(event_type)) AS rt
+           FROM events WHERE event_id < 20""",
+        """SELECT upper(md5(event_type)) AS h,
+                  upper(sha2(event_type, 256)) AS s,
+                  base64(event_type) AS b,
+                  event_type AS rt
+           FROM events WHERE event_id < 20""",
+    )
+
+
+def test_private_hashes_raise(spark):
+    for fn in ("cityHash64", "sipHash64", "farmHash64", "halfMD5"):
+        with pytest.raises(ChDialectError):
+            translate(f"SELECT {fn}(event_type) FROM events")
+
+
+def test_trim_map_concat_ws(spark):
+    _same(
+        spark,
+        """SELECT trimBoth('  x  ') AS tb, trimLeft('  x  ') AS tl,
+                  trimRight('  x  ') AS tr,
+                  concatWithSeparator('-', event_type, 'z') AS cw,
+                  mapKeys(map('a', 1, 'b', 2)) AS mk,
+                  mapValues(map('a', 1, 'b', 2)) AS mv,
+                  lowerUTF8('AbC') AS lo, upperUTF8('AbC') AS up,
+                  reverseUTF8(event_type) AS rev
+           FROM events WHERE event_id < 20""",
+        """SELECT trim('  x  ') AS tb, ltrim('  x  ') AS tl,
+                  rtrim('  x  ') AS tr,
+                  concat_ws('-', event_type, 'z') AS cw,
+                  map_keys(map('a', 1, 'b', 2)) AS mk,
+                  map_values(map('a', 1, 'b', 2)) AS mv,
+                  lower('AbC') AS lo, upper('AbC') AS up,
+                  reverse(event_type) AS rev
+           FROM events WHERE event_id < 20""",
+    )
