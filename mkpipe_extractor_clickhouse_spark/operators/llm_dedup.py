@@ -1028,3 +1028,115 @@ def l69_dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("copies").alias("n_docs"),
         F.sum(F.col("copies") - 1).alias("removable"),
     )
+
+
+CONTAIN_T = 0.8  # directional coverage threshold
+
+
+@register(
+    "l71_shingle_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(overlap * 1.0 / sa.n, 6) AS containment
+    FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE overlap * 1.0 / sa.n >= {CONTAIN_T}
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l71_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment C(A→B) = |sh(A)∩sh(B)| / |sh(A)|
+    — the asymmetric near-dup measure Jaccard misses: a short document
+    quoted wholesale inside a long one scores C ≈ 1 while its Jaccard
+    is tiny (Broder's resemblance-vs-containment distinction,
+    SRC-TN-1997-015). Pairs (A, B) with C ≥ 0.8 mean A is essentially
+    covered by B — the curation action is dropping A, not clustering.
+
+    Scale shape: containment admits a one-sided prefix filter — A must
+    share one of its |A| − ⌈τ·|A|⌉ + 1 RAREST shingles with B — so the
+    probe side carries prefixes only while the index side carries all
+    shingles (the cross-relation x7 posture, never all-pairs). The
+    oracle is the naive all-shared-shingles join: hash-match proves
+    the asymmetric prefix filter loses nothing."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rank")
+        <= F.col("n") - F.ceil(F.lit(CONTAIN_T) * F.col("n")) + 1
+    ).select("doc_id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(sh.alias("b"), on="token")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shingle_sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("token")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    verified = (
+        cand.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "containment", F.col("overlap") * F.lit(1.0) / F.col("na")
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )
