@@ -852,3 +852,58 @@ def x19_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mx").cast("timestamp_ntz") + F.expr("INTERVAL 1 DAY"),
         ).alias("win_end"),
     )
+
+
+@register(
+    "x20_dialect_toolkit_query",
+    oracle=r"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS day_str,
+           CAST(date_trunc('week', ts) AS DATE) AS week,
+           quarter(ts) AS q,
+           event_id & 255 AS id_low,
+           CASE WHEN (event_id % 5) = 0 THEN 0
+                ELSE event_id // (event_id % 5) END AS safe_div,
+           upper(md5(event_type)) AS type_digest,
+           CAST((event_id // 16777216) % 256 AS VARCHAR) || '.' ||
+           CAST((event_id // 65536) % 256 AS VARCHAR) || '.' ||
+           CAST((event_id // 256) % 256 AS VARCHAR) || '.' ||
+           CAST(event_id % 256 AS VARCHAR) AS pseudo_ip,
+           regexp_replace(props, '\d', '#', 'g') AS masked,
+           user_id AS uid
+    FROM events
+    WHERE event_type NOT LIKE 'err%' AND event_id < 2000
+    """,
+    tags=("S3", "EXT", "dialect"),
+)
+def x20_dialect_toolkit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 dialect toolkit end-to-end: a ClickHouse custom_query
+    leaning on the NEW translation families — formatDateTime, toMonday,
+    toQuarter, bit ops, intDivOrZero, MD5+hex byte parity,
+    IPv4NumToString arithmetic, replaceRegexpAll, tupleElement, and
+    the notLike function form — through the extractor's
+    custom_query_dialect='clickhouse' path (the same S3 surface as
+    x14). The oracle is hand-written ANSI, so the hash-match pins
+    SEMANTICS (Monday weeks, zero-guarded division, digest bytes,
+    global regex replacement), not just syntax."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    table = TableConfig(
+        name="events",
+        custom_query=(
+            "SELECT event_id, "
+            "formatDateTime(ts, '%F') AS day_str, "
+            "toMonday(ts) AS week, "
+            "toQuarter(ts) AS q, "
+            "bitAnd(event_id, 255) AS id_low, "
+            "intDivOrZero(event_id, modulo(event_id, 5)) AS safe_div, "
+            "hex(MD5(event_type)) AS type_digest, "
+            "IPv4NumToString(event_id) AS pseudo_ip, "
+            "replaceRegexpAll(props, '\\\\d', '#') AS masked, "
+            "tupleElement(tuple(event_type, user_id), 2) AS uid "
+            "FROM events "
+            "WHERE notLike(event_type, 'err%') AND event_id < 2000"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df
