@@ -228,6 +228,8 @@ _RENAMES = {
     "assumeNotNull": "",
     "arrayMin": "array_min",
     "arrayMax": "array_max",
+    "arrayIntersect": "array_intersect",
+    "JSONExtractKeys": "json_object_keys",
     "arrayFlatten": "flatten",
     "arrayZip": "arrays_zip",
     "toQuarter": "quarter",
@@ -781,6 +783,23 @@ def _translate_functions(sql: str) -> str:
                 "Spark, but NOT equal to ClickHouse's values)"
             )
         out = _rewrite_calls(out, h, _no_hash)
+
+    # ---- JSON additions ----------------------------------------------
+    out = _rewrite_calls(
+        out,
+        "JSONHas",
+        lambda a: (
+            f"(get_json_object({a[0]}, concat('$.', {a[1]})) IS NOT NULL)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "JSONExtractRaw",
+        lambda a: f"get_json_object({a[0]}, concat('$.', {a[1]}))",
+    )
+    out = _rewrite_calls(
+        out, "JSONLength", lambda a: f"json_array_length({a[0]})"
+    )
 
     # plain renames last (uniqExact before uniq is handled by dict
     # order + word boundary with the longer name first)

@@ -689,3 +689,21 @@ def test_trim_map_concat_ws(spark):
                   reverse(event_type) AS rev
            FROM events WHERE event_id < 20""",
     )
+
+
+def test_json_additions_and_array_intersect(spark):
+    _same(
+        spark,
+        """SELECT JSONHas(props, 'k') AS has_k,
+                  JSONHas(props, 'zz') AS has_zz,
+                  JSONExtractRaw(props, 'k') AS raw_k,
+                  JSONLength('[1,2,3]') AS alen,
+                  arrayIntersect(sequence(1, 5), sequence(4, 8)) AS inter
+           FROM events WHERE event_id < 20""",
+        """SELECT get_json_object(props, '$.k') IS NOT NULL AS has_k,
+                  get_json_object(props, '$.zz') IS NOT NULL AS has_zz,
+                  get_json_object(props, '$.k') AS raw_k,
+                  json_array_length('[1,2,3]') AS alen,
+                  array_intersect(sequence(1, 5), sequence(4, 8)) AS inter
+           FROM events WHERE event_id < 20""",
+    )
