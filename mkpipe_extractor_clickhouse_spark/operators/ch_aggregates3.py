@@ -249,3 +249,59 @@ def dq3_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts3_counter_rate",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             {_Q.format(x='value')} AS vq
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, ts,
+             vq - LAG(vq) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS dq
+      FROM q
+    )
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END) / 1000000.0
+                AS DOUBLE) AS increase,
+           ROUND(CAST(SUM(CASE WHEN dq > 0 THEN dq ELSE 0 END) AS DOUBLE)
+                 / 1000000.0 / 3600.0, 6) AS per_sec_rate
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("W3", "A2", "EXT", "timeseries"),
+)
+def ts3_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style ``increase()``/``rate()`` per series per hour: the
+    positive-delta mass of each series attributed to the hour of the
+    LATER sample (so a delta spanning an hour boundary lands exactly
+    once — Prometheus's attribution rule), divided by the window
+    length for the per-second rate. The monitoring idiom behind every
+    counter dashboard; ch_delta_sum_ts is its unbucketed total. Same
+    determinism story: quantized-long deltas, one final IEEE division
+    chain. One window shuffle on the series key, then partial→final
+    agg on (series, hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "ts",
+        (_quantize("value") - F.lag(_quantize("value")).over(w)).alias("dq"),
+    )
+    pos = F.sum(F.when(F.col("dq") > 0, F.col("dq")).otherwise(0))
+    return (
+        d.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            (pos / 1_000_000.0).cast("double").alias("increase"),
+            F.round(
+                pos.cast("double") / 1_000_000.0 / 3600.0, 6
+            ).alias("per_sec_rate"),
+        )
+        .orderBy("event_type", "hour")
+    )
