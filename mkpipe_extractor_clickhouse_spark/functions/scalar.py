@@ -485,3 +485,111 @@ def f15_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("the")).alias("the_count"),
         F.col("text").rlike("^key").alias("starts_key"),
     )
+
+
+# ---- f16: geohash encoding -------------------------------------------------
+
+_GEO_BITS = 20  # per axis → 40 interleaved bits → 8 base32 chars
+_GEO_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_interleave_sql(lon_idx: str, lat_idx: str, shr: str) -> str:
+    """The 40-term bit-interleave Σ bit·2^pos as SQL text, generated
+    once and rendered for BOTH engines (``shr`` is the shift-right
+    spelling: Spark ``shiftright(x, n)``, DuckDB ``(x >> n)``) so the
+    two expression trees are identical by construction. Geohash bit
+    order: even stream positions (MSB-first) take longitude bits, odd
+    take latitude."""
+    terms = []
+    for i in range(_GEO_BITS):
+        lon_pos = 39 - 2 * i  # stream position 2i (0-based MSB) → exponent
+        lat_pos = 38 - 2 * i  # stream position 2i+1
+        sh = _GEO_BITS - 1 - i
+        terms.append(
+            f"({shr.format(x=lon_idx, n=sh)} & 1) * {1 << lon_pos}"
+        )
+        terms.append(
+            f"({shr.format(x=lat_idx, n=sh)} & 1) * {1 << lat_pos}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _geohash_chars_sql(v: str, shr: str) -> str:
+    """8 base32 chars from the 40-bit interleaved value ``v``."""
+    parts = []
+    for j in range(8):
+        sh = 35 - 5 * j
+        idx = f"({shr.format(x=v, n=sh)} & 31)"
+        parts.append(f"substr('{_GEO_B32}', CAST({idx} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+_SPARK_SHR = "shiftright({x}, {n})"
+_DUCK_SHR = "({x} >> {n})"
+
+# deterministic synthetic coordinates from the numeric value column
+# (the fixture has no geo columns; the derivation is the SAME IEEE
+# expression in both engines so the encode is still exactly checked)
+_LON = "((value) - 180.0 * FLOOR((value) / 180.0) - 90.0) * 2.0"
+_LAT = "((value) * 7.0 - 180.0 * FLOOR((value) * 7.0 / 180.0)) - 90.0"
+_LON_IDX = (
+    f"CAST(LEAST(FLOOR((({_LON}) + 180.0) / 360.0 * {1 << _GEO_BITS}), "
+    f"{(1 << _GEO_BITS) - 1}) AS BIGINT)"
+)
+_LAT_IDX = (
+    f"CAST(LEAST(FLOOR((({_LAT}) + 90.0) / 180.0 * {1 << _GEO_BITS}), "
+    f"{(1 << _GEO_BITS) - 1}) AS BIGINT)"
+)
+
+
+@register(
+    "f16_geohash",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id,
+             {_LON_IDX} AS lon_idx,
+             {_LAT_IDX} AS lat_idx
+      FROM events WHERE event_id <= 2000
+    ),
+    v AS (
+      SELECT event_id,
+             {_geohash_interleave_sql('lon_idx', 'lat_idx', _DUCK_SHR)} AS iv
+      FROM g
+    )
+    SELECT event_id,
+           {_geohash_chars_sql('iv', _DUCK_SHR)} AS geohash8,
+           substr({_geohash_chars_sql('iv', _DUCK_SHR)}, 1, 4) AS cell4
+    FROM v ORDER BY event_id
+    """,
+    tags=("F3", "F1", "EXT", "geo"),
+)
+def f16_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (Niemeyer's public base-32 scheme) in PURE
+    integer arithmetic — quantize lat/lon to 20-bit cell indices,
+    interleave to 40 bits (lon first), emit 8 base-32 chars — the
+    spatial-bucketing primitive behind geo joins and heatmap rollups
+    at scale (equal prefixes ⇒ nearby cells, so a geohash-prefix
+    groupBy is a co-located spatial join key). The interleave is a
+    GENERATED 40-term expression rendered from one Python loop for
+    both engines, so the trees are identical by construction; the only
+    float ops are the two quantizations, identical IEEE in both.
+    Row-local codegen, no shuffle; the fixture derives synthetic
+    coordinates from the value column (no geo columns shipped)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    g = ev.select(
+        "event_id",
+        F.expr(_LON_IDX).alias("lon_idx"),
+        F.expr(_LAT_IDX).alias("lat_idx"),
+    )
+    v = g.select(
+        "event_id",
+        F.expr(
+            _geohash_interleave_sql("lon_idx", "lat_idx", _SPARK_SHR)
+        ).alias("iv"),
+    )
+    gh = F.expr(_geohash_chars_sql("iv", _SPARK_SHR))
+    return v.select(
+        "event_id",
+        gh.alias("geohash8"),
+        F.substring(gh, 1, 4).alias("cell4"),
+    ).orderBy("event_id")

@@ -94,3 +94,48 @@ def test_quantized_sum_order_independent(spark):
         .first()[0]
     )
     assert s1 == s32 == srev
+
+
+def test_geohash_matches_bisection_reference():
+    """f16's integer interleave must equal the canonical geohash
+    bisection algorithm (Niemeyer) bit-for-bit: quantizing each axis to
+    20 bits and interleaving MSB-first IS the 40-step bisection."""
+
+    def ref_geohash(lat, lon, precision=8):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bit = ch = 0
+        even, out = True, []
+        while len(out) < precision:
+            rng = lon_r if even else lat_r
+            val = lon if even else lat
+            mid = (rng[0] + rng[1]) / 2
+            if val >= mid:
+                ch = (ch << 1) | 1
+                rng[0] = mid
+            else:
+                ch = ch << 1
+                rng[1] = mid
+            even = not even
+            bit += 1
+            if bit == 5:
+                out.append(b32[ch])
+                bit = ch = 0
+        return "".join(out)
+
+    def integer_geohash(lat, lon):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        li = min(int((lon + 180.0) / 360.0 * (1 << 20)), (1 << 20) - 1)
+        la = min(int((lat + 90.0) / 180.0 * (1 << 20)), (1 << 20) - 1)
+        v = 0
+        for i in range(20):
+            v |= ((li >> (19 - i)) & 1) << (39 - 2 * i)
+            v |= ((la >> (19 - i)) & 1) << (38 - 2 * i)
+        return "".join(b32[(v >> (35 - 5 * j)) & 31] for j in range(8))
+
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(500):
+        lat, lon = rnd.uniform(-90, 90), rnd.uniform(-180, 180)
+        assert ref_geohash(lat, lon) == integer_geohash(lat, lon)
