@@ -305,3 +305,94 @@ def ts3_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# microdegree grid: coordinates quantized to 1e-6 deg integers, offset
+# to nonnegative so floor/trunc division agree across engines
+_GEO_LON_U = (
+    "CAST(ROUND((((value) - 180.0 * FLOOR((value) / 180.0) - 90.0) * 2.0)"
+    " * 1000000) AS BIGINT) + 180000000"
+)
+_GEO_LAT_U = (
+    "CAST(ROUND(((((value) * 7.0 - 180.0 * FLOOR((value) * 7.0 / 180.0)))"
+    " - 90.0) * 1000000) AS BIGINT) + 90000000"
+)
+GEO_EPS_U = 2_000_000  # ε = 2° in microdegrees; cell edge = ε
+
+
+@register(
+    "j18_geo_bucket_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             {_GEO_LON_U} AS lon_u,
+             {_GEO_LAT_U} AS lat_u
+      FROM events
+    ),
+    a AS (SELECT * FROM pts WHERE event_id <= 1000),
+    b AS (SELECT * FROM pts WHERE event_id > 1000 AND event_id <= 2000)
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+           + (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u) AS dist2_u
+    FROM a JOIN b
+      ON (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+         + (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+         <= CAST({GEO_EPS_U} AS BIGINT) * {GEO_EPS_U}
+    ORDER BY id_a, id_b
+    """,
+    tags=("J9", "EXT", "geo"),
+)
+def j18_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-distance spatial join via grid bucketing — the scale shape
+    for 'find all point pairs within ε': snap each point to an
+    ε-sized cell, replicate the probe side onto its 3×3 neighbor
+    cells, EQUI-join on the cell id, then keep pairs passing the exact
+    distance test. Any qualifying pair differs by < ε per axis, so it
+    lands in one of the neighbor cells — the equi-join is lossless,
+    and the plan is a hash join keyed on cells (never a cross join,
+    the posture the naive theta-join oracle cannot scale past).
+    Geometry is EXACT integers end-to-end: microdegree coordinates
+    (offset nonnegative so floor/trunc division agree), integer
+    squared distances, integer ε² threshold. At planetary scale the
+    same plan runs with geohash-prefix cells (f16) and AQE handling
+    the coastal-city cell skew."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.expr(_GEO_LON_U).alias("lon_u"),
+        F.expr(_GEO_LAT_U).alias("lat_u"),
+    )
+    cell = lambda c: (F.col(c) / GEO_EPS_U).cast("bigint")  # noqa: E731
+    a = (
+        pts.filter(F.col("event_id") <= 1000)
+        .withColumn("cx0", cell("lon_u"))
+        .withColumn("cy0", cell("lat_u"))
+        .withColumn("dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .withColumn("dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("lon_u").alias("lon_a"),
+            F.col("lat_u").alias("lat_a"),
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = (
+        pts.filter((F.col("event_id") > 1000) & (F.col("event_id") <= 2000))
+        .select(
+            F.col("event_id").alias("id_b"),
+            F.col("lon_u").alias("lon_b"),
+            F.col("lat_u").alias("lat_b"),
+            cell("lon_u").alias("cx"),
+            cell("lat_u").alias("cy"),
+        )
+    )
+    d2 = (F.col("lon_a") - F.col("lon_b")) * (
+        F.col("lon_a") - F.col("lon_b")
+    ) + (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(d2 <= F.lit(GEO_EPS_U * GEO_EPS_U))
+        .select("id_a", "id_b", d2.alias("dist2_u"))
+        .orderBy("id_a", "id_b")
+    )
