@@ -128,3 +128,30 @@ def test_lttb_distributes_per_series(spark, sf_dir):
     show the Arrow-batched python exec, not a collect."""
     plan = plan_of("ch_lttb_downsample", spark, sf_dir)
     assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
+
+
+def test_geo_bucket_join_is_equi(spark, sf_dir):
+    """j18's ε-distance join must ride the (cx, cy) cell EQUI join —
+    the whole point of grid bucketing is that the distance predicate
+    never becomes a cartesian/nested-loop pair blowup."""
+    plan = plan_of("j18_geo_bucket_join", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """l71's candidate generation is an inverted-index equi join on
+    prefix shingles; nothing may degrade to all-pairs."""
+    plan = plan_of("l71_shingle_containment", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_broadcast(spark, sf_dir):
+    """g2's per-iteration joins run over the O(types²) edge matrix —
+    each must broadcast (iteration cost independent of the fact
+    table), with the single fact-sized window pass building edges."""
+    plan = plan_of("g2_pagerank", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
