@@ -784,6 +784,35 @@ def _translate_functions(sql: str) -> str:
             )
         out = _rewrite_calls(out, h, _no_hash)
 
+    # ---- array enumeration --------------------------------------------
+    out = _rewrite_calls(
+        out, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))"
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayEnumerateUniq",
+        # occurrence index of a[i] among a[1..i] — O(n²) per row, fine
+        # for the short arrays this is used on (dedup run-numbering)
+        lambda a: (
+            f"transform(sequence(1, size({a[0]})), i -> "
+            f"size(filter(slice({a[0]}, 1, i), x -> x = element_at({a[0]}, i))))"
+        ),
+    )
+
+    # window-context pseudo-functions cannot be expressed by string
+    # rewriting — point at the native operators instead of mistranslating
+    for fn_name, hint in (
+        ("runningDifference", "ch_delta_sum_ts / w3_lag_lead (window lag)"),
+        ("neighbor", "w3_lag_lead (lag/lead over an explicit window)"),
+        ("runningAccumulate", "w5_running_total (sum over an ordered window)"),
+    ):
+        def _no_running(a, n=fn_name, h=hint):
+            raise ChDialectError(
+                f"{n} depends on implicit block order, which has no Spark "
+                f"equivalent; use the native operator: {h}"
+            )
+        out = _rewrite_calls(out, fn_name, _no_running)
+
     # ---- JSON additions ----------------------------------------------
     out = _rewrite_calls(
         out,

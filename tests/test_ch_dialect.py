@@ -707,3 +707,22 @@ def test_json_additions_and_array_intersect(spark):
                   array_intersect(sequence(1, 5), sequence(4, 8)) AS inter
            FROM events WHERE event_id < 20""",
     )
+
+
+def test_array_enumerate(spark):
+    _same(
+        spark,
+        """SELECT arrayEnumerate(sequence(10, 13)) AS idx,
+                  arrayEnumerateUniq(array('a', 'b', 'a', 'a', 'b')) AS occ
+           FROM events WHERE event_id = 1""",
+        """SELECT array(1, 2, 3, 4) AS idx,
+                  array(1, 1, 2, 3, 2) AS occ
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_running_functions_raise_with_guidance(spark):
+    for fn in ("runningDifference", "neighbor", "runningAccumulate"):
+        with pytest.raises(ChDialectError) as e:
+            translate(f"SELECT {fn}(value) FROM events")
+        assert "native operator" in str(e.value)
