@@ -11,7 +11,7 @@ of steps, a constant), retention is one pass of boolean aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -539,3 +539,76 @@ def ch_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n3 * 1000000 DIV greatest(n2, 1)").alias("conv_2_to_3_ppm"),
         F.expr("n3 * 1000000 DIV n1").alias("conv_overall_ppm"),
     )
+
+
+@register(
+    "ch_window_funnel_strict",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type, 1) OVER w AS ty1,
+             LEAD(event_type, 2) OVER w AS ty2,
+             LEAD(ts, 1) OVER w AS ts1,
+             LEAD(ts, 2) OVER w AS ts2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    anchors AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM seq WHERE event_type = '{FUNNEL_STEPS[0]}'
+    )
+    SELECT user_id,
+           CAST(CASE WHEN ty1 = '{FUNNEL_STEPS[1]}'
+                      AND ts1 <= ts + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+                     THEN CASE WHEN ty2 = '{FUNNEL_STEPS[2]}'
+                                AND ts2 <= ts + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+                               THEN 3 ELSE 2 END
+                     ELSE 1 END AS BIGINT) AS funnel_level
+    FROM anchors WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("EXT", "funnel", "A7", "W3"),
+)
+def ch_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(w)('strict_order')(…)`` — the funnel
+    mode where NO other event may interleave: after the anchor signup,
+    the chain advances only if the IMMEDIATELY next events for that
+    user are click then purchase (within the window), so any stray
+    view/error between steps breaks the chain at that level. One
+    lead() window per user (the shared sequence-shuffle shape of
+    ch_sequence_match), then a row-local CASE — no joins at all, in
+    contrast to the staged-join relaxed funnel (ch_window_funnel).
+    Anchored first-touch like the rest of the family."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("ty1"),
+        F.lead("event_type", 2).over(w).alias("ty2"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    anchors = (
+        seq.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    deadline = F.col("ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    level = (
+        F.when(
+            (F.col("ty1") == FUNNEL_STEPS[1]) & (F.col("ts1") <= deadline),
+            F.when(
+                (F.col("ty2") == FUNNEL_STEPS[2])
+                & (F.col("ts2") <= deadline),
+                3,
+            ).otherwise(2),
+        )
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return anchors.select(
+        "user_id", level.alias("funnel_level")
+    ).orderBy("user_id")
