@@ -414,3 +414,56 @@ def l46_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rate_bp").alias("rate_bp"),
         F.sum(keep).alias("kept"),
     )
+
+
+CTX_LEN = 64  # tokens per training context window
+
+
+@register(
+    "l74_truncation_loss",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           SUM(n_tok) AS total_tokens,
+           SUM(LEAST(n_tok, {CTX_LEN})) AS kept_tokens,
+           SUM(CASE WHEN n_tok > {CTX_LEN} THEN 1 ELSE 0 END)
+             AS docs_truncated,
+           SUM(CASE WHEN n_tok > {CTX_LEN} THEN n_tok - {CTX_LEN}
+                    ELSE 0 END) * 1000000 // SUM(n_tok) AS loss_ppm
+    FROM t GROUP BY source ORDER BY source
+    """,
+    tags=("L5", "EXT", "packing"),
+)
+def l74_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation planning: per source, how many
+    whitespace tokens survive a hard cut at CTX_LEN and what fraction
+    of the corpus mass is lost — the stat that decides between
+    truncate-vs-chunk (l15) and sizes the packing run (l25) BEFORE
+    paying for tokenization. Pure integer arithmetic (counts, floor
+    ppm); one partial→final aggregation over a row-local token count,
+    no shuffle beyond the group-by."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.least(F.col("n_tok"), F.lit(CTX_LEN))).alias(
+                "kept_tokens"
+            ),
+            F.sum(
+                F.when(F.col("n_tok") > CTX_LEN, 1).otherwise(0)
+            ).alias("docs_truncated"),
+            F.expr(
+                f"SUM(CASE WHEN n_tok > {CTX_LEN} THEN n_tok - {CTX_LEN} "
+                f"ELSE 0 END) * 1000000 DIV SUM(n_tok)"
+            ).alias("loss_ppm"),
+        )
+        .orderBy("source")
+    )
