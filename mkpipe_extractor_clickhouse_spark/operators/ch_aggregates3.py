@@ -396,3 +396,91 @@ def j18_geo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", d2.alias("dist2_u"))
         .orderBy("id_a", "id_b")
     )
+
+
+KENDALL_PRICE_BUCKET = 5000.0
+
+
+@register(
+    "ch_kendall_tau",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS INT) AS x,
+             CAST(FLOOR(l_extendedprice / {KENDALL_PRICE_BUCKET}) AS INT) AS y,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    conc AS (
+      SELECT
+        SUM(CASE WHEN b.x > a.x AND b.y > a.y THEN a.c * b.c ELSE 0 END) AS cc,
+        SUM(CASE WHEN b.x > a.x AND b.y < a.y THEN a.c * b.c ELSE 0 END) AS dd
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    ties AS (
+      SELECT SUM(c) AS n,
+             SUM(c * (c - 1) / 2) AS tie_pairs,
+             (SELECT SUM(sx * (sx - 1) / 2) FROM (
+                SELECT SUM(c) AS sx FROM cells GROUP BY x)) AS n1,
+             (SELECT SUM(sy * (sy - 1) / 2) FROM (
+                SELECT SUM(c) AS sy FROM cells GROUP BY y)) AS n2
+      FROM cells
+    )
+    SELECT t.n,
+           ROUND((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                 / SQRT((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - t.n1)
+                        * (CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - t.n2)),
+                 6) AS kendall_tau_b
+    FROM conc, ties t
+    """,
+    tags=("A10", "EXT", "stats"),
+)
+def ch_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation, EXACT, over discretized axes —
+    ClickHouse's kendallTau surface for grouped/bucketed data. The
+    O(n²) pair count collapses onto the contingency table: concordant
+    mass C = Σ n_ij·n_kl over cell pairs with k>i, l>j (ditto
+    discordant), and the tie corrections n1/n2 come from the
+    marginals — so the fact table is touched ONCE (one partial→final
+    agg to cells) and the pair arithmetic runs over O(cells²) ≈ 10⁶
+    tiny rows regardless of corpus size. All masses are exact int64
+    (C ≤ n²/2 — fine to ~4G rows); one final IEEE tree, rounded.
+    The cells self-join is a broadcast theta join over the cell
+    relation — never touches row-level data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("int").alias("x"),
+        F.floor(F.col("l_extendedprice") / KENDALL_PRICE_BUCKET)
+        .cast("int")
+        .alias("y"),
+    ).agg(F.count("*").alias("c"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    conc = a.join(F.broadcast(b), F.col("b.x") > F.col("a.x")).agg(
+        F.sum(
+            F.when(
+                F.col("b.y") > F.col("a.y"), F.col("a.c") * F.col("b.c")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("cc"),
+        F.sum(
+            F.when(
+                F.col("b.y") < F.col("a.y"), F.col("a.c") * F.col("b.c")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("dd"),
+    )
+    n_total = cells.agg(F.sum("c").alias("n"))
+    n1 = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("sx"))
+        .agg(F.sum(F.expr("sx * (sx - 1) / 2")).alias("n1"))
+    )
+    n2 = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("sy"))
+        .agg(F.sum(F.expr("sy * (sy - 1) / 2")).alias("n2"))
+    )
+    j = conc.join(n_total).join(n1).join(n2)
+    half_pairs = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    tau = (F.col("cc").cast("double") - F.col("dd").cast("double")) / F.sqrt(
+        (half_pairs - F.col("n1")) * (half_pairs - F.col("n2"))
+    )
+    return j.select(F.col("n"), F.round(tau, 6).alias("kendall_tau_b"))
