@@ -484,3 +484,60 @@ def ch_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         (half_pairs - F.col("n1")) * (half_pairs - F.col("n2"))
     )
     return j.select(F.col("n"), F.round(tau, 6).alias("kendall_tau_b"))
+
+
+@register(
+    "dq4_key_uniqueness",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders' AS tbl, COUNT(*) AS rows_total,
+             COUNT(DISTINCT o_orderkey) AS distinct_keys,
+             (COUNT(*) - COUNT(DISTINCT o_orderkey)) * 1000000
+               // COUNT(*) AS dup_ppm
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', COUNT(*),
+             COUNT(DISTINCT l_orderkey * 16 + l_linenumber),
+             (COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber))
+               * 1000000 // COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey),
+             (COUNT(*) - COUNT(DISTINCT c_custkey)) * 1000000 // COUNT(*)
+      FROM customer
+      UNION ALL
+      SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+             (COUNT(*) - COUNT(DISTINCT event_id)) * 1000000 // COUNT(*)
+      FROM events
+    ) ORDER BY tbl
+    """,
+    tags=("A3", "EXT", "dq"),
+)
+def dq4_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the catalog — rows vs
+    distinct keys and the duplicate rate in floor-ppm, per table (the
+    composite lineitem key packs into one integer: linenumber < 16).
+    This is the first check an ingest tick runs before trusting a
+    source export, and the one that catches the double-delivery bugs
+    idempotent-append dedup (S8) exists to absorb. Each branch is one
+    partial→final count-distinct aggregation; the union is of 4
+    single-row results. Pure integer output."""
+    def one(tbl: str, key_expr: str):
+        t = load_table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").alias("rows_total"),
+            F.expr(f"COUNT(DISTINCT {key_expr})").alias("distinct_keys"),
+            F.expr(
+                f"(COUNT(*) - COUNT(DISTINCT {key_expr})) * 1000000"
+                " DIV COUNT(*)"
+            ).alias("dup_ppm"),
+        )
+
+    return (
+        one("orders", "o_orderkey")
+        .unionAll(one("lineitem", "l_orderkey * 16 + l_linenumber"))
+        .unionAll(one("customer", "c_custkey"))
+        .unionAll(one("events", "event_id"))
+        .orderBy("tbl")
+    )
