@@ -203,6 +203,8 @@ _RENAMES = {
     "uniq": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
     "anyLast": "last",
@@ -798,6 +800,21 @@ def _translate_functions(sql: str) -> str:
             f"size(filter(slice({a[0]}, 1, i), x -> x = element_at({a[0]}, i))))"
         ),
     )
+
+    # cluster-addressing table functions: the table IS the cluster here
+    for fn_name2, hint2 in (
+        ("remote", "read the table directly; partitioned parallel "
+                   "reads are the S5 jdbc/http source options"),
+        ("remoteSecure", "same as remote()"),
+        ("cluster", "Spark distributes the scan itself; drop the wrapper"),
+        ("clusterAllReplicas", "Spark distributes the scan itself"),
+    ):
+        def _no_cluster(a, n=fn_name2, h=hint2):
+            raise ChDialectError(
+                f"{n}(…) addresses ClickHouse cluster topology, which does "
+                f"not exist here; {h}"
+            )
+        out = _rewrite_calls(out, fn_name2, _no_cluster)
 
     # window-context pseudo-functions cannot be expressed by string
     # rewriting — point at the native operators instead of mistranslating

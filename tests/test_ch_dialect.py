@@ -726,3 +726,20 @@ def test_running_functions_raise_with_guidance(spark):
         with pytest.raises(ChDialectError) as e:
             translate(f"SELECT {fn}(value) FROM events")
         assert "native operator" in str(e.value)
+
+
+def test_cluster_functions_raise_with_guidance(spark):
+    for fn in ("remote", "remoteSecure", "cluster", "clusterAllReplicas"):
+        with pytest.raises(ChDialectError) as e:
+            translate(f"SELECT * FROM {fn}('host', db, events)")
+        assert "cluster" in str(e.value).lower()
+
+
+def test_uniq_sketch_variants(spark):
+    _same(
+        spark,
+        "SELECT uniqCombined64(user_id) AS u1, uniqTheta(user_id) AS u2 "
+        "FROM events",
+        "SELECT approx_count_distinct(user_id) AS u1, "
+        "approx_count_distinct(user_id) AS u2 FROM events",
+    )
