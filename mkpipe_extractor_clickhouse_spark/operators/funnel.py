@@ -612,3 +612,110 @@ def ch_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchors.select(
         "user_id", level.alias("funnel_level")
     ).orderBy("user_id")
+
+
+SEQ_T_SECONDS = 3600  # (?t<=3600) between matched steps
+
+
+@register(
+    "ch_sequence_match_timed",
+    oracle=f"""
+    WITH p1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER w
+               AS next_p_ts,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) OVER w
+               AS next_c_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    p2 AS (
+      SELECT user_id, ts, event_type, next_c_ts,
+             MIN(CASE WHEN event_type = 'click'
+                       AND next_p_ts <= ts + INTERVAL {SEQ_T_SECONDS} SECOND
+                      THEN ts END) OVER w AS next_good_c_ts
+      FROM p1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(MAX(CASE WHEN event_type = 'view'
+                          AND next_c_ts <= ts + INTERVAL {SEQ_T_SECONDS} SECOND
+                         THEN 1 ELSE 0 END) AS BIGINT) AS timed_vc,
+           CAST(MAX(CASE WHEN event_type = 'view'
+                          AND next_good_c_ts
+                              <= ts + INTERVAL {SEQ_T_SECONDS} SECOND
+                         THEN 1 ELSE 0 END) AS BIGINT) AS timed_vcp
+    FROM p2 GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("EXT", "funnel", "W3", "A7"),
+)
+def ch_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=w)(?2)…')`` — the TIMED
+    pattern variant: view→click (and view→click→purchase) where each
+    consecutive matched pair is ≤ w apart, other events free to
+    interleave. Existence over per-step windows is NOT greedy-safe
+    from the left (a later click can open a later purchase deadline),
+    so the construction layers right-to-left: pass 1 marks each click
+    'good' iff SOME purchase follows within w (greedy IS safe for the
+    last step); pass 2 asks each view for the earliest good click in
+    ITS window. Two window passes over one (user) shuffle, then a
+    hash agg — no joins, no per-user quadratic work. Timestamp
+    comparisons only, so exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    bound = F.expr(f"INTERVAL {SEQ_T_SECONDS} SECONDS")
+    p1 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w).alias("next_p_ts"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("next_c_ts"),
+    )
+    p2 = p1.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "next_c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("next_p_ts") <= F.col("ts") + bound),
+                F.col("ts"),
+            )
+        ).over(w).alias("next_good_c_ts"),
+    )
+    is_view = F.col("event_type") == "view"
+    return (
+        p2.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    is_view & (F.col("next_c_ts") <= F.col("ts") + bound), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("timed_vc"),
+            F.max(
+                F.when(
+                    is_view
+                    & (F.col("next_good_c_ts") <= F.col("ts") + bound),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("timed_vcp"),
+        )
+        .orderBy("user_id")
+    )
