@@ -985,3 +985,60 @@ def g2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         F.col("t").alias("event_type"), F.col("r").alias("pagerank_ppm")
     ).orderBy(F.desc("pagerank_ppm"), "event_type")
+
+
+@register(
+    "ch_attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS purchases,
+           CAST(SUM({_Q.format(x='value')}) / 1000000.0 AS DOUBLE)
+             AS revenue
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("A7", "W4", "EXT", "funnel"),
+)
+def ch_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value credits
+    the user's most recent preceding non-purchase event type (the
+    'channel'); purchases with no prior touch credit 'direct'. The
+    IGNORE-NULLS last_value over the per-user ordered frame is the
+    same LOCF machinery as w10, scoped to [start, current): one user
+    shuffle, one window pass, then a tiny channel rollup on quantized
+    longs — exact and order-independent. The other attribution models
+    (first-touch = FIRST_VALUE, linear = split by a range-frame touch
+    count) swap the frame expression, not the plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("purchases"),
+            (F.sum(_quantize("value")) / 1_000_000.0)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )
