@@ -1042,3 +1042,81 @@ def ch_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+ATTR_LOOKBACK_DAYS = 7
+
+
+@register(
+    "ch_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT user_id, ts AS tp, event_id AS pid,
+             {_Q.format(x='value')} AS vq
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts AS tt, event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    joined AS (
+      SELECT p.pid, p.vq, t.channel
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tt < p.tp
+       AND t.tt >= p.tp - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+    ),
+    per AS (
+      SELECT pid, vq, channel, COUNT(*) AS k,
+             SUM(COUNT(*)) OVER (PARTITION BY pid) AS n
+      FROM joined GROUP BY pid, vq, channel
+    )
+    SELECT channel,
+           CAST(SUM(vq * k // n) / 1000000.0 AS DOUBLE)
+             AS attributed_revenue,
+           SUM(k) AS touches
+    FROM per GROUP BY channel ORDER BY channel
+    """,
+    tags=("A7", "J9", "EXT", "funnel"),
+)
+def ch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) attribution with a 7-day lookback: each
+    purchase's value divides evenly across every touch in its window,
+    aggregated to channel revenue. The interval join is per-user
+    bounded (the j9/x13 posture — equi on user_id, range on ts; never
+    cartesian), and the split uses exact integer floor shares
+    ``vq·k DIV n`` so both engines lose the identical sub-ppm
+    remainder — deterministic where a float division would drift.
+    Compare with ch_attribution_last_touch: same question, window
+    machinery vs interval-join machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("tp"),
+        F.col("event_id").alias("pid"),
+        _quantize("value").alias("vq"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("tt"), F.col("event_type").alias("channel")
+    )
+    joined = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tt < p.tp)
+        & (t.tt >= p.tp - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS")),
+    ).select("pid", "vq", "channel")
+    per = (
+        joined.groupBy("pid", "vq", "channel")
+        .agg(F.count("*").alias("k"))
+        .withColumn("n", F.sum("k").over(Window.partitionBy("pid")))
+    )
+    return (
+        per.groupBy("channel")
+        .agg(
+            (F.sum(F.expr("vq * k DIV n")) / 1_000_000.0)
+            .cast("double")
+            .alias("attributed_revenue"),
+            F.sum("k").alias("touches"),
+        )
+        .orderBy("channel")
+    )
