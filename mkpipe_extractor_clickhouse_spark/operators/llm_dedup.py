@@ -1140,3 +1140,90 @@ def l71_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "doc_a", "doc_b", F.round("containment", 6).alias("containment")
     )
+
+
+@register(
+    "l75_source_minhash_overlap",
+    oracle=f"""
+    WITH parts AS (
+      SELECT source, string_split(text, ' ') AS p FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(p) - 1),
+                    i -> p[i] || ' ' || p[i+1] || ' ' || p[i+2])) AS t
+      FROM parts WHERE len(p) >= 3
+    ),
+    hashed AS (
+      SELECT source, i,
+             ((2 * i + 1) * (('0x' || substr(md5(t), 1, 15))::BIGINT % {MHP_P})
+              + 1000003 * i) % {MHP_P} AS h
+      FROM toks CROSS JOIN range(0, {MHP_HASHES}) r(i)
+    ),
+    sigs AS (
+      SELECT source, i, MIN(h) AS mh FROM hashed GROUP BY source, i
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matching_slots
+    FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l75_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level MinHash sketches and their pairwise overlap — the
+    MERGEABLE-state face of MinHash: a per-source signature is the
+    slot-wise min over its docs' shingle hashes, so shards/partitions
+    combine by min (map-side partial agg, the same merge a streaming
+    tick or a cross-datacenter union would do), and matching_slots/16
+    estimates shingle-set Jaccard between sources WITHOUT any
+    doc-level join. Built on l58's engine-portable md5-derived hash so
+    the sketch itself — not just its shape — hash-matches the oracle.
+    Shapes: explode ×16 slots map-side, one partial→final min per
+    (source, slot), then a 20-source × 16-slot self-join — O(sources²)
+    final stage, corpus touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    p = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(p) - 2), i -> concat("
+        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
+        " element_at(p, i + 2)))"
+    )
+    toks = (
+        d.select("source", p.alias("p"))
+        .filter(F.size("p") >= 3)
+        .select("source", F.explode(F.array_distinct(shingles)).alias("t"))
+        .distinct()
+    )
+    hashed = toks.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(MHP_HASHES - 1))).alias("i"),
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("ht"),
+    ).select(
+        "source",
+        "i",
+        (
+            ((2 * F.col("i") + 1) * (F.col("ht") % MHP_P) + 1000003 * F.col("i"))
+            % MHP_P
+        ).alias("h"),
+    )
+    sigs = hashed.groupBy("source", "i").agg(F.min("h").alias("mh"))
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.mh") == F.col("b.mh"), 1).otherwise(0)
+            ).alias("matching_slots")
+        )
+        .orderBy("source_a", "source_b")
+    )
