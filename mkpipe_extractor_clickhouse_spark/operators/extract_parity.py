@@ -907,3 +907,65 @@ def x20_dialect_toolkit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         custom_query_dialect="clickhouse",
     )
     return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "x21_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-10'
+                THEN value * 2 ELSE value END AS value,
+           CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-09' AND DATE '2024-01-11'
+    """,
+    tags=("S7", "S9", "P4", "EXT", "backfill"),
+)
+def x21_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-scoped backfill via DYNAMIC partition overwrite: the
+    full table lands partitioned by day, then a corrected batch for
+    ONE day (values doubled) is written in overwrite mode with
+    ``partitionOverwriteMode=dynamic`` — Spark replaces only the
+    partitions present in the batch, leaving every other day's files
+    untouched (static mode would truncate the whole table; this is
+    the replaceWhere idiom that makes reprocessing one bad day an
+    O(day) operation at 100 TB, composing with x15's pruned reads).
+    The readback of the 3-day window proves Jan 10 carries the
+    corrected values while its neighbors keep the originals. The conf
+    is set per-write and restored — the extractor's own writes keep
+    their configured mode."""
+    workdir = tempfile.mkdtemp(prefix="x21_dpo_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    dest = os.path.join(workdir, "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(dest)
+
+    corrected = ev.filter(F.col("day") == F.lit("2024-01-10")).withColumn(
+        "value", F.col("value") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.partitionBy("day").mode("overwrite").parquet(dest)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(dest)
+    return back.filter(
+        F.col("day").between(F.lit("2024-01-09"), F.lit("2024-01-11"))
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("day").cast("date").alias("day"),
+    )
