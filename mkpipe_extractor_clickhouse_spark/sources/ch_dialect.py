@@ -786,6 +786,36 @@ def _translate_functions(sql: str) -> str:
             )
         out = _rewrite_calls(out, h, _no_hash)
 
+    # ---- array folds --------------------------------------------------
+    # arrayFold((acc, x) -> …, arr, init) → aggregate(arr, init, lambda)
+    out = _rewrite_calls(
+        out, "arrayFold", lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})"
+    )
+
+    def _array_reduce(a: list[str]) -> str:
+        agg = a[0].strip().strip("'\"").lower()
+        arr = a[1]
+        forms = {
+            "min": f"array_min({arr})",
+            "max": f"array_max({arr})",
+            "count": f"size({arr})",
+            "sum": (
+                f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            "avg": (
+                f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" / size({arr}))"
+            ),
+        }
+        if agg not in forms:
+            raise ChDialectError(
+                f"arrayReduce('{agg}', …) is outside the documented subset "
+                "(min, max, count, sum, avg)"
+            )
+        return forms[agg]
+
+    out = _rewrite_calls(out, "arrayReduce", _array_reduce)
+
     # ---- array enumeration --------------------------------------------
     out = _rewrite_calls(
         out, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))"

@@ -743,3 +743,27 @@ def test_uniq_sketch_variants(spark):
         "SELECT approx_count_distinct(user_id) AS u1, "
         "approx_count_distinct(user_id) AS u2 FROM events",
     )
+
+
+def test_array_fold_and_reduce(spark):
+    _same(
+        spark,
+        """SELECT arrayFold((acc, x) -> acc + x * x, sequence(1, 4),
+                            CAST(0 AS BIGINT)) AS ssq,
+                  arrayReduce('sum', sequence(1, 4)) AS s,
+                  arrayReduce('max', sequence(1, 4)) AS mx,
+                  arrayReduce('avg', sequence(1, 4)) AS av,
+                  arrayReduce('count', sequence(1, 4)) AS c
+           FROM events WHERE event_id = 1""",
+        """SELECT CAST(30 AS BIGINT) AS ssq,
+                  CAST(10 AS DOUBLE) AS s,
+                  4 AS mx,
+                  CAST(2.5 AS DOUBLE) AS av,
+                  4 AS c
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_array_reduce_unknown_agg_raises(spark):
+    with pytest.raises(ChDialectError):
+        translate("SELECT arrayReduce('median', sequence(1, 4)) FROM events")
