@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DEC
+from ._determinism import DEC, _Q, _quantize
 
 _WDEC = f"CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER {{frame}} AS DOUBLE)"
 
@@ -472,3 +472,81 @@ def w13_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_change_wow"),
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "w14_session_running_total",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             {_Q.format(x='value')} AS vq,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, vq,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, event_id,
+           CAST(SUM(vq) OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) / 1000000.0
+                AS DOUBLE) AS session_running_total
+    FROM sess
+    WHERE user_id <= 200
+    ORDER BY user_id, session_id, event_id
+    """,
+    tags=("W5", "W3", "T4", "EXT"),
+)
+def w14_session_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS at session boundaries — the
+    reset-on-condition cumulative every engagement dashboard wants
+    ('value accumulated so far this session'). Composition of two
+    window idioms over ONE (user) shuffle: gaps-and-islands session
+    numbering (w12's cumulative new-session flag) and a running sum
+    partitioned by the derived (user, session) key. Spark reuses the
+    exchange across the three window specs because all partition keys
+    prefix on user_id. Quantized longs under the running sum keep
+    every prefix exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(order)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _quantize("value").alias("vq"),
+        F.when(
+            gap.isNull()
+            | (
+                F.col("ts")
+                > gap + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(order)
+    )
+    run = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    return sess.select(
+        "user_id",
+        "session_id",
+        "event_id",
+        (F.sum("vq").over(run) / 1_000_000.0)
+        .cast("double")
+        .alias("session_running_total"),
+    ).orderBy("user_id", "session_id", "event_id")
