@@ -155,3 +155,14 @@ def test_pagerank_iterations_broadcast(spark, sf_dir):
     plan = plan_of("g2_pagerank", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_session_running_total_single_hash_exchange(spark, sf_dir):
+    """w14 layers three window specs (lag, session numbering, running
+    sum) whose partition keys all prefix on user_id — the plan must
+    reuse ONE hash exchange for all of them (the final ORDER BY's
+    range exchange is presentation, not data movement for compute)."""
+    import re
+
+    plan = plan_of("w14_session_running_total", spark, sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
