@@ -165,4 +165,7 @@ def test_session_running_total_single_hash_exchange(spark, sf_dir):
     import re
 
     plan = plan_of("w14_session_running_total", spark, sf_dir)
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # formatted mode lists each Exchange's partitioning on an
+    # Arguments: line; window shuffles are hashpartitioning (the final
+    # ORDER BY's is rangepartitioning)
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
