@@ -922,3 +922,56 @@ def l53_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mean_d2"), 6).alias("mean_d2"),
         F.round(F.max("std_d2"), 6).alias("std_d2"),
     )
+
+
+@register(
+    "l76_mips_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (SELECT i, x AS qx FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    dots AS (
+      SELECT v.vec_id,
+             SUM(v.x * q.qx) AS dot,
+             SQRT(SUM(v.x * v.x)) AS nv
+      FROM v JOIN q USING (i)
+      GROUP BY v.vec_id
+    )
+    SELECT vec_id, ROUND(dot, 6) AS inner_product,
+           ROUND(nv, 6) AS vec_norm
+    FROM dots WHERE vec_id <> {QUERY_VEC_ID}
+    ORDER BY inner_product DESC, vec_id LIMIT {TOP_K}
+    """,
+    tags=("L3", "O3", "EXT"),
+)
+def l76_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS) top-k — the retrieval
+    metric for unnormalized embeddings (recommendation / reranking
+    scores), distinct from l3's cosine: a long vector can win on raw
+    dot product while losing on angle. Exact brute force here (JVM
+    zip_with/aggregate fold, TakeOrderedAndProject — no UDF, no global
+    sort); the reported vec_norm is the Cauchy–Schwarz pruning handle
+    for the scale path: sort the corpus by ‖x‖ descending and stop
+    scanning when ‖q‖·‖x‖ falls below the current kth dot — the
+    classic exact-MIPS early exit (LEMP/FEXIPRO family), which maps to
+    a norm-bucketed scan ordering at 100 TB. Selection is by the
+    ROUNDED score (+ vec_id tiebreak) so both engines cut the same k
+    rows despite ulp drift."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_dot("v", "qv"), 6).alias("inner_product"),
+            F.round(_norm("v"), 6).alias("vec_norm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("inner_product").desc(), F.col("vec_id")
+    ).limit(TOP_K)

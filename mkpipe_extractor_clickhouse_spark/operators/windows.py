@@ -550,3 +550,53 @@ def w14_session_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("session_running_total"),
     ).orderBy("user_id", "session_id", "event_id")
+
+
+@register(
+    "w15_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_of_type
+      FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(first_of_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+             AS distinct_types_so_far
+    FROM flagged
+    WHERE user_id <= 100
+    ORDER BY user_id, event_id
+    """,
+    tags=("W5", "W1", "A3", "EXT"),
+)
+def w15_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT …) OVER a cumulative window — which Spark (and
+    most engines) refuse directly — via the first-occurrence-flag
+    idiom: a row contributes iff it is the first (user, type)
+    appearance, and a plain running SUM of the flags IS the running
+    distinct count. Exact, integer-only, and two window specs that
+    both hash-partition on user_id (the (user, type) spec is a
+    refinement, so the exchange is shared). The same flag trick gives
+    windowed distinct sums (flag·x) and distinct-within-frame variants
+    at any scale — state is one bit per row, never a per-row set."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(first_w) == 1, 1)
+        .otherwise(0)
+        .alias("first_of_type"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_of_type").over(run_w).alias("distinct_types_so_far"),
+    ).orderBy("user_id", "event_id")
