@@ -934,13 +934,16 @@ def l53_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT i, x AS qx FROM v WHERE vec_id = {QUERY_VEC_ID}),
     dots AS (
       SELECT v.vec_id,
-             SUM(v.x * q.qx) AS dot,
-             SQRT(SUM(v.x * v.x)) AS nv
+             SUM(CAST(TRUNC(v.x * q.qx * 1000000000000
+                 + (CASE WHEN v.x * q.qx >= 0 THEN 0.5 ELSE -0.5 END))
+                 AS BIGINT)) AS dotq,
+             SUM(CAST(TRUNC(v.x * v.x * 1000000000000 + 0.5)
+                 AS BIGINT)) AS ssqq
       FROM v JOIN q USING (i)
       GROUP BY v.vec_id
     )
-    SELECT vec_id, ROUND(dot, 6) AS inner_product,
-           ROUND(nv, 6) AS vec_norm
+    SELECT vec_id, ROUND(dotq / 1000000000000.0, 6) AS inner_product,
+           ROUND(SQRT(ssqq / 1000000000000.0), 6) AS vec_norm
     FROM dots WHERE vec_id <> {QUERY_VEC_ID}
     ORDER BY inner_product DESC, vec_id LIMIT {TOP_K}
     """,
@@ -963,13 +966,32 @@ def l76_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv")
     )
+    # per-term products quantized to 1e-12 longs BEFORE the fold (the
+    # dsum discipline) — the sums are exact integers, immune to the
+    # accumulation-order ulp drift a raw double fold would carry.
+    def _q12(x):
+        y = x * 1_000_000_000_000
+        return (
+            y + F.when(y >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        ).cast("long")
+
+    dotq = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: _q12(x * y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ssqq = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: _q12(x * y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     scored = (
         vecs.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(_dot("v", "qv"), 6).alias("inner_product"),
-            F.round(_norm("v"), 6).alias("vec_norm"),
+            F.round(dotq / 1e12, 6).alias("inner_product"),
+            F.round(F.sqrt(ssqq / 1e12), 6).alias("vec_norm"),
         )
     )
     return scored.orderBy(
