@@ -404,3 +404,68 @@ def l57_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_accuracy_ppm"
         ),
     )
+
+
+VOCAB_TOP_N = 30
+
+
+@register(
+    "l77_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+        ORDER BY c DESC, t LIMIT {VOCAB_TOP_N}
+      )
+    )
+    SELECT source,
+           COUNT(*) AS tokens,
+           SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+           SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS oov_ppm
+    FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+    GROUP BY source ORDER BY source
+    """,
+    tags=("L5", "L7", "EXT", "quality"),
+)
+def l77_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage planning: fix the top-N global tokens as
+    the vocabulary, then report each source's out-of-vocabulary token
+    rate in floor-ppm — the stat that sizes a tokenizer's vocab (or
+    flags a source whose token distribution diverges from the corpus)
+    before training it. Deterministic vocabulary cut (count desc,
+    token tiebreak — no arbitrary top-N). Shapes: one explode+agg for
+    counts, a TakeOrderedAndProject for the vocab, then a BROADCAST
+    left join from the token stream (the vocab is N rows by
+    construction — never a shuffle join) into a per-source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .limit(VOCAB_TOP_N)
+        .select(F.col("t").alias("vt"))
+    )
+    j = tok.join(
+        F.broadcast(vocab), tok.t == F.col("vt"), "left"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("tokens"),
+            F.sum(
+                F.when(F.col("vt").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+            F.expr(
+                "SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*)"
+            ).alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )
