@@ -169,3 +169,43 @@ def test_session_running_total_single_hash_exchange(spark, sf_dir):
     # Arguments: line; window shuffles are hashpartitioning (the final
     # ORDER BY's is rangepartitioning)
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 1
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """At real scale a selective dim-filtered fact⋈fact SMJ gets a
+    runtime Bloom semi-filter on the probe side (Spark 4's
+    runtime.bloomFilter, on by default) — PERF.md leans on this for
+    the q3/q10 at-scale story, so lock that the engine's plans are
+    eligible: with broadcast off and the scan-size gate lowered (local
+    fixtures are far under the 10 GB production threshold), the
+    optimizer must inject might_contain on l_orderkey."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    tweaked = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaked}
+    try:
+        for k, v in tweaked.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
