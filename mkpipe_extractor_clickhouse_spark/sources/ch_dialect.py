@@ -919,6 +919,48 @@ def _translate_clauses(
     # execution-engine knobs have no Spark meaning; drop harmlessly
     sql = _SETTINGS_RE.sub("", sql).rstrip()
 
+    # FORMAT <name> is wire-protocol output shaping; the DataFrame IS
+    # the result format here — strip a trailing FORMAT clause
+    sql = re.sub(
+        r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", "", sql
+    ).rstrip()
+
+    if re.search(r"\bINTO\s+OUTFILE\b", sql, re.IGNORECASE):
+        raise ChDialectError(
+            "INTO OUTFILE is client-side file output; write the result "
+            "through the destination loader (TableConfig/ParquetLoader) "
+            "instead"
+        )
+
+    # distributed-execution modifiers: GLOBAL IN / GLOBAL JOIN control
+    # ClickHouse's shard-local vs broadcast semantics; Spark plans its
+    # own data movement, so the modifier drops cleanly
+    sql = re.sub(r"\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|INNER\b)",
+                 "", sql, flags=re.IGNORECASE)
+
+    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+        raise ChDialectError(
+            "ASOF JOIN needs join-condition surgery a string rewrite "
+            "cannot do safely; use the native as-of join operator "
+            "(operators/asof.py, j10_asof_join)"
+        )
+    m_any = re.search(
+        r"\b(ANY|SEMI|ANTI)\s+(LEFT|RIGHT|INNER)?\s*JOIN\b",
+        sql,
+        re.IGNORECASE,
+    )
+    if m_any:
+        kind = m_any.group(1).upper()
+        hint = {
+            "ANY": "keep-one-row-per-key: dedup the build side first "
+                   "(ch_replacing_final / l40_dedup_keep_best), then JOIN",
+            "SEMI": "use LEFT SEMI JOIN (Spark's native semi join)",
+            "ANTI": "use LEFT ANTI JOIN (Spark's native anti join)",
+        }[kind]
+        raise ChDialectError(
+            f"{kind} JOIN strictness is ClickHouse-specific; {hint}"
+        )
+
     m = _FINAL_RE.search(sql)
     if m:
         if not final_dedup_keys or not final_order_col:

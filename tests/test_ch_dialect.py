@@ -767,3 +767,27 @@ def test_array_fold_and_reduce(spark):
 def test_array_reduce_unknown_agg_raises(spark):
     with pytest.raises(ChDialectError):
         translate("SELECT arrayReduce('median', sequence(1, 4)) FROM events")
+
+
+def test_format_clause_stripped_and_global_dropped(spark):
+    _same(
+        spark,
+        """SELECT event_type, count(*) AS n FROM events
+           WHERE user_id GLOBAL IN (SELECT user_id FROM events
+                                    WHERE value > 400)
+           GROUP BY event_type ORDER BY event_type FORMAT JSONEachRow""",
+        """SELECT event_type, count(*) AS n FROM events
+           WHERE user_id IN (SELECT user_id FROM events WHERE value > 400)
+           GROUP BY event_type ORDER BY event_type""",
+    )
+
+
+def test_into_outfile_and_strict_joins_raise(spark):
+    with pytest.raises(ChDialectError):
+        translate("SELECT 1 FROM events INTO OUTFILE 'x.csv'")
+    with pytest.raises(ChDialectError) as e1:
+        translate("SELECT * FROM events e ASOF JOIN events d ON e.user_id = d.user_id AND e.ts >= d.ts")
+    assert "j10" in str(e1.value)
+    with pytest.raises(ChDialectError) as e2:
+        translate("SELECT * FROM events e ANY LEFT JOIN events d ON e.user_id = d.user_id")
+    assert "dedup" in str(e2.value)
