@@ -469,3 +469,73 @@ def l77_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SS_CAPACITY = 16  # SpaceSaving slots per partition sketch
+
+
+def spacesaving_heavy_hitters(
+    tok: DataFrame, capacity: int = SS_CAPACITY
+) -> DataFrame:
+    """Mergeable SpaceSaving (Metwally et al. 2005) heavy hitters over
+    a token column: each partition builds a capacity-bounded sketch
+    (weighted updates — per-batch counts fold in one eviction step per
+    unique token), partial sketches merge by summed counts/errors, and
+    the merged top-capacity cut keeps the summary bounded end-to-end.
+    Invariants (tested): est ≥ true ≥ est − err for every reported
+    item, and any item with true count > n/capacity survives. State is
+    O(capacity) per partition — the mergeable-summary contract of
+    Agarwal et al. 2012, which is what lets a 1000-executor scan
+    produce one global summary with no row-level shuffle."""
+    import pandas as pd
+
+    def sketch_partition(batches):
+        counts: dict[str, int] = {}
+        errs: dict[str, int] = {}
+        for pdf in batches:
+            for t, w in pdf["t"].value_counts().items():
+                w = int(w)
+                if t in counts:
+                    counts[t] += w
+                elif len(counts) < capacity:
+                    counts[t] = w
+                    errs[t] = 0
+                else:
+                    mt = min(counts, key=lambda k: (counts[k], k))
+                    mc = counts.pop(mt)
+                    errs.pop(mt)
+                    counts[t] = mc + w
+                    errs[t] = mc
+        yield pd.DataFrame(
+            {
+                "token": list(counts),
+                "est": [counts[t] for t in counts],
+                "err": [errs[t] for t in counts],
+            }
+        )
+
+    partials = tok.mapInPandas(
+        sketch_partition, "token string, est long, err long"
+    )
+    merged = partials.groupBy("token").agg(
+        F.sum("est").alias("est"), F.sum("err").alias("err")
+    )
+    return merged.orderBy(F.col("est").desc(), "token").limit(SS_CAPACITY)
+
+
+@register(
+    "a23_spacesaving_topk",
+    oracle=None,  # approximate by contract; invariants pinned in pytest
+    tags=("A4", "A15", "EXT", "sketch"),
+)
+def a23_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy-hitter tokens via the mergeable SpaceSaving
+    sketch (see spacesaving_heavy_hitters): ClickHouse's ``topK(k)``
+    is this same SpaceSaving family, so this is the honest
+    approximate sibling of the exact a15_topk_frequent. Rows-only for
+    the driver (sketch contents depend on partition layout); the
+    count/containment guarantees are asserted against exact counts in
+    tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    return spacesaving_heavy_hitters(tok)

@@ -346,3 +346,35 @@ def test_ivfpq_adc_recall_within_probed_lists(spark, sf_dir):
 
     exact = {r.vec_id for r in l3_topk_cosine(spark, sf_dir).collect()}
     assert len(exact & got) / len(exact) >= 0.2  # cell-miss-capped floor
+
+
+def test_spacesaving_invariants(spark, sf_dir):
+    """SpaceSaving guarantees vs exact counts: for every reported item
+    est ≥ true ≥ est − err, and every token whose true count exceeds
+    n/capacity appears in the merged summary."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.llm_text import (
+        SS_CAPACITY,
+        spacesaving_heavy_hitters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    exact = {
+        r["t"]: r["c"]
+        for r in tok.groupBy("t").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    sketch = {
+        r["token"]: (r["est"], r["err"])
+        for r in spacesaving_heavy_hitters(tok).collect()
+    }
+    for token, (est, err) in sketch.items():
+        true = exact[token]
+        assert est >= true, (token, est, true)
+        assert est - err <= true, (token, est, err, true)
+    threshold = n / SS_CAPACITY
+    must_appear = {t for t, c in exact.items() if c > threshold}
+    assert must_appear <= set(sketch), must_appear - set(sketch)
