@@ -539,3 +539,69 @@ def a23_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("t"))
     return spacesaving_heavy_hitters(tok)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+@register(
+    "a24_countmin_point",
+    oracle=None,  # sketch estimates; invariants pinned in pytest
+    tags=("A4", "EXT", "sketch"),
+)
+def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built entirely
+    JVM-side — no Python in the data path: each token lands in one
+    bucket per hash row (xxhash64 with the row index as seed, pmod
+    width), the sketch IS a (row, bucket) → count aggregation, and a
+    point estimate is the MIN over rows of the probed buckets. Probes
+    are the exact top-10 tokens so the output is stable. The sketch
+    table is DEPTH×WIDTH rows regardless of corpus size and merges by
+    addition (counts are linear) — the same partial→final path as any
+    hash agg, which is why CMS is the shuffle-free way to answer
+    point-frequency queries at 100 TB. est ≥ true always; the
+    overestimate bound is asserted in tests/test_llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("row")
+    cms = (
+        tok.select("t", rows)
+        .select(
+            "row",
+            F.pmod(F.xxhash64(F.col("t"), F.col("row")), CMS_WIDTH).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("true_c"))
+        .orderBy(F.col("true_c").desc(), "t")
+        .limit(10)
+        .select(
+            "t",
+            "true_c",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
+                "row"
+            ),
+        )
+        .select(
+            "t",
+            "true_c",
+            "row",
+            F.pmod(F.xxhash64(F.col("t"), F.col("row")), CMS_WIDTH).alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("t", "true_c")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.col("true_c").desc(), "t")
+    )

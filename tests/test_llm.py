@@ -378,3 +378,22 @@ def test_spacesaving_invariants(spark, sf_dir):
     threshold = n / SS_CAPACITY
     must_appear = {t for t, c in exact.items() if c > threshold}
     assert must_appear <= set(sketch), must_appear - set(sketch)
+
+
+def test_countmin_invariants(spark, sf_dir):
+    """CMS point estimates: never undercount (min over rows of
+    superset-bucket counts), and on this fixture the depth-4 min keeps
+    the overcount within a few n/W collisions."""
+    from mkpipe_extractor_clickhouse_spark.operators.llm_text import (
+        CMS_WIDTH,
+        a24_countmin_point,
+    )
+
+    rows = a24_countmin_point(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n = sum(r["true_c"] for r in rows)  # lower bound on corpus tokens
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_c"], r
+        assert r["cms_estimate"] - r["true_c"] <= max(
+            8 * n // CMS_WIDTH, 64
+        ), r
