@@ -541,3 +541,86 @@ def dq4_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("events", "event_id"))
         .orderBy("tbl")
     )
+
+
+BOLLINGER_WINDOW = 7  # trailing days
+BOLLINGER_K = 2  # band half-width in sigmas
+
+
+@register(
+    "ts4_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day,
+             CAST(revq AS DOUBLE) / 1000000.0 AS revenue,
+             SUM(revq) OVER w AS s,
+             SUM(CAST(revq AS DECIMAL(38,0)) * revq) OVER w AS ssq,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {BOLLINGER_WINDOW - 1} PRECEDING
+                        AND CURRENT ROW)
+    )
+    SELECT event_type, day, revenue,
+           ROUND(CAST(s AS DOUBLE) / 1000000.0 / n, 6) AS sma,
+           ROUND(CAST(s AS DOUBLE) / 1000000.0 / n
+                 + {BOLLINGER_K} * SQRT(GREATEST(
+                     CAST(ssq AS DOUBLE) / 1000000000000.0 / n
+                     - (CAST(s AS DOUBLE) / 1000000.0 / n)
+                       * (CAST(s AS DOUBLE) / 1000000.0 / n), 0.0)), 6)
+             AS upper_band,
+           ROUND(CAST(s AS DOUBLE) / 1000000.0 / n
+                 - {BOLLINGER_K} * SQRT(GREATEST(
+                     CAST(ssq AS DOUBLE) / 1000000000000.0 / n
+                     - (CAST(s AS DOUBLE) / 1000000.0 / n)
+                       * (CAST(s AS DOUBLE) / 1000000.0 / n), 0.0)), 6)
+             AS lower_band
+    FROM win ORDER BY event_type, day
+    """,
+    tags=("W6", "A10", "EXT", "timeseries"),
+)
+def ts4_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per series: trailing 7-day simple moving average
+    with ±2σ volatility bands — the monitoring overlay for 'is today
+    anomalous relative to its own recent regime' (the windowed sibling
+    of dq2's global z-score gate). Exact windowed moments: daily
+    revenue quantized to longs, Σx as long and Σx² as DECIMAL(38,0)
+    (squares of ~1e10 q-units overflow int64) accumulated INSIDE the
+    frame, with one final IEEE mean/variance/sqrt tree per row rounded
+    at 6 — bit-stable across engines and partitionings. One shuffle on
+    the series key; the frame is ROWS-based so state is O(window)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(BOLLINGER_WINDOW - 1), 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        (F.col("revq").cast("double") / 1_000_000.0).alias("revenue"),
+        F.sum("revq").over(w).alias("s"),
+        F.sum(F.col("revq").cast("decimal(38,0)") * F.col("revq"))
+        .over(w)
+        .alias("ssq"),
+        F.count("*").over(w).alias("n"),
+    )
+    mean = F.col("s").cast("double") / 1_000_000.0 / F.col("n")
+    ex2 = F.col("ssq").cast("double") / 1_000_000_000_000.0 / F.col("n")
+    sigma = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+    return win.select(
+        "event_type",
+        "day",
+        "revenue",
+        F.round(mean, 6).alias("sma"),
+        F.round(mean + BOLLINGER_K * sigma, 6).alias("upper_band"),
+        F.round(mean - BOLLINGER_K * sigma, 6).alias("lower_band"),
+    ).orderBy("event_type", "day")
