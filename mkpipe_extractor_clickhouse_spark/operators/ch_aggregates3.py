@@ -624,3 +624,96 @@ def ts4_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean + BOLLINGER_K * sigma, 6).alias("upper_band"),
         F.round(mean - BOLLINGER_K * sigma, 6).alias("lower_band"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "ts5_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day, revq,
+             SUM(revq) OVER w AS s, COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full7 AS (
+      SELECT event_type, day, revq, s,
+             7 * revq - s AS det7q,
+             CAST(dayofweek(day) AS BIGINT) + 1 AS dow
+      FROM win WHERE n = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             SUM(det7q) // COUNT(*) AS s7q
+      FROM full7 GROUP BY 1, 2
+    )
+    SELECT f.event_type, f.day,
+           CAST(f.revq / 1000000.0 AS DOUBLE) AS revenue,
+           ROUND(CAST(f.s AS DOUBLE) / 7.0 / 1000000.0, 6) AS trend,
+           ROUND(CAST(se.s7q AS DOUBLE) / 7.0 / 1000000.0, 6) AS seasonal,
+           ROUND(CAST(f.det7q - se.s7q AS DOUBLE) / 7.0 / 1000000.0, 6)
+             AS residual
+    FROM full7 f JOIN seas se
+      ON f.event_type = se.event_type AND f.dow = se.dow
+    ORDER BY f.event_type, f.day
+    """,
+    tags=("W6", "A2", "EXT", "timeseries"),
+)
+def ts5_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (trend + weekly seasonal +
+    residual, the moving-average construction behind STL's first
+    pass): trend is the CENTERED 7-day MA, the seasonal index is the
+    per-weekday mean of the detrended series, and the residual is what
+    remains. EXACT throughout: with full frames 7·x − Σ is an integer
+    detrended value, the weekday mean floors to an integer (DIV), and
+    each output is ONE division of exact integers rounded at 6 — no
+    accumulated float drift anywhere. Edge days (incomplete frames)
+    are excluded, as in the textbook construction. One series shuffle
+    shared by the window; the seasonal join is O(series × 7) and
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "event_type",
+        "day",
+        "revq",
+        F.sum("revq").over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    full7 = win.filter(F.col("n") == 7).select(
+        "event_type",
+        "day",
+        "revq",
+        "s",
+        (7 * F.col("revq") - F.col("s")).alias("det7q"),
+        F.dayofweek("day").cast("bigint").alias("dow"),
+    )
+    seas = full7.groupBy("event_type", "dow").agg(
+        F.expr("SUM(det7q) DIV COUNT(*)").alias("s7q")
+    )
+    j = full7.join(F.broadcast(seas), ["event_type", "dow"])
+    return j.select(
+        "event_type",
+        "day",
+        (F.col("revq") / 1_000_000.0).cast("double").alias("revenue"),
+        F.round(F.col("s").cast("double") / 7.0 / 1_000_000.0, 6).alias(
+            "trend"
+        ),
+        F.round(
+            F.col("s7q").cast("double") / 7.0 / 1_000_000.0, 6
+        ).alias("seasonal"),
+        F.round(
+            (F.col("det7q") - F.col("s7q")).cast("double")
+            / 7.0
+            / 1_000_000.0,
+            6,
+        ).alias("residual"),
+    ).orderBy("event_type", "day")
