@@ -717,3 +717,101 @@ def ts5_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("residual"),
     ).orderBy("event_type", "day")
+
+
+CUSUM_K_PPM = 250_000  # slack: 0.25 of the series' daily mean
+CUSUM_H_MULT = 3  # alarm threshold: 3 × daily mean
+
+
+@register(
+    "ts6_cusum_alarms",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, day, revq,
+             SUM(revq) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ),
+    dev AS (
+      -- deviation above mean+slack, scaled by nd to stay integral:
+      -- nd·x − Σ − k·Σ/1e6 (k in ppm of the mean ⇒ k·tot/1e6 integral floor)
+      SELECT event_type, day,
+             nd * revq - tot - (tot * {CUSUM_K_PPM}) // 1000000 AS dq,
+             tot, nd
+      FROM base
+    ),
+    pref0 AS (
+      SELECT event_type, day, tot, nd,
+             SUM(dq) OVER (PARTITION BY event_type ORDER BY day) AS p
+      FROM dev
+    ),
+    pref AS (
+      SELECT event_type, day, tot, nd, p,
+             MIN(p) OVER (PARTITION BY event_type ORDER BY day) AS minp
+      FROM pref0
+    )
+    SELECT event_type, day,
+           (p - LEAST(minp, 0)) AS cusum_ndq,
+           CASE WHEN p - LEAST(minp, 0) > {CUSUM_H_MULT} * tot
+                THEN 1 ELSE 0 END AS alarm
+    FROM pref ORDER BY event_type, day
+    """,
+    tags=("W5", "EXT", "timeseries", "quality"),
+)
+def ts6_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) per series —
+    sustained-upward-shift alarms that a point z-score (dq2) and
+    volatility bands (ts4) both miss. The textbook recursion
+    S_t = max(0, S_{t−1} + x_t − μ − k) looks inherently sequential,
+    but has the closed form S_t = P_t − min(0, min_{j≤t} P_j) with
+    P the plain running sum of deviations — so it is two stacked
+    window passes (running sum, running min), no recursion, no UDF.
+    All integer: deviations scale by the day count (nd·x − Σ) to
+    avoid the mean's division, and the slack/threshold are ppm
+    multiples of the series total. Alarm when the statistic exceeds
+    3× the series' daily-mean mass. One series-key shuffle end to
+    end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    per = Window.partitionBy("event_type")
+    base = daily.select(
+        "event_type",
+        "day",
+        "revq",
+        F.sum("revq").over(per).alias("tot"),
+        F.count("*").over(per).alias("nd"),
+    )
+    dev = base.select(
+        "event_type",
+        "day",
+        "tot",
+        "nd",
+        (
+            F.col("nd") * F.col("revq")
+            - F.col("tot")
+            - F.expr(f"(tot * {CUSUM_K_PPM}) DIV 1000000")
+        ).alias("dq"),
+    )
+    ordered = Window.partitionBy("event_type").orderBy("day")
+    pref = dev.select(
+        "event_type",
+        "day",
+        "tot",
+        F.sum("dq").over(ordered).alias("p"),
+    ).withColumn("minp", F.min("p").over(ordered))
+    cusum = F.col("p") - F.least(F.col("minp"), F.lit(0))
+    return pref.select(
+        "event_type",
+        "day",
+        cusum.alias("cusum_ndq"),
+        F.when(cusum > CUSUM_H_MULT * F.col("tot"), 1)
+        .otherwise(0)
+        .alias("alarm"),
+    ).orderBy("event_type", "day")
