@@ -816,6 +816,28 @@ def _translate_functions(sql: str) -> str:
 
     out = _rewrite_calls(out, "arrayReduce", _array_reduce)
 
+    # consecutive deltas / prefix sums (ClickHouse returns same-length
+    # arrays; cumsum is O(n²) in expression form — fine for the short
+    # arrays these run on, swap for a fold at scale)
+    out = _rewrite_calls(
+        out,
+        "arrayDifference",
+        lambda a: (
+            f"transform(sequence(1, size({a[0]})), i -> CASE WHEN i = 1 "
+            f"THEN 0 ELSE element_at({a[0]}, i) - "
+            f"element_at({a[0]}, i - 1) END)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "arrayCumSum",
+        lambda a: (
+            f"transform(sequence(1, size({a[0]})), i -> "
+            f"aggregate(slice({a[0]}, 1, i), CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + x))"
+        ),
+    )
+
     # ---- array enumeration --------------------------------------------
     out = _rewrite_calls(
         out, "arrayEnumerate", lambda a: f"sequence(1, size({a[0]}))"

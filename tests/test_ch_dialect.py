@@ -791,3 +791,16 @@ def test_into_outfile_and_strict_joins_raise(spark):
     with pytest.raises(ChDialectError) as e2:
         translate("SELECT * FROM events e ANY LEFT JOIN events d ON e.user_id = d.user_id")
     assert "dedup" in str(e2.value)
+
+
+def test_array_difference_and_cumsum(spark):
+    _same(
+        spark,
+        """SELECT arrayDifference(array(3, 7, 12, 10)) AS d,
+                  arrayCumSum(array(1, 2, 3)) AS cs
+           FROM events WHERE event_id = 1""",
+        """SELECT array(0, 4, 5, -2) AS d,
+                  array(CAST(1 AS DOUBLE), CAST(3 AS DOUBLE),
+                        CAST(6 AS DOUBLE)) AS cs
+           FROM events WHERE event_id = 1""",
+    )
