@@ -969,3 +969,100 @@ def x21_dynamic_partition_overwrite(
         "value",
         F.col("day").cast("date").alias("day"),
     )
+
+
+@register(
+    "x22_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 10 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 3 = 0 THEN 'I'
+                  WHEN o_orderkey % 7 = 0 THEN 'D'
+                  ELSE 'U' END AS op,
+             o_totalprice * 1.1 AS o_totalprice,
+             'P' AS o_orderstatus,
+             o_orderkey % 5 AS seq
+      FROM orders
+      WHERE o_orderkey % 10 = 0 OR o_orderkey % 3 = 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY seq DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey,
+           ROUND(COALESCE(l.o_totalprice, b.o_totalprice), 6)
+             AS o_totalprice,
+           COALESCE(l.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+    FROM base b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    UNION ALL
+    SELECT l.o_orderkey, ROUND(l.o_totalprice, 6), l.o_orderstatus
+    FROM latest l LEFT JOIN base b ON b.o_orderkey = l.o_orderkey
+    WHERE b.o_orderkey IS NULL AND l.op <> 'D'
+    """,
+    tags=("S8", "J4", "EXT", "cdc"),
+)
+def x22_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY — folding a change feed (insert/update/delete ops
+    with a sequence number, the Debezium/ClickHouse-CDC shape) into a
+    base snapshot: keep each key's LATEST op, upsert I/U, drop D. This
+    is x12's inverse (x12 derives the feed by diffing; x22 consumes
+    one), and the runtime core of the manifest MERGE (x16) without the
+    storage layer. Shapes: one window to pick the latest op per key
+    (WindowGroupLimit at scale), one outer join against the base —
+    both keyed on the primary key, no fact-side amplification. The
+    synthetic feed derives deterministically from orders (key mod
+    rules), so the oracle is pure SQL over the same table."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changes = (
+        o.filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 3 == 0))
+        .select(
+            "o_orderkey",
+            F.when(
+                (F.col("o_orderkey") % 10 == 0)
+                & (F.col("o_orderkey") % 3 == 0),
+                "I",
+            )
+            .when(F.col("o_orderkey") % 7 == 0, "D")
+            .otherwise("U")
+            .alias("op"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("P").alias("o_orderstatus"),
+            (F.col("o_orderkey") % 5).alias("seq"),
+        )
+    )
+    latest = (
+        changes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    j = base.alias("b").join(
+        latest.alias("l"), on="o_orderkey", how="full_outer"
+    )
+    return j.filter(
+        (F.col("l.op").isNull() | (F.col("l.op") != "D"))
+        & (F.col("b.o_totalprice").isNotNull() | F.col("l.op").isNotNull())
+    ).select(
+        "o_orderkey",
+        F.round(
+            F.coalesce(F.col("l.o_totalprice"), F.col("b.o_totalprice")), 6
+        ).alias("o_totalprice"),
+        F.coalesce(F.col("l.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+    )
