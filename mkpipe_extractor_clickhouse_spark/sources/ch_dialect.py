@@ -313,7 +313,24 @@ def _translate_functions(sql: str) -> str:
 
     # argument swaps
     out = _rewrite_calls(out, "splitByChar", lambda a: f"split({a[1]}, {a[0]})")
+    out = _rewrite_calls(
+        out,
+        "positionCaseInsensitive",
+        # locate == position(substr, str); emitting locate() keeps the
+        # later position-swap rule from re-matching this output
+        lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    )
     out = _rewrite_calls(out, "position", lambda a: f"position({a[1]}, {a[0]})")
+    # countMatches(h, pattern) → regexp_count (same order)
+    out = _rewrite_calls(
+        out, "countMatches", lambda a: f"regexp_count({a[0]}, {a[1]})"
+    )
+    # countEqual(arr, x) → occurrences of x in arr
+    out = _rewrite_calls(
+        out,
+        "countEqual",
+        lambda a: f"size(filter({a[0]}, __ce -> __ce = {a[1]}))",
+    )
 
     # casts
     for ch, sql_type in _CASTS.items():

@@ -804,3 +804,17 @@ def test_array_difference_and_cumsum(spark):
                         CAST(6 AS DOUBLE)) AS cs
            FROM events WHERE event_id = 1""",
     )
+
+
+def test_position_ci_count_matches_count_equal(spark):
+    _same(
+        spark,
+        """SELECT positionCaseInsensitive(event_type, 'LICK') AS p,
+                  countMatches(props, '[0-9]') AS cm,
+                  countEqual(array(1, 2, 1, 3, 1), 1) AS ce
+           FROM events WHERE event_id < 20""",
+        """SELECT locate(lower('LICK'), lower(event_type)) AS p,
+                  regexp_count(props, '[0-9]') AS cm,
+                  3 AS ce
+           FROM events WHERE event_id < 20""",
+    )
