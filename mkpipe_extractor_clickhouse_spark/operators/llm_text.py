@@ -605,3 +605,97 @@ def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_estimate"))
         .orderBy(F.col("true_c").desc(), "t")
     )
+
+
+KMV_K = 64
+
+
+@register(
+    "a25_kmv_overlap",
+    oracle=None,  # estimates; accuracy + determinism pinned in pytest
+    tags=("A4", "A3", "EXT", "sketch"),
+)
+def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap analytics via K-minimum-values sketches
+    (Bar-Yossef et al. 2002): per event-type segment keep the k
+    smallest xxhash64(user_id) values — a mergeable, JVM-only summary
+    whose k-th minimum estimates distinct count as (k−1)·2⁶⁴/kth, and
+    whose UNION (merge-and-cut) plus Jaccard-over-minima gives
+    INTERSECTION estimates — the set algebra HLL cannot do (a16's
+    sketches only union). Audience-overlap questions ('how many
+    users did both X and Y') then run on O(k) state per segment pair
+    instead of a user-level join — ch_audience_overlap is the exact
+    sibling this estimates at 100 TB. Deterministic end-to-end
+    (xxhash64 is seed-stable), so the driver's rows-only re-run check
+    holds exactly; estimate-vs-exact accuracy is asserted in
+    tests/test_llm.py."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        # signed xxhash64 is uniform over the full long range; "k
+        # smallest signed" is an equally valid uniform minimum sample
+        F.xxhash64("user_id").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h", "rn")
+    )
+    a = kmv.alias("a")
+    b = kmv.alias("b")
+    pair_union = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("seg_a"),
+            F.col("b.event_type").alias("seg_b"),
+        )
+        .agg(F.count("*").alias("shared_minima"))
+    )
+    # per segment: the sketch size and its largest retained minimum
+    # (= the k-th minimum when the sketch is full). A sketch smaller
+    # than k holds the WHOLE segment — the estimate is then exact.
+    kth = kmv.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.max("h").alias("kth")
+    )
+    # map the signed k-th minimum into u ∈ (0,1): u = (kth + 2⁶³)/2⁶⁴
+    u = (F.col("kth").cast("double") + F.lit(float(2**63))) / F.lit(
+        float(2**64)
+    )
+    est = F.when(F.col("cnt") < KMV_K, F.col("cnt").cast("double")).otherwise(
+        F.round((KMV_K - 1) / u, 2)
+    )
+    sizes = kth.select("event_type", est.alias("est_distinct"))
+    return (
+        pair_union.join(
+            sizes.withColumnRenamed("event_type", "seg_a").withColumnRenamed(
+                "est_distinct", "est_a"
+            ),
+            "seg_a",
+        )
+        .join(
+            sizes.withColumnRenamed("event_type", "seg_b").withColumnRenamed(
+                "est_distinct", "est_b"
+            ),
+            "seg_b",
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "shared_minima",
+            "est_a",
+            "est_b",
+            F.round(
+                F.col("shared_minima")
+                / F.lit(float(KMV_K))
+                * (F.col("est_a") + F.col("est_b"))
+                / (1 + F.col("shared_minima") / F.lit(float(KMV_K))),
+                2,
+            ).alias("est_intersection"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

@@ -397,3 +397,47 @@ def test_countmin_invariants(spark, sf_dir):
         assert r["cms_estimate"] - r["true_c"] <= max(
             8 * n // CMS_WIDTH, 64
         ), r
+
+
+def test_kmv_overlap_accuracy(spark, sf_dir):
+    """KMV estimates vs exact: distinct-count estimates within ~4/√k
+    relative error on the fixture, and intersection estimates within
+    a loose band (the inclusion-exclusion estimator compounds two
+    sketch errors)."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.llm_text import (
+        a25_kmv_overlap,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact_sizes = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    pairs = ev.select("event_type", "user_id").distinct()
+    exact_inter = {
+        (r["a"], r["b"]): r["c"]
+        for r in pairs.alias("x")
+        .join(
+            pairs.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("a"), F.col("y.event_type").alias("b")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    rows = a25_kmv_overlap(spark, sf_dir).collect()
+    assert rows, "no segment pairs"
+    for r in rows:
+        ta = exact_sizes[r["seg_a"]]
+        assert abs(r["est_a"] - ta) / ta < 0.6, (r["seg_a"], r["est_a"], ta)
+        ti = exact_inter.get((r["seg_a"], r["seg_b"]), 0)
+        if ti:
+            assert abs(r["est_intersection"] - ti) / ti < 0.8, (r, ti)
