@@ -719,3 +719,99 @@ def ch_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ch_funnel_time_to_convert",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    deltas AS (
+      SELECT s1.user_id,
+             date_diff('microsecond', s1.t1, s2.t2) // 1000000 AS d12,
+             date_diff('microsecond', s2.t2, s3.t3) // 1000000 AS d23
+      FROM s1
+      JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT COUNT(*) AS converted_1_2,
+           COUNT(d23) AS converted_2_3,
+           ROUND(MEDIAN(d12), 6) AS median_secs_1_2,
+           ROUND(QUANTILE_CONT(d12, 0.90), 6) AS p90_secs_1_2,
+           ROUND(MEDIAN(d23), 6) AS median_secs_2_3,
+           ROUND(QUANTILE_CONT(d23, 0.90), 6) AS p90_secs_2_3
+    FROM deltas
+    """,
+    tags=("EXT", "funnel", "A9"),
+)
+def ch_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution over the ch_window_funnel chain:
+    median and p90 seconds between consecutive completed steps — the
+    'how long does the funnel take', not just 'how many finish', that
+    prioritizes which step to shorten. Reuses the staged min-over-
+    condition joins (each stage broadcastable per-user relations);
+    deltas are exact integer seconds, percentiles interpolate the same
+    two order statistics in both engines (the a9 contract). Output is
+    one summary row."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    deltas = (
+        s1.join(s2, "user_id")
+        .join(s3, "user_id", "left")
+        .select(
+            # exact micros floored to whole seconds — engines disagree
+            # on sub-second 'second' diffs (boundary-crossing vs elapsed)
+            F.expr("timestampdiff(MICROSECOND, t1, t2) DIV 1000000").alias(
+                "d12"
+            ),
+            F.expr("timestampdiff(MICROSECOND, t2, t3) DIV 1000000").alias(
+                "d23"
+            ),
+        )
+    )
+    return deltas.agg(
+        F.count("*").alias("converted_1_2"),
+        F.count("d23").alias("converted_2_3"),
+        F.round(F.median("d12"), 6).alias("median_secs_1_2"),
+        F.round(F.percentile("d12", F.lit(0.90)), 6).alias("p90_secs_1_2"),
+        F.round(F.median("d23"), 6).alias("median_secs_2_3"),
+        F.round(F.percentile("d23", F.lit(0.90)), 6).alias("p90_secs_2_3"),
+    )
