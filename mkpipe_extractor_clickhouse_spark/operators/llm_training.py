@@ -467,3 +467,61 @@ def l74_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CANARIES = ("window spark order", "hash value table part", "zz-never-present")
+
+
+@register(
+    "l78_canary_scan",
+    oracle=f"""
+    WITH canaries AS (
+      SELECT * FROM (VALUES
+        ('{CANARIES[0]}'), ('{CANARIES[1]}'), ('{CANARIES[2]}')
+      ) AS t(canary)
+    )
+    SELECT c.canary,
+           COUNT(d.doc_id) AS hits,
+           COALESCE(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // (SELECT COUNT(*) FROM documents), 0)
+             AS hit_ppm,
+           MIN(d.doc_id) AS first_doc
+    FROM canaries c
+    LEFT JOIN documents d ON contains(d.text, c.canary)
+    GROUP BY c.canary ORDER BY c.canary
+    """,
+    tags=("L1", "EXT", "decontamination"),
+)
+def l78_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-string contamination scan: how many training documents
+    contain each of a set of probe strings (eval-set canaries,
+    secrets, watermarks) — the direct-substring complement of l24's
+    n-gram decontamination. The canary table BROADCASTS and each doc
+    is tested row-locally (substring match in JVM codegen), so the
+    scan stays one pass over the corpus with no shuffle; at thousands
+    of canaries the same shape swaps in an Aho–Corasick pandas UDF
+    (one automaton pass per doc) without changing the plan. Counts
+    and floor-ppm rates are exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    canaries = spark.createDataFrame(
+        [(c,) for c in CANARIES], ["canary"]
+    )
+    total = d.count()  # single scalar, like g1's type count
+    j = F.broadcast(canaries).join(
+        d, F.contains(F.col("text"), F.col("canary")), "left"
+    )
+    return (
+        j.groupBy("canary")
+        .agg(
+            F.count("doc_id").alias("hits"),
+            F.coalesce(
+                F.expr(
+                    "SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)"
+                    f" * 1000000 DIV {total}"
+                ),
+                F.lit(0),
+            ).alias("hit_ppm"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canary")
+    )
