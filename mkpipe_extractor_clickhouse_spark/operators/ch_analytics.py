@@ -1120,3 +1120,181 @@ def ch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+SPARKBAR_BUCKETS = 8
+_SPARKBAR_GLYPHS = "▁▂▃▄▅▆▇█"
+
+
+@register(
+    "ch_sparkbar",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT event_type,
+             (d * {SPARKBAR_BUCKETS}) // 31 AS bucket,
+             SUM(revq) AS bq
+      FROM daily GROUP BY 1, 2
+    ),
+    scaled AS (
+      SELECT event_type, bucket, bq,
+             MAX(bq) OVER (PARTITION BY event_type) AS mx
+      FROM bucketed
+    ),
+    glyphs AS (
+      SELECT event_type, bucket,
+             -- height 1..8: ceil(8·bq/mx) in pure integer arithmetic
+             ((bq * {len(_SPARKBAR_GLYPHS)} + mx - 1) // mx) AS h
+      FROM scaled
+    )
+    SELECT event_type,
+           STRING_AGG(SUBSTRING('{_SPARKBAR_GLYPHS}', CAST(h AS INT), 1),
+                      '' ORDER BY bucket) AS bar
+    FROM glyphs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A2", "F1", "EXT", "timeseries"),
+)
+def ch_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar(buckets)(x, y)`` — the inline unicode
+    bar chart per group (▁▂▅█…), rendered with PURE integer
+    arithmetic: day-of-month buckets by floor division, bar heights by
+    integer ceiling against the group max, glyph lookup by substring
+    index — so the STRING output is bit-identical across engines (no
+    float anywhere). Data path is two hash aggs + one small window;
+    the string assembly touches O(groups × buckets) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    bucketed = daily.groupBy(
+        "event_type",
+        F.expr(f"(d * {SPARKBAR_BUCKETS}) DIV 31").alias("bucket"),
+    ).agg(F.sum("revq").alias("bq"))
+    scaled = bucketed.withColumn(
+        "mx", F.max("bq").over(Window.partitionBy("event_type"))
+    )
+    glyphs = scaled.select(
+        "event_type",
+        "bucket",
+        F.expr(
+            f"(bq * {len(_SPARKBAR_GLYPHS)} + mx - 1) DIV mx"
+        ).alias("h"),
+    )
+    return (
+        glyphs.groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "h"))
+                    ),
+                    lambda s: F.substring(
+                        F.lit(_SPARKBAR_GLYPHS), s["h"].cast("int"), 1
+                    ),
+                ),
+            ).alias("bar")
+        )
+        .orderBy("event_type")
+    )
+
+
+COPURCHASE_TOP_PARTS = 8
+COPURCHASE_TOP_PAIRS = 20
+
+
+@register(
+    "g3_copurchase_pairs",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey, q,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_suppliers,
+             SUM(a.q + b.q) AS wq
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_suppliers,
+           CAST(wq / 1000000.0 AS DOUBLE) AS weight
+    FROM pairs
+    ORDER BY n_suppliers DESC, weight DESC, part_a, part_b
+    LIMIT {COPURCHASE_TOP_PAIRS}
+    """,
+    tags=("W8", "J1", "EXT", "graph"),
+)
+def g3_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-occurrence projection — the co-purchase graph
+    construction behind 'frequently supplied together': project the
+    supplier–part bipartite graph onto part–part edges weighted by
+    shared suppliers. The quadratic hazard (a supplier with 10⁵ parts
+    creates 10¹⁰ pairs) is bounded BEFORE pairing by a deterministic
+    per-supplier top-m cut (volume desc, key tiebreak — Spark plans it
+    as WindowGroupLimit, so even the cut never materializes full
+    lists); pair counts then cost O(suppliers · m²). Quantized-long
+    weights, total ordering on the output cut — exact. The same
+    prune-then-pair shape builds co-click/co-view graphs from user
+    histories at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_quantize("l_quantity")).alias("q")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("q").desc(), "l_partkey"
+    )
+    top_parts = (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COPURCHASE_TOP_PARTS)
+        .drop("rn")
+    )
+    a = top_parts.alias("a")
+    b = top_parts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("a.q") + F.col("b.q")).alias("wq"),
+        )
+    )
+    return (
+        pairs.select(
+            "part_a",
+            "part_b",
+            "n_suppliers",
+            (F.col("wq") / 1_000_000.0).cast("double").alias("weight"),
+        )
+        .orderBy(
+            F.col("n_suppliers").desc(),
+            F.col("weight").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(COPURCHASE_TOP_PAIRS)
+    )
