@@ -226,3 +226,84 @@ def m4_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+M5_L1_TAU = 2  # max L1 histogram distance for a near-dup pair
+
+_M5_HCOLS = ",\n    ".join(
+    f"COALESCE(SUM(CASE WHEN bin = {i} THEN c END), 0) AS h{i}"
+    for i in range(N_HIST_BINS)
+)
+_M5_L1 = " + ".join(f"abs(a.h{i} - b.h{i})" for i in range(N_HIST_BINS))
+
+
+@register(
+    "m5_histogram_neardup",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, (unicode(substr(text, i, 1)) * {N_HIST_BINS}) // 256
+               AS bin
+      FROM documents, UNNEST(GENERATE_SERIES(1, LEN(text))) AS g(i)
+    ),
+    hist AS (SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    piv AS (
+      SELECT doc_id, {_M5_HCOLS}, SUM(c) AS n
+      FROM hist GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_M5_L1} AS l1
+    FROM piv a JOIN piv b ON a.doc_id < b.doc_id
+    WHERE {_M5_L1} <= {M5_L1_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("L2", "D3", "EXT", "multimodal", "dedup"),
+)
+def m5_histogram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over multimodal payloads: pairs of blobs
+    whose FEATURE histograms (m1's Arrow-batched byte histograms —
+    with a real codec, a perceptual image hash) are within L1 ≤ τ —
+    the re-encode-tolerant dedup exact byte equality (m4) misses. The
+    quadratic hazard is pruned by the j18 grid trick on total byte
+    count: L1 ≥ |n_a − n_b|, so bucketing by n DIV τ with ±1 neighbor
+    cells on the probe side is LOSSLESS, and the join is cell-keyed
+    equi — never all-pairs. The oracle recomputes the histograms in
+    pure SQL from the text the fixture blobs encode, so the
+    hash-match also pins the numpy featurizer kernel against an
+    independent implementation. Features flow from the same
+    mapInPandas kernel as m1 — blobs never shuffle."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    feats = blobs.mapInPandas(featurize, FEATURE_SCHEMA)
+    hsum = sum(F.col(f"hist_{i}") for i in range(N_HIST_BINS))
+    base = feats.select(
+        "doc_id",
+        *[f"hist_{i}" for i in range(N_HIST_BINS)],
+        hsum.alias("n"),
+    )
+    cell = (F.col("n") / M5_L1_TAU).cast("bigint")
+    probe = base.withColumn(
+        "dc",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))),
+    ).select(
+        *[F.col(c).alias(f"a_{c}") for c in base.columns],
+        (cell + F.col("dc")).alias("cell"),
+    )
+    index = base.select(
+        *[F.col(c).alias(f"b_{c}") for c in base.columns],
+        cell.alias("cell"),
+    )
+    l1 = sum(
+        F.abs(F.col(f"a_hist_{i}") - F.col(f"b_hist_{i}"))
+        for i in range(N_HIST_BINS)
+    )
+    return (
+        probe.join(index, "cell")
+        .filter(
+            (F.col("a_doc_id") < F.col("b_doc_id")) & (l1 <= M5_L1_TAU)
+        )
+        .select(
+            F.col("a_doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            l1.alias("l1"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
