@@ -1066,3 +1066,49 @@ def x22_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus"
         ),
     )
+
+
+@register(
+    "x23_late_dimension",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("J1", "S8", "T7", "EXT"),
+)
+def x23_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling — the warehouse's 'early fact'
+    problem: tick 1 delivers ALL facts but only half the customer
+    dimension, so unmatched facts PARK in a pending table instead of
+    being dropped or null-joined; tick 2 delivers the rest of the
+    dimension and the pending facts drain through the same join. The
+    final destination must equal the simple one-shot join — proving no
+    fact was lost or duplicated by the park/drain cycle. Both ticks
+    are broadcast joins on the dim key; the pending table carries only
+    unmatched facts (anti-join residue), so its size is bounded by the
+    dimension lag, not the fact volume."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim_t1 = c.filter(F.col("c_custkey") % 2 == 0)
+    dim_t2 = c.filter(F.col("c_custkey") % 2 != 0)
+
+    def tick(facts: DataFrame, dim: DataFrame):
+        joined = facts.join(F.broadcast(dim), facts.o_custkey == dim.c_custkey)
+        pending = facts.join(
+            F.broadcast(dim), facts.o_custkey == dim.c_custkey, "left_anti"
+        )
+        return joined, pending
+
+    out1, pending = tick(o, dim_t1)
+    # tick 2: the pending facts re-join against the NEWLY arrived dim
+    # slice (production keeps the full dim; the slice shows no row
+    # needs the old half twice)
+    out2, still_pending = tick(pending, dim_t2)
+    result = out1.unionByName(out2).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+    return result
