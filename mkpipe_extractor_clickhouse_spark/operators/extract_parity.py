@@ -1112,3 +1112,38 @@ def x23_late_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
     return result
+
+
+@register(
+    "s12_nested_pruning",
+    oracle="""
+    SELECT doc_id, n_bytes, source FROM (
+      SELECT doc_id, OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes, source
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+    tags=("S1", "P1", "EXT"),
+)
+def s12_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column pruning through a struct-typed parquet table: the
+    multimodal blob table (binary payload + meta struct) is written
+    out, then a query touching ONLY meta.n_bytes and meta.source must
+    read just those two leaf fields — Spark's nestedSchemaPruning
+    pushes the projection into the parquet ReadSchema, so the (large)
+    blob column and the untouched meta.format field are never
+    decoded. tests/test_plans_r3.py locks the ReadSchema; at 100 TB
+    this is the difference between scanning metadata and scanning the
+    payload lake. The oracle recomputes n_bytes from the text the
+    fixture blobs encode."""
+    from .multimodal import synthesize_blobs
+
+    workdir = tempfile.mkdtemp(prefix="s12_nested_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    dest = os.path.join(workdir, "blobs")
+    synthesize_blobs(spark, sf_dir).write.mode("overwrite").parquet(dest)
+    t = spark.read.parquet(dest)
+    return t.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+    ).orderBy("doc_id")

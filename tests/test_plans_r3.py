@@ -209,3 +209,14 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_nested_schema_pruning(spark, sf_dir):
+    """s12's scan must read ONLY the touched struct leaves: ReadSchema
+    carries meta.n_bytes and meta.source but neither the binary blob
+    column nor meta.format."""
+    plan = plan_of("s12_nested_pruning", spark, sf_dir)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_bytes" in read_schema and "source" in read_schema
+    assert "blob" not in read_schema
+    assert "format" not in read_schema
