@@ -25,9 +25,21 @@ def num_expr(depth: int) -> st.SearchStrategy[str]:
         return num_leaf
     sub = num_expr(depth - 1)
     b = bool_expr(depth - 1)
+    arr = arr_expr(depth - 1)
     return st.one_of(
         num_leaf,
         sub.map(lambda x: f"toInt32({x})"),
+        arr.map(lambda a: f"arraySum({a})"),
+        arr.map(lambda a: f"arrayUniq({a})"),
+        arr.map(lambda a: f"arrayCount(x -> x > 1, {a})"),
+        arr.map(lambda a: f"arrayReduce('max', {a})"),
+        arr.map(lambda a: f"arrayFold((acc, x) -> acc + x, {a}, 0)"),
+        sub.map(lambda x: f"bitAnd(toInt64({x}), 12)"),
+        sub.map(lambda x: f"bitShiftLeft(toInt64({x}), 2)"),
+        sub.map(lambda x: f"intDivOrZero({x}, 3)"),
+        sub.map(lambda x: f"moduloOrZero(toInt64({x}), 5)"),
+        str_expr(depth - 1).map(lambda s: f"positionCaseInsensitive({s}, 'C')"),
+        str_expr(depth - 1).map(lambda s: f"countMatches({s}, '[a-z]')"),
         sub.map(lambda x: f"toFloat64({x})"),
         sub.map(lambda x: f"intDiv({x}, 7)"),
         ts_leaf.map(lambda t: f"toYear({t})"),
@@ -54,6 +66,16 @@ def str_expr(depth: int) -> st.SearchStrategy[str]:
         str_leaf.map(
             lambda s: f"arrayStringConcat(splitByChar('_', {s}), '-')"
         ),
+        str_leaf.map(lambda s: f"replaceAll({s}, 'c', 'k')"),
+        str_leaf.map(lambda s: f"replaceRegexpAll({s}, '[aeiou]', '_')"),
+        str_leaf.map(lambda s: f"replaceOne({s}, 'c', 'k')"),
+        str_leaf.map(lambda s: f"trimBoth({s})"),
+        str_leaf.map(lambda s: f"extract({s}, '[a-z]+')"),
+        str_leaf.map(lambda s: f"hex(MD5({s}))"),
+        st.just("ts").map(lambda t: f"formatDateTime({t}, '%Y-%m-%d')"),
+        st.just("ts").map(lambda t: f"formatDateTime({t}, '%F %T')"),
+        sub.map(lambda x: f"IPv4NumToString(toInt64({x}))"),
+        str_leaf.map(lambda s: f"base64Decode(base64Encode({s}))"),
     )
 
 
@@ -64,6 +86,13 @@ def bool_expr(depth: int) -> st.SearchStrategy[str]:
         st.tuples(sub, sub).map(lambda p: f"({p[0]} > {p[1]})"),
         s.map(lambda x: f"startsWith({x}, 'c')"),
         s.map(lambda x: f"match({x}, '^c.*')"),
+        s.map(lambda x: f"like({x}, 'c%')"),
+        s.map(lambda x: f"notILike({x}, 'C%')"),
+        s.map(lambda x: f"JSONHas(props, 'k')"),
+        arr_expr(max(depth - 1, 0)).map(lambda a: f"hasAll({a}, range(2))"),
+        arr_expr(max(depth - 1, 0)).map(
+            lambda a: f"hasAny({a}, sequence(2, 3))"
+        ),
     )
 
 
@@ -76,6 +105,31 @@ def ts_expr(depth: int) -> st.SearchStrategy[str]:
         sub.map(lambda t: f"addDays({t}, 3)"),
         sub.map(lambda t: f"subtractHours({t}, 2)"),
         sub.map(lambda t: f"toStartOfDay({t})"),
+        sub.map(lambda t: f"toMonday({t})"),
+        sub.map(lambda t: f"toStartOfWeek({t})"),
+        sub.map(lambda t: f"fromUnixTimestamp(toUnixTimestamp({t}))"),
+    )
+
+
+def arr_expr(depth: int) -> st.SearchStrategy[str]:
+    base = st.sampled_from(["range(5)", "sequence(1, 4)", "range(2, 6)"])
+    if depth == 0:
+        return base
+    sub = arr_expr(depth - 1)
+    return st.one_of(
+        base,
+        sub.map(lambda a: f"arraySlice({a}, 2)"),
+        sub.map(lambda a: f"arraySlice({a}, 1, 2)"),
+        sub.map(lambda a: f"arrayPushBack({a}, 9)"),
+        sub.map(lambda a: f"arrayPopFront({a})"),
+        sub.map(lambda a: f"arrayMap(x -> x + 1, {a})"),
+        sub.map(lambda a: f"arrayFilter(x -> x > 2, {a})"),
+        sub.map(lambda a: f"arrayDifference({a})"),
+        sub.map(lambda a: f"arrayReverse({a})"),
+        st.tuples(sub, sub).map(lambda p: f"arrayConcat({p[0]}, {p[1]})"),
+        st.tuples(sub, sub).map(
+            lambda p: f"arrayIntersect({p[0]}, {p[1]})"
+        ),
     )
 
 
