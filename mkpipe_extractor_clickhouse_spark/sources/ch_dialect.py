@@ -294,6 +294,11 @@ def _translate_functions(sql: str) -> str:
     # parameterized aggregates before plain renames (quantile vs quantileExact)
     out = _rewrite_parameterized(
         out,
+        "quantilesExact",
+        lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    )
+    out = _rewrite_parameterized(
+        out,
         "quantileExact",
         lambda p, a: f"percentile({a[0]}, {p[0]})",
     )

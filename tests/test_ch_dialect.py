@@ -818,3 +818,11 @@ def test_position_ci_count_matches_count_equal(spark):
                   3 AS ce
            FROM events WHERE event_id < 20""",
     )
+
+
+def test_quantiles_exact_multi(spark):
+    _same(
+        spark,
+        "SELECT quantilesExact(0.25, 0.5, 0.75)(value) AS q FROM events",
+        "SELECT percentile(value, array(0.25, 0.5, 0.75)) AS q FROM events",
+    )
