@@ -815,3 +815,72 @@ def ts6_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "ch_anova",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(vq) AS s,
+             SUM(CAST(vq AS DECIMAL(38,0)) * vq) AS ssq
+      FROM q GROUP BY event_type
+    ),
+    tot AS (
+      SELECT SUM(n) AS nt, SUM(s) AS st, COUNT(*) AS k,
+             -- between-group sum of squares term Σ sᵢ²/nᵢ (exact per
+             -- group: one division each, quantized before the sum)
+             SUM({_Q.format(
+                 x="(CAST(s AS DOUBLE) / 1000000.0)"
+                   " * (CAST(s AS DOUBLE) / 1000000.0) / n"
+             )}) AS bq,
+             SUM(ssq) AS ssqt
+      FROM g
+    )
+    SELECT k, nt,
+           ROUND(((CAST(bq AS DOUBLE) / 1000000.0
+                   - (CAST(st AS DOUBLE) / 1000000.0)
+                     * (CAST(st AS DOUBLE) / 1000000.0) / nt) / (k - 1))
+                 / ((CAST(ssqt AS DOUBLE) / 1000000000000.0
+                     - CAST(bq AS DOUBLE) / 1000000.0) / (nt - k)),
+                 6) AS f_stat
+    FROM tot
+    """,
+    tags=("A10", "EXT", "abtest", "stats"),
+)
+def ch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event-type groups — the k-group
+    generalization of studentTTest ('do ANY of these segments differ
+    in mean'), ClickHouse's ``analysisOfVariance``. Integer-moment
+    discipline: per-group (n, Σq, Σq²) are exact from one
+    partial→final agg; each group's s²/n term is ONE IEEE tree
+    quantized before the cross-group sum (the dsum rule — k addends,
+    order-independent); the final F assembles between/within mean
+    squares in one expression, rounded. O(groups) state."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select("event_type", _quantize("value").alias("vq"))
+    g = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).alias("ssq"),
+    )
+    s_d = F.col("s").cast("double") / 1_000_000.0
+    term = s_d * s_d / F.col("n")
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count("*").alias("k"),
+        F.sum(_quantize(term)).alias("bq"),
+        F.sum("ssq").alias("ssqt"),
+    )
+    b = F.col("bq").cast("double") / 1_000_000.0
+    st_d = F.col("st").cast("double") / 1_000_000.0
+    between = (b - st_d * st_d / F.col("nt")) / (F.col("k") - 1)
+    within = (
+        F.col("ssqt").cast("double") / 1_000_000_000_000.0 - b
+    ) / (F.col("nt") - F.col("k"))
+    return tot.select(
+        F.col("k"), F.col("nt"), F.round(between / within, 6).alias("f_stat")
+    )
