@@ -1227,3 +1227,85 @@ def l75_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+SWEEP_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "l81_dedup_threshold_sweep",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             overlap * 1.0 / (sa.n + sb.n - overlap) AS j
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    taus AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in SWEEP_TAUS)})
+             AS t(tau))
+    SELECT tau,
+           COUNT(CASE WHEN j >= tau THEN 1 END) AS pairs,
+           COUNT(DISTINCT CASE WHEN j >= tau THEN doc_b END)
+             AS removable_docs
+    FROM taus LEFT JOIN jac ON j >= tau
+    GROUP BY tau ORDER BY tau
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l81_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report for near-dup dedup: one
+    prefix-filtered pair computation at the LOOSEST threshold (0.5),
+    then the pair/removable-doc counts at every candidate τ in a
+    single aggregation — the tuning curve ('how much does the corpus
+    shrink if I tighten to 0.8?') that otherwise costs one full dedup
+    run per τ. removable_docs counts the higher doc_id of each
+    qualifying pair — the doc the keep-lowest policy (l1/l18) would
+    drop. Machinery is l23's PPJoin at τ_min, so the sweep inherits
+    its inverted-index scale shape; the τ grid is a 5-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    jac = ppjoin_pairs(sh, min(SWEEP_TAUS))
+    taus = spark.createDataFrame(
+        [(float(x),) for x in SWEEP_TAUS], ["tau"]
+    )
+    j = F.broadcast(taus).join(jac, F.col("jaccard") >= F.col("tau"), "left")
+    return (
+        j.groupBy("tau")
+        .agg(
+            F.count(
+                F.when(F.col("jaccard") >= F.col("tau"), 1)
+            ).alias("pairs"),
+            F.countDistinct(
+                F.when(F.col("jaccard") >= F.col("tau"), F.col("doc_b"))
+            ).alias("removable_docs"),
+        )
+        .orderBy("tau")
+    )
