@@ -250,6 +250,8 @@ _RENAMES = {
     "replaceAll": "replace",
     "mapKeys": "map_keys",
     "mapValues": "map_values",
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
 }
 
 _CASTS = {
@@ -807,6 +809,23 @@ def _translate_functions(sql: str) -> str:
                 "Spark, but NOT equal to ClickHouse's values)"
             )
         out = _rewrite_calls(out, h, _no_hash)
+
+    # tokens(s) → whitespace split; ngrams(s, n) → char n-gram array
+    out = _rewrite_calls(out, "tokens", lambda a: f"split({a[0]}, ' +')")
+
+    def _ngrams(a: list[str]) -> str:
+        n = a[1].strip()
+        if not n.isdigit():
+            raise ChDialectError("ngrams needs a literal length")
+        # Spark's sequence(1, 0) counts DOWN — clamp the index list
+        # with the same slice trick as range() for the empty case
+        ln = f"(length({a[0]}) - {n} + 1)"
+        return (
+            f"transform(slice(sequence(1, greatest({ln}, 1)), 1, "
+            f"greatest({ln}, 0)), i -> substring({a[0]}, i, {n}))"
+        )
+
+    out = _rewrite_calls(out, "ngrams", _ngrams)
 
     # ---- array folds --------------------------------------------------
     # arrayFold((acc, x) -> …, arr, init) → aggregate(arr, init, lambda)

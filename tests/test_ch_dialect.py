@@ -826,3 +826,26 @@ def test_quantiles_exact_multi(spark):
         "SELECT quantilesExact(0.25, 0.5, 0.75)(value) AS q FROM events",
         "SELECT percentile(value, array(0.25, 0.5, 0.75)) AS q FROM events",
     )
+
+
+def test_tokens_ngrams_lag_in_frame(spark):
+    _same(
+        spark,
+        """SELECT tokens('a b  c') AS t,
+                  ngrams('abcd', 2) AS g,
+                  ngrams('ab', 3) AS g_short
+           FROM events WHERE event_id = 1""",
+        """SELECT array('a', 'b', 'c') AS t,
+                  array('ab', 'bc', 'cd') AS g,
+                  CAST(array() AS ARRAY<STRING>) AS g_short
+           FROM events WHERE event_id = 1""",
+    )
+    _same(
+        spark,
+        """SELECT event_id, lagInFrame(value) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+           FROM events WHERE event_id < 100""",
+        """SELECT event_id, lag(value) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+           FROM events WHERE event_id < 100""",
+    )

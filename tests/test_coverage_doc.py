@@ -31,3 +31,17 @@ def test_every_query_has_coverage_row():
     committed = (REPO / "COVERAGE.md").read_text()
     missing = [n for n in all_specs() if f"`{n}`" not in committed]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_queries_md_current():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "gen_cookbook.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    committed = (REPO / "QUERIES.md").read_text()
+    assert out.strip() == committed.strip(), (
+        "QUERIES.md is stale — regenerate with "
+        "`python scripts/gen_cookbook.py > QUERIES.md`"
+    )
