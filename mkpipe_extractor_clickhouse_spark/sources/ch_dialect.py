@@ -982,6 +982,20 @@ def _translate_clauses(
     # execution-engine knobs have no Spark meaning; drop harmlessly
     sql = _SETTINGS_RE.sub("", sql).rstrip()
 
+    # numbers(N) table function → an inline sequence relation with the
+    # same column name (`number`, 0-based) — the ClickHouse scratchpad
+    # idiom for generating rows
+    sql = re.sub(
+        r"\bnumbers\s*\(\s*(\d+)\s*\)",
+        lambda m: (
+            f"(SELECT explode(sequence(0, {int(m.group(1)) - 1})) AS number)"
+            if int(m.group(1)) > 0
+            else "(SELECT 0 AS number WHERE false)"
+        ),
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     # FORMAT <name> is wire-protocol output shaping; the DataFrame IS
     # the result format here — strip a trailing FORMAT clause
     sql = re.sub(

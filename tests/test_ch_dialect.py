@@ -849,3 +849,12 @@ def test_tokens_ngrams_lag_in_frame(spark):
              (PARTITION BY event_type ORDER BY ts, event_id) AS prev
            FROM events WHERE event_id < 100""",
     )
+
+
+def test_numbers_table_function(spark):
+    _same(
+        spark,
+        "SELECT number, number * 2 AS d FROM numbers(5) ORDER BY number",
+        "SELECT number, number * 2 AS d FROM "
+        "(SELECT explode(sequence(0, 4)) AS number) ORDER BY number",
+    )
