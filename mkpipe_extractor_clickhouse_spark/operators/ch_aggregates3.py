@@ -884,3 +884,74 @@ def ch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         F.col("k"), F.col("nt"), F.round(between / within, 6).alias("f_stat")
     )
+
+
+@register(
+    "a26_histogram_median",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, {_Q.format(x='value')} AS vq FROM events
+    ),
+    h AS (
+      SELECT event_type, vq, COUNT(*) AS c FROM q GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, vq, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    mids AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum_c >= (n + 1) // 2 THEN vq END) AS lo,
+             MIN(CASE WHEN cum_c >= n // 2 + 1 THEN vq END) AS hi,
+             MIN(n) AS n
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(lo AS DOUBLE) + hi) / 2.0 / 1000000.0, 6) AS median
+    FROM mids ORDER BY event_type
+    """,
+    tags=("A9", "A2", "EXT"),
+)
+def a26_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median per group WITHOUT sorting the rows — the
+    value-histogram construction that scales where sort-based
+    percentile cannot: quantized values hash-aggregate to (value,
+    count) [state = distinct values, not rows], a cumulative count
+    over the (small) histogram locates the two middle order
+    statistics, and their midpoint is the even-n median. At 100 TB
+    the fact table is touched by ONE partial→final agg; only the
+    histogram — thousands of rows — enters the window. Matches
+    DuckDB's MEDIAN (lower/upper midpoint interpolation) exactly
+    because everything up to the final halving is integer."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select("event_type", _quantize("value").alias("vq")).groupBy(
+        "event_type", "vq"
+    ).agg(F.count("*").alias("c"))
+    cum = h.select(
+        "event_type",
+        "vq",
+        F.sum("c")
+        .over(Window.partitionBy("event_type").orderBy("vq"))
+        .alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mids = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("cum_c") >= F.expr("(n + 1) DIV 2"), F.col("vq")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum_c") >= F.expr("n DIV 2 + 1"), F.col("vq"))
+        ).alias("hi"),
+        F.min("n").alias("n"),
+    )
+    return mids.select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("lo").cast("double") + F.col("hi")) / 2.0 / 1_000_000.0, 6
+        ).alias("median"),
+    ).orderBy("event_type")
