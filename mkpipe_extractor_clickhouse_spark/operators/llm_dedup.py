@@ -1309,3 +1309,112 @@ def l81_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau")
     )
+
+
+LSH_EVAL_TAU = 0.5  # ground-truth threshold (l23's separation point)
+
+
+@register(
+    "l83_lsh_recall_eval",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(p) - 1),
+                    i -> p[i] || ' ' || p[i+1] || ' ' || p[i+2])) AS t
+      FROM parts WHERE len(p) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    exact2 AS (
+      SELECT p.doc_a, p.doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
+        FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE p.o * 1.0 / (sa.n + sb.n - p.o) >= {LSH_EVAL_TAU}
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+             ((2 * i + 1) * (('0x' || substr(md5(t), 1, 15))::BIGINT % {MHP_P})
+              + 1000003 * i) % {MHP_P} AS h
+      FROM toks CROSS JOIN range(0, {MHP_HASHES}) r(i)
+    ),
+    sigs AS (
+      SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MHP_BAND_ROWS} AS band,
+             STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY doc_id, i // {MHP_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM exact2) AS n_exact,
+      (SELECT COUNT(*) FROM cand) AS n_candidates,
+      (SELECT COUNT(*) FROM cand JOIN exact2 USING (doc_a, doc_b)) AS tp,
+      COALESCE((SELECT COUNT(*) FROM cand JOIN exact2 USING (doc_a, doc_b))
+        * 1000000 // NULLIF((SELECT COUNT(*) FROM cand), 0), 0)
+        AS precision_ppm,
+      COALESCE((SELECT COUNT(*) FROM cand JOIN exact2 USING (doc_a, doc_b))
+        * 1000000 // NULLIF((SELECT COUNT(*) FROM exact2), 0), 0)
+        AS recall_ppm
+    """,
+    tags=("L2", "EXT", "dedup", "dq"),
+)
+def l83_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation for LSH dedup — precision and
+    recall of the portable MinHash-LSH candidate pairs (l58's 16-hash
+    / 2-band scheme) against exact shingle-Jaccard ≥ τ ground truth
+    (l23's relation), computed IN the engine: the measurement loop a
+    pipeline owner runs before trusting approximate dedup at corpus
+    scale, here cheap enough to hash-check end-to-end because both
+    sides are deterministic (md5-derived hashes, exact joins). Floor-
+    ppm rates; the ground-truth side uses the PPJoin machinery, the
+    candidate side the banded equi-join — no all-pairs anywhere in
+    the SPARK plan (the oracle's naive join is the point of
+    comparison)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    exact = ppjoin_pairs(sh, LSH_EVAL_TAU).select("doc_a", "doc_b")
+    cand = l58_minhash_portable(spark, sf_dir)
+    tp = cand.join(exact, ["doc_a", "doc_b"]).count()
+    n_exact = exact.count()
+    n_cand = cand.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_cand,
+                tp,
+                (tp * 1_000_000) // n_cand if n_cand else 0,
+                (tp * 1_000_000) // n_exact if n_exact else 0,
+            )
+        ],
+        "n_exact long, n_candidates long, tp long, "
+        "precision_ppm long, recall_ppm long",
+    )
