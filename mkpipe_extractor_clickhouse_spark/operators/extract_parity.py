@@ -1147,3 +1147,48 @@ def s12_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.source").alias("source"),
     ).orderBy("doc_id")
+
+
+ERASE_USER = 3
+
+
+@register(
+    "x24_user_erasure",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id <> {ERASE_USER}
+    """,
+    tags=("S8", "EXT", "cdc", "pruning"),
+)
+def x24_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the manifest table: events land
+    in user_id-bucketed batches (zone maps recorded per batch), then
+    ``delete_rows`` erases one user — rewriting ONLY the batches whose
+    user_id range can contain them while every other batch carries
+    over by name, untouched on disk (tests/test_manifest.py asserts
+    the file-identity property; this query proves the VALUES). The
+    erased snapshot is the new head; prior versions remain for time
+    travel until vacuum — the documented retention/erasure trade every
+    lakehouse has to make explicit."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x24_erase_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(
+        os.path.join(workdir, "events"), stats_cols=("user_id",)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # bucketed appends → selective zone maps (4 disjoint user ranges
+    # derived from the observed span, so every bucket is non-empty at
+    # any fixture scale)
+    mx = ev.agg(F.max("user_id")).first()[0]
+    step = max(mx // 4, 1)
+    bounds = [0, step, 2 * step, 3 * step, mx + 1]
+    for lo, hi in zip(bounds, bounds[1:]):
+        t.commit_append(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+        )
+    t.delete_rows(spark, "user_id", ERASE_USER)
+    return t.read(spark)

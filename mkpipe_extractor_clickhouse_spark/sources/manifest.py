@@ -373,6 +373,61 @@ class ManifestedTable:
                 shutil.rmtree(os.path.join(self.table_dir, name))
                 continue  # re-read the new head and re-merge
 
+    def delete_rows(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        meta: dict | None = None,
+    ) -> int:
+        """Surgical DELETE (the right-to-be-forgotten primitive):
+        rewrite ONLY the batch dirs whose zone map can contain
+        ``col == value``; every other batch carries over BY NAME into
+        the new snapshot — its files are never opened, never copied,
+        and remain byte-identical (the property tests assert). This is
+        the Delta/Iceberg delete-with-file-skipping model: cost scales
+        with the data that actually holds the subject, not the table.
+        Requires ``col`` in stats_cols for selectivity (dirs without
+        stats are conservatively rewritten). Publishes with ``parent``
+        pinned — a concurrent append collides and the delete retries
+        against the new head, so the erased rows can never resurface
+        through a lost-update race."""
+        from pyspark.sql import functions as F
+
+        while True:
+            base = self.head_version()
+            m = self.manifest(base)
+            touched, untouched = self.prune_dirs(col, value, value, base)
+            if not touched:
+                return base  # value provably absent — nothing to do
+            paths = [os.path.join(self.table_dir, d) for d in touched]
+            remaining = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .filter(~F.col(col).eqNullSafe(F.lit(value)))
+            )
+            name = self.stage_batch(remaining)
+            dirs = untouched + [name]
+            stats = {
+                **{
+                    d: s
+                    for d, s in m.get("stats", {}).items()
+                    if d in untouched
+                },
+                name: self._compute_stats(name),
+            }
+            try:
+                return self._publish(
+                    dirs,
+                    "delete",
+                    {**(meta or {}), "col": col, "value": _json_safe(value)},
+                    parent=base,
+                    stats=stats,
+                )
+            except CommitConflict:
+                shutil.rmtree(os.path.join(self.table_dir, name))
+                continue  # re-read the new head and re-target
+
     # ---- metadata skipping (zone maps) -----------------------------
 
     def prune_dirs(

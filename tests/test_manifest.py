@@ -555,3 +555,51 @@ def test_streaming_multi_table_exactly_once(spark, sf_dir, tmp_path):
     head = cat.head_version()
     handle(cat.read(spark, "events").limit(5), 0)
     assert cat.head_version() == head
+
+
+def test_delete_rows_touches_only_matching_batches(spark, sf_dir, tmp_path):
+    """delete_rows must rewrite ONLY zone-map-matching batches: the
+    other batch dirs carry over by NAME (same files, never opened for
+    write), and the erased snapshot excludes exactly the subject."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    t = ManifestedTable(str(tmp_path / "ev"), stats_cols=("user_id",))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    mx = ev.agg(F.max("user_id")).first()[0]
+    step = max(mx // 4, 1)
+    bounds = [0, step, 2 * step, 3 * step, mx + 1]
+    for lo, hi in zip(bounds, bounds[1:]):
+        t.commit_append(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+        )
+    before = t.manifest()
+    target_user = 3  # inside the first bucket at every fixture scale
+    mtimes_before = {
+        d: os.path.getmtime(str(tmp_path / "ev" / d)) for d in before["dirs"]
+    }
+    v = t.delete_rows(spark, "user_id", target_user)
+    after = t.manifest(v)
+    carried = [d for d in after["dirs"] if d in before["dirs"]]
+    rewritten = [d for d in before["dirs"] if d not in after["dirs"]]
+    # only the one bucket covering user 42 is rewritten
+    assert len(rewritten) == 1
+    assert len(carried) == len(before["dirs"]) - 1
+    for d in carried:  # carried dirs untouched on disk
+        assert os.path.getmtime(str(tmp_path / "ev" / d)) == mtimes_before[d]
+    got = t.read(spark)
+    assert got.filter(F.col("user_id") == target_user).count() == 0
+    assert (
+        got.count()
+        == ev.count() - ev.filter(F.col("user_id") == target_user).count()
+    )
+    # value provably absent → no-op, same head
+    assert t.delete_rows(spark, "user_id", 10**8) == v
