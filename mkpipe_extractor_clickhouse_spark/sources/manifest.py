@@ -428,6 +428,33 @@ class ManifestedTable:
                 shutil.rmtree(os.path.join(self.table_dir, name))
                 continue  # re-read the new head and re-target
 
+    def clone_at(
+        self, dest_dir: str, version: int | None = None
+    ) -> "ManifestedTable":
+        """Zero-copy CLONE (Delta's shallow-clone-made-durable): a new
+        independent table whose batch files are HARDLINKS to this
+        snapshot's files — O(files) metadata work, no data copied, and
+        safe against the source's future vacuum (links keep the inodes
+        alive even if the source unlinks its names). The clone starts
+        at version 1 with only the cloned snapshot's dirs; histories
+        do not follow. The dev/test idiom: fork a production snapshot
+        instantly, mutate the fork freely."""
+        m = self.manifest(version)
+        clone = ManifestedTable(dest_dir, stats_cols=self.stats_cols)
+        for d in m["dirs"]:
+            src = os.path.join(self.table_dir, d)
+            dst = os.path.join(dest_dir, d)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                os.link(os.path.join(src, fn), os.path.join(dst, fn))
+        clone._publish(
+            list(m["dirs"]),
+            "clone",
+            {"source": self.table_dir, "source_version": m["version"]},
+            stats=dict(m.get("stats", {})),
+        )
+        return clone
+
     # ---- metadata skipping (zone maps) -----------------------------
 
     def prune_dirs(

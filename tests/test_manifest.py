@@ -603,3 +603,40 @@ def test_delete_rows_touches_only_matching_batches(spark, sf_dir, tmp_path):
     )
     # value provably absent → no-op, same head
     assert t.delete_rows(spark, "user_id", 10**8) == v
+
+
+def test_clone_at_is_zero_copy_and_independent(spark, sf_dir, tmp_path):
+    """clone_at hardlinks the snapshot's files (same inodes, no data
+    copy), reads identically, and mutating the clone leaves the source
+    untouched — including after the source vacuums."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    src = ManifestedTable(str(tmp_path / "src"), stats_cols=("user_id",))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src.commit_append(ev.filter(F.col("event_id") % 2 == 0))
+    src.commit_append(ev.filter(F.col("event_id") % 2 != 0))
+    n_src = src.read(spark).count()
+
+    clone = src.clone_at(str(tmp_path / "fork"))
+    assert clone.read(spark).count() == n_src
+    # same inodes — zero copy
+    d0 = src.manifest()["dirs"][0]
+    f0 = sorted(os.listdir(tmp_path / "src" / d0))[0]
+    assert os.path.samefile(
+        tmp_path / "src" / d0 / f0, tmp_path / "fork" / d0 / f0
+    )
+    # fork mutates independently
+    clone.delete_rows(spark, "user_id", 3)
+    assert src.read(spark).count() == n_src
+    assert (
+        clone.read(spark).filter(F.col("user_id") == 3).count() == 0
+    )
