@@ -705,6 +705,37 @@ def _translate_functions(sql: str) -> str:
         raise ChDialectError("toStartOfWeek mode must be a literal 0, 1 or 3")
 
     out = _rewrite_calls(out, "toStartOfWeek", _to_start_of_week)
+
+    def _to_start_of_interval(a: list[str]) -> str:
+        m = re.fullmatch(
+            r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?",
+            a[1].strip(),
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ChDialectError(
+                "toStartOfInterval needs a literal INTERVAL n "
+                "SECOND/MINUTE/HOUR/DAY"
+            )
+        n, unit = int(m.group(1)), m.group(2).upper()
+        if unit == "DAY":
+            if n != 1:
+                raise ChDialectError(
+                    "toStartOfInterval with multi-day intervals is "
+                    "calendar-anchored in ClickHouse; use date_trunc + "
+                    "datediff arithmetic explicitly"
+                )
+            return f"date_trunc('DAY', {a[0]})"
+        w = n * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}[unit]
+        # floor the seconds-into-day offset — timezone-free (pure
+        # diffs against the day truncation, no epoch conversion)
+        day = f"date_trunc('DAY', {a[0]})"
+        return (
+            f"timestampadd(SECOND, (timestampdiff(SECOND, {day}, {a[0]}) "
+            f"DIV {w}) * {w}, {day})"
+        )
+
+    out = _rewrite_calls(out, "toStartOfInterval", _to_start_of_interval)
     out = _rewrite_calls(out, "age", _date_diff)
 
     _FDT = {

@@ -858,3 +858,23 @@ def test_numbers_table_function(spark):
         "SELECT number, number * 2 AS d FROM "
         "(SELECT explode(sequence(0, 4)) AS number) ORDER BY number",
     )
+
+
+def test_to_start_of_interval(spark):
+    _same(
+        spark,
+        """SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) AS q15,
+                  toStartOfInterval(ts, INTERVAL 6 HOUR) AS h6,
+                  toStartOfInterval(ts, INTERVAL 1 DAY) AS d1
+           FROM events WHERE event_id < 50""",
+        """SELECT timestampadd(SECOND,
+                    (timestampdiff(SECOND, date_trunc('DAY', ts), ts)
+                     DIV 900) * 900, date_trunc('DAY', ts)) AS q15,
+                  timestampadd(SECOND,
+                    (timestampdiff(SECOND, date_trunc('DAY', ts), ts)
+                     DIV 21600) * 21600, date_trunc('DAY', ts)) AS h6,
+                  date_trunc('DAY', ts) AS d1
+           FROM events WHERE event_id < 50""",
+    )
+    with pytest.raises(ChDialectError):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 2 DAY) FROM events")
