@@ -299,6 +299,40 @@ def _translate_functions(sql: str) -> str:
         "quantilesExact",
         lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     )
+    # approximate-by-contract quantile variants map onto Spark's
+    # t-digest-backed percentile_approx
+    for approx_q in ("quantileTiming", "quantileTDigest", "quantileBFloat16"):
+        out = _rewrite_parameterized(
+            out,
+            approx_q,
+            lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+        )
+
+    def _no_discrete_quantile(p, a, name="quantileExactLow"):
+        raise ChDialectError(
+            f"{name} selects a discrete order statistic, which Spark's "
+            "percentile (interpolating) cannot express; use the native "
+            "ch_quantiles_disc operator"
+        )
+
+    out = _rewrite_parameterized(
+        out, "quantileExactLow", _no_discrete_quantile
+    )
+    out = _rewrite_parameterized(
+        out,
+        "quantileExactHigh",
+        lambda p, a: _no_discrete_quantile(p, a, "quantileExactHigh"),
+    )
+
+    def _no_topk(p, a):
+        raise ChDialectError(
+            "topK is an approximate heavy-hitters AGGREGATE returning an "
+            "array; use the native operators a15_topk_frequent (exact) or "
+            "a23_spacesaving_topk (the same SpaceSaving sketch)"
+        )
+
+    out = _rewrite_parameterized(out, "topK", _no_topk)
+
     out = _rewrite_parameterized(
         out,
         "quantileExact",

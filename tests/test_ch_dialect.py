@@ -878,3 +878,18 @@ def test_to_start_of_interval(spark):
     )
     with pytest.raises(ChDialectError):
         translate("SELECT toStartOfInterval(ts, INTERVAL 2 DAY) FROM events")
+
+
+def test_quantile_variants_and_topk_guidance(spark):
+    # approximate variants run (values are estimates; only shape checked)
+    df = spark.sql(
+        translate("SELECT quantileTiming(0.5)(value) AS m FROM events")
+    )
+    assert df.columns == ["m"] and df.count() == 1
+    for fn in ("quantileExactLow", "quantileExactHigh"):
+        with pytest.raises(ChDialectError) as e:
+            translate(f"SELECT {fn}(0.5)(value) FROM events")
+        assert "ch_quantiles_disc" in str(e.value)
+    with pytest.raises(ChDialectError) as e2:
+        translate("SELECT topK(3)(event_type) FROM events")
+    assert "a15_topk_frequent" in str(e2.value)
