@@ -8,6 +8,7 @@ including the per-task executor-side HTTP fetches."""
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -24,7 +25,7 @@ from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
 USER, KEY = "graft", "s3cret"
 
 
-def _make_handler(sf_dir: str, query_log: list[str]):
+def _make_handler(sf_dir: str, query_log: list[str], store: dict | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -38,7 +39,32 @@ def _make_handler(sf_dir: str, query_log: list[str]):
                 self.end_headers()
                 return
             n = int(self.headers.get("Content-Length", 0))
-            sql = self.rfile.read(n).decode("utf-8").strip()
+            body_bytes = self.rfile.read(n)
+            # INSERT protocol: the query rides the URL, the body is data
+            from urllib.parse import parse_qs, urlparse
+
+            url_q = parse_qs(urlparse(self.path).query).get("query", [""])[0]
+            m = re.match(
+                r"INSERT\s+INTO\s+(\w+)\s+FORMAT\s+JSONEachRow",
+                url_q,
+                re.IGNORECASE,
+            )
+            if m:
+                query_log.append(url_q)
+                tbl = m.group(1)
+                rows = [
+                    json.loads(line)
+                    for line in body_bytes.decode("utf-8").splitlines()
+                    if line.strip()
+                ]
+                (store if store is not None else {}).setdefault(
+                    tbl, []
+                ).extend(rows)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            sql = body_bytes.decode("utf-8").strip()
             query_log.append(sql)
             fmt = "TSV"
             for f in ("JSONCompact", "JSONEachRow"):
@@ -51,6 +77,11 @@ def _make_handler(sf_dir: str, query_log: list[str]):
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')"
                 )
+            if store:
+                import pandas as _pd
+
+                for t, rows_ in store.items():
+                    con.register(t, _pd.DataFrame(rows_))
             try:
                 cur = con.sql(sql)
                 cols = cur.columns
@@ -86,12 +117,13 @@ def _make_handler(sf_dir: str, query_log: list[str]):
 @pytest.fixture(scope="module")
 def ch_server(sf_dir):
     log: list[str] = []
+    store: dict = {}
     server = ThreadingHTTPServer(
-        ("127.0.0.1", 0), _make_handler(sf_dir, log)
+        ("127.0.0.1", 0), _make_handler(sf_dir, log, store)
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    yield server.server_address[1], log
+    yield server.server_address[1], log, store
     server.shutdown()
 
 
@@ -113,7 +145,7 @@ def test_type_mapping():
 
 
 def test_full_table_read(spark, sf_dir, ch_server):
-    port, _ = ch_server
+    port, _, _store = ch_server
     df = _source(port).load(spark, "nation")
     want = load_table(spark, sf_dir, "nation")
     assert sorted(df.columns) == sorted(want.columns)
@@ -121,7 +153,7 @@ def test_full_table_read(spark, sf_dir, ch_server):
 
 
 def test_pushdown_query_read(spark, sf_dir, ch_server):
-    port, log = ch_server
+    port, log, _store = ch_server
     n_before = len(log)
     df = _source(port).load(
         spark,
@@ -144,7 +176,7 @@ def test_pushdown_query_read(spark, sf_dir, ch_server):
 
 
 def test_partitioned_parallel_read(spark, sf_dir, ch_server):
-    port, log = ch_server
+    port, log, _store = ch_server
     n_before = len(log)
     ev = load_table(spark, sf_dir, "events")
     hi = ev.agg(F.max("event_id")).first()[0]
@@ -170,7 +202,7 @@ def test_partitioned_parallel_read(spark, sf_dir, ch_server):
 
 
 def test_bad_credentials_fail(spark, ch_server):
-    port, _ = ch_server
+    port, _, _store = ch_server
     import urllib.error
 
     bad = ClickHouseHttpSource(
@@ -178,3 +210,57 @@ def test_bad_credentials_fail(spark, ch_server):
     )
     with pytest.raises(urllib.error.HTTPError):
         bad.probe_schema("SELECT * FROM nation")
+
+
+def test_http_sink_roundtrip(spark, sf_dir, ch_server):
+    """Distributed INSERT: each partition posts its own JSONEachRow
+    batches; reading the table back through the source recovers the
+    exact rows."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpSink,
+    )
+
+    port, log, store = ch_server
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .filter(F.col("event_id") <= 500)
+        .repartition(4)
+    )
+    sink = ClickHouseHttpSink(
+        host="127.0.0.1", port=port, user=USER, password=KEY, batch_rows=100
+    )
+    n = sink.save(ev, "sink_events")
+    assert n == ev.count()
+    assert len(store["sink_events"]) == n
+    # multiple chunked inserts happened (500 rows / batch_rows=100 over
+    # 4 partitions → at least 5 POSTs)
+    inserts = [q for q in log if q.upper().startswith("INSERT INTO")]
+    assert len(inserts) >= 5
+    back = _source(port).load(spark, "sink_events")
+    got = sorted(
+        (r["event_id"], r["user_id"], r["event_type"], float(r["value"]))
+        for r in back.collect()
+    )
+    want = sorted(
+        (r["event_id"], r["user_id"], r["event_type"], float(r["value"]))
+        for r in ev.collect()
+    )
+    assert got == want
+
+
+def test_http_sink_bad_credentials(spark, sf_dir, ch_server):
+    from urllib.error import HTTPError
+
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpSink,
+    )
+
+    port, _, _store = ch_server
+    ev = load_table(spark, sf_dir, "events").select("event_id").limit(5)
+    sink = ClickHouseHttpSink(
+        host="127.0.0.1", port=port, user=USER, password="wrong"
+    )
+    with pytest.raises(Exception) as e:
+        sink.save(ev, "nope")
+    assert "401" in str(e.value) or isinstance(e.value, HTTPError)
