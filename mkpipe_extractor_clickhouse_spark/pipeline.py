@@ -20,6 +20,8 @@ Connections:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -79,12 +81,14 @@ class Pipeline:
     tables: list[dict] = field(default_factory=list)
     state_path: str | None = None
     sql_dir: str | None = None
+    loader: object | None = None  # override: any ParquetLoader-contract loader
 
     def runner(self) -> IncrementalRunner:
         state = self.state_path or f"{self.dest_dir}/_state.json"
+        os.makedirs(self.dest_dir, exist_ok=True)
         return IncrementalRunner(
             extractor=ParquetExtractor(self.source_dir, sql_dir=self.sql_dir),
-            loader=ParquetLoader(self.dest_dir),
+            loader=self.loader or ParquetLoader(self.dest_dir),
             store=WatermarkStore(state),
         )
 
@@ -136,8 +140,25 @@ def run_pipelines(
     for p in config.get("pipelines", []):
         src = conns[p["source"]]
         dst = conns[p["destination"]]
+        custom_loader = None
+        if dst.get("variant") == "clickhouse_http":
+            # jar-free remote destination: rows stream out over the
+            # ClickHouse HTTP INSERT protocol, one connection per task
+            from .sources.ch_http import ClickHouseHttpLoader, ClickHouseHttpSink
+
+            custom_loader = ClickHouseHttpLoader(
+                ClickHouseHttpSink(
+                    host=dst["host"],
+                    port=int(dst.get("port", 8123)),
+                    user=dst.get("user", "default"),
+                    password=dst.get("password", ""),
+                    database=dst.get("database", "default"),
+                )
+            )
         for side, c in (("source", src), ("destination", dst)):
             variant = c.get("variant", "parquet")
+            if variant == "clickhouse_http" and side == "destination":
+                continue
             if variant != "parquet":
                 # Remote variants go through sources/jdbc.py readers and
                 # need connector JARs on the classpath — not available
@@ -151,9 +172,10 @@ def run_pipelines(
                 )
         pipe = Pipeline(
             source_dir=src["path"],
-            dest_dir=dst["path"],
+            dest_dir=dst.get("path", src["path"] + "/_http_dest_state"),
             tables=p.get("tables", []),
             sql_dir=p.get("sql_dir"),
+            loader=custom_loader,
         )
         out[p["name"]] = pipe.run(spark, tags=tags)
     return out

@@ -287,3 +287,40 @@ class ClickHouseHttpSink:
 
         counts = df.mapInPandas(write_batches, "n long")
         return sum(r["n"] for r in counts.collect())
+
+
+class ClickHouseHttpLoader:
+    """Destination-side adapter: the ``ParquetLoader.load`` contract
+    (``load(spark, table, result)``) over the HTTP sink, so a pipeline
+    config can point its DESTINATION at a ClickHouse server —
+    ``variant: clickhouse_http`` — with no connector jars. Overwrite
+    truncates then inserts; append inserts. Idempotent-append dedup
+    (``dedup_keys``) would need a remote anti-join per tick — do
+    boundary dedup in ClickHouse itself (ReplacingMergeTree on the
+    key, the engine the reference assumes) rather than shipping
+    destination keys back over the wire; configuring dedup_keys here
+    raises to keep that contract explicit."""
+
+    def __init__(self, sink: ClickHouseHttpSink):
+        self.sink = sink
+
+    def load(self, spark: SparkSession, table, result) -> None:
+        if result.df is None:
+            return  # no_new_data
+        if table.dedup_keys:
+            raise NotImplementedError(
+                "dedup_keys over the HTTP destination: use a "
+                "ReplacingMergeTree key in ClickHouse (boundary re-reads "
+                "then collapse server-side); shipping destination keys "
+                "back per tick does not scale"
+            )
+        target = table.target_name or table.name
+        if result.write_mode == "overwrite":
+            _http_post(
+                self.sink._insert_url(target).split("?")[0]
+                + "?"
+                + urllib.parse.urlencode({"database": self.sink.database}),
+                f"TRUNCATE TABLE {target}".encode(),
+                self.sink._headers,
+            )
+        self.sink.save(result.df, target)

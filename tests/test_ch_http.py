@@ -66,6 +66,13 @@ def _make_handler(sf_dir: str, query_log: list[str], store: dict | None = None):
                 return
             sql = body_bytes.decode("utf-8").strip()
             query_log.append(sql)
+            tm = re.match(r"TRUNCATE\s+TABLE\s+(\w+)", sql, re.IGNORECASE)
+            if tm:
+                (store if store is not None else {}).pop(tm.group(1), None)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             fmt = "TSV"
             for f in ("JSONCompact", "JSONEachRow"):
                 if sql.endswith(f"FORMAT {f}"):
@@ -264,3 +271,48 @@ def test_http_sink_bad_credentials(spark, sf_dir, ch_server):
     with pytest.raises(Exception) as e:
         sink.save(ev, "nope")
     assert "401" in str(e.value) or isinstance(e.value, HTTPError)
+
+
+def test_pipeline_clickhouse_http_destination(spark, sf_dir, ch_server, tmp_path):
+    """Config-driven pipeline with a clickhouse_http DESTINATION: full
+    replication truncates + inserts (re-running does not duplicate),
+    and the rows land readable through the source connector."""
+    from mkpipe_extractor_clickhouse_spark.pipeline import run_pipelines
+
+    port, log, store = ch_server
+    config = {
+        "connections": {
+            "src": {"variant": "parquet", "path": sf_dir},
+            "ch": {
+                "variant": "clickhouse_http",
+                "host": "127.0.0.1",
+                "port": port,
+                "user": USER,
+                "password": KEY,
+                "path": str(tmp_path / "state"),
+            },
+        },
+        "pipelines": [
+            {
+                "name": "to_ch",
+                "source": "src",
+                "destination": "ch",
+                "tables": [
+                    {
+                        "name": "nation",
+                        "target_name": "nation_out",
+                        "replication_method": "full",
+                    }
+                ],
+            }
+        ],
+    }
+    r1 = run_pipelines(config, spark)
+    assert r1["to_ch"][0].status == "extracted"
+    n = len(store["nation_out"])
+    assert n == 25
+    # re-run: overwrite truncates first — no duplication
+    run_pipelines(config, spark)
+    assert len(store["nation_out"]) == n
+    back = _source(port).load(spark, "nation_out")
+    assert back.count() == 25
