@@ -955,3 +955,103 @@ def a26_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lo").cast("double") + F.col("hi")) / 2.0 / 1_000_000.0, 6
         ).alias("median"),
     ).orderBy("event_type")
+
+
+ACF_MAX_LAG = 3
+
+
+@register(
+    "ts7_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, day, revq,
+             SUM(revq) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM daily
+    ),
+    dev AS (
+      -- integer detrending: nd·x − Σ (the ts5/ts6 trick — no mean
+      -- division until the final ratio)
+      SELECT event_type, day, nd * revq - tot AS d
+      FROM base
+    ),
+    lagged AS (
+      SELECT event_type, d,
+             LAG(d, 1) OVER w AS d1,
+             LAG(d, 2) OVER w AS d2,
+             LAG(d, 3) OVER w AS d3
+      FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    moments AS (
+      SELECT event_type,
+             SUM(CAST(d AS DECIMAL(38,0)) * d) AS s0,
+             SUM(CASE WHEN d1 IS NOT NULL
+                      THEN CAST(d AS DECIMAL(38,0)) * d1 END) AS s1,
+             SUM(CASE WHEN d2 IS NOT NULL
+                      THEN CAST(d AS DECIMAL(38,0)) * d2 END) AS s2,
+             SUM(CASE WHEN d3 IS NOT NULL
+                      THEN CAST(d AS DECIMAL(38,0)) * d3 END) AS s3
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS acf_1,
+           ROUND(CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS acf_2,
+           ROUND(CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS acf_3
+    FROM moments ORDER BY event_type
+    """,
+    tags=("W3", "A10", "EXT", "timeseries"),
+)
+def ts7_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1–3 per daily series — the
+    diagnostic that says whether yesterday predicts today (and whether
+    ts5's weekly seasonal is real before fitting it). EXACT to the
+    rounding: deviations use the nd·x − Σ integer detrending (shared
+    with ts5/ts6), lagged cross-products accumulate in DECIMAL(38,0)
+    (deviation products overflow int64), and each ACF value is one
+    final division of exact decimals. One series shuffle: the window
+    lags and the moment aggregation ride the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    per = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count("*").over(per) * F.col("revq")
+            - F.sum("revq").over(per)
+        ).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = dev.select(
+        "event_type",
+        "d",
+        *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moments = lagged.groupBy("event_type").agg(
+        F.sum(dec("d") * F.col("d")).alias("s0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"d{k}").isNotNull(), dec("d") * F.col(f"d{k}")
+                )
+            ).alias(f"s{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    return moments.select(
+        "event_type",
+        *[
+            F.round(
+                F.col(f"s{k}").cast("double") / F.col("s0").cast("double"), 6
+            ).alias(f"acf_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    ).orderBy("event_type")
