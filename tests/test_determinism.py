@@ -139,3 +139,47 @@ def test_geohash_matches_bisection_reference():
     for _ in range(500):
         lat, lon = rnd.uniform(-90, 90), rnd.uniform(-180, 180)
         assert ref_geohash(lat, lon) == integer_geohash(lat, lon)
+
+
+def test_partitioning_independence_sampled(spark, sf_dir, oracle):
+    """Results must not depend on spark.sql.shuffle.partitions — the
+    clearest determinism failure mode at scale (a different reducer
+    count reorders float accumulation). A deterministic sample of
+    oracle-checked queries runs under 32 and again under 7 shuffle
+    partitions; rows must be IDENTICAL (not just hash-equal)."""
+    import hashlib
+
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+    specs = all_specs()
+    names = sorted(
+        n
+        for n in specs
+        if specs[n].oracle is not None
+        # skip the filesystem-roundtrip/manifest builders (slow side
+        # effects) — shuffle behavior is exercised by the pure queries
+        and not n.startswith("x")
+    )
+    sampled = [
+        n
+        for n in names
+        if int(hashlib.md5(n.encode()).hexdigest(), 16) % 11 == 0
+    ]
+    assert len(sampled) >= 15, sampled
+    def rows_of(name):
+        # None-safe total order (rows may carry NULLs in any column)
+        return sorted(
+            (tuple(r) for r in specs[name].builder(spark, sf_dir).collect()),
+            key=lambda t: tuple((v is None, str(v)) for v in t),
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in sampled:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            a = rows_of(name)
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            b = rows_of(name)
+            assert a == b, f"{name}: rows differ across partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
