@@ -1047,6 +1047,30 @@ def _translate_clauses(
     # execution-engine knobs have no Spark meaning; drop harmlessly
     sql = _SETTINGS_RE.sub("", sql).rstrip()
 
+    # ClickHouse scalar WITH (`WITH 0.15 AS rate SELECT …`): constant
+    # aliases inline textually. Only LITERAL constants translate — an
+    # item containing SELECT is a real CTE and passes through.
+    m_with = re.match(r"\s*WITH\s+(.*?)\s+(SELECT\b.*)", sql, re.IGNORECASE | re.DOTALL)
+    if m_with and "select" not in m_with.group(1).lower():
+        items = _split_args(m_with.group(1))
+        consts: list[tuple[str, str]] = []
+        ok = True
+        for it in items:
+            im = re.fullmatch(
+                r"(-?\d+(?:\.\d+)?|'[^']*')\s+AS\s+([A-Za-z_]\w*)",
+                it.strip(),
+                re.IGNORECASE,
+            )
+            if not im:
+                ok = False
+                break
+            consts.append((im.group(2), im.group(1)))
+        if ok and consts:
+            body = m_with.group(2)
+            for name_c, lit in consts:
+                body = re.sub(rf"\b{name_c}\b", f"({lit})", body)
+            sql = body
+
     # numbers(N) table function → an inline sequence relation with the
     # same column name (`number`, 0-based) — the ClickHouse scratchpad
     # idiom for generating rows

@@ -893,3 +893,22 @@ def test_quantile_variants_and_topk_guidance(spark):
     with pytest.raises(ChDialectError) as e2:
         translate("SELECT topK(3)(event_type) FROM events")
     assert "a15_topk_frequent" in str(e2.value)
+
+
+def test_scalar_with_constants(spark):
+    _same(
+        spark,
+        """WITH 100 AS threshold, 2.5 AS mult
+           SELECT event_id, value * mult AS scaled
+           FROM events WHERE value > threshold AND event_id < 200""",
+        """SELECT event_id, value * 2.5 AS scaled
+           FROM events WHERE value > 100 AND event_id < 200""",
+    )
+    # real CTEs must pass through untouched
+    _same(
+        spark,
+        """WITH big AS (SELECT * FROM events WHERE value > 400)
+           SELECT count(*) AS n FROM big""",
+        """WITH big AS (SELECT * FROM events WHERE value > 400)
+           SELECT count(*) AS n FROM big""",
+    )
