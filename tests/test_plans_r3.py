@@ -220,3 +220,44 @@ def test_nested_schema_pruning(spark, sf_dir):
     assert "n_bytes" in read_schema and "source" in read_schema
     assert "blob" not in read_schema
     assert "format" not in read_schema
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """The AQE alternative to z2's manual salting: with skew-join
+    enabled (Spark default) a hot-key SMJ must re-plan as
+    SortMergeJoin(skew=true) with an AQEShuffleRead-skewed exchange —
+    the runtime split that keeps one hot reducer from serializing the
+    stage at scale. Thresholds are lowered to make local fixture sizes
+    eligible; production keeps the 256 MB defaults."""
+    from pyspark.sql import functions as F
+
+    tweaked = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaked}
+    try:
+        for k, v in tweaked.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("v"), F.sum("w"))
+        j.collect()  # AQE re-plans at runtime — inspect the FINAL plan
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "skew=true" in plan
+        assert "aqeshuffleread skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
