@@ -525,3 +525,119 @@ def l78_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canary")
     )
+
+
+LEAK_TAU = 0.5  # near-dup threshold for leakage (l23's separation point)
+
+
+@register(
+    "l84_leakage_free_split",
+    oracle=f"""
+    WITH split0 AS (
+      SELECT doc_id, source,
+             CASE WHEN (doc_id * {SPLIT_HASH}) % {M32} % 1000 < 900
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE p.o * 1.0 / (sa.n + sb.n - p.o) >= {LEAK_TAU}
+    ),
+    leaky AS (
+      -- a val doc is leaky if ANY near-dup partner sits in train
+      SELECT DISTINCT v.doc_id
+      FROM split0 v
+      JOIN (SELECT doc_a AS x, doc_b AS y FROM dup
+            UNION ALL SELECT doc_b, doc_a FROM dup) e ON v.doc_id = e.x
+      JOIN split0 tr ON tr.doc_id = e.y AND tr.split = 'train'
+      WHERE v.split = 'val'
+    )
+    SELECT s.source,
+           COUNT(CASE WHEN s.split = 'train' THEN 1 END) AS train_docs,
+           COUNT(CASE WHEN s.split = 'val' AND l.doc_id IS NULL THEN 1 END)
+             AS val_docs,
+           COUNT(l.doc_id) AS quarantined
+    FROM split0 s LEFT JOIN leaky l ON s.doc_id = l.doc_id
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("L1", "L2", "EXT", "split", "decontamination"),
+)
+def l84_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split: the deterministic 90/10 hash
+    split (l26) hardened with a near-dup guard — any val doc with a
+    shingle-Jaccard ≥ τ partner in train is QUARANTINED (neither
+    split), because a near-copy across the boundary silently inflates
+    eval scores (the leakage l24 guards against an EXTERNAL benchmark,
+    applied to the split's own internal boundary). Near-dup pairs come
+    from the l23 PPJoin machinery, so the guard costs one inverted-
+    index pass, not an all-pairs; the report is per-source counts.
+    Everything is integer/deterministic — rerunning reproduces the
+    exact same split and quarantine set."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SPLIT_HASH) % M32 % 1000
+    split0 = d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 900, "train").otherwise("val").alias("split"),
+    )
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (
+        d.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    from .llm_dedup import ppjoin_pairs
+
+    dup = ppjoin_pairs(sh, LEAK_TAU).select("doc_a", "doc_b")
+    edges = dup.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).unionAll(dup.select(F.col("doc_b"), F.col("doc_a")))
+    train_ids = split0.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("y")
+    )
+    leaky = (
+        split0.filter(F.col("split") == "val")
+        .join(edges, split0.doc_id == edges.x)
+        .join(train_ids, "y")
+        .select(F.col("doc_id"))
+        .distinct()
+        .withColumn("is_leaky", F.lit(1))
+    )
+    j = split0.join(leaky, "doc_id", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).alias("train_docs"),
+            F.count(
+                F.when(
+                    (F.col("split") == "val") & F.col("is_leaky").isNull(), 1
+                )
+            ).alias("val_docs"),
+            F.count("is_leaky").alias("quarantined"),
+        )
+        .orderBy("source")
+    )
