@@ -234,7 +234,7 @@ def l27_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "source", "lang")
 
 
-from ._determinism import DAVG, davg  # noqa: E402
+from ._determinism import DAVG, _Q, _quantize, davg  # noqa: E402
 
 RESAMPLE_HASH = 2246822519  # a third independent multiplicative hash
 
@@ -641,3 +641,79 @@ def l84_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+TE_FOLDS = 5
+
+
+@register(
+    "l85_target_encoding",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             (o_orderkey * {SPLIT_HASH}) % {M32} % {TE_FOLDS} AS fold,
+             {_Q.format(x='o_totalprice')} AS yq
+      FROM orders
+    ),
+    per_fold AS (
+      SELECT cat, fold, COUNT(*) AS cnt, SUM(yq) AS s
+      FROM base GROUP BY cat, fold
+    ),
+    per_cat AS (
+      SELECT cat, SUM(cnt) AS cnt_all, SUM(s) AS s_all
+      FROM per_fold GROUP BY cat
+    )
+    SELECT b.o_orderkey,
+           b.cat,
+           CAST(b.fold AS INT) AS fold,
+           ROUND(CAST(c.s_all - f.s AS DOUBLE) / 1000000.0
+                 / (c.cnt_all - f.cnt), 6) AS target_enc
+    FROM base b
+    JOIN per_fold f ON b.cat = f.cat AND b.fold = f.fold
+    JOIN per_cat c ON b.cat = c.cat
+    WHERE b.o_orderkey <= 20000
+    ORDER BY b.o_orderkey
+    """,
+    tags=("A2", "J2", "EXT", "ml-prep"),
+)
+def l85_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold target encoding with leakage protection — the ML-prep
+    idiom for high-cardinality categoricals: each row's category is
+    encoded as the target mean computed WITHOUT the row's own fold
+    (out-of-fold mean), so the feature never sees its own label
+    (l84's split-boundary discipline applied to feature construction).
+    Exact: quantized target sums aggregate per (category, fold) — an
+    O(categories × folds) table that BROADCASTS back onto the fact —
+    and each encoded value is one IEEE division of exact integers,
+    rounded. Deterministic fold assignment by the l26 hash, so
+    encodings are reproducible across reruns and cluster sizes."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        ((F.col("o_orderkey") * SPLIT_HASH) % M32 % TE_FOLDS).alias("fold"),
+        _quantize("o_totalprice").alias("yq"),
+    )
+    per_fold = base.groupBy("cat", "fold").agg(
+        F.count("*").alias("cnt"), F.sum("yq").alias("s")
+    )
+    per_cat = per_fold.groupBy("cat").agg(
+        F.sum("cnt").alias("cnt_all"), F.sum("s").alias("s_all")
+    )
+    enc = (
+        base.filter(F.col("o_orderkey") <= 20000)
+        .join(F.broadcast(per_fold), ["cat", "fold"])
+        .join(F.broadcast(per_cat), "cat")
+        .select(
+            "o_orderkey",
+            "cat",
+            F.col("fold").cast("int").alias("fold"),
+            F.round(
+                (F.col("s_all") - F.col("s")).cast("double")
+                / 1_000_000.0
+                / (F.col("cnt_all") - F.col("cnt")),
+                6,
+            ).alias("target_enc"),
+        )
+    )
+    return enc.orderBy("o_orderkey")
