@@ -717,3 +717,88 @@ def l85_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enc.orderBy("o_orderkey")
+
+
+@register(
+    "l86_fitted_scaling",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN (o_orderkey * {SPLIT_HASH}) % {M32} % 1000 < 900
+                  THEN 'train' ELSE 'val' END AS split,
+             {_Q.format(x='o_totalprice')} AS yq
+      FROM orders
+    ),
+    fit AS (
+      -- statistics fitted on TRAIN ONLY (the fit/transform separation
+      -- that keeps val statistics out of the features)
+      SELECT MIN(yq) AS mn, MAX(yq) AS mx,
+             COUNT(*) AS n, SUM(yq) AS s,
+             SUM(CAST(yq AS DECIMAL(38,0)) * yq) AS ssq
+      FROM base WHERE split = 'train'
+    )
+    SELECT b.o_orderkey, b.split,
+           ROUND(CAST(b.yq - f.mn AS DOUBLE) / (f.mx - f.mn), 6)
+             AS minmax_scaled,
+           ROUND((CAST(b.yq AS DOUBLE) / 1000000.0
+                  - CAST(f.s AS DOUBLE) / 1000000.0 / f.n)
+                 / SQRT((CAST(f.ssq AS DOUBLE) / 1000000000000.0
+                         - (CAST(f.s AS DOUBLE) / 1000000.0)
+                           * (CAST(f.s AS DOUBLE) / 1000000.0) / f.n)
+                        / (f.n - 1)), 6) AS z_scaled
+    FROM base b CROSS JOIN fit f
+    WHERE b.o_orderkey <= 20000
+    ORDER BY b.o_orderkey
+    """,
+    tags=("A10", "J2", "EXT", "ml-prep"),
+)
+def l86_fitted_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling with the fit/transform separation: min-max and
+    z-score parameters are FITTED on the train split only, then
+    applied to every row — val rows scale by train statistics, never
+    their own (the subtle leak most naive pipelines ship). The fitted
+    stats are ONE broadcast row of exact integer moments
+    (DECIMAL(38,0) for Σy²); each scaled value is a single IEEE tree
+    over them, rounded — so transform is map-side, deterministic, and
+    at 100 TB the fit is one partial→final aggregate, the transform a
+    free projection on the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * SPLIT_HASH) % M32 % 1000
+    base = o.select(
+        "o_orderkey",
+        F.when(bucket < 900, "train").otherwise("val").alias("split"),
+        _quantize("o_totalprice").alias("yq"),
+    )
+    fit = base.filter(F.col("split") == "train").agg(
+        F.min("yq").alias("mn"),
+        F.max("yq").alias("mx"),
+        F.count("*").alias("n"),
+        F.sum("yq").alias("s"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / 1_000_000.0 / F.col("n")
+    var = (
+        F.col("ssq").cast("double") / 1_000_000_000_000.0
+        - (F.col("s").cast("double") / 1_000_000.0)
+        * (F.col("s").cast("double") / 1_000_000.0)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    return (
+        base.filter(F.col("o_orderkey") <= 20000)
+        .join(F.broadcast(fit))
+        .select(
+            "o_orderkey",
+            "split",
+            F.round(
+                (F.col("yq") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")),
+                6,
+            ).alias("minmax_scaled"),
+            F.round(
+                (F.col("yq").cast("double") / 1_000_000.0 - mean)
+                / F.sqrt(var),
+                6,
+            ).alias("z_scaled"),
+        )
+        .orderBy("o_orderkey")
+    )
