@@ -1298,3 +1298,90 @@ def g3_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(COPURCHASE_TOP_PAIRS)
     )
+
+
+@register(
+    "g4_triangle_count",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey, q,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT COUNT(*) AS triangles,
+           COUNT(DISTINCT a) AS apex_parts,
+           (SELECT COUNT(*) FROM edges) AS edges
+    FROM tri
+    """,
+    tags=("J1", "EXT", "graph"),
+)
+def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase projection (g3's graph)
+    — the clustering-coefficient numerator and the canonical
+    'graph analytics as joins' demonstration: orient every edge
+    low→high, then count paths a→b→c that close with an a→c edge
+    (each triangle counted exactly once under the orientation). Two
+    equi-joins over the edge list — the MapReduce triangle-counting
+    shape (Suri & Vassilvitskii's partition-friendly formulation),
+    where edge orientation by degree is the classic skew guard at
+    real scale. Edge list is bounded by g3's per-supplier top-m cut;
+    everything is integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_quantize("l_quantity")).alias("q")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("q").desc(), "l_partkey")
+    top_parts = (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COPURCHASE_TOP_PARTS)
+        .drop("rn")
+    )
+    a = top_parts.alias("a")
+    b = top_parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(F.col("e1.u").alias("a"))
+    )
+    n_edges = edges.count()  # metadata-scale scalar, like g1/g2
+    return tri.agg(
+        F.count("*").alias("triangles"),
+        F.countDistinct("a").alias("apex_parts"),
+        F.lit(n_edges).cast("long").alias("edges"),
+    )
