@@ -1192,3 +1192,65 @@ def x24_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     t.delete_rows(spark, "user_id", ERASE_USER)
     return t.read(spark)
+
+
+@register(
+    "x25_manifest_changelog",
+    oracle="""
+    WITH cuts AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '2024-01-08 00:00:00'),
+        (2, TIMESTAMP '2024-01-15 00:00:00'),
+        (3, TIMESTAMP '2024-01-22 00:00:00'),
+        (4, TIMESTAMP '2100-01-01 00:00:00')
+      ) AS t(version, cutoff)
+    )
+    SELECT c.version,
+           'append' AS op,
+           COUNT(e.event_id) AS rows_total,
+           COUNT(e.event_id)
+             - COALESCE(LAG(COUNT(e.event_id))
+                        OVER (ORDER BY c.version), 0) AS rows_added
+    FROM cuts c LEFT JOIN events e ON e.ts < c.cutoff
+    GROUP BY c.version ORDER BY c.version
+    """,
+    tags=("S8", "T7", "EXT", "transaction"),
+)
+def x25_manifest_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset changelog — the DESCRIBE HISTORY observability view over
+    a manifest table: one row per commit with its operation and the
+    row count at (and added by) that version, computed by TIME
+    TRAVELING to each snapshot. Four weekly appends make the history;
+    the oracle derives the same counts from the source windows, so the
+    hash-match proves the manifest's version lineage reports exactly
+    what was committed (no lost or double-counted batch). Counting a
+    snapshot is one aggregate per version over the manifest's dir
+    list — metadata-bounded work."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x25_log_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(os.path.join(workdir, "events"))
+    ev = load_table(spark, sf_dir, "events")
+    for cutoff, prev in zip(_CUTOFFS, [None] + _CUTOFFS[:-1]):
+        window = ev
+        if cutoff is not None:
+            window = window.filter(
+                F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+            )
+        if prev is not None:
+            window = window.filter(
+                F.col("ts") >= F.lit(prev).cast("timestamp_ntz")
+            )
+        t.commit_append(window)
+    rows = []
+    prev_n = 0
+    for v in t.versions():
+        m = t.manifest(v)
+        df_v = t.read(spark, version=v)
+        n = df_v.count() if df_v is not None else 0
+        rows.append((v, m["op"], n, n - prev_n))
+        prev_n = n
+    return spark.createDataFrame(
+        rows, "version int, op string, rows_total long, rows_added long"
+    )
