@@ -299,6 +299,18 @@ def _translate_functions(sql: str) -> str:
         "quantilesExact",
         lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     )
+    # groupConcat: plain form and parameterized separator form
+    out = _rewrite_parameterized(
+        out,
+        "groupConcat",
+        lambda p, a: f"array_join(collect_list({a[0]}), {p[0]})",
+    ) if re.search(r"\bgroupConcat\s*\([^)]*\)\s*\(", out) else out
+    out = _rewrite_calls(
+        out,
+        "groupConcat",
+        lambda a: f"array_join(collect_list({a[0]}), ',')",
+    )
+
     # approximate-by-contract quantile variants map onto Spark's
     # t-digest-backed percentile_approx
     for approx_q in ("quantileTiming", "quantileTDigest", "quantileBFloat16"):

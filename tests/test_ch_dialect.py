@@ -912,3 +912,25 @@ def test_scalar_with_constants(spark):
         """WITH big AS (SELECT * FROM events WHERE value > 400)
            SELECT count(*) AS n FROM big""",
     )
+
+
+def test_group_concat_forms(spark):
+    _same(
+        spark,
+        """SELECT event_type,
+                  groupConcat('|')(CAST(event_id AS STRING)) AS j
+           FROM (SELECT * FROM events WHERE event_id <= 5
+                 ORDER BY event_id)
+           GROUP BY event_type""",
+        """SELECT event_type,
+                  array_join(collect_list(CAST(event_id AS STRING)), '|') AS j
+           FROM (SELECT * FROM events WHERE event_id <= 5
+                 ORDER BY event_id)
+           GROUP BY event_type""",
+    )
+    _same(
+        spark,
+        "SELECT groupConcat(event_type) AS j FROM events WHERE event_id = 1",
+        "SELECT array_join(collect_list(event_type), ',') AS j "
+        "FROM events WHERE event_id = 1",
+    )
