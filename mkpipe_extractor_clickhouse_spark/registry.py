@@ -123,6 +123,27 @@ def _load_modules() -> None:
 # as early as possible.  Self-maintaining: round N+1 re-reads the
 # artifacts and bubbles up whatever is still unverified.
 _DRIVER_PRIORITY = (
+    # Second-continuation flagships: the session's new FEATURE surfaces
+    # (rank statistics, graph, geo, anomaly detection, erasure,
+    # attribution, leakage-guarded ML prep) earn driver rows first.
+    "ch_rank_corr",
+    "ch_kendall_tau",
+    "g2_pagerank",
+    "g4_triangle_count",
+    "j18_geo_bucket_join",
+    "f16_geohash",
+    "l71_shingle_containment",
+    "ts5_seasonal_decompose",
+    "ts6_cusum_alarms",
+    "x24_user_erasure",
+    "x21_dynamic_partition_overwrite",
+    "x22_cdc_apply",
+    "l84_leakage_free_split",
+    "l85_target_encoding",
+    "ch_attribution_last_touch",
+    "m5_histogram_neardup",
+    "dq3_histogram_drift",
+    "x20_dialect_toolkit_query",
     # Round-3-continuation flagships: new FEATURE surfaces (dialect
     # translation, manifest MERGE/zone maps, the stats family's
     # hardest cases) earn a driver row before more same-family breadth.
