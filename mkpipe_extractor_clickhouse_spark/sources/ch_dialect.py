@@ -252,6 +252,13 @@ _RENAMES = {
     "mapValues": "map_values",
     "lagInFrame": "lag",
     "leadInFrame": "lead",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "medianExact": "median",
 }
 
 _CASTS = {
@@ -299,6 +306,12 @@ def _translate_functions(sql: str) -> str:
         "quantilesExact",
         lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     )
+    # ClickHouse's median is quantile(0.5) — APPROXIMATE; keep that
+    # contract (medianExact renames to Spark's exact median)
+    out = _rewrite_calls(
+        out, "median", lambda a: f"percentile_approx({a[0]}, 0.5)"
+    )
+
     # groupConcat: plain form and parameterized separator form
     out = _rewrite_parameterized(
         out,

@@ -934,3 +934,24 @@ def test_group_concat_forms(spark):
         "SELECT array_join(collect_list(event_type), ',') AS j "
         "FROM events WHERE event_id = 1",
     )
+
+
+def test_variance_family_and_median(spark):
+    _same(
+        spark,
+        """SELECT stddevPop(value) AS sp, stddevSamp(value) AS ss,
+                  varPop(value) AS vp, varSamp(value) AS vs,
+                  covarPop(value, event_id) AS cp,
+                  covarSamp(value, event_id) AS cs,
+                  medianExact(value) AS me
+           FROM events""",
+        """SELECT stddev_pop(value) AS sp, stddev_samp(value) AS ss,
+                  var_pop(value) AS vp, var_samp(value) AS vs,
+                  covar_pop(value, event_id) AS cp,
+                  covar_samp(value, event_id) AS cs,
+                  median(value) AS me
+           FROM events""",
+    )
+    # approximate median executes (value is an estimate)
+    df = spark.sql(translate("SELECT median(value) AS m FROM events"))
+    assert df.columns == ["m"] and df.count() == 1
