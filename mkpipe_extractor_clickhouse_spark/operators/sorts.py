@@ -101,3 +101,45 @@ def o5_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(PAGE_NO * PAGE_SIZE)
         .limit(PAGE_SIZE)
     )
+
+
+# keyset cursor: the LAST row of o5's page (price desc, key asc order)
+KEYSET_AFTER_PRICE = 400000.0
+KEYSET_AFTER_KEY = 0
+KEYSET_PAGE = 50
+
+
+@register(
+    "o6_keyset_pagination",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice < {KEYSET_AFTER_PRICE}
+       OR (o_totalprice = {KEYSET_AFTER_PRICE}
+           AND o_orderkey > {KEYSET_AFTER_KEY})
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {KEYSET_PAGE}
+    """,
+    tags=("O1", "O2", "P4", "EXT"),
+)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the next page AFTER a cursor row,
+    expressed as a predicate on the total order instead of an OFFSET:
+    ``(price, key) > cursor`` in (price desc, key asc) order. Unlike
+    o5's offset (which materializes offset+limit rows however deep the
+    page), the seek predicate PUSHES INTO THE SCAN (row-group pruning
+    on o_totalprice) and the plan stays a top-k of page-size rows at
+    ANY depth — the difference between O(page) and O(page·depth) on
+    page one-million. The row-tuple comparison decomposes into the
+    OR form both engines index the same way."""
+    o = load_table(spark, sf_dir, "orders")
+    after = (F.col("o_totalprice") < KEYSET_AFTER_PRICE) | (
+        (F.col("o_totalprice") == KEYSET_AFTER_PRICE)
+        & (F.col("o_orderkey") > KEYSET_AFTER_KEY)
+    )
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(after)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(KEYSET_PAGE)
+    )
