@@ -1055,3 +1055,85 @@ def ts7_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, ACF_MAX_LAG + 1)
         ],
     ).orderBy("event_type")
+
+
+@register(
+    "dq6_functional_dependency",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders: o_orderkey -> o_custkey' AS dependency,
+             COUNT(*) AS determinant_values,
+             SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS violations
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_dep
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'lineitem: l_orderkey -> o_custkey (via join)',
+             COUNT(*),
+             SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+      FROM (SELECT l.l_orderkey, COUNT(DISTINCT o.o_custkey) AS n_dep
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey)
+      UNION ALL
+      SELECT 'nation: n_nationkey -> n_regionkey',
+             COUNT(*),
+             SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+      FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS n_dep
+            FROM nation GROUP BY n_nationkey)
+      UNION ALL
+      SELECT 'events: user_id -> event_type (expected to FAIL)',
+             COUNT(*),
+             SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+      FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_dep
+            FROM events GROUP BY user_id)
+    ) ORDER BY dependency
+    """,
+    tags=("A3", "EXT", "dq"),
+)
+def dq6_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — does A determine B in the data
+    (the schema assumption every join and dedup silently relies on)?
+    For each declared dependency: distinct determinant values and how
+    many map to MORE than one dependent value (violations). Includes a
+    deliberately-false dependency as the negative control, so a report
+    of all-zeros is provably not vacuous. Each check is one
+    count-distinct aggregation (partial→final), unioned — the dqX
+    family's relational-integrity layer alongside dq1's constraints
+    and dq4's key uniqueness."""
+    def check(label: str, grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.lit(label).alias("dependency"),
+            F.count("*").alias("determinant_values"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).alias(
+                "violations"
+            ),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    c1 = check(
+        "orders: o_orderkey -> o_custkey",
+        o.groupBy("o_orderkey").agg(
+            F.countDistinct("o_custkey").alias("n_dep")
+        ),
+    )
+    c2 = check(
+        "lineitem: l_orderkey -> o_custkey (via join)",
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("o_custkey").alias("n_dep")),
+    )
+    c3 = check(
+        "nation: n_nationkey -> n_regionkey",
+        n.groupBy("n_nationkey").agg(
+            F.countDistinct("n_regionkey").alias("n_dep")
+        ),
+    )
+    c4 = check(
+        "events: user_id -> event_type (expected to FAIL)",
+        ev.groupBy("user_id").agg(
+            F.countDistinct("event_type").alias("n_dep")
+        ),
+    )
+    return c1.unionAll(c2).unionAll(c3).unionAll(c4).orderBy("dependency")
