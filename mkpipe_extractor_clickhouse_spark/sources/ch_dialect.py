@@ -1176,6 +1176,31 @@ def _translate_clauses(
             "key-hash sampling of ch_sample_key instead"
         )
 
+    # ARRAY JOIN clause → LATERAL VIEW explode. The aliased form maps
+    # cleanly; the alias-less form SHADOWS the array column with its
+    # element in ClickHouse, which a string rewrite cannot reproduce
+    # safely — raise with the fix.
+    aj = re.search(
+        r"\b(LEFT\s+)?ARRAY\s+JOIN\s+([A-Za-z_][\w.()]*)"
+        r"(?:\s+AS\s+([A-Za-z_]\w*))?",
+        sql,
+        re.IGNORECASE,
+    )
+    if aj:
+        left_mod, arr, alias = aj.group(1), aj.group(2), aj.group(3)
+        if not alias:
+            raise ChDialectError(
+                "ARRAY JOIN without AS alias shadows the source column; "
+                "write `ARRAY JOIN <arr> AS <alias>` (translates to "
+                "LATERAL VIEW explode)"
+            )
+        fn = "explode_outer" if left_mod else "explode"
+        sql = (
+            sql[: aj.start()]
+            + f"LATERAL VIEW {fn}({arr}) __aj AS {alias}"
+            + sql[aj.end() :]
+        )
+
     # PREWHERE → WHERE (merge when both present: CH applies both)
     if _PREWHERE_RE.search(sql):
         if re.search(r"\bWHERE\b", sql, re.IGNORECASE):

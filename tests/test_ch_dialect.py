@@ -955,3 +955,22 @@ def test_variance_family_and_median(spark):
     # approximate median executes (value is an estimate)
     df = spark.sql(translate("SELECT median(value) AS m FROM events"))
     assert df.columns == ["m"] and df.count() == 1
+
+
+def test_array_join_clause(spark):
+    _same(
+        spark,
+        """SELECT event_id, x
+           FROM (SELECT event_id, sequence(1, 3) AS arr FROM events
+                 WHERE event_id <= 3)
+           ARRAY JOIN arr AS x
+           ORDER BY event_id, x""",
+        """SELECT event_id, x
+           FROM (SELECT event_id, sequence(1, 3) AS arr FROM events
+                 WHERE event_id <= 3)
+           LATERAL VIEW explode(arr) __aj AS x
+           ORDER BY event_id, x""",
+    )
+    with pytest.raises(ChDialectError) as e:
+        translate("SELECT event_id FROM t ARRAY JOIN arr")
+    assert "AS" in str(e.value)
