@@ -1013,6 +1013,69 @@ def _translate_functions(sql: str) -> str:
             )
         out = _rewrite_calls(out, fn_name, _no_running)
 
+    # ---- URL dissection → parse_url ----------------------------------
+    for ch_url, part in (
+        ("domainWithoutWWW", None),  # handled below
+        ("topLevelDomain", None),
+        ("domain", "HOST"),
+        ("path", "PATH"),
+        ("queryString", "QUERY"),
+        ("protocol", "PROTOCOL"),
+        ("fragment", "REF"),
+    ):
+        if part:
+            out = _rewrite_calls(
+                out,
+                ch_url,
+                lambda a, p=part: f"parse_url({a[0]}, '{p}')",
+            )
+    out = _rewrite_calls(
+        out,
+        "domainWithoutWWW",
+        lambda a: (
+            f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "topLevelDomain",
+        lambda a: f"substring_index(parse_url({a[0]}, 'HOST'), '.', -1)",
+    )
+    out = _rewrite_calls(
+        out,
+        "extractURLParameter",
+        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+    )
+
+    # format('{} and {}', a, b) → format_string('%s and %s', a, b);
+    # only positionless literal templates translate
+    def _format(a: list[str]) -> str:
+        fmt = a[0].strip()
+        if len(fmt) < 2 or fmt[0] not in "'\"":
+            raise ChDialectError("format() needs a literal template")
+        if re.search(r"\{\d", fmt):
+            raise ChDialectError(
+                "format() with indexed placeholders is not supported; "
+                "reorder the arguments and use {}"
+            )
+        body = fmt[1:-1].replace("%", "%%").replace("{}", "%s")
+        return f"format_string('{body}', {', '.join(a[1:])})"
+
+    out = _rewrite_calls(out, "format", _format)
+
+    # splitByString(sep, s) with a literal separator → regex-escaped split
+    def _split_by_string(a: list[str]) -> str:
+        sep = a[0].strip()
+        if len(sep) < 2 or sep[0] not in "'\"":
+            raise ChDialectError(
+                "splitByString needs a literal separator (the translation "
+                "must regex-escape it)"
+            )
+        escaped = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
+        return f"split({a[1]}, '{escaped}')"
+
+    out = _rewrite_calls(out, "splitByString", _split_by_string)
+
     # ---- JSON additions ----------------------------------------------
     out = _rewrite_calls(
         out,

@@ -974,3 +974,32 @@ def test_array_join_clause(spark):
     with pytest.raises(ChDialectError) as e:
         translate("SELECT event_id FROM t ARRAY JOIN arr")
     assert "AS" in str(e.value)
+
+
+def test_url_dissection(spark):
+    _same(
+        spark,
+        """SELECT domain(u) AS d, domainWithoutWWW(u) AS dw,
+                  topLevelDomain(u) AS tld, path(u) AS p,
+                  queryString(u) AS q, protocol(u) AS pr,
+                  extractURLParameter(u, 'k') AS pk
+           FROM (SELECT 'https://www.shop.example.com/a/b?k=7&z=1' AS u)""",
+        """SELECT 'www.shop.example.com' AS d, 'shop.example.com' AS dw,
+                  'com' AS tld, '/a/b' AS p,
+                  'k=7&z=1' AS q, 'https' AS pr, '7' AS pk""",
+    )
+
+
+def test_format_and_split_by_string(spark):
+    _same(
+        spark,
+        """SELECT format('{}-{} (100%)', event_type, user_id) AS f,
+                  splitByString('|-|', 'a|-|b|-|c') AS s
+           FROM events WHERE event_id = 1""",
+        """SELECT concat(event_type, '-', CAST(user_id AS STRING),
+                         ' (100%)') AS f,
+                  array('a', 'b', 'c') AS s
+           FROM events WHERE event_id = 1""",
+    )
+    with pytest.raises(ChDialectError):
+        translate("SELECT format('{0} {1}', a, b) FROM events")
