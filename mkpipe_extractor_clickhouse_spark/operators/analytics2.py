@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DAVG, DSUM, davg, dsum
+from ._determinism import DAVG, DSUM, _quantize, davg, dsum
 
 
 @register(
@@ -575,4 +575,62 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
+    )
+
+
+@register(
+    "q23_trade_matrix",
+    oracle=f"""
+    SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+           COUNT(*) AS line_count,
+           {DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("J11", "A2", "EXT"),
+)
+def q23_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-to-region trade matrix — TPC-H Q7's two-nation volume
+    generalized to the full origin×destination grid (the BI matrix
+    behind every 'trade flows' heatmap). Double-sided star: the
+    customer-side AND supplier-side dimension chains each collapse to
+    a broadcast map onto the fact, so the only fact-scale exchange is
+    the lineitem⋈orders equi-join, then one 25-cell aggregation of
+    quantized revenue. The dims chain (nation→region twice) stays
+    broadcast at any fact scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust_side = (
+        c.join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    ).select(F.col("c_custkey"), F.col("r_name").alias("cust_region"))
+    supp_side = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(F.col("s_suppkey"), F.col("r_name").alias("supp_region"))
+    )
+    rev = _quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_side), o.o_custkey == cust_side.c_custkey)
+        .join(F.broadcast(supp_side), li.l_suppkey == supp_side.s_suppkey)
+        .groupBy("cust_region", "supp_region")
+        .agg(
+            F.count("*").alias("line_count"),
+            (F.sum(rev) / 1_000_000.0).cast("double").alias("revenue"),
+        )
+        .orderBy("cust_region", "supp_region")
     )

@@ -600,3 +600,67 @@ def w15_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_of_type").over(run_w).alias("distinct_types_so_far"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "w16_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len,
+             MIN(d) AS streak_start
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           MIN(CASE WHEN len = mx THEN streak_start END) AS streak_start
+    FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx FROM streaks)
+    GROUP BY user_id
+    HAVING MAX(len) >= 7
+    ORDER BY user_id
+    """,
+    tags=("W1", "W5", "A2", "EXT"),
+)
+def w16_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (with the
+    earliest day it started) — the engagement metric behind every
+    'N-day streak' badge, and the cleanest instance of the
+    date-minus-row_number gaps-and-islands trick: consecutive days
+    share (day − rank), so streaks fall out of ONE window pass and a
+    group-by — no self-joins, no recursion (w12 is the same idiom on
+    event-time gaps). All date/integer arithmetic, reported for users
+    with a 7-day-or-longer streak."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("streak_start")
+    )
+    mx = streaks.withColumn(
+        "mx", F.max("len").over(Window.partitionBy("user_id"))
+    )
+    return (
+        mx.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("mx"), F.col("streak_start"))
+            ).alias("streak_start"),
+        )
+        .filter(F.col("longest_streak") >= 7)
+        .orderBy("user_id")
+    )
