@@ -1385,3 +1385,112 @@ def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("a").alias("apex_parts"),
         F.lit(n_edges).cast("long").alias("edges"),
     )
+
+
+LIFT_MIN_SUPPORT = 3  # baskets containing the pair
+
+
+@register(
+    "q24_basket_lift",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey, q,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    n_baskets AS (SELECT COUNT(DISTINCT l_suppkey) AS nb FROM top_parts),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM top_parts GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_pair
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           ROUND(CAST(p.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence_ab,
+           ROUND(CAST(p.n_pair AS DOUBLE) * nb.nb
+                 / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN n_baskets nb
+    WHERE p.n_pair >= {LIFT_MIN_SUPPORT}
+    ORDER BY lift DESC, p.part_a, p.part_b
+    LIMIT 50
+    """,
+    tags=("A2", "J1", "EXT", "graph"),
+)
+def q24_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association scoring — support, confidence and
+    LIFT for co-supplied part pairs (supplier = basket): the Apriori
+    scoring layer that turns g3's raw co-occurrence counts into 'is
+    this pairing MORE common than chance'. lift = P(A,B)/(P(A)·P(B))
+    assembles from exact integer counts in one IEEE tree, rounded;
+    the item and basket tables broadcast. Bounded by the same
+    per-basket top-m cut as g3, so the pair stage never amplifies
+    with basket size; a min-support gate prunes noise pairs before
+    ranking — exactly how frequent-itemset mining controls output at
+    retail scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_quantize("l_quantity")).alias("q")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("q").desc(), "l_partkey")
+    top_parts = (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COPURCHASE_TOP_PARTS)
+        .drop("rn")
+    )
+    nb = top_parts.select("l_suppkey").distinct().count()
+    item = top_parts.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = top_parts.alias("a")
+    b = top_parts.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= LIFT_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a"), 6
+            ).alias("confidence_ab"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * nb
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
