@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DAVG, DSUM, _quantize, davg, dsum
+from ._determinism import DAVG, DSUM, _Q, _quantize, davg, dsum
 
 
 @register(
@@ -633,4 +633,94 @@ def q23_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev) / 1_000_000.0).cast("double").alias("revenue"),
         )
         .orderBy("cust_region", "supp_region")
+    )
+
+
+@register(
+    "q25_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM({_Q.format(x='l_extendedprice * (1 - l_discount)')}) AS rq
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rq,
+             SUM(rq) OVER (ORDER BY rq DESC, l_partkey) AS cum_rq,
+             SUM(rq) OVER () AS tot_rq
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, rq,
+             CASE WHEN FLOOR(CAST(cum_rq AS DOUBLE) * 1000000.0
+                            / CAST(tot_rq AS DOUBLE)) <= 800000 THEN 'A'
+                  WHEN FLOOR(CAST(cum_rq AS DOUBLE) * 1000000.0
+                             / CAST(tot_rq AS DOUBLE)) <= 950000 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, COUNT(*) AS parts,
+           CAST(SUM(rq) / 1000000.0 AS DOUBLE) AS revenue,
+           CAST(FLOOR(CAST(SUM(rq) AS DOUBLE) * 1000000.0
+                      / CAST(MIN(t.tot) AS DOUBLE)) AS BIGINT)
+             AS revenue_share_ppm
+    FROM classed CROSS JOIN (SELECT SUM(rq) AS tot FROM rev) t
+    GROUP BY abc ORDER BY abc
+    """,
+    tags=("W5", "A2", "EXT"),
+)
+def q25_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification — parts bucketed by cumulative
+    revenue share: A = the head carrying 80% of revenue, B to 95%,
+    C the tail. The decision is a running total over the
+    revenue-ranked parts compared against ppm thresholds (the share
+    is one identical IEEE multiply/divide/floor tree in both engines —
+    q-unit totals overflow the scaled-long path), rank ties broken by
+    key, so classification is deterministic. The unpartitioned running sum serializes the PART-LEVEL
+    relation only (one row per part — the fact table never enters a
+    global window); at extreme part cardinality the two-pass
+    range-partitioned prefix sum replaces it, same contract as o1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            _quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rq")
+    )
+    w = Window.orderBy(F.col("rq").desc(), "l_partkey")
+    ranked = rev.select(
+        "l_partkey",
+        "rq",
+        F.sum("rq").over(w).alias("cum_rq"),
+        F.sum("rq").over(
+            Window.partitionBy()
+        ).alias("tot_rq"),
+    )
+    share = F.floor(
+        F.col("cum_rq").cast("double")
+        * 1_000_000.0
+        / F.col("tot_rq").cast("double")
+    )
+    classed = ranked.select(
+        "l_partkey",
+        "rq",
+        "tot_rq",
+        F.when(share <= 800_000, "A")
+        .when(share <= 950_000, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("parts"),
+            (F.sum("rq") / 1_000_000.0).cast("double").alias("revenue"),
+            F.floor(
+                F.sum("rq").cast("double")
+                * 1_000_000.0
+                / F.min("tot_rq").cast("double")
+            )
+            .cast("bigint")
+            .alias("revenue_share_ppm"),
+        )
+        .orderBy("abc")
     )
