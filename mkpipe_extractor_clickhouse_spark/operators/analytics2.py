@@ -724,3 +724,67 @@ def q25_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+RFM_ANCHOR = "1999-01-01 00:00:00"  # "today" for recency, after all orders
+
+
+@register(
+    "q26_rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       TIMESTAMP '{RFM_ANCHOR}') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM({_Q.format(x='o_totalprice')}) AS monetary_q
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary_q DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT r, f, m, COUNT(*) AS customers
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+    tags=("W2", "A2", "EXT"),
+)
+def q26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — every CRM's first model: customers scored
+    1–5 on Recency (days since last order), Frequency (order count)
+    and Monetary (total spend) by NTILE quintiles, reported as the
+    125-cell segment census. Determinism: each NTILE rides a TOTAL
+    order (metric + customer-key tiebreak) so quintile boundaries are
+    identical everywhere; monetary ranks on exact quantized longs.
+    The windows run over the per-customer rollup (one row per
+    customer — the fact table never enters a global sort), and the
+    census is one tiny aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("timestamp_ntz").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(_quantize("o_totalprice")).alias("monetary_q"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), "o_custkey"))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_q").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").alias("customers"))
+        .orderBy("r", "f", "m")
+    )
