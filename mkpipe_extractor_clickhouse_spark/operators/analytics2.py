@@ -788,3 +788,62 @@ def q26_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("customers"))
         .orderBy("r", "f", "m")
     )
+
+
+@register(
+    "q27_yoy_revenue",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             SUM({_Q.format(x='o_totalprice')}) AS rq
+      FROM orders GROUP BY 1, 2
+    ),
+    with_prior AS (
+      SELECT yr, mo, rq,
+             LAG(rq, 12) OVER (ORDER BY yr, mo) AS rq_prior
+      FROM monthly
+    )
+    SELECT yr, mo,
+           CAST(rq / 1000000.0 AS DOUBLE) AS revenue,
+           CAST(rq_prior / 1000000.0 AS DOUBLE) AS revenue_prior_year,
+           CASE WHEN rq_prior IS NOT NULL
+                THEN ((rq // 1000000) - (rq_prior // 1000000)) * 1000000
+                     // (rq_prior // 1000000) END AS yoy_ppm
+    FROM with_prior ORDER BY yr, mo
+    """,
+    tags=("W3", "A2", "EXT", "timeseries"),
+)
+def q27_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue — the finance-report staple:
+    each month beside the SAME month a year earlier (lag 12 over the
+    contiguous month series; the fixture's orders span several years,
+    so most months have a prior-year partner) with the growth rate in
+    floor-ppm integers. The window runs over the MONTH-LEVEL rollup
+    (one row per month); calendar alignment by (year, month) ordering
+    avoids the day-count pitfalls of 365-day offsets. Quantized sums
+    keep both the levels and the ratio exact."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(_quantize("o_totalprice")).alias("rq"))
+    w = Window.orderBy("yr", "mo")
+    wp = monthly.withColumn("rq_prior", F.lag("rq", 12).over(w))
+    return wp.select(
+        "yr",
+        "mo",
+        (F.col("rq") / 1_000_000.0).cast("double").alias("revenue"),
+        (F.col("rq_prior") / 1_000_000.0)
+        .cast("double")
+        .alias("revenue_prior_year"),
+        # growth on whole-dollar units — q-unit deltas × 1e6 overflow
+        # int64; the DIV-1e6 rescale is identical floor in both engines
+        F.when(
+            F.col("rq_prior").isNotNull(),
+            F.expr(
+                "((rq DIV 1000000) - (rq_prior DIV 1000000)) * 1000000"
+                " DIV (rq_prior DIV 1000000)"
+            ),
+        ).alias("yoy_ppm"),
+    ).orderBy("yr", "mo")
