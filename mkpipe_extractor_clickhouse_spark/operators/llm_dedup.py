@@ -1418,3 +1418,44 @@ def l83_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact long, n_candidates long, tp long, "
         "precision_ppm long, recall_ppm long",
     )
+
+
+@register(
+    "l87_crosslang_dupes",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h,
+             COUNT(*) AS copies,
+             COUNT(DISTINCT lang) AS langs,
+             COUNT(DISTINCT source) AS sources,
+             MIN(doc_id) AS first_doc
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT first_doc, copies, langs, sources
+    FROM g WHERE langs > 1 OR sources > 1
+    ORDER BY first_doc
+    """,
+    tags=("L1", "EXT", "dedup", "dq"),
+)
+def l87_crosslang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-boundary exact duplicates: texts that appear under MORE
+    THAN ONE language tag or source — the mislabel/contamination
+    signal per-partition dedup (l1 within the corpus, l37 between
+    sources) never surfaces, because each side sees its copy as
+    unique. In multilingual corpora these rows are usually wrong
+    lang-IDs or scraped mirrors, and the fix is metadata repair, not
+    removal — hence a report, not a filter. One hash aggregation over
+    md5(text); distinct-counts of two low-cardinality columns ride
+    the same partial→final pass."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("copies"),
+        F.countDistinct("lang").alias("langs"),
+        F.countDistinct("source").alias("sources"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        g.filter((F.col("langs") > 1) | (F.col("sources") > 1))
+        .select("first_doc", "copies", "langs", "sources")
+        .orderBy("first_doc")
+    )
