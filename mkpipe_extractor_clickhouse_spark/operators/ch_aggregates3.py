@@ -1137,3 +1137,52 @@ def dq6_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return c1.unionAll(c2).unionAll(c3).unionAll(c4).orderBy("dependency")
+
+
+@register(
+    "dq7_json_conformance",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS rows_total,
+           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS valid_json,
+           SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END)
+             AS has_int_k,
+           SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) BETWEEN 0 AND 99 THEN 1 ELSE 0 END)
+             AS k_in_range,
+           SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                         AS BIGINT) BETWEEN 0 AND 99 THEN 0 ELSE 1 END)
+             * 1000000 // COUNT(*) AS violation_ppm
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("F7", "A3", "EXT", "dq"),
+)
+def dq7_json_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema conformance — the contract check for a
+    JSON payload column: per series, how many props rows parse as
+    JSON, carry an integer `k`, and keep it in the documented [0, 100)
+    range, with the violation rate in floor-ppm (the dq-family's
+    answer to 'the producer changed the payload shape'). Row-local
+    JSON probes (get_json_object + try_cast — no UDF) ride the scan;
+    one partial→final aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    valid = F.expr(
+        "get_json_object(props, '$') IS NOT NULL"
+    )  # parses as JSON
+    in_range = k.isNotNull() & (k >= 0) & (k <= 99)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("rows_total"),
+            F.sum(F.when(valid, 1).otherwise(0)).alias("valid_json"),
+            F.sum(F.when(k.isNotNull(), 1).otherwise(0)).alias("has_int_k"),
+            F.sum(F.when(in_range, 1).otherwise(0)).alias("k_in_range"),
+            F.expr(
+                "SUM(CASE WHEN try_cast(get_json_object(props, '$.k') AS BIGINT)"
+                " BETWEEN 0 AND 99 THEN 0 ELSE 1 END) * 1000000 DIV COUNT(*)"
+            ).alias("violation_ppm"),
+        )
+        .orderBy("event_type")
+    )
