@@ -143,7 +143,7 @@ from ._determinism import DAVG  # noqa: E402
 from .llm_dedup import JACCARD_T as _T  # noqa: E402
 from .llm_text import _STOP_IN  # noqa: E402
 
-_L22_ORACLE = f"""
+_L22_CTES = f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
          LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
@@ -181,11 +181,17 @@ neardup AS (
 final AS (
   SELECT * FROM canonical WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
 )
+"""
+
+_L22_ORACLE = (
+    _L22_CTES
+    + f"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {DAVG.format(x='ROUND(ttr, 6)')} AS avg_ttr
 FROM final GROUP BY lang ORDER BY lang
 """
+)
 
 
 @register(
@@ -396,3 +402,98 @@ def l16b_reproducible_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppk = F.when(F.col("lang") == k, F.lit(v)).otherwise(ppk)
     lane = (F.col("doc_id") * _KNUTH) % 4294967296 % 1024
     return d.filter(lane < ppk).select("doc_id", "lang")
+
+
+def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l22 pipeline's survivor set (doc_id, lang, n_tokens) —
+    shared by the l22 report and the x26 manifest publication."""
+    from ._determinism import davg  # noqa: F401  (kept for parity)
+    from .llm_dedup import JACCARD_T, ppjoin_pairs
+    from .llm_text import EN_STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        * F.lit(1.0)
+        / n_tok
+    )
+    scored = d.select(
+        "doc_id", "lang", "text", n_tok.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"), stop_ratio.alias("stop_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("stop_ratio") >= 0.05)
+        & F.col("n_tokens").between(10, 200)
+        & (F.col("ttr") > 0.3)
+    )
+    canonical_ids = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    canonical = gated.join(
+        canonical_ids.select("doc_id"), "doc_id", "left_semi"
+    )
+    tok = canonical.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    drop = (
+        ppjoin_pairs(tok, JACCARD_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return canonical.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+X26_LO, X26_HI = 100, 300
+
+
+@register(
+    "x26_curated_manifest",
+    oracle=_L22_CTES
+    + f"""
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM final WHERE doc_id BETWEEN {X26_LO} AND {X26_HI}
+    ORDER BY doc_id
+    """,
+    tags=("EXT", "pipeline", "S7", "pruning", "L1", "L2"),
+)
+def x26_curated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: the l22 curation pipeline's survivors
+    PUBLISHED to a manifest table (atomic snapshot, zone maps on
+    doc_id) and read back through metadata pruning for a doc_id range
+    — corpus curation and the lakehouse layer as ONE flow, which is
+    what a production pretraining-data pipeline actually ships. Four
+    survivor batches land by doc_id buckets so the range read can
+    skip whole batch dirs; the hash-match against the pure-SQL
+    survivor set proves the curation → commit → pruned-read chain is
+    lossless end to end."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import ManifestedTable
+
+    surv = curation_survivors(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="x26_cur_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(
+        os.path.join(workdir, "curated"), stats_cols=("doc_id",)
+    )
+    mx = surv.agg(F.max("doc_id")).first()[0]
+    step = max(mx // 4, 1)
+    bounds = [0, step, 2 * step, 3 * step, mx + 1]
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = surv.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        t.commit_append(batch)
+    back = t.read_pruned(spark, "doc_id", X26_LO, X26_HI)
+    return back.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
