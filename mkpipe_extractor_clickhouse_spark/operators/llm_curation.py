@@ -479,9 +479,13 @@ def x26_curated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.manifest import ManifestedTable
 
-    surv = curation_survivors(spark, sf_dir)
     workdir = tempfile.mkdtemp(prefix="x26_cur_")
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    # stage the survivor set once — the curation chain (gates + PPJoin)
+    # must not re-execute per bucketed append
+    stage = os.path.join(workdir, "survivors.parquet")
+    curation_survivors(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    surv = spark.read.parquet(stage)
     t = ManifestedTable(
         os.path.join(workdir, "curated"), stats_cols=("doc_id",)
     )
