@@ -144,6 +144,7 @@ _DRIVER_PRIORITY = (
     "m5_histogram_neardup",
     "dq3_histogram_drift",
     "x20_dialect_toolkit_query",
+    "x26_curated_manifest",
     # Round-3-continuation flagships: new FEATURE surfaces (dialect
     # translation, manifest MERGE/zone maps, the stats family's
     # hardest cases) earn a driver row before more same-family breadth.
