@@ -984,6 +984,18 @@ def _translate_functions(sql: str) -> str:
         ),
     )
 
+    # nondeterministic sources violate the engine's reproducibility
+    # contract — route to the deterministic replacements
+    for rand_fn in ("randCanonical", "randUniform", "rand64", "rand"):
+        def _no_rand(a, n=rand_fn):
+            raise ChDialectError(
+                f"{n}() is nondeterministic; this engine's sampling/"
+                "shuffling contract is reproducible — use key-hash "
+                "sampling (ch_sample_key / l16b_reproducible_sample) or "
+                "the seeded global shuffle (l33_global_shuffle)"
+            )
+        out = _rewrite_calls(out, rand_fn, _no_rand)
+
     # cluster-addressing table functions: the table IS the cluster here
     for fn_name2, hint2 in (
         ("remote", "read the table directly; partitioned parallel "

@@ -1003,3 +1003,10 @@ def test_format_and_split_by_string(spark):
     )
     with pytest.raises(ChDialectError):
         translate("SELECT format('{0} {1}', a, b) FROM events")
+
+
+def test_rand_raises_with_deterministic_guidance(spark):
+    for fn in ("rand", "rand64", "randCanonical", "randUniform"):
+        with pytest.raises(ChDialectError) as e:
+            translate(f"SELECT {fn}() FROM events")
+        assert "ch_sample_key" in str(e.value)
