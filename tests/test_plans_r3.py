@@ -261,3 +261,18 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_leakage_split_no_cartesian(spark, sf_dir):
+    """l84's near-dup guard must stay inverted-index shaped: no
+    cartesian/NLJ anywhere in the split+quarantine plan."""
+    plan = plan_of("l84_leakage_free_split", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_broadcast_items(spark, sf_dir):
+    """q24's item/pair statistics tables are O(parts) — they must
+    broadcast onto the pair relation, never shuffle it."""
+    plan = plan_of("q24_basket_lift", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
