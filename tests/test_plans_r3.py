@@ -276,3 +276,37 @@ def test_basket_lift_broadcast_items(spark, sf_dir):
     plan = plan_of("q24_basket_lift", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_plan_warnings_advisor(spark, sf_dir):
+    """plan_warnings flags the canonical anti-patterns and stays quiet
+    on a clean star join."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.plans import plan_warnings
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # cartesian: cross join with no condition
+    warns = plan_warnings(n.crossJoin(r))
+    # tiny sides broadcast → NLJ; with broadcast off it is a cartesian.
+    # Either way the advisor must flag the pair blowup.
+    assert any("cartesian" in w or "nested-loop" in w for w in warns)
+    # row-at-a-time Python UDF
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda s: (s or "").upper())
+    warns2 = plan_warnings(n.select(slow("n_name").alias("u")))
+    assert any("Python UDF" in w for w in warns2)
+    # single-partition window
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_nationkey")
+    warns3 = plan_warnings(n.select(F.sum("n_regionkey").over(w).alias("c")))
+    assert any("single-partition" in w_ for w_ in warns3)
+    # clean broadcast star join → no warnings
+    clean = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).groupBy(
+        "r_name"
+    ).count()
+    assert plan_warnings(clean) == []
