@@ -8,7 +8,7 @@ total order (unique-key tiebreak), per SURVEY §5.5.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -142,4 +142,41 @@ def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(after)
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(KEYSET_PAGE)
+    )
+
+
+TIES_K = 3
+
+
+@register(
+    "o7_topn_with_ties",
+    oracle=f"""
+    SELECT l_returnflag, l_quantity, n_lines FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n_lines,
+             RANK() OVER (PARTITION BY l_returnflag
+                          ORDER BY COUNT(*) DESC) AS rnk
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rnk <= {TIES_K}
+    ORDER BY l_returnflag, n_lines DESC, l_quantity
+    """,
+    tags=("W8", "O3", "EXT"),
+)
+def o7_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N WITH TIES — the RANK()-gated variant of w8's
+    row_number top-k: every quantity whose line count ties into the
+    top 3 survives, so the result is value-complete (no arbitrary
+    tie-victim) at the cost of a variable group size — the FETCH FIRST
+    n ROWS WITH TIES semantics ANSI added and dashboards quietly
+    assume. Same WindowGroupLimit-eligible plan shape as w8; the
+    output is totally ordered for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n_lines")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n_lines").desc())
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TIES_K)
+        .select("l_returnflag", "l_quantity", "n_lines")
+        .orderBy("l_returnflag", F.col("n_lines").desc(), "l_quantity")
     )
