@@ -388,3 +388,45 @@ def test_events_ts_unit_cache_invalidated_on_regeneration(tmp_path):
     st = os.stat(path)
     os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert catalog._events_ts_unit(str(tmp_path)) == "ns"
+
+
+def test_catalog_ts_unit_probe_and_cache_invalidation(spark, tmp_path):
+    """events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    across fixture regenerations (SKILL.md gotcha). The catalog must
+    (a) read BOTH encodings to real 2024 timestamps — a wrong unit
+    shows up as ~1970 dates — and (b) re-probe when the file is
+    REGENERATED IN PLACE (the unit cache keys on file identity, not
+    path)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    d = tmp_path / "fixtures"
+    d.mkdir()
+    ts_val = datetime.datetime(2024, 1, 15, 12, 0, 0)
+
+    def write_events(unit: str) -> None:
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([ts_val, ts_val], pa.timestamp(unit)),
+                "user_id": pa.array([1, 2], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(['{"k": 1}', '{"k": 2}']),
+            }
+        )
+        pq.write_table(t, d / "events.parquet")
+
+    write_events("us")
+    got = load_table(spark, str(d), "events").select("ts").first()[0]
+    assert got.year == 2024, got
+
+    # regeneration IN PLACE with the other encoding — the probe must
+    # not serve a stale cached unit (ADVICE: cache keyed by identity)
+    write_events("ns")
+    got2 = load_table(spark, str(d), "events").select("ts").first()[0]
+    assert got2.year == 2024, got2
