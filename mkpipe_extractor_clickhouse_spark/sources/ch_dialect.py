@@ -56,6 +56,33 @@ Supported rewrites
   ``hex(MD5(x))`` round-trips), ``base64Encode/Decode``,
   ``IPv4NumToString``/``IPv4StringToNum`` as arithmetic;
   ClickHouse-private hashes (cityHash64 …) raise with guidance.
+* JSON: ``JSONHas``/``JSONExtractRaw``/``JSONLength``/
+  ``JSONExtractKeys`` (plus the JSONExtract{String,Int,Float}
+  family).
+* folds & enumeration: ``arrayFold``→``aggregate``, ``arrayReduce``
+  (min/max/count/sum/avg), ``arrayEnumerate(Uniq)``,
+  ``arrayDifference``/``arrayCumSum``.
+* URL dissection: ``domain(WithoutWWW)``/``topLevelDomain``/``path``/
+  ``queryString``/``protocol``/``fragment``/``extractURLParameter``
+  → ``parse_url``.
+* more strings: ``format('{} …')``→``format_string``,
+  ``splitByString`` (literal, regex-escaped), ``tokens``, ``ngrams``,
+  ``positionCaseInsensitive``, ``countMatches``, ``countEqual``,
+  ``groupConcat`` (plain + parameterized separator).
+* stats renames: ``stddevPop/Samp``, ``varPop/Samp``,
+  ``covarPop/Samp``, ``medianExact``→``median`` (``median`` itself
+  keeps ClickHouse's APPROXIMATE contract → ``percentile_approx``);
+  parameterized ``quantilesExact`` (multi-p), ``quantileTiming/
+  TDigest/BFloat16``→``percentile_approx``.
+* clause surgery, continued: scalar ``WITH <const> AS name`` inlines,
+  ``numbers(N)`` table function, ``FORMAT <name>`` strip, ``GLOBAL``
+  modifier drop, aliased ``ARRAY JOIN``→``LATERAL VIEW explode``,
+  ``toStartOfInterval`` (second/minute/hour/day buckets).
+* guided ChDialectError (names the native replacement): block-order
+  pseudo-functions (``runningDifference``/``neighbor``), cluster
+  addressing (``remote``/``cluster``), ``ASOF``/``ANY`` join
+  strictness, ``INTO OUTFILE``, discrete ``quantileExactLow/High``,
+  ``topK``, the nondeterministic ``rand`` family.
 
 Scope note: this is a pragmatic string-level rewriter with a
 paren-aware argument splitter, not a full parser — the documented
