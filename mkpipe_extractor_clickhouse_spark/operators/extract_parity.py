@@ -1254,3 +1254,95 @@ def x25_manifest_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, op string, rows_total long, rows_added long"
     )
+
+
+@register(
+    "x27_custom_query_file",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events WHERE user_id % 2 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S4", "S3", "EXT"),
+)
+def x27_custom_query_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a DRIVER-VERIFIED row (previously pytest-only): the SQL
+    text lives in a FILE under the pipeline's sql/ directory
+    (reference README.md:113 — `custom_query_file` resolves relative
+    to it), the extractor loads and executes it like any custom
+    query. The file is written to a temp sql_dir here; production
+    keeps them in the repo next to the pipeline YAML."""
+    workdir = tempfile.mkdtemp(prefix="x27_sqlfile_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    sql_dir = os.path.join(workdir, "sql")
+    os.makedirs(sql_dir)
+    with open(os.path.join(sql_dir, "even_users.sql"), "w") as f:
+        f.write(
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(MIN(value) AS DOUBLE) AS min_value, "
+            "CAST(MAX(value) AS DOUBLE) AS max_value "
+            "FROM events WHERE user_id % 2 = 0 "
+            "GROUP BY event_type ORDER BY event_type"
+        )
+    table = TableConfig(name="events", custom_query_file="even_users.sql")
+    return ParquetExtractor(sf_dir, sql_dir=sql_dir).extract(table, spark).df
+
+
+@register(
+    "x28_jdbc_fetchsize_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("S6", "S5", "EXT"),
+)
+def x28_jdbc_fetchsize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a DRIVER-VERIFIED row (previously pytest-only): a real
+    ``spark.read.jdbc`` wire round-trip through the embedded Derby on
+    Spark's own classpath — nation written over JDBC, read back
+    through the JdbcSource decision tree with a small ``fetchsize``
+    (8) and a range-partitioned parallel read, the exact production
+    shape the reference runs against ClickHouse (only URL/driver
+    differ, reference __init__.py:26-43). Hash-match proves the wire
+    path round-trips values, not just options plumbing."""
+    from ..sources.jdbc import ConnectionConfig, JdbcSource
+
+    workdir = tempfile.mkdtemp(prefix="x28_derby_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    url = f"jdbc:derby:{workdir}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    n = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS N_NATIONKEY",
+        "n_name AS N_NAME",
+        "n_regionkey AS N_REGIONKEY",
+    )
+    (
+        n.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "APP.NATION")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    src = JdbcSource(
+        ConnectionConfig(host="unused", database="APP"),
+        fetchsize=8,
+        driver=driver,
+        url_override=url,
+    )
+    back = src.load(
+        spark,
+        "NATION",
+        partitions_column="N_NATIONKEY",
+        partitions_count=4,
+        lower_bound=0,
+        upper_bound=24,
+    )
+    return back.selectExpr(
+        "CAST(N_NATIONKEY AS INT) AS n_nationkey",
+        "N_NAME AS n_name",
+        "CAST(N_REGIONKEY AS INT) AS n_regionkey",
+    ).orderBy("n_nationkey")
