@@ -145,6 +145,8 @@ _DRIVER_PRIORITY = (
     "dq3_histogram_drift",
     "x20_dialect_toolkit_query",
     "x26_curated_manifest",
+    "x27_custom_query_file",
+    "x28_jdbc_fetchsize_roundtrip",
     # Round-3-continuation flagships: new FEATURE surfaces (dialect
     # translation, manifest MERGE/zone maps, the stats family's
     # hardest cases) earn a driver row before more same-family breadth.
