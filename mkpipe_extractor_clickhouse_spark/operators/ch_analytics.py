@@ -1494,3 +1494,117 @@ def q24_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "g5_clustering_coefficient",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey, q,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u),
+    tri AS (
+      -- triangles per node: count closed wedges centered anywhere,
+      -- attributed to EVERY corner via the undirected adjacency
+      SELECT w.node, COUNT(*) AS t2
+      FROM (SELECT a.u AS node, a.v AS x, b.v AS y
+            FROM und a JOIN und b ON a.u = b.u AND a.v < b.v) w
+      JOIN edges e
+        ON e.u = LEAST(w.x, w.y) AND e.v = GREATEST(w.x, w.y)
+      GROUP BY w.node
+    )
+    SELECT d.node, d.d AS degree,
+           COALESCE(t.t2, 0) AS triangles,
+           ROUND(COALESCE(t.t2, 0) * 2.0 / (d.d * (d.d - 1)), 6)
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tri t ON d.node = t.node
+    WHERE d.d >= 2
+    ORDER BY clustering_coeff DESC, d.node
+    LIMIT 50
+    """,
+    tags=("J1", "EXT", "graph"),
+)
+def g5_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — g4's triangle count
+    normalized per vertex: of the deg·(deg−1)/2 possible links among
+    a part's co-purchase neighbors, what fraction exist? (The
+    'how cliquish is this product's neighborhood' score behind
+    community seeds and anomaly flags.) Wedges come from one
+    adjacency self-join, closed by an edge-list join — both
+    equi-keyed; the final ratio is one IEEE division of exact
+    integers. Same bounded edge list as g3/g4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_quantize("l_quantity")).alias("q")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("q").desc(), "l_partkey")
+    top_parts = (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COPURCHASE_TOP_PARTS)
+        .drop("rn")
+    )
+    a = top_parts.alias("a")
+    b = top_parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    und = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    wa = und.alias("wa")
+    wb = und.alias("wb")
+    wedges = wa.join(
+        wb,
+        (F.col("wa.u") == F.col("wb.u")) & (F.col("wa.v") < F.col("wb.v")),
+    ).select(
+        F.col("wa.u").alias("node"),
+        F.col("wa.v").alias("x"),
+        F.col("wb.v").alias("y"),
+    )
+    tri = (
+        wedges.join(
+            edges,
+            (edges.u == F.least("x", "y")) & (edges.v == F.greatest("x", "y")),
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("t2"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce("t2", F.lit(0)).alias("triangles"),
+            F.round(
+                F.coalesce("t2", F.lit(0)) * 2.0 / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("clustering_coeff").desc(), "node")
+        .limit(50)
+    )
