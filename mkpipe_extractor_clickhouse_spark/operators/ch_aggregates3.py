@@ -1186,3 +1186,62 @@ def dq7_json_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts8_max_drawdown",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day,
+             SUM(revq) OVER w AS p
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    dd AS (
+      SELECT event_type, day, p,
+             MAX(p) OVER (PARTITION BY event_type ORDER BY day) - p AS ddq
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(ddq) / 1000000.0 AS DOUBLE) AS max_drawdown,
+           MIN(CASE WHEN ddq = mx THEN day END) AS trough_day
+    FROM (SELECT *, MAX(ddq) OVER (PARTITION BY event_type) AS mx FROM dd)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("W5", "EXT", "timeseries"),
+)
+def ts8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the peak-to-trough loss measure
+    (finance's risk staple, equally useful for 'how far below its
+    best day has this metric sunk'): drawdown_t = runningMax(P)_t −
+    P_t over the cumulative series, its max is the answer — the same
+    prefix-statistic closed form as ts6's CUSUM (two stacked window
+    passes, no recursion), all integer until one final division.
+    Reports the trough day (earliest on ties) alongside the depth."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_quantize("value")).alias("revq"))
+    ordered = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.select(
+        "event_type", "day", F.sum("revq").over(ordered).alias("p")
+    )
+    dd = cum.select(
+        "event_type",
+        "day",
+        (F.max("p").over(ordered) - F.col("p")).alias("ddq"),
+    ).withColumn("mx", F.max("ddq").over(Window.partitionBy("event_type")))
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            (F.max("ddq") / 1_000_000.0).cast("double").alias("max_drawdown"),
+            F.min(
+                F.when(F.col("ddq") == F.col("mx"), F.col("day"))
+            ).alias("trough_day"),
+        )
+        .orderBy("event_type")
+    )
