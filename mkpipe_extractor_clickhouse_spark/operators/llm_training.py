@@ -802,3 +802,75 @@ def l86_fitted_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+BUDGET_TOKENS = 100_000
+
+
+@register(
+    "l88_token_budget_allocation",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, SUM(LEN(STRING_SPLIT(text, ' '))) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS t FROM avail),
+    shares AS (
+      SELECT a.source, a.tokens,
+             a.tokens * {BUDGET_TOKENS} // t.t AS floor_alloc,
+             a.tokens * {BUDGET_TOKENS} % t.t AS remainder
+      FROM avail a CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+               AS remainder_rank,
+             {BUDGET_TOKENS} - SUM(floor_alloc) OVER () AS leftover
+      FROM shares
+    )
+    SELECT source, tokens AS tokens_available,
+           floor_alloc + CASE WHEN remainder_rank <= leftover
+                              THEN 1 ELSE 0 END AS tokens_allocated
+    FROM ranked ORDER BY source
+    """,
+    tags=("L5", "A2", "EXT", "sampling"),
+)
+def l88_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by the largest-remainder
+    (Hamilton) method: proportional floor shares, then the leftover
+    tokens go one each to the largest fractional remainders
+    (source-name tiebreak) — so the allocations are INTEGERS that sum
+    EXACTLY to the budget, deterministically, which naive per-source
+    rounding cannot promise (off-by-k budgets are how mixture configs
+    drift between runs). Pure integer arithmetic end to end; the
+    apportionment runs over O(sources) rows after one corpus
+    aggregation. Compose with l27/l46 for weighted/temperature
+    mixtures."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    tot = avail.agg(F.sum("tokens").alias("t"))
+    shares = avail.join(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"tokens * {BUDGET_TOKENS} DIV t").alias("floor_alloc"),
+        F.expr(f"tokens * {BUDGET_TOKENS} % t").alias("remainder"),
+    )
+    ranked = shares.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("remainder").desc(), "source"))
+        .alias("remainder_rank"),
+        (
+            F.lit(BUDGET_TOKENS)
+            - F.sum("floor_alloc").over(Window.partitionBy())
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("tokens").alias("tokens_available"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("remainder_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("tokens_allocated"),
+    ).orderBy("source")
