@@ -295,7 +295,12 @@ class ManifestedTable:
 
     # ---- maintenance ----------------------------------------------
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        sort_by: str | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite the head snapshot's many per-commit batch
         dirs into one coalesced dir and publish it as a new version —
         content-identical, metadata-only from a reader's view (readers
@@ -303,12 +308,25 @@ class ManifestedTable:
         The incremental-append pattern accretes one small dir per tick;
         periodic compaction restores scan parallelism and bounds the
         path list, exactly like ClickHouse's background merges or
-        Delta's OPTIMIZE."""
+        Delta's OPTIMIZE.
+
+        ``sort_by`` adds data CLUSTERING (Delta's OPTIMIZE ZORDER for
+        the single-column case): rows range-partition and sort on the
+        column before the rewrite, so each output file covers a
+        narrow, disjoint value range — the zone maps the manifest
+        records for ``stats_cols`` become maximally selective, and
+        ``read_pruned`` on that column skips almost everything."""
         base = self.head_version()
         df = self.read(spark, version=base)
         if df is None:
             return base
-        name = self.stage_batch(df.coalesce(target_files))
+        if sort_by is not None:
+            compacted = df.repartitionByRange(
+                target_files, sort_by
+            ).sortWithinPartitions(sort_by)
+        else:
+            compacted = df.coalesce(target_files)
+        name = self.stage_batch(compacted)
         # Unlike append, compaction must replace EXACTLY the snapshot it
         # rewrote: if any writer published after ``base``, committing
         # the compacted dir would silently drop their rows. Pinning

@@ -640,3 +640,54 @@ def test_clone_at_is_zero_copy_and_independent(spark, sf_dir, tmp_path):
     assert (
         clone.read(spark).filter(F.col("user_id") == 3).count() == 0
     )
+
+
+def test_clustered_compaction_tightens_zone_maps(spark, sf_dir, tmp_path):
+    """compact(sort_by=col) must produce range-disjoint files whose
+    zone maps make read_pruned skip most of the table; unclustered
+    appends (random user order per batch) cannot be pruned."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    t = ManifestedTable(str(tmp_path / "ev"), stats_cols=("user_id",))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # interleaved appends: every batch covers the FULL user range, so
+    # zone maps cannot skip anything
+    for k in range(4):
+        t.commit_append(ev.filter(F.col("event_id") % 4 == k))
+    kept, skipped = t.prune_dirs("user_id", 3, 3)
+    assert not skipped  # every batch might contain user 3
+
+    v = t.compact(spark, target_files=4, sort_by="user_id")
+    kept2, skipped2 = t.prune_dirs("user_id", 3, 3, version=v)
+    # after clustering the single compacted dir is all that remains —
+    # file-level stats inside it are now disjoint; dir-level pruning
+    # still sees one dir, so assert VALUE correctness + file ranges
+    got = t.read_pruned(spark, "user_id", 3, 3, version=v)
+    want = ev.filter(F.col("user_id") == 3).count()
+    assert got.count() == want
+    # range-disjoint files: parquet footers of the compacted dir must
+    # not all overlap user 3
+    import pyarrow.parquet as pq
+    import os
+
+    d = [x for x in t.manifest(v)["dirs"]][0]
+    covering = 0
+    for fn in os.listdir(tmp_path / "ev" / d):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(str(tmp_path / "ev" / d / fn))
+        col_idx = [
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.row_group(0).num_columns)
+        ].index("user_id")
+        st = md.row_group(0).column(col_idx).statistics
+        if st.min <= 3 <= st.max:
+            covering += 1
+    assert covering <= 1, "clustered files should be range-disjoint"
