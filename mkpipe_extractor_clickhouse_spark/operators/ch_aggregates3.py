@@ -1245,3 +1245,46 @@ def ts8_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts9_hour_of_week_heatmap",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) + 1 AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             COUNT(*) AS n,
+             SUM({_Q.format(x='value')}) AS revq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hod, n,
+           CAST(revq / 1000000.0 AS DOUBLE) AS revenue,
+           n * 1000000 // SUM(n) OVER () AS load_ppm
+    FROM cells ORDER BY dow, hod
+    """,
+    tags=("A2", "F2", "EXT", "timeseries"),
+)
+def ts9_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7×24 hour-of-week load heatmap — the ops-dashboard matrix
+    behind capacity planning and alert-threshold schedules (ts2's
+    weekday profile refined to the hour grain): event count, quantized
+    revenue and each cell's share of total load in floor-ppm. One
+    hash aggregation to 168 cells; the share window runs over those
+    168 rows only. Day numbering matches ts2 (Spark Sunday-1 ==
+    DuckDB dayofweek+1)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count("*").alias("n"), F.sum(_quantize("value")).alias("revq")
+    )
+    return cells.select(
+        "dow",
+        "hod",
+        "n",
+        (F.col("revq") / 1_000_000.0).cast("double").alias("revenue"),
+        F.expr(
+            "n * 1000000 DIV SUM(n) OVER ()"
+        ).alias("load_ppm"),
+    ).orderBy("dow", "hod")
