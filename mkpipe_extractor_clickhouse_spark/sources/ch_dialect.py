@@ -144,10 +144,10 @@ def _split_args(arglist: str) -> list[str]:
         if c in ("'", '"'):
             in_str = c
             cur.append(c)
-        elif c == "(":
+        elif c in ("(", "["):
             depth += 1
             cur.append(c)
-        elif c == ")":
+        elif c in (")", "]"):
             depth -= 1
             cur.append(c)
         elif c == "," and depth == 0:
@@ -1114,6 +1114,32 @@ def _translate_functions(sql: str) -> str:
         return f"split({a[1]}, '{escaped}')"
 
     out = _rewrite_calls(out, "splitByString", _split_by_string)
+
+    # ClickHouse's VALUE-MAPPING transform(x, [from…], [to…][, default])
+    # → a CASE ladder. Guarded so Spark's HIGHER-ORDER transform (the
+    # arrayMap target, lambda argument) passes through untouched.
+    def _ch_transform(a: list[str]) -> str:
+        if len(a) < 3 or any("->" in x for x in a):
+            return f"transform({', '.join(a)})"  # Spark's lambda form
+        fm = re.fullmatch(r"\[(.*)\]", a[1].strip(), re.DOTALL)
+        tm = re.fullmatch(r"\[(.*)\]", a[2].strip(), re.DOTALL)
+        if not fm or not tm:
+            raise ChDialectError(
+                "transform(x, [from], [to]) needs literal bracket arrays"
+            )
+        froms = _split_args(fm.group(1))
+        tos = _split_args(tm.group(1))
+        if len(froms) != len(tos) or not froms:
+            raise ChDialectError(
+                "transform from/to arrays must be same-length and non-empty"
+            )
+        default = a[3] if len(a) > 3 else a[0]
+        whens = " ".join(
+            f"WHEN {f} THEN {t}" for f, t in zip(froms, tos)
+        )
+        return f"CASE {a[0]} {whens} ELSE {default} END"
+
+    out = _rewrite_calls(out, "transform", _ch_transform)
 
     # ---- JSON additions ----------------------------------------------
     out = _rewrite_calls(

@@ -1010,3 +1010,20 @@ def test_rand_raises_with_deterministic_guidance(spark):
         with pytest.raises(ChDialectError) as e:
             translate(f"SELECT {fn}() FROM events")
         assert "ch_sample_key" in str(e.value)
+
+
+def test_value_mapping_transform(spark):
+    _same(
+        spark,
+        """SELECT transform(event_type, ['click', 'view'], ['C', 'V'],
+                            '?') AS code,
+                  transform(user_id % 2, [0, 1], [100, 200]) AS parity,
+                  arrayMap(x -> x * 2, sequence(1, 3)) AS still_lambda
+           FROM events WHERE event_id < 50""",
+        """SELECT CASE event_type WHEN 'click' THEN 'C'
+                                  WHEN 'view' THEN 'V' ELSE '?' END AS code,
+                  CASE user_id % 2 WHEN 0 THEN 100 WHEN 1 THEN 200
+                       ELSE user_id % 2 END AS parity,
+                  transform(sequence(1, 3), x -> x * 2) AS still_lambda
+           FROM events WHERE event_id < 50""",
+    )
