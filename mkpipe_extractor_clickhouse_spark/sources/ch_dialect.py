@@ -82,7 +82,10 @@ Supported rewrites
   pseudo-functions (``runningDifference``/``neighbor``), cluster
   addressing (``remote``/``cluster``), ``ASOF``/``ANY`` join
   strictness, ``INTO OUTFILE``, discrete ``quantileExactLow/High``,
-  ``topK``, the nondeterministic ``rand`` family.
+  ``topK``, the nondeterministic ``rand`` family, ``dictGet*``
+  (broadcast-join the dictionary table instead).
+* value mapping: ``transform(x, [from…], [to…][, default])``→CASE
+  ladder (the HIGHER-ORDER lambda ``transform`` passes through).
 
 Scope note: this is a pragmatic string-level rewriter with a
 paren-aware argument splitter, not a full parser — the documented
@@ -1010,6 +1013,17 @@ def _translate_functions(sql: str) -> str:
             f"size(filter(slice({a[0]}, 1, i), x -> x = element_at({a[0]}, i))))"
         ),
     )
+
+    # dictionary lookups live server-side in ClickHouse; here the
+    # dictionary is a broadcastable table — point at the join idiom
+    for dict_fn in ("dictGetOrDefault", "dictGetOrNull", "dictGet", "dictHas"):
+        def _no_dict(a, n=dict_fn):
+            raise ChDialectError(
+                f"{n} resolves a ClickHouse server dictionary; register "
+                "the dictionary table and BROADCAST-join it instead "
+                "(the ch_dict_get operator shows the idiom)"
+            )
+        out = _rewrite_calls(out, dict_fn, _no_dict)
 
     # nondeterministic sources violate the engine's reproducibility
     # contract — route to the deterministic replacements

@@ -1027,3 +1027,10 @@ def test_value_mapping_transform(spark):
                   transform(sequence(1, 3), x -> x * 2) AS still_lambda
            FROM events WHERE event_id < 50""",
     )
+
+
+def test_dict_get_raises_with_join_guidance(spark):
+    for fn in ("dictGet", "dictGetOrDefault", "dictHas"):
+        with pytest.raises(ChDialectError) as e:
+            translate(f"SELECT {fn}('d', 'attr', n_nationkey) FROM nation")
+        assert "ch_dict_get" in str(e.value)
