@@ -847,3 +847,58 @@ def q27_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("yoy_ppm"),
     ).orderBy("yr", "mo")
+
+
+@register(
+    "q28_leadtime_percentiles",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority,
+             date_diff('microsecond', o.o_orderdate, l.l_shipdate)
+               // 86400000000 AS lead_days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS lines,
+           ROUND(MEDIAN(lead_days), 6) AS median_days,
+           ROUND(QUANTILE_CONT(lead_days, 0.95), 6) AS p95_days,
+           MAX(lead_days) AS max_days
+    FROM lt GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("A9", "J1", "EXT"),
+)
+def q28_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time by priority — the fulfillment SLA
+    report: whole-day lags between order placement and each line's
+    ship date, summarized as median / p95 / worst-case per priority
+    class (the percentile tail is what the SLA conversation is
+    actually about; means hide it). Exact integer day lags (micros
+    floored — the engines disagree on sub-day 'day' diffs), one
+    fact-fact equi-join, percentiles interpolate identical order
+    statistics (a9 contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "timestampdiff(MICROSECOND, o_orderdate, l_shipdate)"
+                " DIV 86400000000"
+            ).alias("lead_days"),
+        )
+    )
+    return (
+        lt.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("lines"),
+            F.round(F.median("lead_days"), 6).alias("median_days"),
+            F.round(F.percentile("lead_days", F.lit(0.95)), 6).alias(
+                "p95_days"
+            ),
+            F.max("lead_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
