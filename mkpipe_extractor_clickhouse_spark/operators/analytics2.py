@@ -902,3 +902,60 @@ def q28_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q29_market_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             SUM({_Q.format(x='o_totalprice')}) AS rq
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT nation, o_custkey, rq,
+             rq * 10000 // SUM(rq) OVER (PARTITION BY nation) AS share_bp
+      FROM rev
+    )
+    SELECT nation,
+           COUNT(*) AS customers,
+           SUM(share_bp * share_bp) // 10000 AS hhi,
+           MAX(share_bp) AS top_share_bp
+    FROM shares GROUP BY nation ORDER BY nation
+    """,
+    tags=("A2", "W5", "EXT"),
+)
+def q29_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market (nation): the
+    Herfindahl–Hirschman index over customer shares — the antitrust /
+    key-account-risk measure ('is this market one whale or a long
+    tail'). Shares in integer basis points (floor), HHI = Σ share²
+    scaled back to the conventional 0–10000 range — all integer, so
+    the index is deterministic to the last point. One star join with
+    broadcast dims, per-customer rollup, a share window over each
+    nation's customers, then O(nations) output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.sum(_quantize("o_totalprice")).alias("rq"))
+    )
+    shares = rev.withColumn(
+        "share_bp",
+        F.expr("rq * 10000 DIV SUM(rq) OVER (PARTITION BY nation)"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count("*").alias("customers"),
+            F.expr("SUM(share_bp * share_bp) DIV 10000").alias("hhi"),
+            F.max("share_bp").alias("top_share_bp"),
+        )
+        .orderBy("nation")
+    )
