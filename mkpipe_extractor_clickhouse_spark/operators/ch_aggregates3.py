@@ -1288,3 +1288,86 @@ def ts9_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n * 1000000 DIV SUM(n) OVER ()"
         ).alias("load_ppm"),
     ).orderBy("dow", "hod")
+
+
+# Benford expected first-digit proportions log10(1 + 1/d), precomputed
+# so no libm log executes at query time (cross-engine libm differs)
+_BENFORD_P = [
+    0.301029996, 0.176091259, 0.124938737, 0.096910013, 0.079181246,
+    0.066946790, 0.057991947, 0.051152522, 0.045757491,
+]
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P, start=1)
+) + " END"
+
+
+@register(
+    "dq8_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM digits),
+    terms AS (
+      SELECT d.digit, d.n,
+             CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END AS expected_p,
+             d.n * 1000000 // t.t AS observed_ppm,
+             CAST(TRUNC(((d.n - (CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END) * t.t) * (d.n - (CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END) * t.t) / ((CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END) * t.t)) * 1000000 + (CASE WHEN ((d.n - (CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END) * t.t) * (d.n - (CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END) * t.t) / ((CASE d.digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 WHEN 9 THEN 0.045757491 END) * t.t)) >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT) AS chi_q
+      FROM digits d CROSS JOIN tot t
+    )
+    SELECT digit, n, observed_ppm,
+           CAST(FLOOR(expected_p * 1000000) AS BIGINT) AS benford_ppm,
+           ROUND(SUM(chi_q) OVER () / 1000000.0, 6) AS chi2_total
+    FROM terms ORDER BY digit
+    """,
+    tags=("A10", "F1", "EXT", "dq"),
+)
+def dq8_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic screen for
+    fabricated or truncated numeric data: observed leading-digit
+    frequencies of order totals against log10(1+1/d), with the
+    chi-square fit statistic. The Benford proportions are PRECOMPUTED
+    literals (no runtime libm log — engine math libraries differ in
+    the last ulp); the leading digit comes from FLOOR-then-string
+    (both engines' double→int casts disagree on rounding, floor
+    first); chi² terms quantize before the sum (dsum rule). One hash
+    agg to 9 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = digits.agg(F.sum("n").alias("t"))
+    expected_p = F.expr(_BENFORD_CASE)
+    terms = digits.join(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        expected_p.alias("expected_p"),
+        F.expr("n * 1000000 DIV t").alias("observed_ppm"),
+        _quantize(
+            (F.col("n") - expected_p * F.col("t"))
+            * (F.col("n") - expected_p * F.col("t"))
+            / (expected_p * F.col("t"))
+        ).alias("chi_q"),
+    )
+    return terms.select(
+        "digit",
+        "n",
+        "observed_ppm",
+        F.floor(F.col("expected_p") * 1_000_000).cast("bigint").alias("benford_ppm"),
+        F.round(
+            F.sum("chi_q").over(Window.partitionBy()) / 1_000_000.0, 6
+        ).alias("chi2_total"),
+    ).orderBy("digit")
