@@ -874,3 +874,49 @@ def l88_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("remainder_rank") <= F.col("leftover"), 1).otherwise(0)
         ).alias("tokens_allocated"),
     ).orderBy("source")
+
+
+_ESS_MIX = """CASE WHEN source IN ('src0', 'src1', 'src2') THEN 10000
+         WHEN source LIKE 'src1%' THEN 5000
+         ELSE 2500 END"""
+
+
+@register(
+    "l89_effective_sample_size",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_ESS_MIX} AS wt FROM documents
+    )
+    SELECT COUNT(*) AS docs,
+           SUM(wt) AS total_weight,
+           -- Kish ESS = (Σw)² / Σw² on exact integers, one final division
+           ROUND(CAST(SUM(wt) AS DOUBLE) * SUM(wt)
+                 / SUM(CAST(wt AS DECIMAL(38,0)) * wt), 6)
+             AS effective_sample_size,
+           ROUND(CAST(SUM(wt) AS DOUBLE) * SUM(wt)
+                 / SUM(CAST(wt AS DECIMAL(38,0)) * wt) / COUNT(*), 6)
+             AS efficiency
+    FROM w
+    """,
+    tags=("A2", "EXT", "sampling"),
+)
+def l89_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the mixture weights (l27's rate
+    table): ESS = (Σw)²/Σw² — the importance-sampling diagnostic that
+    says how many EQUAL-WEIGHT documents the weighted corpus is worth
+    (efficiency = ESS/n; a skewed mixture can pay for 5M docs and
+    train like 1M). Integer weight moments (DECIMAL for Σw² — ppm
+    weights square past int64), one final IEEE division chain. The
+    number to check BEFORE accepting a temperature/mixture config
+    (l46/l27) — at 100 TB it is one partial→final aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.expr(_ESS_MIX).alias("wt"))
+    s_w = F.sum("wt")
+    s_w2 = F.sum(F.col("wt").cast("decimal(38,0)") * F.col("wt"))
+    ess = s_w.cast("double") * s_w / s_w2
+    return w.agg(
+        F.count("*").alias("docs"),
+        s_w.alias("total_weight"),
+        F.round(ess, 6).alias("effective_sample_size"),
+        F.round(ess / F.count("*"), 6).alias("efficiency"),
+    )
