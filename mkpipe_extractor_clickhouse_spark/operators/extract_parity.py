@@ -1346,3 +1346,47 @@ def x28_jdbc_fetchsize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "N_NAME AS n_name",
         "CAST(N_REGIONKEY AS INT) AS n_regionkey",
     ).orderBy("n_nationkey")
+
+
+@register(
+    "x29_dialect_incremental",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           COUNT(DISTINCT user_id) AS uniq_users,
+           MAX(event_id) AS max_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY date_trunc('day', ts)
+    """,
+    tags=("S3", "P3", "EXT", "dialect"),
+)
+def x29_dialect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full porting scenario in ONE tick: a ClickHouse-dialect
+    custom query (toStartOfDay / countIf / uniqExact) carrying the
+    reference's ``{query_filter}`` placeholder, run through the
+    INCREMENTAL path with a watermark — translation happens first,
+    then the synthesized watermark predicate splices into the
+    translated SQL exactly as the reference splices into passthrough
+    ClickHouse SQL (__init__.py:96-99). Proves the two features
+    compose; x3 and x14 test them separately."""
+    table = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        custom_query=(
+            "SELECT toStartOfDay(ts) AS day, "
+            "countIf(event_type = 'purchase') AS purchases, "
+            "uniqExact(user_id) AS uniq_users, "
+            "max(event_id) AS max_id "
+            "FROM events {query_filter} "
+            "GROUP BY toStartOfDay(ts)"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return (
+        ParquetExtractor(sf_dir)
+        .extract(table, spark, last_point="2024-01-20 00:00:00")
+        .df
+    )
