@@ -1371,3 +1371,65 @@ def dq8_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chi_q").over(Window.partitionBy()) / 1_000_000.0, 6
         ).alias("chi2_total"),
     ).orderBy("digit")
+
+
+@register(
+    "ts10_ohlc_candles",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, {_Q.format(x='value')} AS vq
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM q
+    )
+    SELECT event_type, day,
+           CAST(MIN(CASE WHEN rn_a = 1 THEN vq END) / 1000000.0 AS DOUBLE)
+             AS open,
+           CAST(MAX(vq) / 1000000.0 AS DOUBLE) AS high,
+           CAST(MIN(vq) / 1000000.0 AS DOUBLE) AS low,
+           CAST(MIN(CASE WHEN rn_z = 1 THEN vq END) / 1000000.0 AS DOUBLE)
+             AS close,
+           COUNT(*) AS n
+    FROM ranked GROUP BY event_type, day ORDER BY event_type, day
+    """,
+    tags=("A11", "A2", "EXT", "timeseries"),
+)
+def ts10_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle rollup per series per day — open (first value in
+    time order), high, low, close (last value): the canonical
+    time-series downsample for charts and retention-tiered storage
+    (ClickHouse users build exactly this as an
+    AggregatingMergeTree with argMin/argMax states). Open/close are
+    argMin/argMax over the (ts, event_id) total order — min_by/max_by
+    on a packed struct, no window needed in Spark — and all values
+    ride quantized longs. One partial→final aggregation; at 100 TB
+    this IS the rollup x6 maintains incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.struct("ts", "event_id").alias("ord"),
+        _quantize("value").alias("vq"),
+    )
+    return (
+        q.groupBy("event_type", "day")
+        .agg(
+            (F.min_by("vq", "ord") / 1_000_000.0)
+            .cast("double")
+            .alias("open"),
+            (F.max("vq") / 1_000_000.0).cast("double").alias("high"),
+            (F.min("vq") / 1_000_000.0).cast("double").alias("low"),
+            (F.max_by("vq", "ord") / 1_000_000.0)
+            .cast("double")
+            .alias("close"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
