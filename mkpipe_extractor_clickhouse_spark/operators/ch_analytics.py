@@ -1608,3 +1608,85 @@ def g5_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("clustering_coeff").desc(), "node")
         .limit(50)
     )
+
+
+@register(
+    "ch_growth_accounting",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM weekly
+    ),
+    classified AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM flagged
+    ),
+    churn AS (
+      SELECT wk + INTERVAL 7 DAY AS wk, 'churned' AS status
+      FROM flagged f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM weekly w
+        WHERE w.user_id = f.user_id AND w.wk = f.wk + INTERVAL 7 DAY)
+        AND f.wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM weekly)
+    )
+    SELECT CAST(wk AS DATE) AS wk, status, COUNT(*) AS users
+    FROM (SELECT wk, status FROM classified
+          UNION ALL SELECT CAST(wk AS DATE), status FROM churn)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("A3", "W3", "EXT", "retention"),
+)
+def ch_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the weekly active-user ledger every growth
+    team lives by: each week's actives split into NEW (first week
+    ever), RETAINED (also active last week), RESURRECTED (returning
+    after a gap), plus CHURNED (active last week, absent this week,
+    booked against the week they missed). The identity
+    new + retained + resurrected − churned = ΔWAU makes the four
+    series an exact decomposition of growth. One per-user weekly
+    window pass (lag + first week), an anti-existence check for
+    churn (per-user bounded), pure date/integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    flagged = weekly.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+    )
+    classified = flagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.date_sub(F.col("wk"), 7), "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    max_wk = weekly.agg(F.max("wk").alias("mx"))
+    nxt = flagged.select(
+        "user_id", F.date_add("wk", 7).alias("wk")
+    )
+    churn = (
+        nxt.join(weekly, ["user_id", "wk"], "left_anti")
+        .join(F.broadcast(max_wk))
+        .filter(F.col("wk") <= F.col("mx"))
+        .select("wk", F.lit("churned").alias("status"))
+    )
+    return (
+        classified.unionAll(churn)
+        .groupBy("wk", "status")
+        .agg(F.count("*").alias("users"))
+        .orderBy("wk", "status")
+    )
