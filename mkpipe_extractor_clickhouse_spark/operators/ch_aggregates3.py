@@ -1492,3 +1492,93 @@ def a27_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_order")
     )
+
+
+ROLLCORR_WINDOW = 7
+ROLLCORR_A, ROLLCORR_B = "click", "purchase"
+
+
+@register(
+    "ts11_rolling_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CASE WHEN event_type = '{ROLLCORR_A}'
+                      THEN {_Q.format(x='value')} ELSE 0 END) AS aq,
+             SUM(CASE WHEN event_type = '{ROLLCORR_B}'
+                      THEN {_Q.format(x='value')} ELSE 0 END) AS bq
+      FROM events WHERE event_type IN ('{ROLLCORR_A}', '{ROLLCORR_B}')
+      GROUP BY 1
+    ),
+    win AS (
+      SELECT day,
+             COUNT(*) OVER w AS n,
+             SUM(aq) OVER w AS sa, SUM(bq) OVER w AS sb,
+             SUM(CAST(aq AS DECIMAL(38,0)) * bq) OVER w AS sab,
+             SUM(CAST(aq AS DECIMAL(38,0)) * aq) OVER w AS saa,
+             SUM(CAST(bq AS DECIMAL(38,0)) * bq) OVER w AS sbb
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN {ROLLCORR_WINDOW - 1}
+                   PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                 6) AS rolling_corr
+    FROM win WHERE n = {ROLLCORR_WINDOW} ORDER BY day
+    """,
+    tags=("A10", "W6", "EXT", "timeseries"),
+)
+def ts11_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between two series (click vs
+    purchase daily revenue) — the metric-coupling monitor ('did these
+    decouple this week') and pair-trading staple. Windowed integer
+    moments (DECIMAL(38,0) cross-products — q-unit products overflow
+    int64) with ONE IEEE correlation tree per row, rounded; rows with
+    incomplete frames are excluded (the textbook construction). The
+    pivot-to-columns trick turns the two series into one row per day,
+    so a single ROWS frame carries all five moments — no self-join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(ROLLCORR_A, ROLLCORR_B)
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == ROLLCORR_A, _quantize("value")
+            ).otherwise(F.lit(0))
+        ).alias("aq"),
+        F.sum(
+            F.when(
+                F.col("event_type") == ROLLCORR_B, _quantize("value")
+            ).otherwise(F.lit(0))
+        ).alias("bq"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLLCORR_WINDOW - 1), 0)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    win = daily.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("aq").over(w).alias("sa"),
+        F.sum("bq").over(w).alias("sb"),
+        F.sum(dec("aq") * F.col("bq")).over(w).alias("sab"),
+        F.sum(dec("aq") * F.col("aq")).over(w).alias("saa"),
+        F.sum(dec("bq") * F.col("bq")).over(w).alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    corr = (n * sab - sa * sb) / F.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    return (
+        win.filter(F.col("n") == ROLLCORR_WINDOW)
+        .select("day", F.round(corr, 6).alias("rolling_corr"))
+        .orderBy("day")
+    )
