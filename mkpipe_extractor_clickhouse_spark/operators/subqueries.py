@@ -297,3 +297,43 @@ def pv2_multi_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.col(f"{flag}_qty"))
         cols.append(F.col(f"{flag}_n"))
     return pivoted.select(*cols)
+
+
+@register(
+    "sq7_correlated_scalar",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS order_count,
+           (SELECT MAX(o.o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F') AS max_finished_price
+    FROM customer c
+    WHERE c.c_custkey <= 300
+    ORDER BY c.c_custkey
+    """,
+    tags=("SQ", "S2", "EXT", "subquery"),
+)
+def sq7_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subqueries in the projection — per-customer
+    aggregates written as inline subqueries (the ORM-generated shape
+    users paste in): Catalyst DECORRELATES both into left outer
+    aggregate joins, so the plan is two hash joins over one orders
+    scan each, never a per-row re-execution (the plan a naive engine
+    would run N times). COUNT's empty-group-is-0 vs MAX's
+    empty-group-is-NULL semantics both survive decorrelation — the
+    subtlety this query pins."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS order_count,
+               (SELECT MAX(o.o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F') AS max_finished_price
+        FROM customer c
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey
+        """
+    )
