@@ -593,3 +593,50 @@ def f16_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         gh.alias("geohash8"),
         F.substring(gh, 1, 4).alias("cell4"),
     ).orderBy("event_id")
+
+
+@register(
+    "f17_null_safe_predicates",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE event_id % 100 END AS maybe
+      FROM events WHERE event_id <= 3000
+    )
+    SELECT event_id, k, maybe,
+           (k IS DISTINCT FROM maybe) AS differs,
+           (k IS NOT DISTINCT FROM maybe) AS same_nullsafe,
+           (k = maybe) AS eq_threeval,
+           COALESCE(k = maybe, FALSE) AS eq_coalesced
+    FROM j ORDER BY event_id
+    """,
+    tags=("F4", "P6", "EXT"),
+)
+def f17_null_safe_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison semantics side by side — the three-valued-
+    logic corner every dedup and CDC diff silently depends on:
+    ``IS (NOT) DISTINCT FROM`` treats NULL as a comparable value
+    (NULL ≡ NULL), while plain ``=`` returns NULL and silently drops
+    rows from WHERE clauses. One projection pins all four behaviors
+    against the oracle so an engine upgrade cannot quietly change
+    them (x12/j12/m4 all build on the null-safe form). Row-local
+    codegen."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    maybe = F.when(F.col("event_id") % 3 != 0, F.col("event_id") % 100)
+    j = ev.select(
+        "event_id", k.alias("k"), maybe.alias("maybe")
+    )
+    return j.select(
+        "event_id",
+        "k",
+        "maybe",
+        (~F.col("k").eqNullSafe(F.col("maybe"))).alias("differs"),
+        F.col("k").eqNullSafe(F.col("maybe")).alias("same_nullsafe"),
+        (F.col("k") == F.col("maybe")).alias("eq_threeval"),
+        F.coalesce(F.col("k") == F.col("maybe"), F.lit(False)).alias(
+            "eq_coalesced"
+        ),
+    ).orderBy("event_id")
