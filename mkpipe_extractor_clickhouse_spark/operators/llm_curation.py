@@ -501,3 +501,125 @@ def x26_curated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
     ).orderBy("doc_id")
+
+
+@register(
+    "l90_curation_waterfall",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> t IN ({_STOP_IN}))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE stop_ratio >= 0.05 AND n_tokens BETWEEN 10 AND 200
+        AND ttr > 0.3
+    ),
+    canonical AS (
+      SELECT * FROM gated
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY MD5(text))
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM canonical
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    neardup AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= {_T}
+    )
+    SELECT s.source,
+           COUNT(*) AS n_total,
+           COUNT(g.doc_id) AS after_quality_gate,
+           COUNT(c.doc_id) AS after_exact_dedup,
+           COUNT(CASE WHEN c.doc_id IS NOT NULL
+                       AND nd.doc_id IS NULL THEN 1 END) AS after_near_dedup
+    FROM scored s
+    LEFT JOIN gated g ON s.doc_id = g.doc_id
+    LEFT JOIN canonical c ON s.doc_id = c.doc_id
+    LEFT JOIN neardup nd ON s.doc_id = nd.doc_id
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("EXT", "pipeline", "L1", "L2", "dq"),
+)
+def l90_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation waterfall — per-source survivor counts after EACH gate
+    of the l22 pipeline (quality gate → exact dedup → near-dup prune):
+    the observability report that says WHERE a source's mass dies,
+    which is the first question when a mixture (l27/l88) comes up
+    short. Stage memberships are flags joined back to the full corpus
+    (left-semi shapes), so the report reconciles: every count is a
+    prefix of the one before it. Same PPJoin machinery as l22 — one
+    extra aggregation, no recomputation of pair logic."""
+    from .llm_dedup import JACCARD_T, ppjoin_pairs
+    from .llm_text import EN_STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        * F.lit(1.0)
+        / n_tok
+    )
+    scored = d.select(
+        "doc_id", "source", "text",
+        n_tok.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"), stop_ratio.alias("stop_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("stop_ratio") >= 0.05)
+        & F.col("n_tokens").between(10, 200)
+        & (F.col("ttr") > 0.3)
+    )
+    canonical_ids = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    canonical = gated.join(
+        canonical_ids.select("doc_id"), "doc_id", "left_semi"
+    )
+    tok = canonical.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    neardup = (
+        ppjoin_pairs(tok, JACCARD_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    flag = lambda df, name: df.select("doc_id").withColumn(  # noqa: E731
+        name, F.lit(1)
+    )
+    j = (
+        scored.select("doc_id", "source")
+        .join(flag(gated, "g"), "doc_id", "left")
+        .join(flag(canonical, "c"), "doc_id", "left")
+        .join(flag(neardup, "nd"), "doc_id", "left")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("g").alias("after_quality_gate"),
+            F.count("c").alias("after_exact_dedup"),
+            F.count(
+                F.when(F.col("c").isNotNull() & F.col("nd").isNull(), 1)
+            ).alias("after_near_dedup"),
+        )
+        .orderBy("source")
+    )
