@@ -205,7 +205,19 @@ class ManifestedTable:
 
     def commit_append(self, df: DataFrame, meta: dict | None = None) -> int:
         """Stage + publish head∪batch; retries version conflicts (the
-        staged data is reused — only the metadata rename re-runs)."""
+        staged data is reused — only the metadata rename re-runs).
+
+        ``parent`` is PINNED to the manifest this append merged its
+        dirs list against. Without the pin there is a lost-update
+        window: the dirs list is computed from one head read while
+        _publish would re-read the (possibly newer) head for the
+        version number — a concurrent commit landing between the two
+        reads would be silently dropped from our dirs list even
+        though our publish "succeeds". Pinning makes the stale merge
+        collide on the version name instead, and the retry re-merges
+        against the fresh head. (Caught by
+        tests/test_manifest.py::test_concurrent_appends_lose_no_commit
+        under host-load interleavings.)"""
         name = self.stage_batch(df)
         new_stats = self._compute_stats(name)
         while True:
@@ -213,7 +225,13 @@ class ManifestedTable:
             dirs = head["dirs"] + [name]
             stats = {**head.get("stats", {}), name: new_stats}
             try:
-                return self._publish(dirs, "append", meta or {}, stats=stats)
+                return self._publish(
+                    dirs,
+                    "append",
+                    meta or {},
+                    parent=head["version"],
+                    stats=stats,
+                )
             except CommitConflict:
                 continue  # re-read head, keep our batch dir
 
@@ -817,21 +835,28 @@ class ManifestCatalog:
 
     # commits -------------------------------------------------------
 
-    def _publish_catalog(self, tables: dict[str, int], meta: dict) -> int:
-        while True:
-            version = self.head_version() + 1
-            tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"version": version, "tables": tables, "meta": meta}, f
-                )
-            try:
-                os.link(tmp, self._path(version))
-                return version
-            except FileExistsError:
-                continue  # another tick published; re-read head
-            finally:
-                os.unlink(tmp)
+    def _publish_catalog(
+        self, tables: dict[str, int], meta: dict, parent: int
+    ) -> int:
+        """Publish v(parent+1) or raise CommitConflict. ``parent`` must
+        be the snapshot the ``tables`` map was MERGED against — the
+        same lost-update pin as ManifestedTable.commit_append: without
+        it, two ticks writing different tables would carry stale pins
+        for each other's tables and the second publish would silently
+        roll one table's pointer back."""
+        version = parent + 1
+        tmp = os.path.join(self._dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "tables": tables, "meta": meta}, f
+            )
+        try:
+            os.link(tmp, self._path(version))
+            return version
+        except FileExistsError:
+            raise CommitConflict(f"catalog version {version} already published")
+        finally:
+            os.unlink(tmp)
 
     def commit_multi(
         self,
@@ -843,16 +868,25 @@ class ManifestCatalog:
         version lands first (catalog-invisible), then one catalog
         version pins them all. Unlisted tables carry forward at their
         current pinned version."""
-        pinned = dict(self.snapshot())
+        ours: dict[str, int] = {}
         for name, (df, mode) in writes.items():
             t = self.table(name)
             if mode == "overwrite":
-                pinned[name] = t.commit_overwrite(df)
+                ours[name] = t.commit_overwrite(df)
             elif mode == "append":
-                pinned[name] = t.commit_append(df)
+                ours[name] = t.commit_append(df)
             else:
                 raise ValueError(f"unknown mode: {mode}")
-        return self._publish_catalog(pinned, meta or {})
+        # optimistic retry: merge OUR table versions over the freshest
+        # snapshot each attempt, pin the parent we merged against — a
+        # concurrent tick's pins for OTHER tables are never clobbered
+        while True:
+            base = self.head_version()
+            pinned = {**self.snapshot(base), **ours}
+            try:
+                return self._publish_catalog(pinned, meta or {}, parent=base)
+            except CommitConflict:
+                continue
 
     # reads ---------------------------------------------------------
 

@@ -698,3 +698,41 @@ def test_clustered_compaction_tightens_zone_maps(spark, sf_dir, tmp_path):
         if st.min <= 3 <= st.max:
             covering += 1
     assert covering <= 1, "clustered files should be range-disjoint"
+
+
+def test_concurrent_multi_table_ticks_keep_all_pins(spark, sf_dir, tmp_path):
+    """Two catalogs ticks writing DIFFERENT tables concurrently: the
+    final catalog head must carry BOTH tables' newest versions — the
+    lost-update mode is one tick's stale carry-forward pin rolling the
+    other table's pointer back."""
+    import threading
+
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestCatalog,
+    )
+
+    cat = ManifestCatalog(str(tmp_path / "cat"))
+    errs = []
+
+    def tick(table_name: str):
+        try:
+            for _ in range(5):
+                cat.commit_multi({table_name: (spark.range(2), "append")})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=tick, args=("alpha",)),
+        threading.Thread(target=tick, args=("beta",)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    snap = cat.snapshot()
+    # each table committed 5 appends → its own head version is 5, and
+    # the catalog must pin BOTH at 5 (a lost update pins one lower)
+    assert snap == {"alpha": 5, "beta": 5}, snap
+    assert cat.read(spark, "alpha").count() == 10
+    assert cat.read(spark, "beta").count() == 10
