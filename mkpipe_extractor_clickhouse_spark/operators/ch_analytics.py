@@ -1690,3 +1690,61 @@ def ch_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("users"))
         .orderBy("wk", "status")
     )
+
+
+@register(
+    "ch_retention_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE))
+               AS age_days
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    cohort AS (SELECT COUNT(*) AS n0 FROM firsts)
+    SELECT age_days,
+           COUNT(*) AS active_users,
+           COUNT(*) * 1000000 // c.n0 AS retention_ppm
+    FROM activity CROSS JOIN cohort c
+    WHERE age_days <= 14
+    GROUP BY age_days, c.n0 ORDER BY age_days
+    """,
+    tags=("A3", "J1", "EXT", "retention"),
+)
+def ch_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-N retention curve — fraction of the full cohort active
+    exactly N days after their own first day (0 ≤ N ≤ 14): the
+    product-health chart every 'retention' conversation is actually
+    about (ch_retention gives fixed checkpoint flags; ch_cohort_matrix
+    slices by signup week; this is the aggregate curve). Per-user
+    first-day anchor join, distinct (user, age) de-dup, integer
+    floor-ppm rates against the cohort size. Two hash aggs + one
+    broadcastable anchor join."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.col("d0")
+            ).alias("age_days"),
+        )
+        .distinct()
+    )
+    n0 = firsts.count()  # cohort-size scalar, like g1's type count
+    return (
+        activity.filter(F.col("age_days") <= 14)
+        .groupBy("age_days")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.expr(f"COUNT(*) * 1000000 DIV {n0}").alias("retention_ppm"),
+        )
+        .orderBy("age_days")
+    )
