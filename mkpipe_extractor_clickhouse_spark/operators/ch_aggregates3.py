@@ -1582,3 +1582,57 @@ def ts11_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.round(corr, 6).alias("rolling_corr"))
         .orderBy("day")
     )
+
+
+@register(
+    "ch_exact_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT w.wk, SUM(d.dau) AS sum_dau, MIN(w.wau) AS wau,
+           SUM(d.dau) * 1000000 // MIN(w.wau) AS stickiness_ppm
+    FROM daily d JOIN weekly w ON d.wk = w.wk
+    GROUP BY w.wk ORDER BY w.wk
+    """,
+    tags=("A3", "A2", "EXT", "retention"),
+)
+def ch_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-count rollup day→week via mergeable SET state —
+    the uniqExactState/uniqExactMerge idiom (ch_uniq_merge_rollup is
+    the approximate-HLL sibling): per-day user SETS merge to the week
+    by union, so WAU comes from day-level state without rescanning the
+    fact table, and Σdau/wau is the stickiness ratio (DAU/WAU in its
+    weekly form). Spark side: collect_set per day, flatten+distinct
+    per week — state is O(distinct users/day), the exact-rollup trade
+    the HLL variant exists to avoid at whale scale; both belong in the
+    library because reconciliation needs the exact one."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_sets = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.collect_set("user_id").alias("users"))
+    return (
+        daily_sets.groupBy("wk")
+        .agg(
+            F.sum(F.size("users")).alias("sum_dau"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("users")))
+            ).alias("wau"),
+        )
+        .select(
+            "wk",
+            "sum_dau",
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("sum_dau * 1000000 DIV wau").alias("stickiness_ppm"),
+        )
+        .orderBy("wk")
+    )
