@@ -1390,3 +1390,72 @@ def x29_dialect_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .extract(table, spark, last_point="2024-01-20 00:00:00")
         .df
     )
+
+
+@register(
+    "x30_version_diff",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT event_id, user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    v4 AS (
+      SELECT event_id, user_id FROM events WHERE user_id <> {ERASE_USER}
+    )
+    SELECT 'added' AS change, COUNT(*) AS rows_n,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM (SELECT * FROM v4 EXCEPT ALL SELECT * FROM v2)
+    UNION ALL
+    SELECT 'removed', COUNT(*), MIN(event_id), MAX(event_id)
+    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v4)
+    ORDER BY change
+    """,
+    tags=("S8", "U4", "EXT", "cdc", "transaction"),
+)
+def x30_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version CHANGE FEED from time travel — Delta's
+    ``table_changes()`` built from two snapshot reads and bag-semantics
+    EXCEPT ALL in each direction: rows present at the later version
+    but not the earlier are 'added', the reverse 'removed' (here: two
+    more weekly appends plus the x24 user erasure between the
+    versions, so both directions are non-empty). This is how a
+    consumer without CDC storage reconstructs what a window of
+    commits did — the diff costs two snapshot scans + one shuffle,
+    and the manifest's dir-level time travel makes the old snapshot
+    free to read. Exact set arithmetic, no timestamps involved."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x30_diff_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(
+        os.path.join(workdir, "events"), stats_cols=("user_id",)
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    for cutoff, prev in zip(_CUTOFFS, [None] + _CUTOFFS[:-1]):
+        window = ev
+        if cutoff is not None:
+            window = window.filter(
+                F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+            )
+        if prev is not None:
+            window = window.filter(
+                F.col("ts") >= F.lit(prev).cast("timestamp_ntz")
+            )
+        t.commit_append(window.select("event_id", "user_id"))
+    t.delete_rows(spark, "user_id", ERASE_USER)  # v5
+    early = t.read(spark, version=2)
+    late = t.read(spark)
+    added = late.exceptAll(early)
+    removed = early.exceptAll(late)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("change"),
+            F.count("*").alias("rows_n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+
+    return summarize(added, "added").unionAll(
+        summarize(removed, "removed")
+    ).orderBy("change")
