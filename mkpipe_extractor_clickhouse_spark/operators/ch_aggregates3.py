@@ -1636,3 +1636,64 @@ def ch_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@register(
+    "dq9_volume_reconciliation",
+    oracle="""
+    WITH om AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS orders_n
+      FROM orders GROUP BY 1
+    ),
+    lm AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+             COUNT(*) AS lines_n,
+             COUNT(DISTINCT l.l_orderkey) AS orders_with_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    )
+    SELECT om.yr, om.orders_n, lm.lines_n,
+           lm.lines_n * 1000 // om.orders_n AS lines_per_order_milli,
+           om.orders_n - lm.orders_with_lines AS childless_orders
+    FROM om JOIN lm ON om.yr = lm.yr
+    ORDER BY om.yr
+    """,
+    tags=("A3", "J1", "EXT", "dq"),
+)
+def dq9_volume_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table volume reconciliation by year — the trend-framed
+    integrity dashboard (dq1 checks point constraints; this watches
+    RATIOS drift): orders vs order lines, lines-per-order in exact
+    milli-units, and childless orders (headers with no lines — the
+    partial-delivery smell that absolute counts hide until it is
+    large). Two hash rollups joined on the year — at 100 TB this runs
+    per extraction tick against the destination to prove a load
+    neither dropped nor duplicated a side of the relationship."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.count("*").alias("orders_n")
+    )
+    lm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").alias("lines_n"),
+            F.countDistinct("l_orderkey").alias("orders_with_lines"),
+        )
+    )
+    return (
+        om.join(lm, "yr")
+        .select(
+            "yr",
+            "orders_n",
+            "lines_n",
+            F.expr("lines_n * 1000 DIV orders_n").alias(
+                "lines_per_order_milli"
+            ),
+            (F.col("orders_n") - F.col("orders_with_lines")).alias(
+                "childless_orders"
+            ),
+        )
+        .orderBy("yr")
+    )
