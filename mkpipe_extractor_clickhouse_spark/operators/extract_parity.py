@@ -1459,3 +1459,44 @@ def x30_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(added, "added").unionAll(
         summarize(removed, "removed")
     ).orderBy("change")
+
+
+@register(
+    "x31_manifest_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                THEN CAST(value * 2 AS DOUBLE) END AS bonus
+    FROM events ORDER BY event_id
+    """,
+    tags=("S8", "U1", "EXT", "schema-evolution"),
+)
+def x31_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution THROUGH the manifest table: the first batch
+    lands without the ``bonus`` column, a later batch adds it
+    (mid-stream source ALTER TABLE), and the snapshot read merges
+    footers so pre-evolution rows surface the new column null-filled
+    — same contract the plain ParquetLoader destination proves in
+    pytest (u6's unionByName semantics), here through the committed-
+    manifest path where each batch dir carries its own schema
+    generation. No rewrite of old batches, no read-time cast errors."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x31_evo_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    t = ManifestedTable(os.path.join(workdir, "events"))
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    t.commit_append(
+        ev.filter(F.col("ts") < cut).select("event_id", "user_id")
+    )
+    t.commit_append(
+        ev.filter(F.col("ts") >= cut).select(
+            "event_id",
+            "user_id",
+            (F.col("value") * 2).cast("double").alias("bonus"),
+        )
+    )
+    return t.read(spark).select("event_id", "user_id", "bonus").orderBy(
+        "event_id"
+    )
