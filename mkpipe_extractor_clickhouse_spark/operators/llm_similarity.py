@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DSUM, _Q, _quantize
+from ._determinism import DAVG9, DSUM, _Q, _quantize, davg9
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -176,10 +176,9 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l9_label_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label, i AS dim,
-           CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS centroid
+           {DAVG9.format(x="CAST(embedding[i] AS DOUBLE)")} AS centroid
     FROM embeddings CROSS JOIN range(1, 65) t(i)
     GROUP BY label, i
     """,
@@ -187,21 +186,16 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l9_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids: posexplode the vectors, mean per (label,
-    dim) with decimal-exact sums (dims are unit-scale floats → scale-12
-    decimals). 640 output rows regardless of corpus size."""
+    dim) at 1e-9 quantization (operators/_determinism.py davg9 — the
+    decimal-cast sum this used in r1-r3 drifted 2e-14 between engines
+    because Spark and DuckDB round double→decimal differently; the
+    quantized-long sum is bit-identical under driver_sim --strict).
+    640 output rows regardless of corpus size."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    return (
-        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
-        .agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(28,12)")).cast("double")
-                / F.count("*")
-            )
-            .cast("double")
-            .alias("centroid")
-        )
-    )
+    return ex.groupBy(
+        "label", (F.col("pos") + 1).cast("long").alias("dim")
+    ).agg(davg9(F.col("x").cast("double")).alias("centroid"))
 
 
 @register(

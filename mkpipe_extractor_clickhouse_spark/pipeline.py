@@ -170,9 +170,20 @@ def run_pipelines(
                     "sources.jdbc.JdbcSource / ClickHouseNativeSource "
                     "(CLICKHOUSE_JAR_PACKAGES lists the required jars)"
                 )
+        if "path" not in dst and custom_loader is not None:
+            # An http destination still needs a LOCAL state directory
+            # for watermarks.  Never default into the source data dir
+            # (two pipelines sharing a source would clobber one state
+            # file, and makedirs would pollute the source tree):
+            # require an explicit path, namespaced per pipeline.
+            raise ValueError(
+                f"pipeline {p['name']!r}: clickhouse_http destination "
+                "needs an explicit 'path' (watermark/state directory); "
+                "refusing to default into the source data directory"
+            )
         pipe = Pipeline(
             source_dir=src["path"],
-            dest_dir=dst.get("path", src["path"] + "/_http_dest_state"),
+            dest_dir=dst["path"],
             tables=p.get("tables", []),
             sql_dir=p.get("sql_dir"),
             loader=custom_loader,

@@ -930,8 +930,18 @@ def _translate_functions(sql: str) -> str:
             )
         out = _rewrite_calls(out, h, _no_hash)
 
-    # tokens(s) → whitespace split; ngrams(s, n) → char n-gram array
-    out = _rewrite_calls(out, "tokens", lambda a: f"split({a[0]}, ' +')")
+    # tokens(s): ClickHouse splits on ANY non-alphanumeric byte (tabs,
+    # newlines, punctuation) and emits no empty tokens — split on the
+    # complement class and filter the boundary empties a leading/
+    # trailing separator produces.
+    out = _rewrite_calls(
+        out,
+        "tokens",
+        lambda a: (
+            f"filter(split({a[0]}, '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+            "t -> t != '')"
+        ),
+    )
 
     def _ngrams(a: list[str]) -> str:
         n = a[1].strip()

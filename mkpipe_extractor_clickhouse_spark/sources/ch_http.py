@@ -275,7 +275,12 @@ class ClickHouseHttpSink:
             n = 0
             for pdf in batches:
                 for c in ntz_cols:
-                    pdf[c] = pdf[c].astype(str)
+                    # .astype(str) would turn NaT into the literal string
+                    # "NaT" in the JSONEachRow body; keep nulls as JSON
+                    # null so nullable DateTime columns round-trip.
+                    pdf[c] = pdf[c].map(
+                        lambda v: None if pd.isna(v) else str(v)
+                    )
                 for start in range(0, len(pdf), batch_rows):
                     chunk = pdf.iloc[start : start + batch_rows]
                     body = chunk.to_json(

@@ -41,6 +41,7 @@ and pushdown unaffected).
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -477,12 +478,27 @@ class ManifestedTable:
         instantly, mutate the fork freely."""
         m = self.manifest(version)
         clone = ManifestedTable(dest_dir, stats_cols=self.stats_cols)
-        for d in m["dirs"]:
-            src = os.path.join(self.table_dir, d)
-            dst = os.path.join(dest_dir, d)
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
-                os.link(os.path.join(src, fn), os.path.join(dst, fn))
+        try:
+            for d in m["dirs"]:
+                src = os.path.join(self.table_dir, d)
+                dst = os.path.join(dest_dir, d)
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    try:
+                        os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                    except OSError as e:
+                        # EXDEV: dest on a different filesystem — a
+                        # hardlink can't cross mounts, so fall back to a
+                        # real copy (still correct, just not zero-copy).
+                        if e.errno != errno.EXDEV:
+                            raise
+                        shutil.copy2(
+                            os.path.join(src, fn), os.path.join(dst, fn)
+                        )
+        except OSError:
+            # don't leave a half-created clone tree behind
+            shutil.rmtree(dest_dir, ignore_errors=True)
+            raise
         clone._publish(
             list(m["dirs"]),
             "clone",

@@ -32,6 +32,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help=(
+            "materialize BOTH sides through Arrow (Spark toArrow vs "
+            "DuckDB fetch_arrow_table) and compare full-precision, "
+            "type-sensitive canonical values — int64 vs float64 vs "
+            "Decimal are DISTINCT, floats compare on all bits.  This is "
+            "the tightest local model of the round driver's value hash; "
+            "requires the oracle cast map to be current."
+        ),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -60,11 +72,26 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            if args.strict:
+                stab = sdf.toArrow()
+                scols = list(stab.column_names)
+                scells = [c.to_pylist() for c in stab.columns]
+                srows = list(zip(*scells)) if scells else []
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+                scols = list(sdf.columns)
             if name in osql:
                 res = con.sql(osql[name])
-                compare_results(scols, srows, list(res.columns), res.fetchall())
+                if args.strict:
+                    otab = res.fetch_arrow_table()
+                    ocols = list(otab.column_names)
+                    ocells = [c.to_pylist() for c in otab.columns]
+                    orows = list(zip(*ocells)) if ocells else []
+                    compare_results(scols, srows, ocols, orows, strict=True)
+                else:
+                    compare_results(
+                        scols, srows, list(res.columns), res.fetchall()
+                    )
                 n_pass += 1
                 status = "MATCH"
             else:

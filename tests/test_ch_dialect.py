@@ -1034,3 +1034,16 @@ def test_dict_get_raises_with_join_guidance(spark):
         with pytest.raises(ChDialectError) as e:
             translate(f"SELECT {fn}('d', 'attr', n_nationkey) FROM nation")
         assert "ch_dict_get" in str(e.value)
+
+
+def test_tokens_splits_on_any_nonalnum(spark):
+    """ClickHouse tokens() splits on ANY non-alphanumeric byte and
+    never yields empty tokens — punctuation, tabs, newlines, and
+    leading/trailing separators must not leak empties or joined
+    tokens (round-4 ADVICE fix)."""
+    _same(
+        spark,
+        "SELECT tokens(' a,b\tc\nd!e  ') AS t FROM events WHERE event_id = 1",
+        "SELECT array('a','b','c','d','e') AS t "
+        "FROM events WHERE event_id = 1",
+    )

@@ -316,3 +316,63 @@ def test_pipeline_clickhouse_http_destination(spark, sf_dir, ch_server, tmp_path
     assert len(store["nation_out"]) == n
     back = _source(port).load(spark, "nation_out")
     assert back.count() == 25
+
+
+def test_http_sink_null_timestamp_preserved(spark, ch_server):
+    """NaT must serialize as JSON null in the JSONEachRow body, not the
+    literal string "NaT" (round-4 ADVICE fix)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpSink,
+    )
+
+    port, _log, store = ch_server
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 30, 0)), (2, None)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("ts", T.TimestampNTZType(), True),
+            ]
+        ),
+    )
+    sink = ClickHouseHttpSink(
+        host="127.0.0.1", port=port, user=USER, password=KEY
+    )
+    assert sink.save(df, "ntz_tbl") == 2
+    rows = {r["id"]: r["ts"] for r in store["ntz_tbl"]}
+    assert rows[2] is None
+    assert str(rows[1]).startswith("2024-01-01")
+
+
+def test_pipeline_http_destination_requires_state_path(spark, sf_dir):
+    """A clickhouse_http destination with no 'path' must refuse to run
+    rather than silently writing watermark state into the SOURCE data
+    directory (round-4 ADVICE fix)."""
+    from mkpipe_extractor_clickhouse_spark.pipeline import run_pipelines
+
+    config = {
+        "connections": {
+            "src": {"variant": "parquet", "path": sf_dir},
+            "ch": {
+                "variant": "clickhouse_http",
+                "host": "127.0.0.1",
+                "port": 9,
+                "user": USER,
+                "password": KEY,
+            },
+        },
+        "pipelines": [
+            {
+                "name": "no_state_path",
+                "source": "src",
+                "destination": "ch",
+                "tables": [{"name": "events"}],
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="explicit 'path'"):
+        run_pipelines(config, spark)

@@ -736,3 +736,56 @@ def test_concurrent_multi_table_ticks_keep_all_pins(spark, sf_dir, tmp_path):
     assert snap == {"alpha": 5, "beta": 5}, snap
     assert cat.read(spark, "alpha").count() == 10
     assert cat.read(spark, "beta").count() == 10
+
+
+def test_clone_at_cross_device_fallback(spark, sf_dir, tmp_path, monkeypatch):
+    """When the destination is on a different filesystem (os.link →
+    EXDEV), clone_at falls back to a real copy and still produces an
+    identical, independent table; any other link failure cleans up the
+    half-created dest tree instead of leaving it behind."""
+    import errno
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources import manifest as mmod
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    src = ManifestedTable(str(tmp_path / "src2"), stats_cols=("user_id",))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src.commit_append(ev.filter(F.col("event_id") <= 200))
+
+    real_link = os.link
+
+    def exdev_link(a, b):
+        # only batch-file links "cross devices"; the manifest publish
+        # protocol's same-dir link stays real
+        if "_manifests" in b:
+            return real_link(a, b)
+        raise OSError(errno.EXDEV, "Invalid cross-device link", b)
+
+    monkeypatch.setattr(mmod.os, "link", exdev_link)
+    clone = src.clone_at(str(tmp_path / "fork2"))
+    assert clone.read(spark).count() == src.read(spark).count()
+    d0 = src.manifest()["dirs"][0]
+    f0 = sorted(os.listdir(tmp_path / "src2" / d0))[0]
+    # copied, NOT linked
+    assert not os.path.samefile(
+        tmp_path / "src2" / d0 / f0, tmp_path / "fork2" / d0 / f0
+    )
+
+    def eperm_link(a, b):
+        if "_manifests" in b:
+            return real_link(a, b)
+        raise OSError(errno.EPERM, "Operation not permitted", b)
+
+    monkeypatch.setattr(mmod.os, "link", eperm_link)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        src.clone_at(str(tmp_path / "fork3"))
+    assert not os.path.exists(tmp_path / "fork3")
+    monkeypatch.setattr(mmod.os, "link", real_link)

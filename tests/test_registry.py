@@ -90,3 +90,30 @@ def test_queries_and_oracles_consistent():
     assert set(o) <= set(q)
     for name, spec in specs.items():
         assert (spec.oracle is not None) == (name in o)
+
+
+def test_oracle_type_normalization_applied():
+    """oracle_sql() must serve the type-normalized oracle: DuckDB
+    HUGEINT sums materialize as float64 under a pandas/Arrow driver
+    while Spark emits int64 — the round-3 flag mechanism.  The cast
+    map must cover the nine r3-flagged queries and the wrapped SQL
+    must cast to the Spark-equivalent type."""
+    from mkpipe_extractor_clickhouse_spark._oracle_casts import ORACLE_CASTS
+    from mkpipe_extractor_clickhouse_spark.registry import oracle_sql
+
+    flagged_int_cols = {
+        "ch_kendall_tau": "n",
+        "dq3_histogram_drift": "tvd_ppm",
+        "ts6_cusum_alarms": "cusum_ndq",
+        "g1_markov_stationary": "stationary_ppm",
+        "g2_pagerank": "pagerank_ppm",
+        "m5_histogram_neardup": "l1",
+        "ch_ks_test": "d_num",
+        "l52_bigram_lm_score": "mean_cond_prob_ppb",
+        "x14_clickhouse_dialect_query": "purchases",
+    }
+    osql = oracle_sql()
+    for name, col in flagged_int_cols.items():
+        casts = dict(ORACLE_CASTS[name])
+        assert casts[col] == "BIGINT", (name, col, casts)
+        assert f'CAST("{col}" AS BIGINT)' in osql[name], name
