@@ -320,7 +320,46 @@ def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
     )
-    return sim.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    res = sim.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    return _with_recall(
+        res, vecs.filter(F.col("vec_id") != QUERY_VEC_ID), q, TOP_K
+    )
+
+
+def _with_recall(
+    res: DataFrame, corpus: DataFrame, q: DataFrame, k: int
+) -> DataFrame:
+    """Append ``recall_ppm_at_k`` to an ANN top-k result: the fraction
+    of the EXACT top-k the approximate result recovered, in ppm (a
+    BIGINT, so the driver's rows-only check pins quality without any
+    float-canonicalization hazard — VERDICT r3 ask #5).
+
+    The exact arm is one brute-force cosine scan (the l3 shape) per
+    query — the same O(corpus·k) work any recall evaluation costs.  In
+    production this column is an OFFLINE evaluation surface: compute it
+    for a sampled query panel, not per serving query; dropping the
+    column removes the scan without touching the ANN plan."""
+    exact = (
+        corpus.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+    rec = (
+        res.agg(F.collect_set("vec_id").alias("a"))
+        .join(exact.agg(F.collect_set("vec_id").alias("e")))
+        .select(
+            (F.size(F.array_intersect("a", "e")) * F.lit(1_000_000) / F.lit(k))
+            .cast("long")
+            .alias("recall_ppm_at_k")
+        )
+    )
+    return res.join(F.broadcast(rec))
 
 
 def kmeans_fit(
@@ -382,9 +421,11 @@ def kmeans_fit(
 )
 def l20_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-codebook IVF (ROADMAP item delivered): fit k-means on
-    the corpus, assign every vector to its cell, report per-cell sizes
-    and within-cell mean distance — the inverted-list statistics an
-    ANN index maintains."""
+    the corpus, assign every vector to its cell, report per-cell sizes,
+    within-cell mean distance, and — the r3 ask #5 quality surface —
+    the majority ground-truth label and its purity in ppm (BIGINT, so
+    the rows-only driver check pins clustering quality with no float
+    hazard; tests/test_llm.py bounds it)."""
     vecs = _vectors(spark, sf_dir)
     cent = kmeans_fit(vecs, k=10, max_iter=5)
     d2 = F.aggregate(
@@ -401,12 +442,26 @@ def l20_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d2").alias("d2"),
         )
     )
-    return assigned.groupBy("cid").agg(
+    cells = assigned.groupBy("cid").agg(
         F.count("*").alias("cell_size"),
         F.round((F.sum(F.col("d2").cast("decimal(28,10)")).cast("double") / F.count("*")), 6).alias(
             "mean_d2"
         ),
     )
+    purity = (
+        assigned.join(vecs.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("cl"))
+        .groupBy("cid")
+        .agg(
+            # deterministic at ties: highest label among max-count ones
+            F.max(F.struct("cl", "label"))["label"].alias("majority_label"),
+            (F.max("cl") * F.lit(1_000_000) / F.sum("cl"))
+            .cast("long")
+            .alias("purity_ppm"),
+        )
+    )
+    return cells.join(purity, "cid")
 
 
 # ---- Product quantization (PQ) ANN --------------------------------------
@@ -537,7 +592,8 @@ def l21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
     )
-    return rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    res = rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    return _with_recall(res, corpus, q, TOP_K)
 
 
 # ---- IVF-PQ (IVFADC): coarse quantizer + PQ over residuals -----------
@@ -659,7 +715,8 @@ def l21b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias("cosine"),
     )
-    return rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    res = rerank.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    return _with_recall(res, corpus, q, TOP_K)
 
 
 KNN_K = 5

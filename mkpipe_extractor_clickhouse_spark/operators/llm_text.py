@@ -699,3 +699,68 @@ def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+PHRASE = ("table", "hash")  # 2nd-most-common fixture bigram — stable at all SFs
+
+
+@register(
+    "l91_phrase_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS pos
+      FROM d
+    )
+    SELECT a.doc_id, COUNT(*) AS hits
+    FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+    GROUP BY a.doc_id ORDER BY a.doc_id
+    """,
+    tags=("L5", "J1", "EXT", "search"),
+)
+def l91_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    search-engine primitive ClickHouse serves with hasToken +
+    materialized token columns, re-expressed Spark-first: tokenize
+    once into (doc_id, pos, tok) postings, restrict to the phrase's
+    terms BEFORE any join (the filter pushes to the posting scan), and
+    verify adjacency with an equi-join on (doc_id, pos+1).  Per-doc
+    hit counts returned.
+
+    Scale shape: the postings relation is the persisted index,
+    partitionable by token; a p-term phrase is p posting scans (each
+    selective — one term's postings only) and p−1 equi-joins keyed on
+    (doc_id, position), shuffling only matching postings, never
+    documents.  Conjunction order belongs rarest-term-first (classic
+    WAND discipline) — here both scans prune to one term each, which
+    is that discipline for p=2.  The oracle re-derives adjacency with
+    zipped UNNESTs and a self-join, so the hash-match proves the
+    index path equals the naive scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("pos", "tok"),
+    )
+    a = toks.filter(F.col("tok") == PHRASE[0]).alias("a")
+    b = toks.filter(F.col("tok") == PHRASE[1]).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("hits"))
+        .orderBy("doc_id")
+    )

@@ -123,6 +123,12 @@ def _load_modules() -> None:
 # as early as possible.  Self-maintaining: round N+1 re-reads the
 # artifacts and bubbles up whatever is still unverified.
 _DRIVER_PRIORITY = (
+    # Round-4 flagships: the queries that close r3's verdict asks —
+    # the nine flagged rows re-front automatically (not covered), and
+    # the new wire-partitioning proof earns its driver row first.
+    "x32_jdbc_partition_slices",
+    "x33_zorder_pruned_read",
+    "l91_phrase_search",
     # Second-continuation flagships: the session's new FEATURE surfaces
     # (rank statistics, graph, geo, anomaly detection, erasure,
     # attribution, leakage-guarded ML prep) earn driver rows first.

@@ -441,3 +441,32 @@ def test_kmv_overlap_accuracy(spark, sf_dir):
         ti = exact_inter.get((r["seg_a"], r["seg_b"]), 0)
         if ti:
             assert abs(r["est_intersection"] - ti) / ti < 0.8, (r, ti)
+
+
+def test_ann_recall_column_surfaced_and_bounded(spark, sf_dir):
+    """r3 ask #5: the ANN queries must SELF-REPORT recall@k as an
+    integer ppm column so the driver's rows-only check pins quality.
+    Bounds mirror the standalone recall tests (uniform-random fixture
+    embeddings are the adversarial case for PQ)."""
+    for name, lo in (
+        ("l14_ivf_topk", 600_000),
+        ("l21_pq_topk", 500_000),
+        ("l21b_ivfpq_topk", 300_000),
+    ):
+        df = _run(name, spark, sf_dir)
+        assert "recall_ppm_at_k" in df.columns, name
+        vals = {r.recall_ppm_at_k for r in df.collect()}
+        assert len(vals) == 1, name  # one constant per query panel
+        assert vals.pop() >= lo, name
+
+
+def test_kmeans_cell_purity_surfaced(spark, sf_dir):
+    """l20 must report per-cell majority label + purity ppm; purity is
+    a valid ppm and cells cover the corpus."""
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        _vectors,
+    )
+
+    rows = _run("l20_kmeans_ivf", spark, sf_dir).collect()
+    assert rows and all(0 < r.purity_ppm <= 1_000_000 for r in rows)
+    assert sum(r.cell_size for r in rows) == _vectors(spark, sf_dir).count()

@@ -789,3 +789,59 @@ def test_clone_at_cross_device_fallback(spark, sf_dir, tmp_path, monkeypatch):
         src.clone_at(str(tmp_path / "fork3"))
     assert not os.path.exists(tmp_path / "fork3")
     monkeypatch.setattr(mmod.os, "link", real_link)
+
+
+def test_zorder_compaction_prunes_both_columns(spark, sf_dir, tmp_path):
+    """compact(zorder_by=(a, b), split_dirs=True) must publish range
+    partitions of the Morton key as separate dirs whose manifest zone
+    maps prune on EITHER column; a single-column sort serves only its
+    leading column.  Value parity vs a plain filter on every path."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+
+    t = ManifestedTable(
+        str(tmp_path / "zev"), stats_cols=("user_id", "value")
+    )
+    for k in range(4):
+        t.commit_append(ev.filter(F.col("event_id") % 4 == k))
+    # interleaved appends: nothing prunes on either column
+    assert not t.prune_dirs("user_id", 10, 12)[1]
+    assert not t.prune_dirs("value", 100.0, 120.0)[1]
+
+    v = t.compact(
+        spark, target_files=8, zorder_by=("user_id", "value"),
+        split_dirs=True,
+    )
+    assert len(t.manifest(v)["dirs"]) > 1  # split into range dirs
+    kept_u, skip_u = t.prune_dirs("user_id", 10, 12, version=v)
+    kept_v, skip_v = t.prune_dirs("value", 100.0, 120.0, version=v)
+    assert skip_u, "z-order must prune dirs on the first column"
+    assert skip_v, "z-order must prune dirs on the SECOND column too"
+
+    # single-column clustering for contrast: trailing column unpruned
+    t2 = ManifestedTable(
+        str(tmp_path / "sev"), stats_cols=("user_id", "value")
+    )
+    for k in range(4):
+        t2.commit_append(ev.filter(F.col("event_id") % 4 == k))
+    v2 = t2.compact(
+        spark, target_files=8, sort_by="user_id", split_dirs=True
+    )
+    assert t2.prune_dirs("user_id", 10, 12, version=v2)[1]
+    assert len(t2.prune_dirs("value", 100.0, 120.0, version=v2)[1]) <= len(
+        skip_v
+    )
+
+    # correctness: pruned read == plain filter, on both columns
+    for col, lo, hi in (("user_id", 10, 12), ("value", 100.0, 120.0)):
+        got = t.read_pruned(spark, col, lo=lo, hi=hi, version=v).count()
+        want = ev.filter(F.col(col).between(lo, hi)).count()
+        assert got == want, col
