@@ -163,6 +163,34 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         steady[name] = round(min(runs), 3)
 
+    # LLM-pipeline suite: the dedup / similarity / text kernels measured
+    # as their own section (NOT part of the headline total, which stays
+    # comparable across rounds). One steady pass each, best of 2.
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+    LLM_SUITE = (
+        "l1_exact_dedup",
+        "l2_jaccard_neardup",
+        "l2b_minhash_lsh",
+        "l12_token_count",
+        "l3_topk_cosine",
+        "l14_ivf_topk",
+    )
+    llm: dict[str, float] = {}
+    _specs = all_specs()
+    for name in LLM_SUITE:
+        try:
+            df = _specs[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            llm[name] = round(min(runs), 3)
+        except Exception:  # noqa: BLE001 — suite is best-effort reporting
+            continue
+
     # Secondary metric: identical queries over a re-chunked copy of the
     # same rows (~16 row groups per file instead of the fixtures' one).
     # Parquet scans parallelize at row-group granularity, so the
@@ -317,6 +345,13 @@ def main() -> None:
                 ),
                 "marginal_total": round(
                     max(0.0, total - fixed_floor * len(steady)), 3
+                ),
+                "llm_suite": llm,
+                "llm_suite_total": round(sum(llm.values()), 3),
+                "llm_suite_note": (
+                    "dedup/similarity/text kernels, steady-state; "
+                    "separate section so the headline total stays "
+                    "round-over-round comparable"
                 ),
                 "chunked_queries": chunked,
                 "chunked_total": round(sum(chunked.values()), 3),

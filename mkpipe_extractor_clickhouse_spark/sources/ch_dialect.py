@@ -78,6 +78,16 @@ Supported rewrites
   ``numbers(N)`` table function, ``FORMAT <name>`` strip, ``GLOBAL``
   modifier drop, aliased ``ARRAY JOIN``→``LATERAL VIEW explode``,
   ``toStartOfInterval`` (second/minute/hour/day buckets).
+* text search (round 4): ``hasToken`` (token-boundary containment,
+  same tokenizer as ``tokens``), ``multiSearchAny`` (+
+  ``CaseInsensitive``; bracket needle literals become ``array()``),
+  ``splitByWhitespace``.
+* misc scalars (round 4): ``bitCount``, ``toYYYYMMDD``,
+  ``cutQueryString``, ``toStartOfFifteenMinutes``/``TenMinutes``/
+  ``timeSlot`` (epoch-floored buckets), ``dateName`` (month/weekday),
+  ``arrayCompact`` (consecutive dedup, null-safe), and
+  ``greatCircleDistance`` (haversine meters — runtime trig, keep out
+  of hash-checked oracles).
 * guided ChDialectError (names the native replacement): block-order
   pseudo-functions (``runningDifference``/``neighbor``), cluster
   addressing (``remote``/``cluster``), ``ASOF``/``ANY`` join
@@ -544,6 +554,107 @@ def _translate_functions(sql: str) -> str:
     # size() returns -1 for NULL either way, so the comparison is safe)
     out = _rewrite_calls(out, "notEmpty", lambda a: f"(size({a[0]}) > 0)")
     out = _rewrite_calls(out, "empty", lambda a: f"(size({a[0]}) = 0)")
+
+    # ---- text-search family (round 4) --------------------------------
+    # hasToken(h, 'tok'): token-boundary containment — same tokenizer
+    # contract as tokens() (any non-alphanumeric byte separates)
+    _TOKENS = "filter(split({h}, '[^\\\\p{{L}}\\\\p{{N}}]+'), t -> t != '')"
+    out = _rewrite_calls(
+        out,
+        "hasToken",
+        lambda a: f"array_contains({_TOKENS.format(h=a[0])}, {a[1]})",
+    )
+
+    def _bracket_array(arg: str) -> str:
+        s = arg.strip()
+        return f"array({s[1:-1]})" if s.startswith("[") and s.endswith("]") else s
+
+    # multiSearch{Any,AllPositions→no}: needle array may be a ClickHouse
+    # bracket literal; substring semantics (not token-bounded)
+    out = _rewrite_calls(
+        out,
+        "multiSearchAny",
+        lambda a: (
+            f"exists({_bracket_array(a[1])}, n -> instr({a[0]}, n) > 0)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "multiSearchAnyCaseInsensitive",
+        lambda a: (
+            f"exists({_bracket_array(a[1])},"
+            f" n -> instr(lower({a[0]}), lower(n)) > 0)"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "splitByWhitespace",
+        lambda a: f"filter(split({a[0]}, '\\\\s+'), t -> t != '')",
+    )
+
+    # ---- misc scalar parity (round 4) --------------------------------
+    out = _rewrite_calls(out, "bitCount", lambda a: f"bit_count({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "toYYYYMMDD",
+        lambda a: f"CAST(date_format({a[0]}, 'yyyyMMdd') AS INT)",
+    )
+    out = _rewrite_calls(
+        out, "cutQueryString", lambda a: f"split_part({a[0]}, '?', 1)"
+    )
+    # fixed-width time buckets that date_trunc lacks: floor epoch
+    # seconds to the bucket (timeSlot is ClickHouse's 30-min bucket)
+    for ch, secs in (
+        ("toStartOfFifteenMinutes", 900),
+        ("toStartOfTenMinutes", 600),
+        ("timeSlot", 1800),
+    ):
+        out = _rewrite_calls(
+            out,
+            ch,
+            lambda a, s=secs: (
+                f"timestamp_seconds((unix_timestamp({a[0]}) DIV {s}) * {s})"
+            ),
+        )
+
+    def _date_name(a: list[str]) -> str:
+        part = a[0].strip().strip("'\"").lower()
+        fmt = {"month": "MMMM", "weekday": "EEEE"}.get(part)
+        if fmt is None:
+            raise ChDialectError(
+                "dateName: only 'month'/'weekday' produce names with a "
+                "stable Spark equivalent (date_format pattern); use "
+                "toYear/toMonth/toDayOfMonth for the numeric parts"
+            )
+        return f"date_format({a[1]}, '{fmt}')"
+
+    out = _rewrite_calls(out, "dateName", _date_name)
+
+    # arrayCompact: collapse CONSECUTIVE duplicates (null-safe compare)
+    def _array_compact(a: list[str]) -> str:
+        arr = a[0]
+        return (
+            f"transform(filter(transform(sequence(1, size({arr})), i -> "
+            f"named_struct('keep', i = 1 OR NOT (element_at({arr}, i) <=> "
+            f"element_at({arr}, i - 1)), 'v', element_at({arr}, i))), "
+            f"s -> s.keep), s -> s.v)"
+        )
+
+    out = _rewrite_calls(out, "arrayCompact", _array_compact)
+
+    # greatCircleDistance(lon1, lat1, lon2, lat2) → haversine meters,
+    # ClickHouse's mean-earth radius. Runtime trig: fine for user SQL;
+    # keep out of hash-checked oracle queries (determinism discipline).
+    def _great_circle(a: list[str]) -> str:
+        lon1, lat1, lon2, lat2 = a
+        return (
+            "(2 * 6371000.0 * asin(sqrt("
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+        )
+
+    out = _rewrite_calls(out, "greatCircleDistance", _great_circle)
 
     # date arithmetic: addDays(x, n) → timestampadd(DAY, n, x), etc.
     for ch, unit in (

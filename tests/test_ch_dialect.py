@@ -1047,3 +1047,50 @@ def test_tokens_splits_on_any_nonalnum(spark):
         "SELECT array('a','b','c','d','e') AS t "
         "FROM events WHERE event_id = 1",
     )
+
+
+def test_round4_text_search_family(spark):
+    _same(
+        spark,
+        """SELECT hasToken(' a,table b', 'table') AS t1,
+                  hasToken('tables only', 'table') AS t2,
+                  multiSearchAny('haystack', ['sta', 'zz']) AS m1,
+                  multiSearchAnyCaseInsensitive('HayStack', ['stack']) AS m2,
+                  splitByWhitespace(' a  b\tc ') AS sw
+           FROM events WHERE event_id = 1""",
+        """SELECT true AS t1, false AS t2, true AS m1, true AS m2,
+                  array('a','b','c') AS sw
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_round4_misc_scalars(spark):
+    _same(
+        spark,
+        """SELECT bitCount(7) AS bc,
+                  toYYYYMMDD(toDateTime('2024-03-05 10:00:00')) AS ymd,
+                  cutQueryString('https://x.y/p?a=1') AS cq,
+                  toStartOfFifteenMinutes(
+                      toDateTime('2024-03-05 10:44:00')) AS q15,
+                  timeSlot(toDateTime('2024-03-05 10:44:00')) AS slot,
+                  dateName('month', toDateTime('2024-03-05 10:00:00')) AS mn,
+                  dateName('weekday', toDateTime('2024-03-05 10:00:00')) AS wd,
+                  arrayCompact(array(1, 1, 2, 2, 1)) AS ac
+           FROM events WHERE event_id = 1""",
+        """SELECT 3 AS bc, 20240305 AS ymd, 'https://x.y/p' AS cq,
+                  TIMESTAMP '2024-03-05 10:30:00' AS q15,
+                  TIMESTAMP '2024-03-05 10:30:00' AS slot,
+                  'March' AS mn, 'Tuesday' AS wd,
+                  array(1, 2, 1) AS ac
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_round4_great_circle(spark):
+    from mkpipe_extractor_clickhouse_spark.sources.ch_dialect import translate
+
+    sql = translate(
+        "SELECT greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566) AS d"
+    )
+    [row] = spark.sql(sql).collect()
+    assert abs(row.d - 343_500) < 2_000  # London–Paris ≈ 343.5 km
