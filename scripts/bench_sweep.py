@@ -1,0 +1,69 @@
+"""Full-registry timing sweep: steady-state noop execution of EVERY
+registered query at a given sf (default sf0.1), slowest first to
+stderr-friendly JSON on stdout.  The round bench (bench.py) measures
+the curated headline + llm_suite sets; this sweep is the hot-spot
+finder — run it after a feature wave and optimize anything that stands
+out (round 4 found the PPJoin candidate stage and the LSH signature
+shuffle this way).
+
+Usage:
+    python scripts/bench_sweep.py [--sf-dir DIR] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/bench_sweep.json")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+    from mkpipe_extractor_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    specs = all_specs()
+    names = args.names or sorted(specs)
+    for name in names:
+        try:
+            df = specs[name].builder(spark, args.sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # cold+warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"{times[name]:8.3f}s  {name}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e)[:200]
+            traceback.print_exc(limit=1)
+    ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+    payload = {
+        "sf_dir": args.sf_dir,
+        "steady_sec": ranked,
+        "total": round(sum(times.values()), 1),
+        "errors": errors,
+    }
+    Path(args.out).write_text(json.dumps(payload, indent=1))
+    print(f"-- {len(times)} timed, {len(errors)} errors → {args.out}")
+    print("slowest:", json.dumps(dict(list(ranked.items())[:15])))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,8 @@ def num_expr(depth: int) -> st.SearchStrategy[str]:
         str_expr(depth - 1).map(lambda s: f"positionCaseInsensitive({s}, 'C')"),
         str_expr(depth - 1).map(lambda s: f"countMatches({s}, '[a-z]')"),
         sub.map(lambda x: f"toFloat64({x})"),
+        sub.map(lambda x: f"bitCount(toInt64({x}))"),
+        ts_leaf.map(lambda t: f"toYYYYMMDD({t})"),
         sub.map(lambda x: f"intDiv({x}, 7)"),
         ts_leaf.map(lambda t: f"toYear({t})"),
         ts_leaf.map(lambda t: f"toDayOfWeek({t})"),
@@ -70,6 +72,8 @@ def str_expr(depth: int) -> st.SearchStrategy[str]:
         str_leaf.map(lambda s: f"replaceRegexpAll({s}, '[aeiou]', '_')"),
         str_leaf.map(lambda s: f"replaceOne({s}, 'c', 'k')"),
         str_leaf.map(lambda s: f"trimBoth({s})"),
+        str_leaf.map(lambda s: f"cutQueryString({s})"),
+        st.just("ts").map(lambda t: f"dateName('month', {t})"),
         str_leaf.map(lambda s: f"extract({s}, '[a-z]+')"),
         str_leaf.map(lambda s: f"hex(MD5({s}))"),
         st.just("ts").map(lambda t: f"formatDateTime({t}, '%Y-%m-%d')"),
@@ -88,6 +92,8 @@ def bool_expr(depth: int) -> st.SearchStrategy[str]:
         s.map(lambda x: f"match({x}, '^c.*')"),
         s.map(lambda x: f"like({x}, 'c%')"),
         s.map(lambda x: f"notILike({x}, 'C%')"),
+        s.map(lambda x: f"hasToken({x}, 'click')"),
+        s.map(lambda x: f"multiSearchAny({x}, ['cl', 'zz'])"),
         s.map(lambda x: f"JSONHas(props, 'k')"),
         arr_expr(max(depth - 1, 0)).map(lambda a: f"hasAll({a}, range(2))"),
         arr_expr(max(depth - 1, 0)).map(
@@ -106,6 +112,8 @@ def ts_expr(depth: int) -> st.SearchStrategy[str]:
         sub.map(lambda t: f"subtractHours({t}, 2)"),
         sub.map(lambda t: f"toStartOfDay({t})"),
         sub.map(lambda t: f"toMonday({t})"),
+        sub.map(lambda t: f"toStartOfFifteenMinutes({t})"),
+        sub.map(lambda t: f"timeSlot({t})"),
         sub.map(lambda t: f"toStartOfWeek({t})"),
         sub.map(lambda t: f"fromUnixTimestamp(toUnixTimestamp({t}))"),
     )
@@ -126,6 +134,7 @@ def arr_expr(depth: int) -> st.SearchStrategy[str]:
         sub.map(lambda a: f"arrayFilter(x -> x > 2, {a})"),
         sub.map(lambda a: f"arrayDifference({a})"),
         sub.map(lambda a: f"arrayReverse({a})"),
+        sub.map(lambda a: f"arrayCompact({a})"),
         st.tuples(sub, sub).map(lambda p: f"arrayConcat({p[0]}, {p[1]})"),
         st.tuples(sub, sub).map(
             lambda p: f"arrayIntersect({p[0]}, {p[1]})"
