@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators._determinism import DAVG, DSUM, dsum
+from ..operators._determinism import DAVG, DSUM, _Q, _quantize, dsum
 from ..registry import register
 
 
@@ -370,4 +370,56 @@ def t10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.count("c_custkey").alias("n_matched"),
         )
+    )
+
+
+@register(
+    "t12_stream_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id, {_Q.format(x='value')} AS vq
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, vq,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY vq DESC, event_id
+             ) AS rank
+      FROM q
+    )
+    SELECT event_type, event_id,
+           CAST(vq / 1000000.0 AS DOUBLE) AS value, rank
+    FROM r WHERE rank <= 5
+    ORDER BY event_type, rank
+    """,
+    tags=("T5", "W8", "EXT", "streaming"),
+)
+def t12_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the streaming per-key top-k leaderboard
+    (streaming/stateful.py stream_topk — applyInPandasWithState with
+    O(k) state per key; runtime parity in tests/test_streaming.py):
+    the 5 highest-value events per type, value quantized at 1e-6
+    exactly as the stream state keeps it, ties broken on event_id.
+    The stream emits this same relation incrementally with bounded
+    state — the leaderboard a complete-mode agg would re-sort from
+    scratch each trigger."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", "event_id", _quantize("value").alias("vq")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("vq").desc(), F.col("event_id")
+    )
+    return (
+        q.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "event_type",
+            "event_id",
+            (F.col("vq") / 1_000_000.0).cast("double").alias("value"),
+            "rank",
+        )
+        .orderBy("event_type", "rank")
     )

@@ -140,3 +140,81 @@ def user_profiles_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---- streaming top-k (bounded per-key state) --------------------------
+
+TOPK_K = 5
+
+TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("rank", T.LongType()),
+    ]
+)
+
+# state: parallel arrays of the current top-k (value quantized to 1e-6
+# longs — the determinism convention — so merge order never shifts ties)
+_TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vq", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_topk(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge the batch's rows into the kept top-k and emit the full
+    current top-k for the key.  State is O(k) per key regardless of
+    stream length — the property that makes per-key leaderboards safe
+    on an unbounded stream (a windowed agg would grow with
+    cardinality, a sort would need the whole history)."""
+    import numpy as np
+
+    if state.exists:
+        vq, ids = list(state.get[0]), list(state.get[1])
+    else:
+        vq, ids = [], []
+    for pdf in pdfs:
+        y = pdf["value"].to_numpy() * 1_000_000
+        q = np.trunc(y + np.copysign(0.5, y)).astype("int64")
+        vq.extend(int(x) for x in q)
+        ids.extend(int(x) for x in pdf["event_id"].to_numpy())
+    order = sorted(range(len(vq)), key=lambda i: (-vq[i], ids[i]))[:TOPK_K]
+    vq = [vq[i] for i in order]
+    ids = [ids[i] for i in order]
+    state.update((vq, ids))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(ids),
+            "event_id": ids,
+            "value": [x / 1_000_000.0 for x in vq],
+            "rank": list(range(1, len(ids) + 1)),
+        }
+    )
+
+
+def stream_topk(stream: DataFrame) -> DataFrame:
+    """Streaming per-key top-k leaderboard via applyInPandasWithState —
+    the custom stateful operator Structured Streaming lacks natively
+    (rank() over a stream is unsupported; a complete-mode agg re-sorts
+    everything).  Emits the updated top-k per touched key each
+    micro-batch; the final emission per key equals the batch
+    w8/t12-style window top-k (parity test in tests/test_streaming.py)."""
+    return (
+        stream.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_topk,
+            outputStructType=TOPK_OUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

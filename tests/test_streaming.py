@@ -424,3 +424,32 @@ def test_outer_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # the outer join must actually produce null-extended purchases
     assert any(v is None for (_, v) in want)
+
+
+def test_stream_topk_matches_batch(spark, sf_dir, staged, tmp_path):
+    """applyInPandasWithState top-k leaderboard over 5 micro-batches
+    must converge to the batch window top-k (t12). Update mode emits
+    the key's full current leaderboard each touched batch; each rank's
+    (value desc, event_id asc) tuple only IMPROVES as state absorbs
+    rows, so the final leaderboard is the per-(key, rank) best tuple
+    across emissions."""
+    from mkpipe_extractor_clickhouse_spark.registry import _REGISTRY, _load_modules
+    from mkpipe_extractor_clickhouse_spark.streaming.stateful import stream_topk
+
+    stream = runtime.read_event_stream(spark, staged)
+    topk = stream_topk(stream)
+    runtime.run_available_now(topk, "topk_out", "update", str(tmp_path / "ckpt"))
+
+    best: dict[tuple, tuple] = {}
+    for r in spark.table("topk_out").collect():
+        k = (r.event_type, r.rank)
+        t = (-r.value, r.event_id)
+        if k not in best or t < best[k]:
+            best[k] = t
+
+    _load_modules()
+    want = {
+        (r.event_type, r.rank): (-r.value, r.event_id)
+        for r in _REGISTRY["t12_stream_topk"].builder(spark, sf_dir).collect()
+    }
+    assert best == want
