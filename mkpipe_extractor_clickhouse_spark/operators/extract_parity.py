@@ -1469,6 +1469,90 @@ def x33_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x34_pipeline_manifest_capstone",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+           CAST(strftime(ts, '%Y%m%d') AS INT) AS ymd
+    FROM events
+    """,
+    tags=("S3", "S8", "T7", "EXT", "pipeline"),
+)
+def x34_pipeline_manifest_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE reference-user migration in one hash-checked row: a
+    YAML-shaped config (reference README.md:17-42) whose destination is
+    the manifest lakehouse (``variant: manifest`` — new in round 4),
+    whose table runs INCREMENTAL replication with a ClickHouse-dialect
+    custom query carrying ``{query_filter}``, ticked TWICE against a
+    source that grows between ticks (half the events, then all).
+    Exercises, in one path: dialect translation → watermark predicate
+    splice → extract → manifest stage → ATOMIC data+watermark commit →
+    boundary-row idempotent dedup on tick 2 → snapshot read-back.  The
+    oracle is the ANSI equivalent over the full source, so the
+    hash-match proves the two-tick incremental pipeline converges to
+    exactly the one-shot batch result."""
+    workdir = tempfile.mkdtemp(prefix="x34_capstone_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    src_dir = os.path.join(workdir, "src")
+    dst_dir = os.path.join(workdir, "dest")
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+
+    from ..pipeline import run_pipelines
+
+    config = {
+        "connections": {
+            "src": {"variant": "parquet", "path": src_dir},
+            "lake": {"variant": "manifest", "path": dst_dir},
+        },
+        "pipelines": [
+            {
+                "name": "capstone",
+                "source": "src",
+                "destination": "lake",
+                "tables": [
+                    {
+                        "name": "events",
+                        "replication_method": "incremental",
+                        "iterate_column": "event_id",
+                        "iterate_column_type": "int",
+                        "dedup_keys": ["event_id"],
+                        "custom_query": (
+                            "SELECT event_id, user_id, "
+                            "toStartOfDay(ts) AS day, "
+                            "if(event_type = 'purchase', 1, 0) AS is_purchase, "
+                            "toYYYYMMDD(ts) AS ymd "
+                            "FROM events {query_filter}"
+                        ),
+                        "custom_query_dialect": "clickhouse",
+                    }
+                ],
+            }
+        ],
+    }
+    # tick 1: only the first half of the stream has arrived
+    ev.filter(F.col("event_id") <= F.lit(half)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src_dir, "events.parquet"))
+    run_pipelines(config, spark)
+    # tick 2: the full table has arrived; the watermark splice re-reads
+    # only >= the boundary and the manifest dedup absorbs the overlap
+    ev.write.mode("overwrite").parquet(
+        os.path.join(src_dir, "events.parquet")
+    )
+    run_pipelines(config, spark)
+
+    from ..sources.extract import TableConfig
+    from ..sources.manifest import ManifestLoader
+
+    mt = ManifestLoader(dst_dir).table(TableConfig(name="events"))
+    return mt.read(spark).select(
+        "event_id", "user_id", "day", "is_purchase", "ymd"
+    )
+
+
+@register(
     "x29_dialect_incremental",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -45,6 +45,7 @@ _TABLE_FIELDS = {
     "filter_upper_bound",
     "custom_query",
     "custom_query_file",
+    "custom_query_dialect",
     "write_partitions",
     "pass_on_error",
 }
@@ -82,10 +83,25 @@ class Pipeline:
     state_path: str | None = None
     sql_dir: str | None = None
     loader: object | None = None  # override: any ParquetLoader-contract loader
+    manifest_dest: bool = False  # destination variant: manifest-committed
 
-    def runner(self) -> IncrementalRunner:
-        state = self.state_path or f"{self.dest_dir}/_state.json"
+    def runner(self):
         os.makedirs(self.dest_dir, exist_ok=True)
+        if self.manifest_dest:
+            # lakehouse destination: snapshots + the watermark INSIDE
+            # the same atomic commit — no sidecar state file at all
+            from .sources.manifest import (
+                ManifestIncrementalRunner,
+                ManifestLoader,
+            )
+
+            return ManifestIncrementalRunner(
+                extractor=ParquetExtractor(
+                    self.source_dir, sql_dir=self.sql_dir
+                ),
+                loader=ManifestLoader(self.dest_dir),
+            )
+        state = self.state_path or f"{self.dest_dir}/_state.json"
         return IncrementalRunner(
             extractor=ParquetExtractor(self.source_dir, sql_dir=self.sql_dir),
             loader=self.loader or ParquetLoader(self.dest_dir),
@@ -159,6 +175,8 @@ def run_pipelines(
             variant = c.get("variant", "parquet")
             if variant == "clickhouse_http" and side == "destination":
                 continue
+            if variant == "manifest" and side == "destination":
+                continue
             if variant != "parquet":
                 # Remote variants go through sources/jdbc.py readers and
                 # need connector JARs on the classpath — not available
@@ -170,15 +188,17 @@ def run_pipelines(
                     "sources.jdbc.JdbcSource / ClickHouseNativeSource "
                     "(CLICKHOUSE_JAR_PACKAGES lists the required jars)"
                 )
-        if "path" not in dst and custom_loader is not None:
+        if "path" not in dst and (
+            custom_loader is not None or dst.get("variant") == "manifest"
+        ):
             # An http destination still needs a LOCAL state directory
             # for watermarks.  Never default into the source data dir
             # (two pipelines sharing a source would clobber one state
             # file, and makedirs would pollute the source tree):
             # require an explicit path, namespaced per pipeline.
             raise ValueError(
-                f"pipeline {p['name']!r}: clickhouse_http destination "
-                "needs an explicit 'path' (watermark/state directory); "
+                f"pipeline {p['name']!r}: {dst.get('variant')} destination "
+                "needs an explicit 'path'; "
                 "refusing to default into the source data directory"
             )
         pipe = Pipeline(
@@ -187,6 +207,7 @@ def run_pipelines(
             tables=p.get("tables", []),
             sql_dir=p.get("sql_dir"),
             loader=custom_loader,
+            manifest_dest=dst.get("variant") == "manifest",
         )
         out[p["name"]] = pipe.run(spark, tags=tags)
     return out

@@ -130,6 +130,7 @@ _DRIVER_PRIORITY = (
     "x33_zorder_pruned_read",
     "l91_phrase_search",
     "t12_stream_topk",
+    "x34_pipeline_manifest_capstone",
     # Second-continuation flagships: the session's new FEATURE surfaces
     # (rank statistics, graph, geo, anomaly detection, erasure,
     # attribution, leakage-guarded ML prep) earn driver rows first.

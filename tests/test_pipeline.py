@@ -131,3 +131,56 @@ def test_cli_main(sf_dir, tmp_path):
     lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
     assert lines[-1]["table"] == "region"
     assert lines[-1]["status"] == "extracted"
+
+
+def test_pipeline_manifest_destination(spark, sf_dir, tmp_path):
+    """variant: manifest destination runs ticks through the
+    ManifestIncrementalRunner — snapshots + watermark in ONE atomic
+    commit, no sidecar _state.json at all."""
+    import os
+
+    from mkpipe_extractor_clickhouse_spark.pipeline import run_pipelines
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestLoader,
+    )
+
+    dst = str(tmp_path / "lake")
+    config = {
+        "connections": {
+            "src": {"variant": "parquet", "path": sf_dir},
+            "lake": {"variant": "manifest", "path": dst},
+        },
+        "pipelines": [
+            {
+                "name": "to_lake",
+                "source": "src",
+                "destination": "lake",
+                "tables": [
+                    {
+                        "name": "events",
+                        "replication_method": "incremental",
+                        "iterate_column": "event_id",
+                        "iterate_column_type": "int",
+                        "dedup_keys": ["event_id"],
+                    }
+                ],
+            }
+        ],
+    }
+    out = run_pipelines(config, spark)
+    assert out["to_lake"][0].status == "extracted"
+    loader = ManifestLoader(dst)
+    t = TableConfig(name="events")
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert loader.table(t).read(spark).count() == n_src
+    # watermark inside the manifest, not a sidecar
+    assert loader.last_point(t) == str(n_src - 1)
+    assert not os.path.exists(os.path.join(dst, "_state.json"))
+    # idle second tick: boundary row re-extracted, nothing re-published
+    head = loader.table(t).head_version()
+    run_pipelines(config, spark)
+    assert loader.table(t).head_version() == head
+    assert loader.table(t).read(spark).count() == n_src
