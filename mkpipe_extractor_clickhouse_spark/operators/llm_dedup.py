@@ -303,6 +303,84 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "simhash")
 
 
+SIMHASH_MAX_HD = 3  # pair if Hamming distance <= 3 of 64 bits
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str):
+    """Shared 64-bit SimHash relation (the l2c construction)."""
+    tok = _doc_tokens(spark, sf_dir)
+    bits = tok.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, 63), b -> named_struct("
+        "  'bit', b,"
+        "  'v', CASE WHEN (shiftright(xxhash64(token), b) & 1) = 1 THEN 1 ELSE -1 END"
+        "))) AS bv",
+    ).select("doc_id", "bv.bit", "bv.v")
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")
+            ).alias("simhash")
+        )
+    )
+
+
+@register(
+    "l2e_simhash_pairs",
+    oracle=None,  # xxhash64-dependent fingerprints -> rows-only;
+    # exactness (== brute-force Hamming join) asserted in tests/test_llm.py
+    tags=("L2", "EXT"),
+)
+def l2e_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Hamming-neighbor join over the l2c SimHash fingerprints —
+    the pair-generation half the fingerprint alone leaves open.
+
+    Pigeonhole banding (Manku et al., WWW'07): split the 64-bit
+    fingerprint into HD+1 = 4 disjoint 16-bit blocks; any two prints
+    within Hamming distance 3 agree EXACTLY on at least one block, so
+    candidates come from 4 equi-joins on (block_idx, block_value) —
+    never an all-pairs scan — and a popcount verify keeps true
+    neighbors only.  Recall is 1.0 by construction (pigeonhole), so
+    unlike LSH there is no tuning/recall trade.  At 100 TB the
+    fingerprint table is 16 bytes/doc, the block join shuffles
+    4 rows/doc of 12 bytes, and collisions localize to equal-block
+    buckets — the same posture as l2b with a deterministic guarantee."""
+    fp = _simhash_fingerprints(spark, sf_dir)
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), k -> named_struct("
+                "  'k', k,"
+                "  'blk', shiftright(simhash, k * 16) & 65535))"
+            )
+        ).alias("kb"),
+    ).select("doc_id", "simhash", "kb.k", "kb.blk")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["k", "blk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hd = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", hd.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HD)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "l2d_embedding_neardup",
     oracle="""

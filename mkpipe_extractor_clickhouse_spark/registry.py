@@ -131,6 +131,7 @@ _DRIVER_PRIORITY = (
     "l91_phrase_search",
     "t12_stream_topk",
     "x34_pipeline_manifest_capstone",
+    "l2e_simhash_pairs",
     # Second-continuation flagships: the session's new FEATURE surfaces
     # (rank statistics, graph, geo, anomaly detection, erasure,
     # attribution, leakage-guarded ML prep) earn driver rows first.

@@ -470,3 +470,40 @@ def test_kmeans_cell_purity_surfaced(spark, sf_dir):
     rows = _run("l20_kmeans_ivf", spark, sf_dir).collect()
     assert rows and all(0 < r.purity_ppm <= 1_000_000 for r in rows)
     assert sum(r.cell_size for r in rows) == _vectors(spark, sf_dir).count()
+
+
+def test_simhash_pairs_equal_bruteforce_hamming_join(spark, sf_dir):
+    """l2e's pigeonhole block banding must equal the brute-force
+    Hamming-distance join EXACTLY (recall 1.0 by construction — any two
+    64-bit prints within HD<=3 agree on one of the 4 disjoint 16-bit
+    blocks)."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import (
+        SIMHASH_MAX_HD,
+        _simhash_fingerprints,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in _run("l2e_simhash_pairs", spark, sf_dir).collect()
+    }
+    fp = _simhash_fingerprints(spark, sf_dir)
+    brute = (
+        fp.alias("a")
+        .crossJoin(fp.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    assert got == want
+    assert got  # non-degenerate fixture: some near pairs exist
