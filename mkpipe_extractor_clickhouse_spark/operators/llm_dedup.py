@@ -833,18 +833,27 @@ def x7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ranked.filter(
             F.col("rank")
             <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
-        ).select("doc_id", "token")
+        ).select("doc_id", "token", "rank", "n")
 
+    # Same length + positional pruning as ppjoin_pairs (round 4): both
+    # admit supersets, verification stays exact.
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.rank"), F.col("b.rank")
+    min_overlap = F.ceil(F.lit(JACCARD_T) / (1.0 + JACCARD_T) * (na + nb))
+    ubound = F.least(pa, pb) + F.least(na - pa, nb - pb)
     cand = (
         prefixes(new_tok)
-        .select(F.col("doc_id").alias("new_doc"), "token")
-        .join(
-            prefixes(hist_tok).select(
-                F.col("doc_id").alias("dup_of"), "token"
-            ),
-            "token",
+        .alias("a")
+        .join(prefixes(hist_tok).alias("b"), "token")
+        .filter(
+            (na >= F.ceil(F.lit(JACCARD_T) * nb))
+            & (nb >= F.ceil(F.lit(JACCARD_T) * na))
+            & (ubound >= min_overlap)
         )
-        .select("new_doc", "dup_of")
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("dup_of"),
+        )
         .distinct()
     )
     token_sets = tok.groupBy("doc_id").agg(
