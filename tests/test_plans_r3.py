@@ -310,3 +310,29 @@ def test_plan_warnings_advisor(spark, sf_dir):
         "r_name"
     ).count()
     assert plan_warnings(clean) == []
+
+
+def test_phrase_search_index_join_shape(spark, sf_dir):
+    """l91: the adjacency check must be an equi-join on (doc_id, pos)
+    keys — never a cartesian/BNLJ — and the per-term posting filters
+    must reach below the join (each side scans one term's postings)."""
+    plan = plan_of("l91_phrase_search", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_block_equijoin(spark, sf_dir):
+    """l2e: pigeonhole candidates come from an equi-join on
+    (block_idx, block_value); the popcount verify must not force a
+    cartesian fallback."""
+    plan = plan_of("l2e_simhash_pairs", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_topk_batch_single_window_exchange(spark, sf_dir):
+    """t12 batch form: exactly one hash exchange (the event_type
+    window) — the final presentation sort ranges over <= 5*|types|
+    rows, not the fact table."""
+    plan = plan_of("t12_stream_topk", spark, sf_dir)
+    assert plan.count("hashpartitioning(event_type") == 1
