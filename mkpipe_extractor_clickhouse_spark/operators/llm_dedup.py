@@ -152,35 +152,104 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
         )
         .distinct()
     )
-    token_sets = tok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("token")).alias("toks"),
-        F.count("*").alias("n"),
-    )
-    verified = (
-        cand.join(
-            token_sets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("toks").alias("toks_a"),
-                F.col("n").alias("na"),
-            ),
-            "doc_a",
+    return _verify_pairs(cand, tok, threshold, "doc_a", "doc_b")
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    tok: DataFrame,
+    threshold: float,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Dictionary-width-adaptive EXACT Jaccard verification of a
+    candidate pair relation (columns a_col, b_col) against the distinct
+    (doc_id, token) relation.  The candidate machinery upstream is
+    unchanged either way; only the per-pair overlap differs:
+
+      * dictionary fits 64 bits → docs become BITSET longs, overlap is
+        one popcount(ma & mb), and the verify joins shuffle 16 bytes a
+        side instead of a string array (measured on the fixture's
+        31-token corpus: l2 38 s → 5 s at sf0.1).  Small dictionaries
+        are real — categorical feature sets, tags, enum attributes —
+        not just a fixture artifact.
+      * otherwise → sorted-array intersect (the shingle relations
+        l23/l71 live here; their dictionaries grow with the corpus).
+
+    The driver-side vocab probe is one COUNT over the dictionary the
+    plan already builds.  Returns (a_col, b_col, jaccard)."""
+    vocab = tok.select("token").distinct().count()
+    if vocab <= 64:
+        dict_df = tok.select("token").distinct()
+        w_dict = Window.orderBy("token")  # <= 64 rows — single task is fine
+        bit_dict = dict_df.select(
+            "token", (F.row_number().over(w_dict) - 1).alias("bit")
         )
-        .join(
-            token_sets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("toks").alias("toks_b"),
-                F.col("n").alias("nb"),
-            ),
-            "doc_b",
+        masks = (
+            tok.join(F.broadcast(bit_dict), "token")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias(
+                    "mask"
+                ),
+                F.count("*").alias("n"),
+            )
         )
-        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn(
+        verified = (
+            cand.join(
+                masks.select(
+                    F.col("doc_id").alias(a_col),
+                    F.col("mask").alias("ma"),
+                    F.col("n").alias("na"),
+                ),
+                a_col,
+            )
+            .join(
+                masks.select(
+                    F.col("doc_id").alias(b_col),
+                    F.col("mask").alias("mb"),
+                    F.col("n").alias("nb"),
+                ),
+                b_col,
+            )
+            .withColumn("overlap", F.expr("bit_count(ma & mb)"))
+        )
+    else:
+        token_sets = tok.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("token")).alias("toks"),
+            F.count("*").alias("n"),
+        )
+        verified = (
+            cand.join(
+                token_sets.select(
+                    F.col("doc_id").alias(a_col),
+                    F.col("toks").alias("toks_a"),
+                    F.col("n").alias("na"),
+                ),
+                a_col,
+            )
+            .join(
+                token_sets.select(
+                    F.col("doc_id").alias(b_col),
+                    F.col("toks").alias("toks_b"),
+                    F.col("n").alias("nb"),
+                ),
+                b_col,
+            )
+            .withColumn(
+                "overlap", F.size(F.array_intersect("toks_a", "toks_b"))
+            )
+        )
+    return (
+        verified.withColumn(
             "jaccard",
-            F.col("overlap") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("overlap")),
+            F.col("overlap")
+            * F.lit(1.0)
+            / (F.col("na") + F.col("nb") - F.col("overlap")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
 
 
 # ---- MinHash + LSH ----------------------------------------------------
@@ -856,36 +925,7 @@ def x7_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    token_sets = tok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("token")).alias("toks"),
-        F.count("*").alias("n"),
-    )
-    verified = (
-        cand.join(
-            token_sets.select(
-                F.col("doc_id").alias("new_doc"),
-                F.col("toks").alias("toks_a"),
-                F.col("n").alias("na"),
-            ),
-            "new_doc",
-        )
-        .join(
-            token_sets.select(
-                F.col("doc_id").alias("dup_of"),
-                F.col("toks").alias("toks_b"),
-                F.col("n").alias("nb"),
-            ),
-            "dup_of",
-        )
-        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn(
-            "jaccard",
-            F.col("overlap")
-            * F.lit(1.0)
-            / (F.col("na") + F.col("nb") - F.col("overlap")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
+    verified = _verify_pairs(cand, tok, JACCARD_T, "new_doc", "dup_of")
     return verified.select(
         "new_doc", "dup_of", F.round("jaccard", 6).alias("jaccard")
     )
