@@ -203,3 +203,79 @@ def dq5_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("events_last_day"),
         F.count("*").alias("events_total"),
     )
+
+
+@register(
+    "dq10_referential_integrity",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem->orders' AS fk, COUNT(*) AS child_rows,
+             COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS orphans,
+             COALESCE(MIN(CASE WHEN o.o_orderkey IS NULL
+                               THEN l.l_orderkey END), -1) AS first_orphan_key
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*),
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL),
+             COALESCE(MIN(CASE WHEN c.c_custkey IS NULL
+                               THEN o.o_custkey END), -1)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer->nation', COUNT(*),
+             COUNT(*) FILTER (WHERE n.n_nationkey IS NULL),
+             COALESCE(MIN(CASE WHEN n.n_nationkey IS NULL
+                               THEN c.c_nationkey END), -1)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      UNION ALL
+      SELECT 'supplier->nation', COUNT(*),
+             COUNT(*) FILTER (WHERE n.n_nationkey IS NULL),
+             COALESCE(MIN(CASE WHEN n.n_nationkey IS NULL
+                               THEN s.s_nationkey END), -1)
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) ORDER BY fk
+    """,
+    tags=("J3", "J6", "EXT", "dq"),
+)
+def dq10_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the catalog's relationships —
+    the ingest gate that catches partial loads (children arrived before
+    parents) and broken CDC feeds, run before dq9's volume
+    reconciliation trusts the counts.  Per relationship: child rows,
+    orphan count, and the smallest orphaned key (-1 when clean) as the
+    repair pointer.
+
+    Scale shape: each relationship is ONE left join keyed on the FK —
+    parent sides here are dimensions and broadcast; a fact→fact FK
+    (lineitem→orders) shuffles on the key exactly like the q3/q10
+    joins and AQE skew-splits a hot parent.  No distinct, no
+    count-distinct — orphan detection rides the join's null extension,
+    partial-aggregated map-side."""
+    def check(child, ckey: str, parent, pkey: str, fk: str, broadcast: bool):
+        p = parent.select(F.col(pkey).alias("__pk")).distinct()
+        if broadcast:
+            p = F.broadcast(p)
+        j = child.select(F.col(ckey).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count("*").alias("child_rows"),
+            F.count_if(F.col("__pk").isNull()).alias("orphans"),
+            F.coalesce(
+                F.min(F.when(F.col("__pk").isNull(), F.col("__ck"))),
+                F.lit(-1),
+            ).alias("first_orphan_key"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        check(li, "l_orderkey", o, "o_orderkey", "lineitem->orders", False)
+        .unionAll(check(o, "o_custkey", c, "c_custkey", "orders->customer", True))
+        .unionAll(check(c, "c_nationkey", n, "n_nationkey", "customer->nation", True))
+        .unionAll(check(s, "s_nationkey", n, "n_nationkey", "supplier->nation", True))
+        .orderBy("fk")
+    )

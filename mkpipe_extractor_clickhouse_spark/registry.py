@@ -132,6 +132,7 @@ _DRIVER_PRIORITY = (
     "t12_stream_topk",
     "x34_pipeline_manifest_capstone",
     "l2e_simhash_pairs",
+    "dq10_referential_integrity",
     # Second-continuation flagships: the session's new FEATURE surfaces
     # (rank statistics, graph, geo, anomaly detection, erasure,
     # attribution, leakage-guarded ML prep) earn driver rows first.
