@@ -82,6 +82,12 @@ Supported rewrites
   same tokenizer as ``tokens``), ``multiSearchAny`` (+
   ``CaseInsensitive``; bracket needle literals become ``array()``),
   ``splitByWhitespace``.
+* round-4b gap fills: ``splitByRegexp`` (arg swap), ``bitTest``,
+  ``toTypeName``→``typeof``, ``mapFromArrays``, ``arrayShuffle``,
+  ``generateUUIDv4``→``uuid``, ``lastDayOfMonth``→``last_day``,
+  ``monthName``, ``toDaysSinceYearZero`` (unix_date + 719528),
+  ``arrayReverseSort`` (plain form); guided errors for
+  ``toFixedString``/``byteSize``/``normalizeUTF8NFC``/``randomString``.
 * misc scalars (round 4): ``bitCount``, ``toYYYYMMDD``,
   ``cutQueryString``, ``toStartOfFifteenMinutes``/``TenMinutes``/
   ``timeSlot`` (epoch-floored buckets), ``dateName`` (month/weekday),
@@ -655,6 +661,54 @@ def _translate_functions(sql: str) -> str:
         )
 
     out = _rewrite_calls(out, "greatCircleDistance", _great_circle)
+
+    # ---- round-4b gap fills ------------------------------------------
+    # splitByRegexp(pattern, s) → split(s, pattern)  (argument swap)
+    out = _rewrite_calls(
+        out, "splitByRegexp", lambda a: f"split({a[1]}, {a[0]})"
+    )
+    out = _rewrite_calls(
+        out, "bitTest", lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)"
+    )
+    out = _rewrite_calls(out, "toTypeName", lambda a: f"typeof({a[0]})")
+    out = _rewrite_calls(
+        out, "mapFromArrays", lambda a: f"map_from_arrays({a[0]}, {a[1]})"
+    )
+    out = _rewrite_calls(out, "arrayShuffle", lambda a: f"shuffle({a[0]})")
+    out = _rewrite_calls(out, "generateUUIDv4", lambda a: "uuid()")
+    out = _rewrite_calls(out, "lastDayOfMonth", lambda a: f"last_day({a[0]})")
+    out = _rewrite_calls(
+        out, "monthName", lambda a: f"date_format({a[0]}, 'MMMM')"
+    )
+    # ClickHouse's day count since year zero: proleptic-Gregorian days
+    # from 0000-01-01 (1970-01-01 → 719528); unix_date is days since
+    # the epoch, so the constant carries the rest.  (datediff-free on
+    # purpose: the dateDiff rewriter would try to parse a 2-arg form.)
+    out = _rewrite_calls(
+        out,
+        "toDaysSinceYearZero",
+        lambda a: f"(unix_date(CAST({a[0]} AS DATE)) + 719528)",
+    )
+
+    def _array_reverse_sort(a: list[str]) -> str:
+        if len(a) > 1 or "->" in a[0]:
+            raise ChDialectError(
+                "arrayReverseSort with a key lambda has no direct Spark "
+                "equivalent; sort a struct projection instead"
+            )
+        return f"reverse(array_sort({a[0]}))"
+
+    out = _rewrite_calls(out, "arrayReverseSort", _array_reverse_sort)
+
+    for fn, why in (
+        ("toFixedString", "pads with NUL bytes; use rpad() explicitly"),
+        ("byteSize", "reports in-memory size, not octet_length"),
+        ("normalizeUTF8NFC", "no NFC normalizer in Spark SQL built-ins"),
+        ("randomString", "nondeterministic; use uuid()/rand() explicitly"),
+    ):
+        def _no_fn(a, name=fn, why=why):
+            raise ChDialectError(f"{name} has no portable equivalent ({why})")
+        out = _rewrite_calls(out, fn, _no_fn)
 
     # date arithmetic: addDays(x, n) → timestampadd(DAY, n, x), etc.
     for ch, unit in (

@@ -1094,3 +1094,39 @@ def test_round4_great_circle(spark):
     )
     [row] = spark.sql(sql).collect()
     assert abs(row.d - 343_500) < 2_000  # London–Paris ≈ 343.5 km
+
+
+def test_round4b_gap_fills(spark):
+    _same(
+        spark,
+        """SELECT splitByRegexp('[0-9]+', 'a1b22c') AS sp,
+                  bitTest(5, 0) AS b0, bitTest(5, 1) AS b1,
+                  mapFromArrays(array('k'), array(7))['k'] AS mv,
+                  lastDayOfMonth(toDateTime('2024-02-10 00:00:00')) AS ld,
+                  monthName(toDateTime('2024-02-10 00:00:00')) AS mn,
+                  toDaysSinceYearZero(toDateTime('1970-01-01 00:00:00')) AS dz,
+                  arrayReverseSort(array(2, 1, 3)) AS ars
+           FROM events WHERE event_id = 1""",
+        """SELECT array('a','b','c') AS sp, 1 AS b0, 0 AS b1, 7 AS mv,
+                  DATE'2024-02-29' AS ld, 'February' AS mn,
+                  719528 AS dz, array(3, 2, 1) AS ars
+           FROM events WHERE event_id = 1""",
+    )
+
+
+def test_round4b_guided_errors(spark):
+    import pytest as _pytest
+
+    from mkpipe_extractor_clickhouse_spark.sources.ch_dialect import (
+        ChDialectError,
+        translate,
+    )
+
+    for bad in (
+        "SELECT toFixedString('ab', 4)",
+        "SELECT byteSize('ab')",
+        "SELECT normalizeUTF8NFC('abc')",
+        "SELECT randomString(3)",
+    ):
+        with _pytest.raises(ChDialectError):
+            translate(bad)
