@@ -122,12 +122,16 @@ def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         means = np.divide(
             sums, lengths, out=np.zeros(len(blobs)), where=lengths > 0
         )
+        # half-away-from-zero at 1e-6 (the project _Q discipline; means
+        # are non-negative) — np.round's banker's rule would diverge
+        # from any SQL oracle on decimal ties
+        means = np.trunc(means * 1e6 + 0.5) / 1e6
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
                 "format": [m["format"] for m in pdf["meta"]],
-                "mean_byte": np.round(means, 6),
+                "mean_byte": means,
             }
         )
         for i in range(N_HIST_BINS):
@@ -137,13 +141,48 @@ def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "m1_multimodal_features",
-    oracle=None,  # featurizer is a python kernel → rows-only; the
-    # histogram math is cross-checked in tests/test_llm.py
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) AS code FROM pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_bytes,
+             CAST(TRUNC(CAST(SUM(code) AS DOUBLE) / COUNT(*) * 1000000
+                        + 0.5) / 1000000.0 AS DOUBLE) AS mean_byte,
+             {", ".join(
+                 f"COUNT(*) FILTER (WHERE code // 32 = {b}) AS hist_{b}"
+                 for b in range(8)
+             )}
+      FROM codes GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           'fake/v1' AS format, mean_byte,
+           {", ".join(
+               f"CAST(hist_{b} AS BIGINT) AS hist_{b}" for b in range(8)
+           )}
+    FROM agg
+    """,
     tags=("EXT", "D3", "multimodal"),
 )
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode/featurize pipeline: blobs → mapInPandas →
-    fixed-width features."""
+    fixed-width features.
+
+    ORACLE-CHECKED as of round 4 (was rows-only): the fake featurizer
+    is deterministic byte math over the UTF-8 payload, so DuckDB can
+    re-derive it per character — byte histogram (code DIV 32 bins) and
+    1e-6-quantized mean byte (the _Q half-away rule; np.round's
+    banker's ties would diverge).  The hash-match pins the WHOLE
+    Arrow-batched mapInPandas path: batching, segment bincount, schema.
+    Swapping fake_features for a real codec returns this row to
+    rows-only (decode output has no SQL equivalent) — the plumbing
+    proof stays either way."""
     return synthesize_blobs(spark, sf_dir).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
