@@ -212,7 +212,19 @@ def m2_multimodal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m3_frame_sample",
-    oracle=None,  # rows-only: sampling plumbing (deterministic stride)
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, length(text) // 64 AS n_frames FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(0, GREATEST(n_frames - 1, 0) + 1, 8)) AS frame_idx,
+           unnest(range(0, GREATEST(n_frames - 1, 0) + 1, 8)) * 64
+             AS byte_offset
+    FROM b
+    """,
+    # oracle-checked as of round 4 (was rows-only): the stride
+    # selection is deterministic arithmetic over n_bytes, so DuckDB
+    # re-derives every (frame_idx, byte_offset) row exactly
     tags=("EXT", "multimodal"),
 )
 def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
