@@ -745,9 +745,94 @@ LTTB_BUCKETS = 20
 
 @register(
     "ch_lttb_downsample",
-    oracle=None,  # sequential point selection is not SQL-expressible;
-    # determinism pinned by the rows-only rerun plus the endpoint/
-    # bucket-count invariants in tests/test_ch_analytics.py
+    # ORACLE-CHECKED as of round 4 (was rows-only "not SQL-expressible"):
+    # the sequential selection IS expressible as a DuckDB RECURSIVE CTE —
+    # one step per bucket, the argmax-area pick via a correlated
+    # ORDER-BY/LIMIT-1 subquery, centroids from exact integer sums (the
+    # kernel was aligned to the same arithmetic).  The hash-match pins
+    # the full sequential algorithm, not just its invariants.
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS x,
+             {{q}} AS y,
+             event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY date_diff('microsecond',
+                                  TIMESTAMP '1970-01-01 00:00:00', ts),
+                        event_id
+             ) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    series AS (SELECT DISTINCT event_type, n FROM pts),
+    -- np.linspace(1, n-1, k-1) truncated to int64; endpoint forced
+    edge AS (
+      SELECT s.event_type, i,
+             CAST(TRUNC(CASE WHEN i = {{k}} - 2 THEN CAST(n - 1 AS DOUBLE)
+                  ELSE CAST(i AS DOUBLE)
+                       * ((CAST(n AS DOUBLE) - 2.0) / ({{k}} - 2.0)) + 1.0
+                  END) AS BIGINT) AS e
+      FROM series s, (SELECT unnest(range(0, {{k}} - 1)) AS i)
+      WHERE s.n > {{k}}
+    ),
+    bucket AS (
+      SELECT b.event_type, b.b, lo.e AS lo, hi.e AS hi,
+             hi.e AS nlo,
+             COALESCE(n2.e, s.n) AS nhi
+      FROM (SELECT event_type, unnest(range(0, {{k}} - 2)) AS b
+            FROM series WHERE n > {{k}}) b
+      JOIN series s ON s.event_type = b.event_type
+      JOIN edge lo ON lo.event_type = b.event_type AND lo.i = b.b
+      JOIN edge hi ON hi.event_type = b.event_type AND hi.i = b.b + 1
+      LEFT JOIN edge n2 ON n2.event_type = b.event_type AND n2.i = b.b + 2
+    ),
+    cent AS (
+      SELECT bk.event_type, bk.b, bk.lo, bk.hi,
+             CAST(SUM(p.x) AS DOUBLE) / (bk.nhi - bk.nlo) AS cx,
+             CAST(SUM(p.y) AS DOUBLE) / (bk.nhi - bk.nlo) AS cy
+      FROM bucket bk
+      JOIN pts p ON p.event_type = bk.event_type
+                AND p.idx >= bk.nlo AND p.idx < bk.nhi
+      GROUP BY bk.event_type, bk.b, bk.lo, bk.hi, bk.nhi, bk.nlo
+    ),
+    sel AS (
+      SELECT event_type, -1 AS b, CAST(0 AS BIGINT) AS cur
+      FROM series WHERE n > {{k}}
+      UNION ALL
+      SELECT s.event_type, s.b + 1,
+             COALESCE((
+               SELECT p.idx
+               FROM cent c
+               JOIN pts p ON p.event_type = c.event_type
+                         AND p.idx >= c.lo AND p.idx < c.hi
+               JOIN pts prev ON prev.event_type = c.event_type
+                            AND prev.idx = s.cur
+               WHERE c.event_type = s.event_type AND c.b = s.b + 1
+               ORDER BY ABS(
+                 (CAST(prev.x AS DOUBLE) - c.cx)
+                   * (CAST(p.y AS DOUBLE) - CAST(prev.y AS DOUBLE))
+                 - (CAST(prev.x AS DOUBLE) - CAST(p.x AS DOUBLE))
+                   * (c.cy - CAST(prev.y AS DOUBLE))
+               ) DESC, p.idx
+               LIMIT 1
+             ), s.cur) AS cur
+      FROM sel s WHERE s.b + 1 <= {{k}} - 3
+    ),
+    keep AS (
+      SELECT event_type, cur AS idx FROM sel
+      UNION
+      SELECT event_type, n - 1 FROM series WHERE n > {{k}}
+      UNION
+      SELECT event_type, idx FROM pts WHERE n <= {{k}}
+    )
+    SELECT p.event_type, p.x,
+           CAST(p.y / 1000000.0 AS DOUBLE) AS value, p.event_id
+    FROM keep kp JOIN pts p
+      ON p.event_type = kp.event_type AND p.idx = kp.idx
+    """.format(q=_Q.format(x="value"), k=20),
     tags=("A11", "EXT", "timeseries"),
 )
 def ch_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,7 +853,12 @@ def ch_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        # NTZ-pure epoch micros (session-timezone-independent, unlike
+        # unix_micros(cast)); elapsed == boundary count at µs grain
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("x"),
         _quantize("value").alias("y"),
         "event_id",
     )
@@ -780,11 +870,13 @@ def ch_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n <= k:
             keep = pdf
         else:
-            xs = pdf["x"].to_numpy(dtype="float64")
-            ys = pdf["y"].to_numpy(dtype="float64")
-            # bucket boundaries over the interior points [1, n-1)
             import numpy as np
 
+            xi = pdf["x"].to_numpy(dtype="int64")
+            yi = pdf["y"].to_numpy(dtype="int64")
+            xs = xi.astype("float64")
+            ys = yi.astype("float64")
+            # bucket boundaries over the interior points [1, n-1)
             edges = np.linspace(1, n - 1, k - 1).astype("int64")
             chosen = [0]
             for b in range(k - 2):
@@ -794,8 +886,14 @@ def ch_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nlo, nhi = edges[b + 1], (
                     edges[b + 2] if b + 2 < len(edges) else n
                 )
-                cx = xs[nlo:nhi].mean() if nhi > nlo else xs[-1]
-                cy = ys[nlo:nhi].mean() if nhi > nlo else ys[-1]
+                # centroids from EXACT integer sums, one float division
+                # — engine-replicable (the SQL oracle mirrors SUM/cnt);
+                # np.mean's pairwise float summation is not
+                if nhi > nlo:
+                    cx = int(xi[nlo:nhi].sum()) / (nhi - nlo)
+                    cy = int(yi[nlo:nhi].sum()) / (nhi - nlo)
+                else:
+                    cx, cy = xs[-1], ys[-1]
                 ax, ay = xs[chosen[-1]], ys[chosen[-1]]
                 area = np.abs(
                     (ax - cx) * (ys[lo:hi] - ay) - (ax - xs[lo:hi]) * (cy - ay)

@@ -272,8 +272,56 @@ def l9b_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l14_ivf_topk",
-    oracle=None,  # approximate (probes 5 of 10 buckets) → rows-only;
-    # recall vs l3 asserted in tests/test_llm.py
+    # ORACLE-CHECKED as of round 4 (was rows-only): the label-centroid
+    # IVF is NOT iterative — centroids, probe selection, in-list scan,
+    # top-k, and the recall column are all plain relational algebra.
+    # Determinism hinges on three alignments with the oracle: quantized
+    # (1e-9) centroid means (decimal-cast means drift ~1e-14 between
+    # engines), probe ordering on the ROUNDED centroid similarity, and
+    # rounded output cosines with vec_id tiebreaks (the l3 discipline).
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (SELECT i, x AS qx FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    cent AS (
+      SELECT label, i, {DAVG9.format(x="x")} AS c
+      FROM v GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             ROUND(SUM(c.c * q.qx)
+                   / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(q.qx * q.qx))),
+                   6) AS c_sim
+      FROM cent c JOIN q USING (i) GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM csim ORDER BY c_sim DESC, label LIMIT 5),
+    scored AS (
+      SELECT v.vec_id, MAX(v.label) AS label,
+             ROUND(SUM(v.x * q.qx)
+                   / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))),
+                   6) AS cosine
+      FROM v JOIN q USING (i)
+      WHERE v.vec_id <> {QUERY_VEC_ID}
+      GROUP BY v.vec_id
+    ),
+    approx AS (
+      SELECT vec_id, cosine FROM scored
+      WHERE label IN (SELECT label FROM probe)
+      ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    exact AS (
+      SELECT vec_id FROM scored
+      ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    rec AS (
+      SELECT CAST(COUNT(*) * 1000000 / {TOP_K} AS BIGINT)
+               AS recall_ppm_at_k
+      FROM approx a JOIN exact e USING (vec_id)
+    )
+    SELECT a.vec_id, a.cosine, r.recall_ppm_at_k FROM approx a, rec r
+    """,
     tags=("L3", "L4", "EXT"),
 )
 def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,13 +336,10 @@ def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         vecs.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        # decimal-exact mean (project determinism convention): probe
-        # selection must not depend on partitioning/merge order
-        .agg(
-            (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
-            .cast("double")
-            .alias("c")
-        )
+        # engine-identical 1e-9-quantized mean (davg9): probe selection
+        # must not depend on partitioning/merge order OR on the engine
+        # (decimal-cast means drift ~1e-14 across engines)
+        .agg(davg9(F.col("x").cast("double")).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
@@ -307,7 +352,9 @@ def l14_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.join(F.broadcast(q))
         .select(
             "c_label",
-            (_dot("cv", "qv") / (_norm("cv") * _norm("qv"))).alias("c_sim"),
+            F.round(
+                _dot("cv", "qv") / (_norm("cv") * _norm("qv")), 6
+            ).alias("c_sim"),
         )
         .orderBy(F.col("c_sim").desc(), F.col("c_label"))
         .limit(nprobe)
