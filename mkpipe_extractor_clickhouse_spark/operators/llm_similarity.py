@@ -447,11 +447,11 @@ def kmeans_fit(
         cent = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(
-                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
-                .cast("double")
-                .alias("c")
-            )
+            # engine-identical 1e-9-quantized mean (davg9): the update
+            # step must produce the same doubles in any engine so the
+            # unrolled SQL oracle (l20) tracks the fit bit-for-bit
+            # (decimal-cast means drift ~1e-14 across engines)
+            .agg(davg9(F.col("x").cast("double")).alias("c"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select("cid", F.transform("pc", lambda s: s["c"]).alias("cv"))
@@ -460,10 +460,96 @@ def kmeans_fit(
     return cent
 
 
+def _l20_oracle(k: int = 10, iters: int = 5) -> str:
+    """Unrolled-Lloyd SQL oracle for l20: a FIXED iteration count means
+    k-means needs no recursion at all — each iteration is one
+    assignment (argmin distance, ties to the lower cid) plus one
+    quantized-mean update, so five iterations unroll into five CTE
+    layers.  Determinism rests on the same alignments as l14: davg9
+    centroid means, (d2, cid) tie order, and trunc-division purity."""
+    layers = []
+    for t in range(1, iters + 1):
+        layers.append(f"""
+    a{t} AS (
+      SELECT v.vec_id, c.cid,
+             SUM((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM v JOIN cent{t - 1} c USING (i)
+      GROUP BY v.vec_id, c.cid
+    ),
+    b{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM a{t}
+      ) WHERE rn = 1
+    ),
+    cent{t} AS (
+      SELECT b.cid, v.i, {DAVG9.format(x="v.x")} AS c
+      FROM b{t} b JOIN v USING (vec_id)
+      GROUP BY b.cid, v.i
+    )""")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    first AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT {k})
+    ),
+    cent0 AS (
+      SELECT f.cid, v.i, v.x AS c FROM first f JOIN v USING (vec_id)
+    ),{",".join(layers)},
+    fin AS (
+      SELECT v.vec_id, c.cid,
+             SUM((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM v JOIN cent{iters} c USING (i)
+      GROUP BY v.vec_id, c.cid
+    ),
+    best AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM fin
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT cid, COUNT(*) AS cell_size,
+             ROUND(CAST(SUM(CAST(d2 AS DECIMAL(28,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_d2
+      FROM best GROUP BY cid
+    ),
+    cl AS (
+      SELECT b.cid, e.label, COUNT(*) AS cl
+      FROM best b
+      JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e
+        USING (vec_id)
+      GROUP BY b.cid, e.label
+    ),
+    pur AS (
+      SELECT cid, label AS majority_label,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY cl DESC, label DESC) AS rn,
+             SUM(cl) OVER (PARTITION BY cid) AS tot,
+             MAX(cl) OVER (PARTITION BY cid) AS mx
+      FROM cl
+    )
+    SELECT c.cid, c.cell_size, c.mean_d2, p.majority_label,
+           CAST(TRUNC(CAST(p.mx AS DOUBLE) * 1000000 / p.tot) AS BIGINT)
+             AS purity_ppm
+    FROM cells c JOIN (SELECT * FROM pur WHERE rn = 1) p USING (cid)
+    """
+
+
 @register(
     "l20_kmeans_ivf",
-    oracle=None,  # iterative training → rows-only; invariants asserted
-    # in tests/test_llm.py (monotone inertia, assignment consistency)
+    # ORACLE-CHECKED as of round 4 (was rows-only "iterative"): Lloyd
+    # with a FIXED iteration budget unrolls into static SQL — see
+    # _l20_oracle.  The invariants in tests/test_llm.py still hold.
+    oracle=_l20_oracle(),
     tags=("L9", "L4", "EXT"),
 )
 def l20_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
