@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
-from ._determinism import DAVG9, DSUM, _Q, _quantize, davg9
+from ._determinism import DAVG9, DSUM, _Q, _Q9, _quantize, _quantize9, davg9
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -653,11 +653,9 @@ def pq_train_encode(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
         cent = (
             assigned.select("block", "cid", F.posexplode("sv").alias("pos", "x"))
             .groupBy("block", "cid", "pos")
-            .agg(
-                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*"))
-                .cast("double")
-                .alias("c")
-            )
+            # davg9 quantized means — engine-identical, so the l21
+            # unrolled SQL oracle tracks the codebooks bit-for-bit
+            .agg(davg9(F.col("x").cast("double")).alias("c"))
             .groupBy("block", "cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select("block", "cid", F.transform("pc", lambda s: s["c"]).alias("cv"))
@@ -667,10 +665,112 @@ def pq_train_encode(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cent, codes
 
 
+def _l21_oracle() -> str:
+    """Unrolled PQ-ADC SQL oracle for l21 (same move as _l20_oracle):
+    the per-block Lloyd training has a FIXED iteration budget, so the
+    whole pipeline — codebook training, encoding, quantized ADC table,
+    candidate cut, exact re-rank, recall — is static SQL.  The codes
+    come from the LAST assignment (against cent2) while the ADC table
+    reads the post-update codebook (cent3), exactly as the Spark loop
+    leaves them."""
+    m, kk, it = PQ_BLOCKS, PQ_K, PQ_ITERS
+    dim_sub = 64 // m
+    layers = []
+    for t in range(1, it + 1):
+        layers.append(f"""
+    a{t} AS (
+      SELECT s.vec_id, s.b, c.cid,
+             SUM((s.x - c.c) * (s.x - c.c)) AS d2
+      FROM s JOIN cent{t - 1} c ON c.b = s.b AND c.j = s.j
+      GROUP BY s.vec_id, s.b, c.cid
+    ),
+    b{t} AS (
+      SELECT vec_id, b, cid FROM (
+        SELECT vec_id, b, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                  ORDER BY d2, cid) AS rn
+        FROM a{t}
+      ) WHERE rn = 1
+    ),
+    cent{t} AS (
+      SELECT bb.b, bb.cid, s.j, {DAVG9.format(x="s.x")} AS c
+      FROM b{t} bb JOIN s ON s.vec_id = bb.vec_id AND s.b = bb.b
+      GROUP BY bb.b, bb.cid, s.j
+    )""")
+    return f"""
+    WITH s AS (
+      SELECT vec_id, b, j,
+             CAST(embedding[b * {dim_sub} + j] AS DOUBLE) AS x
+      FROM embeddings
+      CROSS JOIN range(0, {m}) tb(b)
+      CROSS JOIN range(1, {dim_sub + 1}) tj(j)
+      WHERE vec_id <> {QUERY_VEC_ID}
+    ),
+    qs AS (
+      SELECT b, j, CAST(embedding[b * {dim_sub} + j] AS DOUBLE) AS qx
+      FROM embeddings
+      CROSS JOIN range(0, {m}) tb(b)
+      CROSS JOIN range(1, {dim_sub + 1}) tj(j)
+      WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (SELECT i, x AS qx FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    first AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id <> {QUERY_VEC_ID} ORDER BY vec_id LIMIT {kk})
+    ),
+    cent0 AS (
+      SELECT s.b, f.cid, s.j, s.x AS c FROM first f JOIN s USING (vec_id)
+    ),{",".join(layers)},
+    dt AS (
+      SELECT c.b, c.cid AS code,
+             {_Q9.format(x="SUM((c.c - q2.qx) * (c.c - q2.qx))")} AS dqq
+      FROM cent{it} c JOIN qs q2 ON q2.b = c.b AND q2.j = c.j
+      GROUP BY c.b, c.cid
+    ),
+    approx AS (
+      SELECT bb.vec_id, SUM(dt.dqq) AS adc
+      FROM b{it} bb JOIN dt ON dt.b = bb.b AND dt.code = bb.cid
+      GROUP BY bb.vec_id
+      ORDER BY adc, vec_id LIMIT {PQ_RERANK}
+    ),
+    scored AS (
+      SELECT v.vec_id,
+             ROUND(SUM(v.x * q.qx)
+                   / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))),
+                   6) AS cosine
+      FROM v JOIN q USING (i)
+      WHERE v.vec_id <> {QUERY_VEC_ID}
+      GROUP BY v.vec_id
+    ),
+    res AS (
+      SELECT sc.vec_id, sc.cosine
+      FROM approx a JOIN scored sc USING (vec_id)
+      ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    exact AS (
+      SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    rec AS (
+      SELECT CAST(COUNT(*) * 1000000 / {TOP_K} AS BIGINT)
+               AS recall_ppm_at_k
+      FROM res r JOIN exact e USING (vec_id)
+    )
+    SELECT r.vec_id, r.cosine, rc.recall_ppm_at_k FROM res r, rec rc
+    """
+
+
 @register(
     "l21_pq_topk",
-    oracle=None,  # approximate (PQ-ADC candidates) → rows-only;
-    # recall vs exact l3 asserted in tests/test_llm.py
+    # ORACLE-CHECKED as of round 4 (was rows-only): fixed-budget Lloyd
+    # unrolls into static SQL — see _l21_oracle.  ADC table entries are
+    # 1e-9-quantized longs so the candidate cut is deterministic in any
+    # engine and any partial-agg order.
+    oracle=_l21_oracle(),
     tags=("L3", "L4", "EXT", "pq"),
 )
 def l21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,17 +807,22 @@ def l21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "block",
             F.col("cid").alias("code"),
-            F.aggregate(
-                F.zip_with("cv", "qsv", lambda c, x: (c - x) * (c - x)),
-                F.lit(0.0),
-                lambda acc, y: acc + y,
-            ).alias("dq"),
+            # 1e-9-quantized table entries: the M-way ADC sum then runs
+            # over exact longs, so the candidate cut is deterministic
+            # across engines AND across Spark partial-agg orders
+            _quantize9(
+                F.aggregate(
+                    F.zip_with("cv", "qsv", lambda c, x: (c - x) * (c - x)),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ).alias("dqq"),
         )
     )
     approx = (
         codes.join(F.broadcast(dtable), ["block", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("dq").alias("adc_d2"))
+        .agg(F.sum("dqq").alias("adc_d2"))
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
         .limit(PQ_RERANK)
     )
