@@ -881,10 +881,169 @@ def ivfpq_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, Dat
     return coarse, assigned.select("vec_id", "cid"), pq_codebook, codes
 
 
+def _l21b_oracle() -> str:
+    """Unrolled IVFADC SQL oracle: coarse Lloyd (3 iterations, k=10)
+    over the corpus, residuals against the final coarse codebook,
+    per-block residual-PQ Lloyd (3 iterations, K=16), rounded probe
+    selection, quantized per-list ADC tables, exact re-rank, recall —
+    the full Jégou IVFADC pipeline as static SQL (the l20/l21 move,
+    composed)."""
+    m, kk, it = PQ_BLOCKS, PQ_K, PQ_ITERS
+    nlists, nprobe = IVFPQ_NLISTS, IVFPQ_NPROBE
+    dsub = 64 // m
+    coarse = []
+    for t in range(1, 4):
+        coarse.append(f"""
+    ka{t} AS (
+      SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM cv v JOIN cc{t - 1} c USING (i)
+      GROUP BY v.vec_id, c.cid
+    ),
+    kb{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM ka{t}
+      ) WHERE rn = 1
+    ),
+    cc{t} AS (
+      SELECT b.cid, v.i, {DAVG9.format(x="v.x")} AS c
+      FROM kb{t} b JOIN cv v USING (vec_id)
+      GROUP BY b.cid, v.i
+    )""")
+    pq = []
+    for t in range(1, it + 1):
+        pq.append(f"""
+    pa{t} AS (
+      SELECT r.vec_id, r.b, c.cid, SUM((r.rx - c.c) * (r.rx - c.c)) AS d2
+      FROM rs r JOIN pc{t - 1} c ON c.b = r.b AND c.j = r.j
+      GROUP BY r.vec_id, r.b, c.cid
+    ),
+    pb{t} AS (
+      SELECT vec_id, b, cid FROM (
+        SELECT vec_id, b, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                  ORDER BY d2, cid) AS rn
+        FROM pa{t}
+      ) WHERE rn = 1
+    ),
+    pc{t} AS (
+      SELECT bb.b, bb.cid, r.j, {DAVG9.format(x="r.rx")} AS c
+      FROM pb{t} bb JOIN rs r ON r.vec_id = bb.vec_id AND r.b = bb.b
+      GROUP BY bb.b, bb.cid, r.j
+    )""")
+    return f"""
+    WITH cv AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+      WHERE vec_id <> {QUERY_VEC_ID}
+    ),
+    qv AS (
+      SELECT i, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+      WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    kfirst AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id <> {QUERY_VEC_ID} ORDER BY vec_id LIMIT {nlists})
+    ),
+    cc0 AS (
+      SELECT f.cid, v.i, v.x AS c FROM kfirst f JOIN cv v USING (vec_id)
+    ),{",".join(coarse)},
+    fin AS (
+      SELECT v.vec_id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM cv v JOIN cc3 c USING (i)
+      GROUP BY v.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cid) AS rn
+        FROM fin
+      ) WHERE rn = 1
+    ),
+    res0 AS (  -- residuals against the assigned coarse centroid
+      SELECT v.vec_id, v.i, v.x - c.c AS rx
+      FROM cv v
+      JOIN assigned a USING (vec_id)
+      JOIN cc3 c ON c.cid = a.cid AND c.i = v.i
+    ),
+    rs AS (  -- residual subvectors
+      SELECT vec_id, (i - 1) // {dsub} AS b,
+             i - ((i - 1) // {dsub}) * {dsub} AS j, rx
+      FROM res0
+    ),
+    pfirst AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings
+            WHERE vec_id <> {QUERY_VEC_ID} ORDER BY vec_id LIMIT {kk})
+    ),
+    pc0 AS (
+      SELECT r.b, f.cid, r.j, r.rx AS c FROM pfirst f JOIN rs r USING (vec_id)
+    ),{",".join(pq)},
+    probe AS (
+      SELECT cid AS list_id FROM (
+        SELECT c.cid, ROUND(SUM((q.qx - c.c) * (q.qx - c.c)), 6) AS cd2
+        FROM cc3 c JOIN qv q USING (i) GROUP BY c.cid
+      ) ORDER BY cd2, cid LIMIT {nprobe}
+    ),
+    qres AS (  -- per-list query residual subvectors
+      SELECT p.list_id, (q.i - 1) // {dsub} AS b,
+             q.i - ((q.i - 1) // {dsub}) * {dsub} AS j,
+             q.qx - c.c AS qrx
+      FROM probe p
+      JOIN cc3 c ON c.cid = p.list_id
+      JOIN qv q ON q.i = c.i
+    ),
+    dt AS (
+      SELECT qr.list_id, pc.b, pc.cid AS code,
+             {_Q9.format(x="SUM((pc.c - qr.qrx) * (pc.c - qr.qrx))")} AS dqq
+      FROM pc{it} pc
+      JOIN qres qr ON qr.b = pc.b AND qr.j = pc.j
+      GROUP BY qr.list_id, pc.b, pc.cid
+    ),
+    approx AS (
+      SELECT a.vec_id, SUM(dt.dqq) AS adc
+      FROM assigned a
+      JOIN probe p ON p.list_id = a.cid
+      JOIN pb{it} cd ON cd.vec_id = a.vec_id
+      JOIN dt ON dt.list_id = a.cid AND dt.b = cd.b AND dt.code = cd.cid
+      GROUP BY a.vec_id
+      ORDER BY adc, a.vec_id LIMIT {IVFPQ_RERANK}
+    ),
+    scored AS (
+      SELECT v.vec_id,
+             ROUND(SUM(v.x * q.qx)
+                   / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))),
+                   6) AS cosine
+      FROM cv v JOIN qv q USING (i)
+      GROUP BY v.vec_id
+    ),
+    res AS (
+      SELECT sc.vec_id, sc.cosine
+      FROM approx a JOIN scored sc USING (vec_id)
+      ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    exact AS (
+      SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    rec AS (
+      SELECT CAST(COUNT(*) * 1000000 / {TOP_K} AS BIGINT)
+               AS recall_ppm_at_k
+      FROM res r JOIN exact e USING (vec_id)
+    )
+    SELECT r.vec_id, r.cosine, rc.recall_ppm_at_k FROM res r, rec rc
+    """
+
+
 @register(
     "l21b_ivfpq_topk",
-    oracle=None,  # approximate (IVF cell miss + PQ-ADC candidates) →
-    # rows-only; recall bounds asserted in tests/test_llm.py
+    # ORACLE-CHECKED as of round 4 (was rows-only): the residual
+    # two-level pipeline unrolls like l20/l21 — see _l21b_oracle.
+    oracle=_l21b_oracle(),
     tags=("L3", "L4", "EXT", "pq", "ivf"),
 )
 def l21b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,7 +1070,9 @@ def l21b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probed = (
         coarse.join(F.broadcast(q))
-        .select("cid", "cv", "qv", cdist.alias("cd2"))
+        # rounded probe ordering (the l14 discipline): selection must
+        # not flip on sub-1e-6 float drift between engines
+        .select("cid", "cv", "qv", F.round(cdist, 6).alias("cd2"))
         .orderBy(F.col("cd2").asc(), F.col("cid"))
         .limit(IVFPQ_NPROBE)
     )
@@ -930,11 +1091,15 @@ def l21b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list_id",
         "block",
         F.col("cid").alias("code"),
-        F.aggregate(
-            F.zip_with("cv", "qsv", lambda c, x: (c - x) * (c - x)),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        ).alias("dq"),
+        # 1e-9-quantized entries (the l21 discipline): the ADC sum then
+        # runs over exact longs — deterministic candidate cut
+        _quantize9(
+            F.aggregate(
+                F.zip_with("cv", "qsv", lambda c, x: (c - x) * (c - x)),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            )
+        ).alias("dqq"),
     )
     members = assigned.join(
         F.broadcast(probed.select(F.col("cid").alias("list_id"))),
@@ -945,7 +1110,7 @@ def l21b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.join(codes, "vec_id")
         .join(F.broadcast(dtable), ["list_id", "block", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("dq").alias("adc_d2"))
+        .agg(F.sum("dqq").alias("adc_d2"))
         .orderBy(F.col("adc_d2").asc(), F.col("vec_id"))
         .limit(IVFPQ_RERANK)
     )
