@@ -133,6 +133,12 @@ _DRIVER_PRIORITY = (
     "x34_pipeline_manifest_capstone",
     "l2e_simhash_pairs",
     "dq10_referential_integrity",
+    # upgraded from rows-only to full oracles in round 4 — each needs
+    # a fresh hash-checked driver row (the covered-set logic already
+    # un-covers them; this pins their position inside the 50 slots)
+    "ch_lttb_downsample",
+    "l21_pq_topk",
+    "l21b_ivfpq_topk",
     # Second-continuation flagships: the session's new FEATURE surfaces
     # (rank statistics, graph, geo, anomaly detection, erasure,
     # attribution, leakage-guarded ML prep) earn driver rows first.
