@@ -727,6 +727,13 @@ class ManifestLoader:
     the window does not exist at all."""
 
     dest_dir: str
+    # auto-maintenance: after a commit leaves more than this many batch
+    # dirs, run a compaction tick (ClickHouse's background-merge role /
+    # Delta's auto-OPTIMIZE).  None disables.  Conflict-safe by
+    # construction: compact pins parent to the snapshot it rewrote and
+    # abandons on interleaved commits, so the incremental tick itself
+    # can never lose rows to maintenance.
+    auto_compact_max_dirs: int | None = None
 
     def table(self, table: TableConfig) -> ManifestedTable:
         name = table.target_name or table.name
@@ -798,7 +805,16 @@ class ManifestLoader:
                 dirs = head["dirs"] + [name]
                 stats = {**head.get("stats", {}), name: new_stats}
             try:
-                return mt._publish(dirs, result.write_mode, meta, stats=stats)
+                v = mt._publish(dirs, result.write_mode, meta, stats=stats)
+                if (
+                    self.auto_compact_max_dirs is not None
+                    and len(dirs) > self.auto_compact_max_dirs
+                ):
+                    # best-effort maintenance AFTER the tick's commit is
+                    # durable; a concurrent writer makes compact abort,
+                    # never the reverse
+                    mt.compact(spark, target_files=1)
+                return v
             except CommitConflict:
                 continue
 

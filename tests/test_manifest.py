@@ -845,3 +845,45 @@ def test_zorder_compaction_prunes_both_columns(spark, sf_dir, tmp_path):
         got = t.read_pruned(spark, col, lo=lo, hi=hi, version=v).count()
         want = ev.filter(F.col(col).between(lo, hi)).count()
         assert got == want, col
+
+
+def test_loader_auto_compaction_bounds_dir_count(spark, sf_dir):
+    """auto_compact_max_dirs: incremental ticks accrete one dir each;
+    once the head exceeds the bound, the loader runs a compaction tick
+    after its own commit — dir count stays bounded, content and the
+    in-manifest watermark are untouched."""
+    import tempfile
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestIncrementalRunner,
+        ManifestLoader,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = TableConfig(
+            name="events",
+            replication_method="incremental",
+            iterate_column="event_id",
+            iterate_column_type="int",
+            dedup_keys=("event_id",),
+        )
+        loader = ManifestLoader(tmp, auto_compact_max_dirs=3)
+        runner = ManifestIncrementalRunner(
+            extractor=ParquetExtractor(sf_dir), loader=loader
+        )
+        n_source = load_table(spark, sf_dir, "events").count()
+        cuts = [n_source // 5 * k for k in range(1, 5)] + [n_source]
+        for cut in cuts:
+            runner.run_once(
+                spark, table, source_filter=F.col("event_id") < cut
+            )
+        mt = loader.table(table)
+        assert len(mt.manifest()["dirs"]) <= 3 + 1  # bound + this tick
+        assert mt.read(spark).count() == n_source
+        assert loader.last_point(table) == str(n_source - 1)
+        # maintenance never eats a tick: one more idle tick is a no-op
+        head = mt.head_version()
+        runner.run_once(spark, table)
+        assert mt.read(spark).count() == n_source
+        assert mt.head_version() == head
