@@ -84,6 +84,7 @@ class Pipeline:
     sql_dir: str | None = None
     loader: object | None = None  # override: any ParquetLoader-contract loader
     manifest_dest: bool = False  # destination variant: manifest-committed
+    auto_compact_max_dirs: int | None = None  # manifest auto-maintenance
 
     def runner(self):
         os.makedirs(self.dest_dir, exist_ok=True)
@@ -99,7 +100,10 @@ class Pipeline:
                 extractor=ParquetExtractor(
                     self.source_dir, sql_dir=self.sql_dir
                 ),
-                loader=ManifestLoader(self.dest_dir),
+                loader=ManifestLoader(
+                    self.dest_dir,
+                    auto_compact_max_dirs=self.auto_compact_max_dirs,
+                ),
             )
         state = self.state_path or f"{self.dest_dir}/_state.json"
         return IncrementalRunner(
@@ -208,6 +212,7 @@ def run_pipelines(
             sql_dir=p.get("sql_dir"),
             loader=custom_loader,
             manifest_dest=dst.get("variant") == "manifest",
+            auto_compact_max_dirs=dst.get("auto_compact_max_dirs"),
         )
         out[p["name"]] = pipe.run(spark, tags=tags)
     return out
