@@ -1618,3 +1618,263 @@ def l87_crosslang_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("first_doc", "copies", "langs", "sources")
         .orderBy("first_doc")
     )
+
+
+# ---- round 5: portable-hash twins for the rows-only LSH family ------
+#
+# l2b / l2e stay the PRODUCTION path (Spark xxhash64: one JVM-side
+# 64-bit mix per token, the cheapest possible shingle hash) but are
+# rows-only to the driver because no other engine reproduces xxhash64's
+# bit pattern.  l58 proved the seam: derive the token hash from md5 hex
+# (identical everywhere) and the ENTIRE pipeline — banding, bucket
+# join, verification — becomes engine-portable and hash-checkable.
+# These twins close the verdict's rows-only gap by running the FULL
+# l2b / l2e semantics (not just candidate generation) on that seam.
+
+
+@register(
+    "l2b_portable",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(p) - 1),
+                    i -> p[i] || ' ' || p[i+1] || ' ' || p[i+2])) AS t
+      FROM parts WHERE len(p) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, i,
+             ((2 * i + 1) * (('0x' || substr(md5(t), 1, 15))::BIGINT % {MHP_P})
+              + 1000003 * i) % {MHP_P} AS h
+      FROM toks CROSS JOIN range(0, {MHP_HASHES}) r(i)
+    ),
+    sigs AS (
+      SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MHP_BAND_ROWS} AS band,
+             STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+      FROM sigs GROUP BY doc_id, i // {MHP_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS n_agree
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_agree / CAST({MHP_HASHES} AS DOUBLE), 6) AS est_jaccard
+    FROM agree
+    WHERE n_agree >= CAST({MHP_HASHES} AS DOUBLE) * 0.75
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l2b_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2b's FULL MinHash-LSH pipeline (bands → bucket join → distinct
+    candidates → signature-agreement verify ≥ 0.75) on the portable
+    md5-derived hash family, so the driver hash-checks the whole
+    operator instead of rows-only-ing it.  Same shapes as l2b: the
+    band join moves (doc_id, band, sig) only, signatures rejoin by doc
+    id after the pair-distinct — corpus-partitionable end to end.
+    Production keeps xxhash64 (l2b); this twin exists so every stage of
+    the LSH semantics is differentially tested against DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    p = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(p) - 2), i -> concat("
+        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
+        " element_at(p, i + 2)))"
+    )
+    toks = (
+        d.select("doc_id", p.alias("p"))
+        .filter(F.size("p") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MHP_HASHES - 1))).alias("i"),
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("ht"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            ((2 * F.col("i") + 1) * (F.col("ht") % MHP_P) + 1000003 * F.col("i"))
+            % MHP_P
+        ).alias("h"),
+    )
+    sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    bands = (
+        sigs.withColumn("band", (F.col("i") / MHP_BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    slot_sigs = sigs.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("sv")
+    )
+    joined = cand.join(
+        slot_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sv").alias("sv_a")),
+        "doc_a",
+    ).join(
+        slot_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sv").alias("sv_b")),
+        "doc_b",
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(
+                "sv_a", "sv_b", lambda x, y: (x["mh"] == y["mh"]).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        joined.withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") >= MHP_HASHES * 0.75)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_agree") / F.lit(float(MHP_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+SHP_BITS = 60  # md5-hex 15 chars → 60-bit portable token hash
+SHP_BLOCKS = SIMHASH_MAX_HD + 1  # pigeonhole: HD≤3 → 4 blocks
+SHP_BLOCK_BITS = SHP_BITS // SHP_BLOCKS  # 15 bits per block
+
+
+@register(
+    "l2e_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, i AS bit,
+             SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> i)
+                            & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks CROSS JOIN range(0, {SHP_BITS}) r(i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                      ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, k,
+             (simhash >> (k * {SHP_BLOCK_BITS})) & {2**SHP_BLOCK_BITS - 1} AS blk
+      FROM fp CROSS JOIN range(0, {SHP_BLOCKS}) r(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l2e_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2e's exact Hamming-neighbor join (Manku pigeonhole banding +
+    popcount verify) over a PORTABLE 60-bit SimHash: token hash =
+    md5-hex prefix instead of xxhash64, fingerprint = 60 bits split
+    into 4 disjoint 15-bit blocks (pigeonhole still exact for HD ≤ 3).
+    Every stage — sign-sum, packing, block equi-join, verify — now
+    hash-matches DuckDB, closing the rows-only gap on the SimHash
+    family.  Same 100 TB posture as l2e: 4 block rows/doc, collisions
+    localized to equal-block buckets, no all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    )
+    bits = tok.selectExpr(
+        "doc_id",
+        "conv(substring(md5(t), 1, 15), 16, 10) AS hx",
+    ).selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, {SHP_BITS - 1}), b -> named_struct("
+        "  'bit', b,"
+        "  'v', CASE WHEN (shiftright(CAST(hx AS BIGINT), b) & 1) = 1"
+        "       THEN 1 ELSE -1 END))) AS bv",
+    ).select("doc_id", "bv.bit", "bv.v")
+    fp = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
+                    " ELSE 0 END"
+                )
+            ).alias("simhash")
+        )
+    )
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SHP_BLOCKS - 1}), k -> named_struct("
+                f"  'k', k,"
+                f"  'blk', shiftright(simhash, k * {SHP_BLOCK_BITS})"
+                f"         & {2**SHP_BLOCK_BITS - 1}))"
+            )
+        ).alias("kb"),
+    ).select("doc_id", "simhash", "kb.k", "kb.blk")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["k", "blk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hd = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", hd.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HD)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

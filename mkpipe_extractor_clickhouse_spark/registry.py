@@ -123,6 +123,13 @@ def _load_modules() -> None:
 # as early as possible.  Self-maintaining: round N+1 re-reads the
 # artifacts and bubbles up whatever is still unverified.
 _DRIVER_PRIORITY = (
+    # Round-5 flagships: the rows-only→oracle upgrades (portable-hash
+    # LSH/SimHash twins) and the stateful-runtime batch forms earn
+    # driver rows first.
+    "l2b_portable",
+    "l2e_portable",
+    "t13_stateful_profile",
+    "t14_evicted_sessions",
     # Round-4 flagships: the queries that close r3's verdict asks —
     # the nine flagged rows re-front automatically (not covered), and
     # the new wire-partitioning proof earns its driver row first.

@@ -423,3 +423,123 @@ def t12_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+@register(
+    "t13_stateful_profile",
+    oracle=f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           COUNT(*) AS n_events,
+           {DSUM.format(x='value')} AS total_value,
+           MAX(event_id) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("T5", "D4", "EXT", "streaming"),
+)
+def t13_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the applyInPandasWithState per-user profile
+    (streaming/stateful.py user_profiles — runtime parity in
+    tests/test_streaming.py), executed through the SAME accumulation
+    kernel (_fold_profile/_emit_profile) via a grouped-map
+    applyInPandas, so the driver hash-checks the stateful operator's
+    arithmetic (per-row 1e-6 quantization, exact long sums) — not a
+    lookalike re-derivation.  State is one row per user in the stream;
+    here the grouped map holds one group per task at a time."""
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    from .stateful import PROFILE_SCHEMA, _emit_profile, _fold_profile
+
+    def profile(pdf):
+        uid = int(pdf["user_id"].iloc[0])
+        acc = _fold_profile((0, 0, -1), [pdf])
+        return _emit_profile((uid,), acc)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(profile, PROFILE_SCHEMA)
+    )
+
+
+@register(
+    "t14_evicted_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, sess_id,
+             MIN(ts) AS session_start,
+             MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM tagged GROUP BY user_id, sess_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_start,
+           session_end, n_events
+    FROM sessions
+    WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+    ORDER BY user_id, session_start
+    """,
+    tags=("T4", "T6", "EXT", "streaming"),
+)
+def t14_evicted_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization WITH STATE EVICTION, batch semantics: 30-minute
+    gap sessions per user, emitting only sessions the 1-hour watermark
+    has CLOSED (session_end ≤ max event time − watermark) — exactly
+    the append-mode output of the streaming session_window + watermark
+    pipeline (streaming/runtime.py session_counts), where a session
+    row leaves the state store once the watermark passes its gap.
+
+    Shapes: one window pass per user partition (gap-islands via
+    lag + running sum — no self-join), one grouped agg, and the
+    watermark cutoff broadcast as a 1-row cross join.  Streaming-state
+    cost is |open sessions|, batch cost is one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    tagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            prev.isNull()
+            | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = tagged.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("cutoff")
+    )
+    return (
+        sessions.join(F.broadcast(cutoff))
+        .filter(F.col("session_end") <= F.col("cutoff"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,207 @@
+"""Scale-up benchmark: the Spark/DuckDB crossover, measured.
+
+PERF.md's scaling argument (Spark wall grows 1.1x while DuckDB grows
+17x from 6 k -> 6 M rows) stopped at a single-table scan+agg.  This
+script extends it to the headline SHUFFLE queries (q1, q3, q10, j11 —
+grouped agg, fact-fact join + top-k, star join) at replicated scales up
+to ~60 M lineitem rows (~sf10-equivalent row volume), the largest
+dataset the sandbox comfortably materializes, and records both engines'
+steady-state wall-clock at every point.
+
+Dataset construction (FK-consistent replication, no synthesis):
+  each scale point x{R} is R offset copies of the driver's sf0.1
+  fixtures.  Copy r adds r * (max_key + 1) to o_orderkey/l_orderkey and
+  o_custkey/c_custkey, so every FK edge lands inside its own replica —
+  join fan-outs, group cardinalities per key, and selectivities are
+  preserved exactly while table row counts scale by R.  Dimension
+  tables (nation, region) keep their real-world size: scaling them
+  would break the star-schema shape that makes broadcast joins the
+  right plan.  Files are written 32-way so both engines can
+  parallelize scans (the pristine fixtures ship ONE row group).
+
+Methodology per point, identical for both engines: warm run, then best
+of 3 steady runs; Spark executes to the noop sink, DuckDB materializes
+to Arrow (no per-row Python transfer on either side).  Output:
+SCALEUP.json, which bench.py embeds in BENCH_FULL.json under
+"scaleup" (clearly labeled precomputed — regenerating ~2.5 GB of
+parquet inside the driver's bench window would be rude).
+
+Usage: python scripts/bench_scaleup.py [--reps 5,20,50,100] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mkpipe_extractor_clickhouse_spark.catalog import load_table  # noqa: E402
+from mkpipe_extractor_clickhouse_spark.registry import all_specs  # noqa: E402
+from mkpipe_extractor_clickhouse_spark.session import get_spark  # noqa: E402
+
+QUERIES = ("q1_pricing_summary", "q3_shipping_priority",
+           "q10_returned_items", "j11_multiway_star")
+TABLES = ("lineitem", "orders", "customer", "nation", "region")
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DATA_ROOT = Path(REPO) / ".scaleup"
+
+
+def build_point(spark, rep: int) -> Path:
+    """Materialize R FK-consistent offset copies of the sf0.1 tables."""
+    out = DATA_ROOT / f"x{rep}"
+    if (out / "_DONE").exists():
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+
+    o = load_table(spark, BASE_SF, "orders")
+    c = load_table(spark, BASE_SF, "customer")
+    ok_stride = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ck_stride = c.agg(F.max("c_custkey")).collect()[0][0] + 1
+
+    def replicate(name: str, offsets: dict[str, int], nfiles: int):
+        df = load_table(spark, BASE_SF, name)
+        reps = spark.range(rep).select(F.col("id").cast("int").alias("__rep"))
+        df = df.crossJoin(F.broadcast(reps))
+        cols = []
+        for f in df.schema.fields:
+            if f.name == "__rep":
+                continue
+            if f.name in offsets:
+                cols.append(
+                    (F.col(f.name) + F.col("__rep") * F.lit(offsets[f.name]))
+                    .cast(f.dataType).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        (df.select(cols).repartition(nfiles)
+           .write.mode("overwrite").parquet(str(out / f"{name}.parquet")))
+
+    replicate("lineitem", {"l_orderkey": ok_stride}, 32)
+    replicate("orders", {"o_orderkey": ok_stride, "o_custkey": ck_stride}, 16)
+    replicate("customer", {"c_custkey": ck_stride}, 8)
+    for dim in ("nation", "region"):
+        load_table(spark, BASE_SF, dim).coalesce(1) \
+            .write.mode("overwrite").parquet(str(out / f"{dim}.parquet"))
+    (out / "_DONE").touch()
+    return out
+
+
+def time_spark(spark, sf_dir: str) -> dict[str, float]:
+    specs = all_specs()
+    res = {}
+    for name in QUERIES:
+        df = specs[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        res[name] = round(min(runs), 3)
+    return res
+
+
+def time_duckdb(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    specs = all_specs()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    res = {}
+    for name in QUERIES:
+        sql = specs[name].oracle
+        con.sql(sql).arrow()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(sql).arrow()
+            runs.append(time.perf_counter() - t0)
+        res[name] = round(min(runs), 3)
+    con.close()
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", default="5,20,50,100")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the generated parquet between points")
+    args = ap.parse_args()
+    reps = [int(r) for r in args.reps.split(",")]
+
+    spark = get_spark(
+        app_name="mkpipe_spark_scaleup",
+        extra_conf={
+            # local-mode driver == executor: size the single JVM for the
+            # 60 M-row point (a cluster sizes per-executor instead).
+            "spark.driver.memory": "48g",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.locality.wait": "0ms",
+            "spark.sql.parquet.columnarReaderBatchSize": "16384",
+            # at 60M rows the 16m fixture split target would make ~70
+            # scan tasks/file set; fine, AQE coalesces downstream.
+        },
+    )
+
+    points = []
+    for rep in reps:
+        t0 = time.perf_counter()
+        d = build_point(spark, rep)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        nrows = spark.read.parquet(str(d / "lineitem.parquet")).count()
+        s = time_spark(spark, str(d))
+        k = time_duckdb(str(d))
+        st, kt = round(sum(s.values()), 3), round(sum(k.values()), 3)
+        pt = {
+            "rep": rep,
+            "lineitem_rows": nrows,
+            "gen_sec": gen_sec,
+            "spark": s,
+            "duckdb": k,
+            "spark_total": st,
+            "duckdb_total": kt,
+            "ratio": round(st / kt, 2) if kt else None,
+        }
+        points.append(pt)
+        print(json.dumps(pt))
+        if not args.keep and rep != reps[-1]:
+            shutil.rmtree(d, ignore_errors=True)
+
+    payload = {
+        "note": (
+            "headline shuffle queries (q1 grouped agg, q3/q10 fact-fact "
+            "join + top-k, j11 star join) on FK-consistent offset "
+            "replication of sf0.1; best-of-3 steady wall, Spark noop "
+            "sink vs DuckDB Arrow materialization, same host, 32-way "
+            "parquet layout for both engines"
+        ),
+        "base_sf_dir": BASE_SF,
+        "queries": list(QUERIES),
+        "points": points,
+        "generated_by": "scripts/bench_scaleup.py",
+    }
+    (Path(REPO) / "SCALEUP.json").write_text(json.dumps(payload, indent=1) + "\n")
+    print("wrote SCALEUP.json")
+    spark.stop()
+    if not args.keep:
+        shutil.rmtree(DATA_ROOT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -887,3 +887,226 @@ def test_loader_auto_compaction_bounds_dir_count(spark, sf_dir):
         runner.run_once(spark, table)
         assert mt.read(spark).count() == n_source
         assert mt.head_version() == head
+
+
+# ---- round-5: deterministic compact-vs-commit interleavings ---------
+#
+# The threaded stress tests above catch the lost-update class only when
+# the scheduler happens to interleave badly; these drive the EXACT
+# interleavings by hand (monkeypatched injection points), so the race
+# reproduces on every run.
+
+
+def _compact_with_append_injected(spark, mt, when: str):
+    """Run mt.compact() with a concurrent append from a SECOND handle
+    injected at a precise point inside the compaction: either before
+    the rewrite is staged or after staging, just before publish. Both
+    land after compact captured its base snapshot, so the parent pin
+    must make the compact publish collide and abort."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    writer = ManifestedTable(mt.table_dir)  # independent handle
+    orig_stage = mt.stage_batch
+    injected = {}
+
+    def staging_hook(df):
+        if when == "before_stage" and not injected:
+            injected["v"] = writer.commit_append(spark.range(900, 905))
+        name = orig_stage(df)
+        if when == "after_stage" and not injected:
+            injected["v"] = writer.commit_append(spark.range(900, 905))
+        return name
+
+    mt.stage_batch = staging_hook
+    try:
+        mt.compact(spark, target_files=1)
+    finally:
+        mt.stage_batch = orig_stage
+    assert injected, "injection point never fired"
+
+
+@pytest.mark.parametrize("when", ["before_stage", "after_stage"])
+def test_compact_vs_append_interleaving_deterministic(spark, mt, when):
+    """Compaction racing an append at each handoff point, repeated:
+    the append must NEVER be lost, and the abandoned rewrite must not
+    leak into the dirs list."""
+    expect = set()
+    for i in range(3):
+        mt.commit_append(spark.range(i * 10, i * 10 + 10))
+        expect |= set(range(i * 10, i * 10 + 10))
+    for round_ in range(4):
+        _compact_with_append_injected(spark, mt, when)
+        expect |= set(range(900, 905))
+        got = {r.id for r in mt.read(spark).collect()}
+        assert got == expect, f"round {round_}: lost rows {expect - got}"
+        # the aborted rewrite is not referenced by ANY live manifest
+        head = mt.manifest()
+        assert head["op"] == "append"
+        # a clean compact right after converges (no lingering conflict)
+        v = mt.compact(spark, target_files=1)
+        assert mt.manifest(v)["op"] == "compact"
+        assert {r.id for r in mt.read(spark).collect()} == expect
+        # next iteration: fresh dirs so compaction has work to do
+        mt.commit_append(spark.range(1000 + round_, 1001 + round_))
+        expect.add(1000 + round_)
+
+
+def test_compact_crash_between_stage_and_publish(spark, mt):
+    """Kill the compactor after the rewritten dir is staged but before
+    the manifest swap-in: readers never see the torn state, the orphan
+    is vacuumable, and a rerun converges."""
+    for i in range(3):
+        mt.commit_append(spark.range(i * 10, i * 10 + 10))
+    before_rows = {r.id for r in mt.read(spark).collect()}
+    head_before = mt.head_version()
+    orig_publish = mt._publish
+
+    def crashing_publish(dirs, op, meta, parent=None, stats=None):
+        if op == "compact":
+            raise RuntimeError("simulated crash before swap-in")
+        return orig_publish(dirs, op, meta, parent=parent, stats=stats)
+
+    mt._publish = crashing_publish
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            mt.compact(spark, target_files=1)
+    finally:
+        mt._publish = orig_publish
+    # head untouched, data intact, orphan staged dir present
+    assert mt.head_version() == head_before
+    assert {r.id for r in mt.read(spark).collect()} == before_rows
+    live = set(mt.manifest()["dirs"])
+    on_disk = {
+        n for n in os.listdir(mt.table_dir)
+        if n.startswith("batch-")
+        and os.path.isdir(os.path.join(mt.table_dir, n))
+    }
+    orphans = on_disk - live
+    assert len(orphans) == 1
+    # recovery: vacuum sweeps the orphan (exclusive access → age 0)...
+    removed = mt.vacuum(keep_versions=mt.head_version(), min_age_seconds=0)
+    assert orphans == set(removed)
+    # ...and the rerun compacts cleanly
+    v = mt.compact(spark, target_files=1)
+    assert mt.manifest(v)["op"] == "compact"
+    assert {r.id for r in mt.read(spark).collect()} == before_rows
+
+
+def test_compact_split_dirs_crash_mid_rename(spark, mt, monkeypatch):
+    """Crash in the middle of split_dirs' per-partition renames: some
+    -pNNNN dirs exist, the partially-drained staging dir exists, none
+    are referenced — the table reads exactly as before and vacuum
+    reclaims every fragment."""
+    import mkpipe_extractor_clickhouse_spark.sources.manifest as mm
+
+    big = spark.range(0, 400).withColumn("k", F.col("id") % 7)
+    mt2 = ManifestedTable(str(mt.table_dir), stats_cols=("id",))
+    mt2.commit_append(big)
+    before_rows = mt2.read(spark).count()
+    head_before = mt2.head_version()
+
+    real_makedirs = os.makedirs
+    calls = {"n": 0}
+
+    def failing_makedirs(path, *a, **kw):
+        if "-p" in os.path.basename(path):
+            calls["n"] += 1
+            if calls["n"] == 3:  # die on the 3rd range partition
+                raise RuntimeError("simulated crash mid-split")
+        return real_makedirs(path, *a, **kw)
+
+    monkeypatch.setattr(mm.os, "makedirs", failing_makedirs)
+    with pytest.raises(RuntimeError, match="mid-split"):
+        mt2.compact(spark, target_files=4, sort_by="id", split_dirs=True)
+    monkeypatch.undo()
+
+    assert calls["n"] == 3
+    assert mt2.head_version() == head_before
+    assert mt2.read(spark).count() == before_rows
+    live = set(mt2.manifest()["dirs"])
+    on_disk = {
+        n for n in os.listdir(mt2.table_dir)
+        if n.startswith("batch-")
+        and os.path.isdir(os.path.join(mt2.table_dir, n))
+    }
+    # fragments exist (partial split) and are all unreferenced
+    assert on_disk - live
+    mt2.vacuum(keep_versions=mt2.head_version(), min_age_seconds=0)
+    assert mt2.read(spark).count() == before_rows
+    v = mt2.compact(spark, target_files=4, sort_by="id", split_dirs=True)
+    assert mt2.manifest(v)["op"] == "compact"
+    assert mt2.read(spark).count() == before_rows
+
+
+def test_loader_auto_compact_races_append_tick(spark, sf_dir):
+    """The r4 auto-compaction surface: a foreign append landing between
+    the loader tick's commit and its maintenance compaction. The
+    compact must abort (parent pin), the foreign rows must survive,
+    and the NEXT tick's compaction folds everything in."""
+    import tempfile
+
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+        ManifestIncrementalRunner,
+        ManifestLoader,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = TableConfig(
+            name="events",
+            replication_method="incremental",
+            iterate_column="event_id",
+            iterate_column_type="int",
+            dedup_keys=("event_id",),
+        )
+        loader = ManifestLoader(tmp, auto_compact_max_dirs=1)
+        runner = ManifestIncrementalRunner(
+            extractor=ParquetExtractor(sf_dir), loader=loader
+        )
+        runner.run_once(spark, table, source_filter=F.col("event_id") < 50)
+        runner.run_once(spark, table, source_filter=F.col("event_id") < 100)
+
+        # third tick: inject a foreign append between the tick's publish
+        # and the auto-compact that follows it (the compact stages via
+        # stage_batch — second staging call of the tick)
+        orig_stage = ManifestedTable.stage_batch
+        state = {"stages": 0, "injected": False}
+        foreign = ManifestedTable(os.path.join(tmp, "events.mfst"))
+        foreign_df = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") >= 200)
+            .limit(7)
+        )
+
+        def hooked_stage(self, df):
+            state["stages"] += 1
+            name = orig_stage(self, df)
+            if state["stages"] == 2 and not state["injected"]:
+                # this is the compaction's staging write → race it
+                state["injected"] = True
+                foreign.commit_append(foreign_df)
+            return name
+
+        ManifestedTable.stage_batch = hooked_stage
+        try:
+            runner.run_once(
+                spark, table, source_filter=F.col("event_id") < 150
+            )
+        finally:
+            ManifestedTable.stage_batch = orig_stage
+        assert state["injected"], "compaction tick never staged"
+
+        mt = loader.table(table)
+        n = mt.read(spark).count()
+        assert n == 150 + 7  # tick rows AND the foreign append survive
+        assert mt.manifest()["op"] == "append"  # compact aborted
+        # watermark untouched by the aborted maintenance
+        assert loader.last_point(table) == "149"
+        # next tick: compaction succeeds on the quiet table
+        runner.run_once(spark, table, source_filter=F.col("event_id") < 160)
+        mt = loader.table(table)
+        assert mt.manifest()["op"] == "compact"
+        assert len(mt.manifest()["dirs"]) == 1
+        assert mt.read(spark).count() == 160 + 7

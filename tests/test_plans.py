@@ -478,12 +478,11 @@ def test_uniq_merge_two_level_agg(spark, sf_dir):
     assert "Join" not in tree
 
 
-@pytest.mark.parametrize("name", ["q3_shipping_priority", "q10_returned_items"])
-def test_fact_join_carries_preaggregated_rows(name, spark, sf_dir):
-    """q3/q10 rewrite lock: lineitem revenue must aggregate BELOW the
-    orders join (per-orderkey subtotals), so the fact-fact exchange
-    never carries raw line items. In the formatted plan the lineitem
-    scan must reach a HashAggregate before any join node does."""
+def _lineitem_branch(name, spark, sf_dir):
+    """(plan lines, index of the lineitem scan, index of the nearest
+    join above it).  Simple mode prints root→leaves with the streamed
+    side first, so the lines between the nearest join and the lineitem
+    scan are exactly the operators applied to the fact branch."""
     df = SPECS[name].builder(spark, sf_dir)
     jvm = spark._jvm
     plan = df._jdf.queryExecution().explainString(
@@ -493,16 +492,52 @@ def test_fact_join_carries_preaggregated_rows(name, spark, sf_dir):
     li_scan = next(
         i for i, l in enumerate(lines) if "FileScan" in l and "lineitem" in l
     )
-    # simple mode prints root→leaves; the operators applied to the
-    # lineitem branch are the lines between the last join above the
-    # scan and the scan itself — an aggregate must sit in between
-    branch = lines[:li_scan]
-    agg_above = max(
-        (i for i, l in enumerate(branch) if "HashAggregate" in l), default=-1
-    )
     join_above = max(
-        (i for i, l in enumerate(branch) if "Join" in l), default=-1
+        i for i, l in enumerate(lines[:li_scan]) if "Join" in l
     )
-    assert agg_above > join_above, (
-        f"{name}: lineitem rows reach a join before being aggregated"
+    return lines, li_scan, join_above
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "j11_multiway_star"])
+def test_semijoin_reduced_fact_never_shuffles(name, spark, sf_dir):
+    """q3/j11 round-5 rewrite lock (scale-up bench: 2.30→1.53 s and
+    4.15→1.28 s at 60 M rows): the dimension chain reduces first and
+    the reduced order-key set BROADCASTS into the lineitem scan — the
+    fact table reaches a BroadcastHashJoin with no Exchange and no
+    Sort anywhere on its branch."""
+    lines, li_scan, join_above = _lineitem_branch(name, spark, sf_dir)
+    assert "BroadcastHashJoin" in lines[join_above], (
+        f"{name}: fact join is not a broadcast join:"
+        f" {lines[join_above].strip()}"
+    )
+    branch = lines[join_above + 1 : li_scan]
+    assert not any("Exchange" in l or "Sort" in l for l in branch), (
+        f"{name}: the lineitem branch shuffles or sorts before its join"
+    )
+
+
+def test_q10_fact_join_shuffled_hash_aggregates_before_names(spark, sf_dir):
+    """q10 round-5 rewrite lock (3.02→2.20 s at 60 M rows): the one
+    unavoidable fact-fact exchange is a ShuffledHashJoin (no sort on
+    either 15 M-row side), and revenue aggregates per o_custkey BELOW
+    the broadcast name joins so the big aggregation carries no
+    strings."""
+    lines, li_scan, join_above = _lineitem_branch(
+        "q10_returned_items", spark, sf_dir
+    )
+    assert "ShuffledHashJoin" in lines[join_above]
+    assert not any("Sort" in l for l in lines[join_above + 1 : li_scan])
+    # the per-custkey aggregate sits between the broadcast (name) joins
+    # and the shuffled fact join: broadcast join line < agg line < SHJ
+    bcast = min(
+        i for i, l in enumerate(lines) if "BroadcastHashJoin" in l
+    )
+    agg = [
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate" in l and "o_custkey" in l
+    ]
+    assert agg and bcast < agg[0] < join_above, (
+        "q10: per-custkey aggregate is not between the name broadcasts"
+        " and the fact join"
     )
