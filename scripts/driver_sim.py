@@ -44,6 +44,18 @@ def main() -> int:
             "requires the oracle cast map to be current."
         ),
     )
+    ap.add_argument(
+        "--changed-since",
+        action="store_true",
+        help=(
+            "run only queries whose fingerprint (builder source + "
+            "oracle SQL + cast-map wrapper) differs from the last "
+            "green manifest (.driver_sim_green.json) — the fast "
+            "per-commit gate; the full run stays the pre-push gate. "
+            "Every passing query refreshes its manifest entry either "
+            "way."
+        ),
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -66,8 +78,39 @@ def main() -> int:
     qs = e.queries()
     osql = e.oracle_sql()
     names = args.names or sorted(qs)
+
+    # Fingerprints: a query re-runs iff its observable definition
+    # changed — builder SOURCE, raw oracle, or the cast-map-wrapped
+    # oracle actually served to DuckDB.
+    import hashlib
+    import inspect
+    import json
+
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+    manifest_path = REPO / ".driver_sim_green.json"
+    fps: dict[str, str] = {}
+    for n, spec in all_specs().items():
+        try:
+            src = inspect.getsource(spec.builder)
+        except OSError:
+            src = repr(spec.builder)
+        fps[n] = hashlib.sha256(
+            (src + "\x00" + (spec.oracle or "") + "\x00" + osql.get(n, "")).encode()
+        ).hexdigest()[:16]
+    if args.changed_since:
+        try:
+            green = json.loads(manifest_path.read_text())
+        except (OSError, ValueError):
+            green = {}
+        names = [n for n in names if green.get(n) != fps.get(n)]
+        print(
+            f"== changed-since: {len(names)} of {len(qs)} queries differ "
+            f"from the green manifest"
+        )
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    passed: list[str] = []
     for name in names:
         t0 = time.time()
         try:
@@ -98,6 +141,7 @@ def main() -> int:
                 assert len(scols) == len(set(scols))
                 n_rows_only += 1
                 status = f"rows-only ({len(srows)} rows)"
+            passed.append(name)
             print(f"   {name}: {status} [{time.time() - t0:.1f}s]")
         except Exception as ex:
             n_fail += 1
@@ -108,6 +152,17 @@ def main() -> int:
         f"== t2 @ {args.sf_dir}: {n_pass} match, {n_rows_only} rows-only, {n_fail} fail"
         + (f" → {failures}" if failures else "")
     )
+    # Only STRICT passes at the driver's sf certify a green-manifest
+    # entry — the looser modes would let a type-level regression hide
+    # from the next --changed-since run.
+    if args.strict and args.sf_dir == "/root/testdata/sf0.01" and passed:
+        try:
+            green = json.loads(manifest_path.read_text())
+        except (OSError, ValueError):
+            green = {}
+        green.update({n: fps[n] for n in passed if n in fps})
+        manifest_path.write_text(json.dumps(green, indent=0, sort_keys=True) + "\n")
+        print(f"== green manifest: {len(passed)} entries refreshed")
     spark.stop()
     return 1 if n_fail else 0
 
