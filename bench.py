@@ -318,6 +318,32 @@ def main() -> None:
         duck_walls.append(time.perf_counter() - t0)
     duck_batch_wall = round(min(duck_walls), 3)
 
+    # Scale-up section (PRECOMPUTED by scripts/bench_scaleup.py — it
+    # materializes up to ~2.5 GB of replicated parquet and re-times the
+    # headline shuffle queries on Spark AND DuckDB at 3-60 M lineitem
+    # rows; regenerating that inside the driver's bench window would be
+    # rude). The artifact is committed as SCALEUP.json; the summary
+    # here carries the crossover curve so BENCH_rN records it.
+    scaleup: dict = {}
+    try:
+        su = json.loads((Path(REPO) / "SCALEUP.json").read_text())
+        scaleup = {
+            "source": "precomputed by scripts/bench_scaleup.py (full"
+                      " detail + methodology in SCALEUP.json)",
+            "queries": su.get("queries"),
+            "points": [
+                {
+                    "lineitem_rows": p["lineitem_rows"],
+                    "spark_total": p["spark_total"],
+                    "duckdb_total": p["duckdb_total"],
+                    "ratio": p["ratio"],
+                }
+                for p in su.get("points", [])
+            ],
+        }
+    except (OSError, ValueError):
+        pass
+
     total = round(sum(steady.values()), 3)
     full_payload = json.dumps(
             {
@@ -359,6 +385,7 @@ def main() -> None:
                     "same rows, ~16 row groups/file (fixtures ship 1 — "
                     "scans can't parallelize); layout-only difference"
                 ),
+                "scaleup": scaleup,
                 "stage_metrics": stage_metrics,
                 "stage_metrics_note": (
                     "cold-pass stage deltas via status API: executor CPU "
@@ -389,6 +416,10 @@ def main() -> None:
                 "duckdb_total": round(sum(duck.values()), 3),
                 "batch_wall": batch_wall,
                 "duckdb_batch_wall": duck_batch_wall,
+                "scaleup_ratio_curve": [
+                    [p["lineitem_rows"], p["ratio"]]
+                    for p in scaleup.get("points", [])
+                ],
                 "detail": "BENCH_FULL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1704,3 +1704,126 @@ def x31_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     return t.read(spark).select("event_id", "user_id", "bonus").orderBy(
         "event_id"
     )
+
+
+# ---- round 5: aggregate combinators + ARRAY JOIN through the dialect -
+
+
+@register(
+    "x35_combinator_merge_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             SUM(CAST(TRUNC(value) AS BIGINT)) AS sv,
+             COUNT(*) AS cn,
+             MIN(event_id) AS mn,
+             MAX(event_id) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, CAST(SUM(sv) AS BIGINT) AS total_val,
+           CAST(SUM(cn) AS BIGINT) AS n_events,
+           MIN(mn) AS first_id, MAX(mx) AS last_id
+    FROM daily GROUP BY day
+    """,
+    tags=("S3", "EXT", "dialect", "A2"),
+)
+def x35_combinator_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse -State/-Merge combinators through ``custom_query``:
+    the materialized-view idiom (partial aggregation states per
+    (day, type), merged later per day) that AggregatingMergeTree users
+    push through the reference's passthrough SQL. sources/ch_dialect.py
+    maps the DECOMPOSABLE pairs onto Spark's own partial/final shapes —
+    sumState/sumMerge → sum/sum, countState/countMerge → count/SUM of
+    partials, min/max idempotent — so the translated query is a plain
+    two-level aggregate Catalyst fuses; the hash-matched oracle proves
+    the merge algebra, not just the syntax."""
+    table = TableConfig(
+        name="events",
+        custom_query=(
+            "SELECT day, sumMerge(sv) AS total_val, "
+            "countMerge(cn) AS n_events, minMerge(mn) AS first_id, "
+            "maxMerge(mx) AS last_id "
+            "FROM (SELECT toStartOfDay(ts) AS day, event_type, "
+            "sumState(toInt64(value)) AS sv, countState() AS cn, "
+            "minState(event_id) AS mn, maxState(event_id) AS mx "
+            "FROM events GROUP BY day, event_type) "
+            "GROUP BY day"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "x36_array_join_clause",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS docs
+    FROM toks WHERE length(tok) > 4
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    tags=("S3", "EXT", "dialect", "L5"),
+)
+def x36_array_join_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELATIONAL ``ARRAY JOIN`` clause (not the arrayJoin()
+    function) through ``custom_query``: ClickHouse's unnest-in-FROM
+    idiom translates to ``LATERAL VIEW explode`` — one generator per
+    row fused into the scan stage, token counts aggregate after the
+    WHERE on the exploded alias. The shape users port most often from
+    ClickHouse text pipelines."""
+    table = TableConfig(
+        name="documents",
+        custom_query=(
+            "SELECT tok, count(*) AS n, uniqExact(doc_id) AS docs "
+            "FROM documents ARRAY JOIN splitByChar(' ', text) AS tok "
+            "WHERE lengthUTF8(tok) > 4 "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "x37_array_combinators",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(length(t)) AS DOUBLE) AS total_chars,
+           COUNT(*) AS total_toks,
+           MAX(length(t)) AS longest,
+           MIN(length(t)) AS shortest,
+           CAST(SUM(length(t)) AS DOUBLE)
+             / COUNT(*) AS avg_len
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    tags=("S3", "EXT", "dialect", "F5"),
+)
+def x37_array_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-Array aggregate combinators through ``custom_query``:
+    sum/count/min/max/avgArray aggregate over the FLATTENED elements of
+    a per-row array without materializing the explode — the dialect
+    lowers them to per-row higher-order folds (transform + aggregate,
+    all codegen) under an ordinary grouped aggregate. Elements here are
+    integer token lengths, so the double-widened fold stays exact and
+    the oracle (explicit unnest in DuckDB) hash-matches."""
+    arr = "splitByChar(' ', text)"
+    lens = f"arrayMap(t -> lengthUTF8(t), {arr})"
+    table = TableConfig(
+        name="documents",
+        custom_query=(
+            f"SELECT lang, sumArray({lens}) AS total_chars, "
+            f"countArray({arr}) AS total_toks, "
+            f"maxArray({lens}) AS longest, "
+            f"minArray({lens}) AS shortest, "
+            f"avgArray({lens}) AS avg_len "
+            f"FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df

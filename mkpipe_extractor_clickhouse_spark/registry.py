@@ -130,6 +130,9 @@ _DRIVER_PRIORITY = (
     "l2e_portable",
     "t13_stateful_profile",
     "t14_evicted_sessions",
+    "x35_combinator_merge_rollup",
+    "x36_array_join_clause",
+    "x37_array_combinators",
     # Round-4 flagships: the queries that close r3's verdict asks —
     # the nine flagged rows re-front automatically (not covered), and
     # the new wire-partitioning proof earns its driver row first.

@@ -422,6 +422,105 @@ def _translate_functions(sql: str) -> str:
             ch,
             lambda a, s=spark_agg: f"{s}(CASE WHEN {a[1]} THEN {a[0]} END)",
         )
+    out = _rewrite_calls(
+        out,
+        "uniqExactIf",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    # argMaxIf/argMinIf(arg, val, cond): rows failing the condition get
+    # a NULL ordering value, which max_by/min_by ignore — exactly the
+    # ClickHouse -If contract (fuzzed in test_ch_dialect_fuzz.py)
+    out = _rewrite_calls(
+        out,
+        "argMaxIf",
+        lambda a: f"max_by({a[0]}, CASE WHEN {a[2]} THEN {a[1]} END)",
+    )
+    out = _rewrite_calls(
+        out,
+        "argMinIf",
+        lambda a: f"min_by({a[0]}, CASE WHEN {a[2]} THEN {a[1]} END)",
+    )
+
+    # -State/-Merge combinators for DECOMPOSABLE aggregates: ClickHouse
+    # materializes a partial-aggregation state (sumState) and folds
+    # states later (sumMerge) — the exact shape of Spark's own
+    # partial/final hash aggregation, so for sum/min/max the state IS
+    # the running value and for count the merge is a SUM of partial
+    # counts.  uniqState/uniqMerge map onto Spark's HLL sketch pair —
+    # both engines' uniq is approximate, so this is capability parity,
+    # not value parity (declare such queries rows-only).
+    out = _rewrite_calls(out, "sumState", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(out, "sumMerge", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(out, "countState", lambda a: f"count({a[0] if a and a[0].strip() else '*'})")
+    out = _rewrite_calls(out, "countMerge", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(out, "minState", lambda a: f"min({a[0]})")
+    out = _rewrite_calls(out, "minMerge", lambda a: f"min({a[0]})")
+    out = _rewrite_calls(out, "maxState", lambda a: f"max({a[0]})")
+    out = _rewrite_calls(out, "maxMerge", lambda a: f"max({a[0]})")
+    out = _rewrite_calls(out, "uniqState", lambda a: f"hll_sketch_agg({a[0]})")
+    out = _rewrite_calls(
+        out,
+        "uniqMerge",
+        lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
+    )
+    for fn, why in (
+        (
+            "avgState",
+            "avg state is a (sum, count) PAIR — keep sumState+countState"
+            " columns and divide after the merge",
+        ),
+        (
+            "avgMerge",
+            "avg state is a (sum, count) PAIR — merge with"
+            " sum(sums)/sum(counts)",
+        ),
+    ):
+        def _no_state(a, name=fn, why=why):
+            raise ChDialectError(f"{name} has no single-column equivalent ({why})")
+        out = _rewrite_calls(out, fn, _no_state)
+
+    # -OrNull combinators: Spark's min/max/avg/sum already return NULL
+    # over an empty/all-NULL group, which is exactly the -OrNull
+    # contract (ClickHouse's PLAIN sum differs only for the zero-row
+    # global aggregate, where it returns 0)
+    out = _rewrite_calls(out, "sumOrNull", lambda a: f"sum({a[0]})")
+    out = _rewrite_calls(out, "avgOrNull", lambda a: f"avg({a[0]})")
+    out = _rewrite_calls(out, "minOrNull", lambda a: f"min({a[0]})")
+    out = _rewrite_calls(out, "maxOrNull", lambda a: f"max({a[0]})")
+
+    # -Distinct combinators
+    out = _rewrite_calls(out, "sumDistinct", lambda a: f"sum(DISTINCT {a[0]})")
+    out = _rewrite_calls(out, "avgDistinct", lambda a: f"avg(DISTINCT {a[0]})")
+
+    # -Array combinators: aggregate over the FLATTENED elements of an
+    # array column.  sum/avg reduce each row's array with a
+    # higher-order fold (elements cast to double — ClickHouse widens to
+    # the largest numeric type, double covers the fixture surface),
+    # min/max reduce per row then across rows, count sums sizes.
+    out = _rewrite_calls(
+        out,
+        "sumArray",
+        lambda a: (
+            f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE),"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE)))"
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "avgArray",
+        lambda a: (
+            f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE),"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE))) / sum(size({a[0]})))"
+        ),
+    )
+    out = _rewrite_calls(out, "minArray", lambda a: f"min(array_min({a[0]}))")
+    out = _rewrite_calls(out, "maxArray", lambda a: f"max(array_max({a[0]}))")
+    out = _rewrite_calls(out, "countArray", lambda a: f"sum(size({a[0]}))")
+    out = _rewrite_calls(
+        out,
+        "groupArrayArray",
+        lambda a: f"flatten(collect_list({a[0]}))",
+    )
 
     # argument swaps
     out = _rewrite_calls(out, "splitByChar", lambda a: f"split({a[1]}, {a[0]})")
@@ -1388,6 +1487,46 @@ def _translate_clauses(
 ) -> str:
     # execution-engine knobs have no Spark meaning; drop harmlessly
     sql = _SETTINGS_RE.sub("", sql).rstrip()
+
+    # ARRAY JOIN clause (the RELATIONAL form of arrayJoin()): ClickHouse
+    # `FROM t [LEFT] ARRAY JOIN expr AS alias` unnests one row per
+    # element (LEFT keeps empty-array rows with NULL) — Spark's exact
+    # equivalent is `LATERAL VIEW [OUTER] explode(expr) _ AS alias`.
+    # Portable subset: one item, alias REQUIRED (a bare `ARRAY JOIN c`
+    # rebinds the column name c to the element in ClickHouse, which in
+    # Spark would collide with the still-visible array column);
+    # multi-item ARRAY JOIN iterates arrays in LOCKSTEP, so it must be
+    # spelled as arrays_zip explicitly rather than guessed at.
+    def _array_join_repl(m: "re.Match[str]") -> str:
+        items = _split_args(m.group(2).strip())
+        if len(items) != 1:
+            raise ChDialectError(
+                "multi-array ARRAY JOIN iterates arrays in lockstep; "
+                "rewrite as ARRAY JOIN arrays_zip(a, b) AS pair and "
+                "address pair.a / pair.b"
+            )
+        am = re.match(
+            r"(?s)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", items[0].strip(),
+            re.IGNORECASE,
+        )
+        if not am:
+            raise ChDialectError(
+                "ARRAY JOIN needs 'expr AS alias' in the portable subset "
+                "(a bare column item would shadow the array column)"
+            )
+        outer = "OUTER " if m.group(1) else ""
+        return (
+            f" LATERAL VIEW {outer}explode({am.group(1).strip()})"
+            f" __aj AS {am.group(2)} "
+        )
+
+    sql = re.sub(
+        r"\s+(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)"
+        r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|WINDOW)\b|\s*$)",
+        _array_join_repl,
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
 
     # ClickHouse scalar WITH (`WITH 0.15 AS rate SELECT …`): constant
     # aliases inline textually. Only LITERAL constants translate — an

@@ -181,3 +181,104 @@ def test_scalar_compositions_execute(spark, e):
 def test_aggregate_compositions_execute(spark, a):
     sql = f"SELECT event_type, {a} AS x FROM events GROUP BY event_type"
     spark.sql(translate(sql)).collect()
+
+
+# -- round 5: combinator + ARRAY JOIN surface --------------------------------
+
+combinator_agg = st.one_of(
+    num_expr(1).map(lambda x: f"sumState({x})"),
+    num_expr(1).map(lambda x: f"sumOrNull({x})"),
+    num_leaf.map(lambda x: f"sumDistinct({x})"),
+    num_expr(1).map(lambda x: f"minState({x})"),
+    num_expr(1).map(lambda x: f"maxOrNull({x})"),
+    st.just("countState()"),
+    num_leaf.map(lambda x: f"uniqState({x})"),
+    bool_expr(1).map(lambda c: f"uniqExactIf(user_id, {c})"),
+    st.tuples(num_expr(1), bool_expr(1)).map(
+        lambda p: f"argMaxIf(event_type, {p[0]}, {p[1]})"
+    ),
+    st.tuples(num_expr(1), bool_expr(1)).map(
+        lambda p: f"argMinIf(event_type, {p[0]}, {p[1]})"
+    ),
+    arr_expr(1).map(lambda a: f"sumArray({a})"),
+    arr_expr(1).map(lambda a: f"avgArray({a})"),
+    arr_expr(1).map(lambda a: f"countArray({a})"),
+    arr_expr(1).map(lambda a: f"minArray({a})"),
+    arr_expr(1).map(lambda a: f"maxArray({a})"),
+    arr_expr(1).map(lambda a: f"groupArrayArray({a})"),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=combinator_agg)
+def test_combinator_compositions_execute(spark, a):
+    sql = f"SELECT event_type, {a} AS x FROM events GROUP BY event_type"
+    spark.sql(translate(sql)).collect()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=combinator_agg)
+def test_state_merge_roundtrip_executes(spark, a):
+    """A -State column produced in a subquery must be mergeable by the
+    matching -Merge (or summable for counts) after translation."""
+    sql = (
+        "SELECT day, sumMerge(sv) AS m FROM ("
+        "SELECT toStartOfDay(ts) AS day, sumState(value) AS sv "
+        "FROM events GROUP BY day) GROUP BY day"
+    )
+    spark.sql(translate(sql)).collect()
+
+
+def test_array_join_clause_translates_and_executes(spark):
+    sql = (
+        "SELECT tok, count(*) AS n FROM documents "
+        "ARRAY JOIN splitByChar(' ', text) AS tok "
+        "WHERE lengthUTF8(tok) > 3 GROUP BY tok ORDER BY n DESC, tok LIMIT 5"
+    )
+    out = translate(sql)
+    assert "LATERAL VIEW explode" in out
+    assert spark.sql(out).count() == 5
+
+
+def test_left_array_join_keeps_empty_rows(spark):
+    sql = (
+        "SELECT doc_id, tok FROM documents "
+        "LEFT ARRAY JOIN arrayFilter(t -> lengthUTF8(t) > 100, "
+        "splitByChar(' ', text)) AS tok"
+    )
+    out = translate(sql)
+    assert "LATERAL VIEW OUTER explode" in out
+    df = spark.sql(out)
+    # no token is 100+ chars → every doc survives exactly once, NULL tok
+    total = spark.sql("SELECT count(*) AS c FROM documents").collect()[0][0]
+    rows = df.collect()
+    assert len(rows) == total
+    assert all(r.tok is None for r in rows)
+
+
+def test_multi_array_join_raises_with_zip_hint(spark):
+    from mkpipe_extractor_clickhouse_spark.sources.ch_dialect import (
+        ChDialectError,
+    )
+
+    with pytest.raises(ChDialectError, match="lockstep"):
+        translate(
+            "SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b GROUP BY a, b"
+        )
+
+
+def test_avg_state_raises_with_pair_hint(spark):
+    from mkpipe_extractor_clickhouse_spark.sources.ch_dialect import (
+        ChDialectError,
+    )
+
+    with pytest.raises(ChDialectError, match="PAIR"):
+        translate("SELECT avgState(value) FROM events")
