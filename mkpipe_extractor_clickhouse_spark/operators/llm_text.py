@@ -543,39 +543,79 @@ def a23_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
+CMS_P = 1_000_000_007  # the l58 portable hash family's prime
+
+
+def _cms_bucket(t):
+    """Portable CMS row-hash: the l58 md5-derived affine family —
+    identical integer arithmetic in every engine, so the whole sketch
+    is differentially testable (any pairwise-independent family
+    satisfies the CMS bound; xxhash64 bought nothing but opacity)."""
+    ht = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % CMS_P
+    return F.pmod(
+        ((2 * F.col("rw") + 1) * ht + 1_000_003 * F.col("rw")) % CMS_P,
+        CMS_WIDTH,
+    )
+
+
+_CMS_BUCKET_SQL = (
+    f"(((2 * i + 1) * (('0x' || substr(md5({{t}}), 1, 15))::BIGINT"
+    f" % {CMS_P}) + 1000003 * i) % {CMS_P}) % {CMS_WIDTH}"
+)
 
 
 @register(
     "a24_countmin_point",
-    oracle=None,  # sketch estimates; invariants pinned in pytest
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hb AS (
+      SELECT t, i AS rw, {_CMS_BUCKET_SQL.format(t='t')} AS bucket
+      FROM tok CROSS JOIN range(0, {CMS_DEPTH}) r(i)
+    ),
+    cms AS (
+      SELECT rw, bucket, COUNT(*) AS c FROM hb GROUP BY rw, bucket
+    ),
+    top AS (
+      SELECT t, COUNT(*) AS true_c FROM tok GROUP BY t
+      ORDER BY true_c DESC, t LIMIT 10
+    ),
+    probes AS (
+      SELECT top.t, top.true_c, i AS rw,
+             {_CMS_BUCKET_SQL.format(t='top.t')} AS bucket
+      FROM top CROSS JOIN range(0, {CMS_DEPTH}) r(i)
+    )
+    SELECT p.t, p.true_c, MIN(c.c) AS cms_estimate
+    FROM probes p JOIN cms c ON p.rw = c.rw AND p.bucket = c.bucket
+    GROUP BY p.t, p.true_c
+    ORDER BY p.true_c DESC, p.t
+    """,
     tags=("A4", "EXT", "sketch"),
 )
 def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) built entirely
     JVM-side — no Python in the data path: each token lands in one
-    bucket per hash row (xxhash64 with the row index as seed, pmod
-    width), the sketch IS a (row, bucket) → count aggregation, and a
-    point estimate is the MIN over rows of the probed buckets. Probes
-    are the exact top-10 tokens so the output is stable. The sketch
-    table is DEPTH×WIDTH rows regardless of corpus size and merges by
+    bucket per hash row (portable md5-affine family, pmod width), the
+    sketch IS a (row, bucket) → count aggregation, and a point
+    estimate is the MIN over rows of the probed buckets. Probes are
+    the exact top-10 tokens so the output is stable. The sketch table
+    is DEPTH×WIDTH rows regardless of corpus size and merges by
     addition (counts are linear) — the same partial→final path as any
     hash agg, which is why CMS is the shuffle-free way to answer
-    point-frequency queries at 100 TB. est ≥ true always; the
-    overestimate bound is asserted in tests/test_llm.py."""
+    point-frequency queries at 100 TB. Round-5 upgrade: the l58
+    portable hash family replaces xxhash64, so the ENTIRE sketch —
+    bucket placement, counters, probe minima — now hash-matches a
+    DuckDB oracle; est ≥ true stays asserted in tests/test_llm.py."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("t"))
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
-    ).alias("row")
+    ).alias("rw")
     cms = (
         tok.select("t", rows)
-        .select(
-            "row",
-            F.pmod(F.xxhash64(F.col("t"), F.col("row")), CMS_WIDTH).alias(
-                "bucket"
-            ),
-        )
-        .groupBy("row", "bucket")
+        .select("rw", _cms_bucket(F.col("t")).alias("bucket"))
+        .groupBy("rw", "bucket")
         .agg(F.count("*").alias("c"))
     )
     probes = (
@@ -587,20 +627,13 @@ def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t",
             "true_c",
             F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
-                "row"
+                "rw"
             ),
         )
-        .select(
-            "t",
-            "true_c",
-            "row",
-            F.pmod(F.xxhash64(F.col("t"), F.col("row")), CMS_WIDTH).alias(
-                "bucket"
-            ),
-        )
+        .select("t", "true_c", "rw", _cms_bucket(F.col("t")).alias("bucket"))
     )
     return (
-        probes.join(F.broadcast(cms), ["row", "bucket"])
+        probes.join(F.broadcast(cms), ["rw", "bucket"])
         .groupBy("t", "true_c")
         .agg(F.min("c").alias("cms_estimate"))
         .orderBy(F.col("true_c").desc(), "t")
@@ -612,29 +645,74 @@ KMV_K = 64
 
 @register(
     "a25_kmv_overlap",
-    oracle=None,  # estimates; accuracy + determinism pinned in pytest
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ),
+    kmv AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed QUALIFY rn <= {KMV_K}
+    ),
+    pair_union AS (
+      SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+             COUNT(*) AS shared_minima
+      FROM kmv a JOIN kmv b
+        ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    kth AS (
+      SELECT event_type, COUNT(*) AS cnt, MAX(h) AS kth
+      FROM kmv GROUP BY 1
+    ),
+    sizes AS (
+      SELECT event_type,
+             CASE WHEN cnt < {KMV_K} THEN CAST(cnt AS DOUBLE)
+                  ELSE ROUND(({KMV_K} - 1)
+                             / (CAST(kth AS DOUBLE) / {float(2**60)!r}), 2)
+             END AS est_distinct
+      FROM kth
+    )
+    SELECT p.seg_a, p.seg_b, p.shared_minima,
+           sa.est_distinct AS est_a, sb.est_distinct AS est_b,
+           ROUND((p.shared_minima / {float(KMV_K)!r})
+                 * (sa.est_distinct + sb.est_distinct)
+                 / (1 + p.shared_minima / {float(KMV_K)!r}), 2)
+             AS est_intersection
+    FROM pair_union p
+    JOIN sizes sa ON sa.event_type = p.seg_a
+    JOIN sizes sb ON sb.event_type = p.seg_b
+    ORDER BY seg_a, seg_b
+    """,
     tags=("A4", "A3", "EXT", "sketch"),
 )
 def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-overlap analytics via K-minimum-values sketches
     (Bar-Yossef et al. 2002): per event-type segment keep the k
-    smallest xxhash64(user_id) values — a mergeable, JVM-only summary
-    whose k-th minimum estimates distinct count as (k−1)·2⁶⁴/kth, and
-    whose UNION (merge-and-cut) plus Jaccard-over-minima gives
-    INTERSECTION estimates — the set algebra HLL cannot do (a16's
-    sketches only union). Audience-overlap questions ('how many
-    users did both X and Y') then run on O(k) state per segment pair
-    instead of a user-level join — ch_audience_overlap is the exact
-    sibling this estimates at 100 TB. Deterministic end-to-end
-    (xxhash64 is seed-stable), so the driver's rows-only re-run check
-    holds exactly; estimate-vs-exact accuracy is asserted in
-    tests/test_llm.py."""
+    smallest hash values of user_id — a mergeable, JVM-only summary
+    whose k-th minimum estimates distinct count as (k−1)/u, and whose
+    UNION (merge-and-cut) plus Jaccard-over-minima gives INTERSECTION
+    estimates — the set algebra HLL cannot do (a16's sketches only
+    union). Audience-overlap questions ('how many users did both X
+    and Y') then run on O(k) state per segment pair instead of a
+    user-level join — ch_audience_overlap is the exact sibling this
+    estimates at 100 TB. Round-5 upgrade: the portable md5-derived
+    60-bit hash replaces xxhash64, so minima, k-th-minimum estimates
+    and intersection algebra all hash-match a DuckDB oracle;
+    estimate-vs-exact accuracy stays asserted in tests/test_llm.py."""
     ev = load_table(spark, sf_dir, "events")
     hashed = ev.select(
         "event_type",
-        # signed xxhash64 is uniform over the full long range; "k
-        # smallest signed" is an equally valid uniform minimum sample
-        F.xxhash64("user_id").alias("h"),
+        # 60-bit md5-prefix hash: uniform over [0, 2^60), engine-
+        # portable (the l58 seam)
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     kmv = (
@@ -662,9 +740,9 @@ def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = kmv.groupBy("event_type").agg(
         F.count("*").alias("cnt"), F.max("h").alias("kth")
     )
-    # map the signed k-th minimum into u ∈ (0,1): u = (kth + 2⁶³)/2⁶⁴
-    u = (F.col("kth").cast("double") + F.lit(float(2**63))) / F.lit(
-        float(2**64)
+    # map the k-th minimum into u ∈ (0,1): u = kth / 2⁶⁰
+    u = F.col("kth").cast("double") / F.lit(
+        float(2**60)
     )
     est = F.when(F.col("cnt") < KMV_K, F.col("cnt").cast("double")).otherwise(
         F.round((KMV_K - 1) / u, 2)
