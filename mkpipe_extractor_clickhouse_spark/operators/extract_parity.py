@@ -1827,3 +1827,70 @@ def x37_array_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         custom_query_dialect="clickhouse",
     )
     return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "x38_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(TRUNC(l_extendedprice * (1 - l_discount) * 1000000
+                + (CASE WHEN l_extendedprice * (1 - l_discount) >= 0
+                        THEN 0.5 ELSE -0.5 END)) AS BIGINT)) AS BIGINT)
+             AS revenue_q,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("S9", "J1", "EXT", "bucketing"),
+)
+def x38_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED fact-fact join via BUCKETED tables — the storage-
+    level answer to q10's one unavoidable shuffle: write lineitem and
+    orders bucketed (and sorted) by order key into the session catalog,
+    and the join compiles with NO Exchange on either side — each task
+    zips bucket i with bucket i straight off storage (a memory-local
+    per-bucket sort remains: Spark's reader does not consume sortBy
+    metadata, SPARK-19256 — the SHUFFLE is what bucketing removes). At
+    100 TB this is how a pipeline that joins the same fact tables every
+    tick amortizes the shuffle to WRITE-ONCE: ClickHouse users get the
+    same effect from co-sorted MergeTree parts; Delta/Iceberg call it
+    bucketed/partitioned write distribution.  The bucketed layout is
+    rebuilt from the driver's parquet on each run (bucket metadata
+    lives in the catalog, not parquet, so a plain path read cannot
+    carry it); the absent-exchange plan is locked in
+    tests/test_plans.py.  Values are identical to the plain join — the
+    oracle runs on the raw tables."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        _quantize_local(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("q"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    for name, df, key in (
+        ("x38_li_b", li, "l_orderkey"),
+        ("x38_o_b", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(16, key)
+            .sortBy(key)
+            .option("path", tempfile.mkdtemp(prefix=f"{name}_"))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    lb = spark.table("x38_li_b")
+    ob = spark.table("x38_o_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("q").alias("revenue_q"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

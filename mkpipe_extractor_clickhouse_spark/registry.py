@@ -133,6 +133,9 @@ _DRIVER_PRIORITY = (
     "x35_combinator_merge_rollup",
     "x36_array_join_clause",
     "x37_array_combinators",
+    "x38_bucketed_colocated_join",
+    "a24_countmin_point",
+    "a25_kmv_overlap",
     # Round-4 flagships: the queries that close r3's verdict asks —
     # the nine flagged rows re-front automatically (not covered), and
     # the new wire-partitioning proof earns its driver row first.

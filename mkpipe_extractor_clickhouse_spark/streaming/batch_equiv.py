@@ -499,11 +499,16 @@ def t13_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t14_evicted_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization WITH STATE EVICTION, batch semantics: 30-minute
-    gap sessions per user, emitting only sessions the 1-hour watermark
-    has CLOSED (session_end ≤ max event time − watermark) — exactly
-    the append-mode output of the streaming session_window + watermark
-    pipeline (streaming/runtime.py session_counts), where a session
-    row leaves the state store once the watermark passes its gap.
+    gap sessions per user, emitting only sessions the 1-hour horizon
+    has CLOSED (session_end ≤ max event time − 1 hour).  This is the
+    append-mode output of the streaming session_window pipeline
+    (streaming/runtime.py session_counts) under the equivalence
+    session_window.end = session_end + gap: append emits once the
+    watermark passes the window end, so with watermark delay w a
+    session surfaces when last_event ≤ max_ts − w − gap — the runtime
+    parity test (tests/test_streaming.py) drives the stream with
+    w = 30 min and maps window ends back by the gap, matching this
+    relation row-for-row.
 
     Shapes: one window pass per user partition (gap-islands via
     lag + running sum — no self-join), one grouped agg, and the

@@ -147,11 +147,17 @@ def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def session_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """T4: session windows (gap-based) over the stream."""
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """T4: session windows (gap-based) over the stream.  In append
+    mode a session row is emitted — and leaves the state store — once
+    the watermark passes its window end (last event + gap): verified
+    boundary-exactly against the batch derivation in
+    tests/test_streaming.py."""
     return (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(

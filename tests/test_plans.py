@@ -541,3 +541,32 @@ def test_q10_fact_join_shuffled_hash_aggregates_before_names(spark, sf_dir):
         "q10: per-custkey aggregate is not between the name broadcasts"
         " and the fact join"
     )
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark, sf_dir):
+    """x38 lock: both sides bucketed by the join key → the
+    SortMergeJoin compiles with ZERO Exchange below it — bucket i zips
+    with bucket i straight off storage ("Bucketed: true", all buckets
+    selected). A per-bucket in-task Sort remains: Spark's reader does
+    not consume sortBy metadata (multiple files per bucket can't
+    guarantee order — SPARK-19256), and that sort is memory-local over
+    one bucket's rows, not a shuffle. The only exchanges in the plan
+    belong to the 5-group final aggregate."""
+    # disable auto-broadcast: at test SF the orders side is tiny and
+    # would broadcast, hiding the co-located shape this lock pins (at
+    # scale both sides are fact-sized — the bucketed SMJ is the plan)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["x38_bucketed_colocated_join"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    lines = plan.splitlines()
+    smj = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below = lines[smj:]
+    assert not any("Exchange" in l for l in below), (
+        "bucketed join still shuffles"
+    )
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 16 out of 16" in plan

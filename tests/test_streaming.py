@@ -453,3 +453,41 @@ def test_stream_topk_matches_batch(spark, sf_dir, staged, tmp_path):
         for r in _REGISTRY["t12_stream_topk"].builder(spark, sf_dir).collect()
     }
     assert best == want
+
+
+def test_session_eviction_append_matches_t14(spark, sf_dir, staged, tmp_path):
+    """t14_evicted_sessions runtime parity: the APPEND-mode output of
+    the streaming session pipeline equals the batch derivation
+    row-for-row.  Append emits a session once the watermark passes its
+    window end (= last event + gap), so with watermark delay 30 min a
+    session surfaces iff last_event ≤ max_ts − 1 h — exactly t14's
+    closed-session predicate; window ends map back by the gap."""
+    import datetime
+
+    from mkpipe_extractor_clickhouse_spark.streaming.batch_equiv import (
+        t14_evicted_sessions,
+    )
+
+    stream = runtime.read_event_stream(spark, staged)
+    agg = runtime.session_counts(stream, gap="30 minutes", watermark="30 minutes")
+    runtime.run_available_now(
+        agg, "sess_evict_out", "append", str(tmp_path / "ckpt")
+    )
+    gap = datetime.timedelta(minutes=30)
+    got = {
+        (r.user_id, r.session_start, r.session_end - gap, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_evict_out").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in t14_evicted_sessions(spark, sf_dir).collect()
+    }
+    assert got == want
+    # eviction is real: some sessions stay open past the horizon
+    total = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert len(want) < total
