@@ -546,12 +546,18 @@ CMS_WIDTH = 1024
 CMS_P = 1_000_000_007  # the l58 portable hash family's prime
 
 
-def _cms_bucket(t):
+def _cms_token_hash(t):
+    """Portable base token hash: md5-prefix integer, computed ONCE per
+    token (the affine row mix below derives the CMS_DEPTH row hashes
+    from it — md5 is the expensive part, ~8× xxhash64)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % CMS_P
+
+
+def _cms_bucket(ht):
     """Portable CMS row-hash: the l58 md5-derived affine family —
     identical integer arithmetic in every engine, so the whole sketch
     is differentially testable (any pairwise-independent family
     satisfies the CMS bound; xxhash64 bought nothing but opacity)."""
-    ht = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % CMS_P
     return F.pmod(
         ((2 * F.col("rw") + 1) * ht + 1_000_003 * F.col("rw")) % CMS_P,
         CMS_WIDTH,
@@ -613,8 +619,9 @@ def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
     ).alias("rw")
     cms = (
-        tok.select("t", rows)
-        .select("rw", _cms_bucket(F.col("t")).alias("bucket"))
+        tok.select(_cms_token_hash(F.col("t")).alias("ht"))
+        .select("ht", rows)
+        .select("rw", _cms_bucket(F.col("ht")).alias("bucket"))
         .groupBy("rw", "bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -623,14 +630,16 @@ def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("true_c"))
         .orderBy(F.col("true_c").desc(), "t")
         .limit(10)
+        .select("t", "true_c", _cms_token_hash(F.col("t")).alias("ht"))
         .select(
             "t",
             "true_c",
+            "ht",
             F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
                 "rw"
             ),
         )
-        .select("t", "true_c", "rw", _cms_bucket(F.col("t")).alias("bucket"))
+        .select("t", "true_c", "rw", _cms_bucket(F.col("ht")).alias("bucket"))
     )
     return (
         probes.join(F.broadcast(cms), ["rw", "bucket"])
