@@ -340,6 +340,16 @@ def main() -> None:
                 }
                 for p in su.get("points", [])
             ],
+            "llm_points": [
+                {
+                    "documents": p["documents"],
+                    "vectors": p["vectors"],
+                    "spark_total": p["spark_total"],
+                    "duckdb_total": p["duckdb_total"],
+                    "ratio": p["ratio"],
+                }
+                for p in su.get("llm", {}).get("points", [])
+            ],
         }
     except (OSError, ValueError):
         pass

@@ -136,13 +136,96 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
     return res
 
 
+LLM_QUERIES = ("l1_exact_dedup", "l5_wordcount", "l12_token_count",
+               "l3_topk_cosine")
+
+
+def build_llm_point(spark, rep: int) -> Path:
+    """R offset copies of documents + embeddings.  Text/vectors are
+    UNCHANGED — exact-dup groups scale by R (the realistic shape for a
+    re-crawled corpus) and duplicate vectors tie-break on vec_id."""
+    out = DATA_ROOT / f"llm_x{rep}"
+    if (out / "_DONE").exists():
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+    for name, key, nfiles in (("documents", "doc_id", 32),
+                              ("embeddings", "vec_id", 32)):
+        df = load_table(spark, BASE_SF, name)
+        stride = df.agg(F.max(key)).collect()[0][0] + 1
+        reps_df = spark.range(rep).select(
+            F.col("id").cast("long").alias("__rep")
+        )
+        cols = [
+            (F.col(f.name) + F.col("__rep") * F.lit(stride))
+            .cast(f.dataType).alias(f.name)
+            if f.name == key else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        (df.crossJoin(F.broadcast(reps_df)).select(cols)
+           .repartition(nfiles)
+           .write.mode("overwrite").parquet(str(out / f"{name}.parquet")))
+    (out / "_DONE").touch()
+    return out
+
+
+# DuckDB's BEST formulation for top-k cosine (native list kernel) — the
+# registry's declared oracle explodes per-element rows for exactness,
+# which would strawman DuckDB at the bench scale.
+L3_DUCK_NATIVE = """
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)), 6)
+         AS cosine
+FROM embeddings WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def time_llm(spark, sf_dir: str) -> tuple[dict, dict]:
+    import duckdb
+
+    specs = all_specs()
+    sp: dict[str, float] = {}
+    for name in LLM_QUERIES:
+        df = specs[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        sp[name] = round(min(runs), 3)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+    du: dict[str, float] = {}
+    for name in LLM_QUERIES:
+        sql = L3_DUCK_NATIVE if name == "l3_topk_cosine" else specs[name].oracle
+        con.sql(sql).arrow()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.sql(sql).arrow()
+            runs.append(time.perf_counter() - t0)
+        du[name] = round(min(runs), 3)
+    con.close()
+    return sp, du
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", default="5,20,50,100")
+    ap.add_argument("--llm-reps", default="",
+                    help="documents/embeddings replication factors, e.g."
+                         " 100,1000; appends an 'llm' section")
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated parquet between points")
     args = ap.parse_args()
-    reps = [int(r) for r in args.reps.split(",")]
+    reps = [int(r) for r in args.reps.split(",") if r]
 
     spark = get_spark(
         app_name="mkpipe_spark_scaleup",
@@ -158,6 +241,51 @@ def main() -> None:
             # scan tasks/file set; fine, AQE coalesces downstream.
         },
     )
+
+    llm_points = []
+    for rep in [int(r) for r in args.llm_reps.split(",") if r]:
+        t0 = time.perf_counter()
+        d = build_llm_point(spark, rep)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        ndocs = spark.read.parquet(str(d / "documents.parquet")).count()
+        nvecs = spark.read.parquet(str(d / "embeddings.parquet")).count()
+        sp, du = time_llm(spark, str(d))
+        st, dt = round(sum(sp.values()), 3), round(sum(du.values()), 3)
+        pt = {
+            "rep": rep, "documents": ndocs, "vectors": nvecs,
+            "gen_sec": gen_sec, "spark": sp, "duckdb": du,
+            "spark_total": st, "duckdb_total": dt,
+            "ratio": round(st / dt, 2) if dt else None,
+        }
+        llm_points.append(pt)
+        print(json.dumps(pt))
+        if not args.keep:
+            shutil.rmtree(d, ignore_errors=True)
+    if llm_points and not reps:
+        # --llm-reps-only invocation: merge into the existing artifact
+        try:
+            payload = json.loads((Path(REPO) / "SCALEUP.json").read_text())
+        except (OSError, ValueError):
+            payload = {}
+        payload["llm"] = {
+            "note": (
+                "LLM-pipeline kernels on offset-replicated documents/"
+                "embeddings (text and vectors unchanged; exact-dup "
+                "groups scale by R). l3's DuckDB side uses the native "
+                "list_cosine_similarity kernel, not the row-exploded "
+                "oracle, to avoid strawmanning DuckDB."
+            ),
+            "queries": list(LLM_QUERIES),
+            "points": llm_points,
+        }
+        (Path(REPO) / "SCALEUP.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+        print("merged llm section into SCALEUP.json")
+        spark.stop()
+        if not args.keep:
+            shutil.rmtree(DATA_ROOT, ignore_errors=True)
+        return
 
     points = []
     for rep in reps:
