@@ -66,7 +66,13 @@ def _norm(a):
 def cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cosine, label) similarity of every vector to the query
     vector (vec_id=QUERY_VEC_ID), broadcast-joined — one scan, no
-    shuffle."""
+    shuffle.  (Round-5 measurement note: unrolling the dot/norm into a
+    flat 64-term element_at expression with literal query components
+    was MEASURED 12× SLOWER at 2.4 M vectors — the ~190-operator
+    expression blows past the codegen method-size limits into the
+    interpreted path; the higher-order fold stays fused.  The
+    vectorized scale path for this kernel is l4's mapInPandas + NumPy
+    partition heaps.)"""
     vecs = _vectors(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv")

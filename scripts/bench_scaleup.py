@@ -137,7 +137,7 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
 
 
 LLM_QUERIES = ("l1_exact_dedup", "l5_wordcount", "l12_token_count",
-               "l3_topk_cosine")
+               "l3_topk_cosine", "l4_distributed_topk")
 
 
 def build_llm_point(spark, rep: int) -> Path:
@@ -204,7 +204,11 @@ def time_llm(spark, sf_dir: str) -> tuple[dict, dict]:
         )
     du: dict[str, float] = {}
     for name in LLM_QUERIES:
-        sql = L3_DUCK_NATIVE if name == "l3_topk_cosine" else specs[name].oracle
+        sql = (
+            L3_DUCK_NATIVE
+            if name in ("l3_topk_cosine", "l4_distributed_topk")
+            else specs[name].oracle
+        )
         con.sql(sql).arrow()
         runs = []
         for _ in range(3):
