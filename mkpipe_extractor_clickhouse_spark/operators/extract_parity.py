@@ -1876,10 +1876,12 @@ def x38_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("x38_o_b", o, "o_orderkey"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = tempfile.mkdtemp(prefix=f"{name}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         (
             df.write.bucketBy(16, key)
             .sortBy(key)
-            .option("path", tempfile.mkdtemp(prefix=f"{name}_"))
+            .option("path", path)
             .mode("overwrite")
             .saveAsTable(name)
         )

@@ -220,6 +220,43 @@ def time_llm(spark, sf_dir: str) -> tuple[dict, dict]:
     return sp, du
 
 
+def verify_values(spark, sf_dir: str) -> dict[str, bool]:
+    """Value-consistency at scale: collect each headline query's (tiny)
+    result from BOTH engines and compare after canonical rounding.
+    The sf0.01 strict gate can't see scale-dependent failure modes —
+    the one this guards is quantized-long aggregate overflow (the dsum
+    bound is |Σx| ≲ 9.2e12 per group; a 60 M-row group sits at ~4e17
+    on this data, within range but two orders closer than the driver's
+    fixtures ever get)."""
+    import duckdb
+
+    specs = all_specs()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+
+    def canon(cols, rows):
+        out = []
+        for r in rows:
+            out.append(tuple(
+                round(v, 6) if isinstance(v, float) else v for v in r
+            ))
+        return sorted(out, key=repr)
+
+    ok = {}
+    for name in QUERIES:
+        sdf = specs[name].builder(spark, sf_dir)
+        s = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+        res = con.sql(specs[name].oracle)
+        o = canon(list(res.columns), res.fetchall())
+        ok[name] = s == o
+    con.close()
+    return ok
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", default="5,20,50,100")
@@ -310,23 +347,34 @@ def main() -> None:
             "duckdb_total": kt,
             "ratio": round(st / kt, 2) if kt else None,
         }
+        if rep == reps[-1]:
+            # value-consistency proof at the LARGEST point (overflow &
+            # scale-dependent bugs live here, not at the driver's sf)
+            pt["values_match"] = verify_values(spark, str(d))
         points.append(pt)
         print(json.dumps(pt))
         if not args.keep and rep != reps[-1]:
             shutil.rmtree(d, ignore_errors=True)
 
+    try:  # keep an existing llm section across shuffle-query refreshes
+        prev = json.loads((Path(REPO) / "SCALEUP.json").read_text())
+    except (OSError, ValueError):
+        prev = {}
     payload = {
         "note": (
             "headline shuffle queries (q1 grouped agg, q3/q10 fact-fact "
             "join + top-k, j11 star join) on FK-consistent offset "
             "replication of sf0.1; best-of-3 steady wall, Spark noop "
             "sink vs DuckDB Arrow materialization, same host, 32-way "
-            "parquet layout for both engines"
+            "parquet layout for both engines; values_match at the "
+            "largest point = per-query Spark-vs-DuckDB result equality "
+            "(rounded 1e-6) at 60 M rows"
         ),
         "base_sf_dir": BASE_SF,
         "queries": list(QUERIES),
         "points": points,
         "generated_by": "scripts/bench_scaleup.py",
+        **({"llm": prev["llm"]} if "llm" in prev else {}),
     }
     (Path(REPO) / "SCALEUP.json").write_text(json.dumps(payload, indent=1) + "\n")
     print("wrote SCALEUP.json")
