@@ -498,21 +498,48 @@ def _lineitem_branch(name, spark, sf_dir):
     return lines, li_scan, join_above
 
 
-@pytest.mark.parametrize("name", ["q3_shipping_priority", "j11_multiway_star"])
-def test_semijoin_reduced_fact_never_shuffles(name, spark, sf_dir):
-    """q3/j11 round-5 rewrite lock (scale-up bench: 2.30→1.53 s and
-    4.15→1.28 s at 60 M rows): the dimension chain reduces first and
-    the reduced order-key set BROADCASTS into the lineitem scan — the
-    fact table reaches a BroadcastHashJoin with no Exchange and no
-    Sort anywhere on its branch."""
-    lines, li_scan, join_above = _lineitem_branch(name, spark, sf_dir)
+def test_semijoin_reduced_fact_never_shuffles(spark, sf_dir):
+    """j11 round-5 rewrite lock (scale-up bench: 4.15→1.28 s at 60 M
+    rows): the dimension chain reduces first (region∩date cuts orders
+    to ~2%) and the reduced order-key set BROADCASTS into the lineitem
+    scan — the fact table reaches a BroadcastHashJoin with no Exchange
+    and no Sort anywhere on its branch."""
+    lines, li_scan, join_above = _lineitem_branch(
+        "j11_multiway_star", spark, sf_dir
+    )
     assert "BroadcastHashJoin" in lines[join_above], (
-        f"{name}: fact join is not a broadcast join:"
-        f" {lines[join_above].strip()}"
+        f"fact join is not a broadcast join: {lines[join_above].strip()}"
     )
     branch = lines[join_above + 1 : li_scan]
     assert not any("Exchange" in l or "Sort" in l for l in branch), (
-        f"{name}: the lineitem branch shuffles or sorts before its join"
+        "the lineitem branch shuffles or sorts before its join"
+    )
+
+
+def test_q3_fact_join_shuffled_hash_no_sort(spark, sf_dir):
+    """q3 round-5 rewrite lock (broadcast → SHJ, 2.31→1.56 s at 60 M
+    rows interleaved min-of-5): the qualifying-orders set is ~1/5 of
+    all orders — too large to broadcast-build cheaply — so the fact
+    join is a ShuffledHashJoin with no Sort on either side, and the
+    fact branch carries ONLY (l_orderkey, quantized addend) into its
+    exchange."""
+    lines, li_scan, join_above = _lineitem_branch(
+        "q3_shipping_priority", spark, sf_dir
+    )
+    assert "ShuffledHashJoin" in lines[join_above], (
+        f"fact join is not a shuffled hash join: {lines[join_above].strip()}"
+    )
+    branch = lines[join_above + 1 : li_scan]
+    assert not any("Sort" in l for l in branch), (
+        "SHJ must not sort the fact side"
+    )
+    # the quantized-addend Project sits BELOW the exchange, so the
+    # shuffle moves only (l_orderkey, q) — not raw price/discount
+    exch = [i for i, l in enumerate(branch) if "Exchange" in l]
+    proj = [i for i, l in enumerate(branch) if "Project" in l and " AS q#" in l]
+    assert len(exch) == 1, f"fact branch must shuffle exactly once: {branch}"
+    assert proj and proj[0] > exch[0], (
+        "the addend projection must be computed before (below) the exchange"
     )
 
 
