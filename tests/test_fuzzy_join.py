@@ -1,0 +1,86 @@
+"""Fuzzy edit-distance join (j19): blocking completeness + plan lock.
+
+The q-gram count filter must be COMPLETE — every true pair (edit
+distance ≤ t) must survive blocking — or the operator silently drops
+matches at scale where no oracle will catch it. The brute-force check
+here runs on a crafted vocabulary that exercises the boundary cases:
+substitutions, insertions, deletions, edits at either end, and edits
+that cross token boundaries (space deletion merging two words).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from mkpipe_extractor_clickhouse_spark.operators.fuzzy_join import (
+    qgram_fuzzy_pairs,
+)
+
+from .test_plans import plan_of
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+VOCAB = [
+    "cold anvil",
+    "old anvil",       # 1 deletion at the start
+    "cold anvils",     # 1 insertion at the end
+    "coldanvil",       # space deletion (crosses the token boundary)
+    "gold anvil",      # substitution
+    "bold hammer",
+    "old hammer",
+    "small gizmo",
+    "small gizmos",
+    "smallgizmo",
+    "entirely other",
+]
+
+
+def test_blocking_is_complete(spark):
+    names = spark.createDataFrame([(n,) for n in VOCAB], ["name"])
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in qgram_fuzzy_pairs(names, "name").collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(set(VOCAB)), 2):
+        d = _lev(a, b)
+        if 1 <= d <= 2:
+            want.add((a, b, d))
+    assert got == want
+    assert want, "fixture must exercise at least one true pair"
+
+
+def test_spark_levenshtein_matches_reference(spark):
+    """Spark's levenshtein must be the classic unit-cost DP the oracle
+    (DuckDB) also implements — pin a few asymmetric cases."""
+    import pyspark.sql.functions as F
+
+    cases = [(a, b) for a in VOCAB for b in VOCAB]
+    df = spark.createDataFrame(cases, ["a", "b"]).select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    for r in df.collect():
+        assert r.d == _lev(r.a, r.b), (r.a, r.b)
+
+
+def test_j19_plan_has_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the gram equi-join — an all-pairs
+    fallback (cartesian / broadcast nested loop) is the exact failure
+    mode the operator exists to avoid."""
+    plan = plan_of("j19_fuzzy_edit_join", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
