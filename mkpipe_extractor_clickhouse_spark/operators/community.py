@@ -1,0 +1,154 @@
+"""Community detection: synchronous label propagation (LPA) over the
+part co-purchase graph.
+
+Raghavan et al., "Near linear time algorithm to detect community
+structures in large-scale networks" (Phys. Rev. E 76, 2007) — each node
+repeatedly adopts the most frequent label among its neighbors. The
+textbook algorithm is ASYNCHRONOUS with random tie-breaks; that is
+non-deterministic and therefore untestable, so this operator pins the
+deterministic variant: SYNCHRONOUS rounds (every node updates from the
+previous round's labels), a fixed iteration count, and ties broken
+toward the SMALLEST label. Every run — Spark or the unrolled DuckDB
+oracle — produces the same assignment bit-for-bit.
+
+Shapes: each round is (edges ⋈ labels) → count per (node, label) →
+row_number pick, i.e. one broadcast join (the label table is one row
+per node — always the small side), one shuffle on node id, one
+WindowGroupLimit-able window. Round count is fixed, so lineage stays
+bounded; at a billion edges the same loop runs with the edge list
+pre-partitioned on ``v`` and localCheckpoint() every few rounds (the
+graph.py connected-components posture). Unlike min-label flooding
+(= connected components, graph.py), LPA finds DENSE subgraphs inside a
+single component — the community structure CC cannot see.
+
+Reference anchor: graph queries ride the reference's query passthrough
+(reference __init__.py:26-43); this extends the g-family (g1-g5 in
+ch_analytics.py) with the standard community-detection primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from ._determinism import _Q, _quantize
+from .ch_analytics import COPURCHASE_TOP_PARTS
+
+LPA_ITERS = 3
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-both-ways distinct edge set (u, v) between parts that
+    share a supplier, bounded by the same per-supplier top-m volume cut
+    as g3 (prune BEFORE pairing — the quadratic hazard guard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_quantize("l_quantity")).alias("q")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("q").desc(), "l_partkey")
+    top = (
+        vol.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= COPURCHASE_TOP_PARTS)
+        .drop("rn", "q")
+    )
+    a, b = top.alias("a"), top.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Deterministic synchronous LPA. ``edges``: directed-both-ways
+    (u, v). Returns (v, lab) after ``iters`` rounds; initial label of a
+    node is its own id."""
+    labels = edges.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    pick = Window.partitionBy("u").orderBy(F.col("c").desc(), "lab")
+    for _ in range(iters):
+        counted = (
+            edges.join(F.broadcast(labels), "v")
+            .groupBy("u", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("v"), "lab")
+        )
+    return labels
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One unrolled synchronous LPA round (DuckDB oracle)."""
+    return f"""
+    {out} AS (
+      SELECT u AS v, lab FROM (
+        SELECT e.u, l.lab, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                                  ORDER BY COUNT(*) DESC, l.lab) AS rn
+        FROM e0 e JOIN {prev} l ON l.v = e.v
+        GROUP BY e.u, l.lab
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "g6_label_propagation",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey <> b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT u AS v, u AS lab FROM e0),
+    {_lpa_iter_sql('l0', 'l1')},
+    {_lpa_iter_sql('l1', 'l2')},
+    {_lpa_iter_sql('l2', 'l3')}
+    SELECT lab AS community, COUNT(*) AS size,
+           MIN(v) AS min_part, MAX(v) AS max_part
+    FROM l3 GROUP BY 1 ORDER BY size DESC, community
+    """,
+    tags=("W8", "J1", "EXT", "graph"),
+)
+def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the part co-purchase graph by deterministic
+    synchronous LPA (module docstring): 3 rounds of adopt-the-modal-
+    neighbor-label with smallest-label tie-break, then a community
+    roll-up (size, id range). Same prune-then-pair edge construction
+    as g3 — the per-supplier top-m cut bounds the pair blowup before
+    it exists. The label side of each round's join is one row per
+    node, explicitly broadcast; the count shuffle keys on node id."""
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").alias("size"),
+            F.min("v").alias("min_part"),
+            F.max("v").alias("max_part"),
+        )
+        .orderBy(F.desc("size"), "community")
+    )

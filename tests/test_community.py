@@ -1,0 +1,54 @@
+"""Label propagation (g6): algorithmic parity with a Python reference
+on a known-structure graph, plus the broadcast plan lock."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from mkpipe_extractor_clickhouse_spark.operators.community import (
+    LPA_ITERS,
+    label_propagation,
+)
+
+from .test_plans import plan_of
+
+
+def _reference_lpa(edges: set[tuple[int, int]], iters: int) -> dict[int, int]:
+    nodes = sorted({u for u, _ in edges})
+    nbrs = {u: [v for x, v in edges if x == u] for u in nodes}
+    lab = {u: u for u in nodes}
+    for _ in range(iters):
+        new = {}
+        for u in nodes:
+            c = Counter(lab[v] for v in nbrs[u])
+            best = max(c.values())
+            new[u] = min(l for l, n in c.items() if n == best)
+        lab = new
+    return lab
+
+
+def _barbell() -> set[tuple[int, int]]:
+    """Two 4-cliques bridged by a single edge — LPA must find the two
+    dense blocks even though CC sees one component."""
+    cliq1, cliq2 = [1, 2, 3, 4], [5, 6, 7, 8]
+    e = set()
+    for grp in (cliq1, cliq2):
+        e |= {(a, b) for a in grp for b in grp if a != b}
+    e |= {(4, 5), (5, 4)}
+    return e
+
+
+def test_lpa_matches_reference_on_barbell(spark):
+    edges = _barbell()
+    df = spark.createDataFrame(sorted(edges), ["u", "v"])
+    got = {r.v: r.lab for r in label_propagation(df, LPA_ITERS).collect()}
+    assert got == _reference_lpa(edges, LPA_ITERS)
+    # and the structure is actually detected: exactly two communities
+    assert len(set(got.values())) == 2
+
+
+def test_g6_plan_broadcasts_labels(spark, sf_dir):
+    plan = plan_of("g6_label_propagation", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
