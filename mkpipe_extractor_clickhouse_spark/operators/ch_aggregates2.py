@@ -1336,3 +1336,80 @@ def ch_argmax_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["ts"].alias("peak_ts"),
         F.count(F.when(F.col("value") > 150, 1)).alias("n_qualifying"),
     )
+
+
+@register(
+    "ch_running_concurrency",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + GREATEST({_Q.format(x='value')}, 0) AS e
+      FROM events
+    ),
+    tl AS (
+      SELECT user_id, event_id, s AS t, 1 AS k FROM iv
+      UNION ALL
+      SELECT user_id, NULL AS event_id, e AS t, -1 AS k FROM iv
+    ),
+    c AS (
+      SELECT user_id, event_id, t, k,
+             SUM(k) OVER (PARTITION BY user_id ORDER BY t
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS conc
+      FROM tl
+    )
+    SELECT user_id, event_id, t AS start_us,
+           CAST(conc AS BIGINT) AS concurrency
+    FROM c WHERE k = 1
+    """,
+    tags=("W7", "EXT", "timeseries"),
+)
+def ch_running_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``runningConcurrency(start, end)`` per user: for each
+    event's half-open interval [ts, ts + value seconds·1e6 µs), how
+    many of the user's intervals are active at its start — i.e.
+    #{i : s_i ≤ s_j < e_i}, the current interval included. Same sweep
+    family as ch_interval_length_sum, but the +1/−1 boundary timeline
+    is materialized and prefix-summed with a RANGE frame, which makes
+    the tie semantics DETERMINISTIC by construction instead of
+    order-dependent: all boundaries at the same microsecond are frame
+    peers, so equal-time starts see each other (mutually concurrent)
+    and an interval ending exactly at s_j is already subtracted
+    (half-open). ClickHouse itself documents events must arrive start-
+    ordered — the RANGE frame removes even that requirement. One
+    shuffle on user_id, linear window state (one running long); at
+    100 TB the timeline is 2 rows per event and the sweep never leaves
+    the user partition."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.greatest(_quantize("value"), F.lit(0).cast("long"))).alias("e"),
+    )
+    tl = iv.select(
+        "user_id", "event_id", F.col("s").alias("t"), F.lit(1).alias("k")
+    ).unionByName(
+        iv.select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("e").alias("t"),
+            F.lit(-1).alias("k"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tl.withColumn("conc", F.sum("k").over(w))
+        .filter(F.col("k") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("t").alias("start_us"),
+            F.col("conc").cast("long").alias("concurrency"),
+        )
+    )
