@@ -640,3 +640,103 @@ def f17_null_safe_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eq_coalesced"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "f18_ip_functions",
+    oracle="""
+    WITH ip0 AS (
+      SELECT (user_id * 2654435761) % 4294967296 AS ip FROM events
+    ),
+    oct AS (
+      SELECT ip,
+             ip // 16777216 AS o1,
+             (ip // 65536) % 256 AS o2,
+             (ip // 256) % 256 AS o3,
+             ip % 256 AS o4
+      FROM ip0
+    ),
+    s AS (
+      SELECT ip, o1, o2,
+             CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+             CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str
+      FROM oct
+    ),
+    c AS (
+      SELECT o1 // 16 AS bucket,
+             ip_str,
+             CASE WHEN (CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216
+                      + CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536
+                      + CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256
+                      + CAST(split_part(ip_str, '.', 4) AS BIGINT)) = ip
+                  THEN 1 ELSE 0 END AS rt,
+             CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                       OR (o1 = 192 AND o2 = 168)
+                  THEN 1 ELSE 0 END AS priv,
+             CASE WHEN ip // 1073741824 = 1073741824 // 1073741824
+                  THEN 1 ELSE 0 END AS net64_2
+      FROM s
+    )
+    SELECT bucket, COUNT(*) AS n,
+           SUM(rt) AS n_roundtrip, SUM(priv) AS n_private,
+           SUM(net64_2) AS n_in_64_slash_2,
+           MIN(ip_str) AS min_ip, MAX(ip_str) AS max_ip
+    FROM c GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("F3", "F1", "EXT", "ip"),
+)
+def f18_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's IPv4 function family as pure integer/string
+    arithmetic — IPv4NumToString (dotted rendering), IPv4StringToNum
+    (the parse, proven by a per-row round-trip), the RFC-1918 private
+    classification, and isIPAddressInRange('64.0.0.0/2') as the
+    equal-quotient-by-block-size test the dialect translation
+    (sources/ch_dialect.py) emits. IPs are synthesized from user_id by
+    a Knuth multiplicative hash (the fixture ships no address column);
+    everything is row-local codegen — octet splits, string build/parse,
+    CIDR membership — then one small rollup keyed on the /16-bucketed
+    first octet. min/max of dotted strings is plain byte order in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ip = ev.selectExpr("(user_id * 2654435761) % 4294967296 AS ip")
+    oct_ = ip.selectExpr(
+        "ip",
+        "ip DIV 16777216 AS o1",
+        "(ip DIV 65536) % 256 AS o2",
+        "(ip DIV 256) % 256 AS o3",
+        "ip % 256 AS o4",
+    )
+    s = oct_.selectExpr(
+        "ip",
+        "o1",
+        "o2",
+        "concat(CAST(o1 AS STRING), '.', CAST(o2 AS STRING), '.', "
+        "CAST(o3 AS STRING), '.', CAST(o4 AS STRING)) AS ip_str",
+    )
+    c = s.selectExpr(
+        "o1 DIV 16 AS bucket",
+        "ip_str",
+        "CASE WHEN (CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216"
+        " + CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536"
+        " + CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256"
+        " + CAST(split_part(ip_str, '.', 4) AS BIGINT)) = ip"
+        " THEN 1 ELSE 0 END AS rt",
+        "CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)"
+        " OR (o1 = 192 AND o2 = 168) THEN 1 ELSE 0 END AS priv",
+        # isIPAddressInRange(ip_str, '64.0.0.0/2'): block = 2^30,
+        # base 64.0.0.0 = 1073741824 — equal quotients ⇔ same /2 net
+        "CASE WHEN ip DIV 1073741824 = 1073741824 DIV 1073741824"
+        " THEN 1 ELSE 0 END AS net64_2",
+    )
+    return (
+        c.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rt").alias("n_roundtrip"),
+            F.sum("priv").alias("n_private"),
+            F.sum("net64_2").alias("n_in_64_slash_2"),
+            F.min("ip_str").alias("min_ip"),
+            F.max("ip_str").alias("max_ip"),
+        )
+        .orderBy("bucket")
+    )

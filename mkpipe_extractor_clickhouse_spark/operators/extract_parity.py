@@ -1896,3 +1896,66 @@ def x38_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "x39_clause_gauntlet",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(ip // 16777216 AS VARCHAR) || '.' ||
+             CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+             CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+             CAST(ip % 256 AS VARCHAR) AS ip,
+             (ip // 1073741824) = 1 AS in_q2
+      FROM (
+        SELECT user_id, event_id, event_type,
+               (user_id * 2654435761) % 4294967296 AS ip
+        FROM events
+      )
+      WHERE event_type IN ('click', 'view', 'purchase')
+        AND event_id < 5000
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY user_id, event_id) AS rn
+      FROM base
+    )
+    SELECT user_id, event_id, ip, in_q2
+    FROM r WHERE rn <= 3 ORDER BY user_id, rn LIMIT 600
+    """,
+    tags=("S3", "EXT", "dialect"),
+)
+def x39_clause_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ClickHouse CLAUSE-level construct the translator handles,
+    stacked in ONE custom_query through the extractor's S3 path:
+    PREWHERE merging into WHERE (CH applies both), GLOBAL IN dropping
+    its distribution modifier, ORDER BY feeding LIMIT n BY's
+    row_number translation with a trailing plain LIMIT kept on the
+    outer query, SETTINGS stripped, FORMAT stripped, and the round-5
+    IPv4 range functions riding along as expression-level cargo. The
+    oracle is hand-written ANSI, so the hash-match pins the combined
+    clause SEMANTICS (filter conjunction, per-key cut determinism,
+    outer-limit ordering), not just that each rewrite fires alone."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    table = TableConfig(
+        name="events",
+        custom_query=(
+            "SELECT user_id, event_id, "
+            "IPv4NumToString((user_id * 2654435761) % 4294967296) AS ip, "
+            "isIPAddressInRange("
+            "IPv4NumToString((user_id * 2654435761) % 4294967296), "
+            "'64.0.0.0/2') AS in_q2 "
+            "FROM events "
+            "PREWHERE event_type GLOBAL IN ('click', 'view', 'purchase') "
+            "WHERE event_id < 5000 "
+            "ORDER BY user_id, event_id "
+            "LIMIT 3 BY user_id "
+            "LIMIT 600 "
+            "SETTINGS max_threads = 8, join_use_nulls = 1 "
+            "FORMAT TabSeparated"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df

@@ -54,7 +54,9 @@ Supported rewrites
   ``roundBankers``→``bround``.
 * bytes: ``MD5``/``SHA256``→``unhex(md5/sha2(…))`` (byte parity, so
   ``hex(MD5(x))`` round-trips), ``base64Encode/Decode``,
-  ``IPv4NumToString``/``IPv4StringToNum`` as arithmetic;
+  ``IPv4NumToString``/``IPv4StringToNum``/``toIPv4`` as arithmetic,
+  ``isIPAddressInRange`` as the equal-quotient-by-block CIDR test,
+  ``IPv4CIDRToRange``→ordinal tuple of numeric block bounds;
   ClickHouse-private hashes (cityHash64 …) raise with guidance.
 * JSON: ``JSONHas``/``JSONExtractRaw``/``JSONLength``/
   ``JSONExtractKeys`` (plus the JSONExtract{String,Int,Float}
@@ -1177,6 +1179,44 @@ def _translate_functions(sql: str) -> str:
             f"+ CAST(split_part({a[0]}, '.', 4) AS BIGINT))"
         ),
     )
+    def _ipnum(x: str) -> str:
+        """Dotted-quad string expr → numeric IPv4 (BIGINT) Spark SQL."""
+        return (
+            f"(CAST(split_part({x}, '.', 1) AS BIGINT) * 16777216 "
+            f"+ CAST(split_part({x}, '.', 2) AS BIGINT) * 65536 "
+            f"+ CAST(split_part({x}, '.', 3) AS BIGINT) * 256 "
+            f"+ CAST(split_part({x}, '.', 4) AS BIGINT))"
+        )
+
+    # toIPv4(s): ClickHouse's IPv4 type IS the 32-bit number; the dotted
+    # rendering is IPv4NumToString's job, so the translation is numeric.
+    out = _rewrite_calls(out, "toIPv4", lambda a: _ipnum(a[0]))
+
+    def _ipv4_cidr_to_range(a: list[str]) -> str:
+        # (ip, prefix) → tuple(lower, upper) of the /prefix block, as
+        # numeric IPv4 (ordinal-named struct, consistent with tuple()).
+        blk = f"shiftleft(CAST(1 AS BIGINT), 32 - ({a[1]}))"
+        lo = f"((({a[0]}) DIV {blk}) * {blk})"
+        return (
+            f"named_struct('col1', {lo}, 'col2', ({lo} + {blk} - 1))"
+        )
+
+    out = _rewrite_calls(out, "IPv4CIDRToRange", _ipv4_cidr_to_range)
+
+    def _is_ip_in_range(a: list[str]) -> str:
+        # isIPAddressInRange(addr_str, 'base/prefix'): same /prefix
+        # block ⇔ equal quotients by the block size. The CIDR argument
+        # must carry an explicit /prefix (ClickHouse defaults bare
+        # addresses to /32; pass it explicitly here).
+        blk = (
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"32 - CAST(split_part({a[1]}, '/', 2) AS INT))"
+        )
+        base = _ipnum(f"split_part({a[1]}, '/', 1)")
+        return f"(({_ipnum(a[0])}) DIV {blk} = ({base}) DIV {blk})"
+
+    out = _rewrite_calls(out, "isIPAddressInRange", _is_ip_in_range)
+
     # binary-identical digests (ClickHouse returns FixedString bytes;
     # Spark's md5/sha2 return hex text — unhex restores byte parity, so
     # hex(MD5(x)) round-trips to the exact ClickHouse output)

@@ -1130,3 +1130,43 @@ def test_round4b_guided_errors(spark):
     ):
         with _pytest.raises(ChDialectError):
             translate(bad)
+
+
+# ---- IPv4 range functions (round 5) -----------------------------------------
+
+
+def test_is_ip_address_in_range(spark):
+    _same(
+        spark,
+        """SELECT event_id,
+                  isIPAddressInRange(
+                    IPv4NumToString((event_id * 131071) % 4294967296),
+                    '10.0.0.0/8') AS in10,
+                  isIPAddressInRange(
+                    IPv4NumToString((event_id * 131071) % 4294967296),
+                    '0.0.0.0/1') AS lower_half
+           FROM events WHERE event_id <= 500""",
+        """SELECT event_id,
+                  ((event_id * 131071) % 4294967296) DIV 16777216 = 10
+                    AS in10,
+                  ((event_id * 131071) % 4294967296) DIV 2147483648 = 0
+                    AS lower_half
+           FROM events WHERE event_id <= 500""",
+    )
+
+
+def test_ipv4_cidr_to_range_and_to_ipv4(spark):
+    _same(
+        spark,
+        """SELECT tupleElement(
+                    IPv4CIDRToRange(toIPv4('192.168.5.2'), 16), 1) AS lo,
+                  tupleElement(
+                    IPv4CIDRToRange(toIPv4('192.168.5.2'), 16), 2) AS hi,
+                  IPv4NumToString(tupleElement(
+                    IPv4CIDRToRange(toIPv4('192.168.5.2'), 16), 1)) AS lo_str
+           FROM events LIMIT 1""",
+        """SELECT CAST(3232235520 AS BIGINT) AS lo,
+                  CAST(3232301055 AS BIGINT) AS hi,
+                  '192.168.0.0' AS lo_str
+           FROM events LIMIT 1""",
+    )

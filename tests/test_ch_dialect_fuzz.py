@@ -44,6 +44,12 @@ def num_expr(depth: int) -> st.SearchStrategy[str]:
         sub.map(lambda x: f"bitCount(toInt64({x}))"),
         ts_leaf.map(lambda t: f"toYYYYMMDD({t})"),
         sub.map(lambda x: f"intDiv({x}, 7)"),
+        sub.map(
+            lambda x: (
+                f"tupleElement(IPv4CIDRToRange("
+                f"toIPv4(IPv4NumToString(toInt64({x}))), 8), 1)"
+            )
+        ),
         ts_leaf.map(lambda t: f"toYear({t})"),
         ts_leaf.map(lambda t: f"toDayOfWeek({t})"),
         ts_leaf.map(lambda t: f"toYYYYMM({t})"),
@@ -95,6 +101,12 @@ def bool_expr(depth: int) -> st.SearchStrategy[str]:
         s.map(lambda x: f"hasToken({x}, 'click')"),
         s.map(lambda x: f"multiSearchAny({x}, ['cl', 'zz'])"),
         s.map(lambda x: f"JSONHas(props, 'k')"),
+        sub.map(
+            lambda x: (
+                f"isIPAddressInRange(IPv4NumToString(toInt64({x})),"
+                f" '10.0.0.0/8')"
+            )
+        ),
         arr_expr(max(depth - 1, 0)).map(lambda a: f"hasAll({a}, range(2))"),
         arr_expr(max(depth - 1, 0)).map(
             lambda a: f"hasAny({a}, sequence(2, 3))"
