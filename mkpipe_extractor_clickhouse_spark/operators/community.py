@@ -152,3 +152,103 @@ def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("size"), "community")
     )
+
+
+BFS_HOPS = 3
+BFS_SEEDS = 5
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, hops: int = BFS_HOPS
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed, bounded at
+    ``hops``. ``edges``: directed-both-ways (u, v); ``seeds``: column
+    ``v``. Returns (v, d) for reached nodes only.
+
+    Each round relaxes the whole reached set through one edge join and
+    re-minimizes — Bellman-Ford-style, so the result is the true min
+    distance regardless of join order. Fixed round count keeps the
+    lineage bounded (the unbounded variant would localCheckpoint per
+    round, the graph.py posture)."""
+    dist = seeds.select("v", F.lit(0).alias("d"))
+    for _ in range(hops):
+        ext = (
+            edges.join(F.broadcast(dist), edges.u == dist.v)
+            .select(edges.v.alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(ext).groupBy("v").agg(F.min("d").alias("d"))
+        )
+    return dist
+
+
+def _bfs_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT v, MIN(d) AS d FROM (
+        SELECT v, d FROM {prev}
+        UNION ALL
+        SELECT e.v, p.d + 1 FROM e0 e JOIN {prev} p ON p.v = e.u
+      ) GROUP BY v
+    )"""
+
+
+@register(
+    "g7_bfs_hops",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey <> b.l_partkey
+    ),
+    seeds AS (
+      SELECT v, 0 AS d FROM (SELECT DISTINCT u AS v FROM e0)
+      ORDER BY v LIMIT {BFS_SEEDS}
+    ),
+    {_bfs_iter_sql('seeds', 'd1')},
+    {_bfs_iter_sql('d1', 'd2')},
+    {_bfs_iter_sql('d2', 'd3')}
+    SELECT d AS dist, COUNT(*) AS n_parts,
+           MIN(v) AS min_part, MAX(v) AS max_part
+    FROM d3 GROUP BY d ORDER BY d
+    """,
+    tags=("J1", "A2", "EXT", "graph"),
+)
+def g7_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop multi-source BFS over the co-purchase graph — the
+    'blast radius' primitive (which parts are within k supply hops of
+    a watchlist). Seeds are the 5 smallest part keys in the
+    edge set; 3 relaxation rounds of edge-join + re-min give the exact
+    hop distance per reached node (Bellman-Ford semantics, so the
+    unrolled SQL and the loop agree independent of evaluation order),
+    then a per-distance ring rollup. The reached-set side of each join
+    broadcasts; the edge list is the only shuffled relation."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("u").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(BFS_SEEDS)
+    )
+    dist = bfs_distances(edges, seeds, BFS_HOPS)
+    return (
+        dist.groupBy(F.col("d").alias("dist"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("v").alias("min_part"),
+            F.max("v").alias("max_part"),
+        )
+        .orderBy("dist")
+    )

@@ -36,7 +36,7 @@ joins in operators/joins.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -145,4 +145,82 @@ def j19_fuzzy_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("name")
         .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
         .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "er1_fuzzy_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    cnt AS (SELECT p_name AS name, COUNT(*) AS c FROM part GROUP BY 1),
+    e AS (
+      SELECT a.p_name AS u, b.p_name AS v
+      FROM names a JOIN names b ON a.p_name <> b.p_name
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_T}
+        AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_T}
+      UNION SELECT p_name, p_name FROM names
+    ),
+    reach AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.dst
+    ),
+    comp AS (SELECT src AS name, MIN(dst) AS cluster_id FROM reach
+             GROUP BY src),
+    ranked AS (
+      SELECT comp.cluster_id, comp.name, cnt.c,
+             ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                                ORDER BY cnt.c DESC, comp.name) AS rn
+      FROM comp JOIN cnt ON cnt.name = comp.name
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN name END) AS canonical,
+           COUNT(*) AS n_spellings,
+           SUM(c) AS n_rows
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("L1", "L2", "EXT", "fuzzy"),
+)
+def er1_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the j19 fuzzy pair graph collapsed
+    into entities. Pipeline: q-gram-blocked edit-distance pairs →
+    connected components (the large-star/small-star machinery from
+    graph.py, O(log² n) rounds — string node ids order lexically) →
+    per-cluster canonical spelling = the variant carried by the most
+    part rows (tie → smaller name), plus spelling and row counts. This
+    is the standard catalog-merge recipe: the only O(n²) anywhere is
+    the oracle's all-pairs + recursive reachability; the engine side
+    is blocked candidates, bounded CC rounds, and broadcast count
+    joins. Singleton names (no fuzzy twin) stay as their own entity —
+    a merge plan must account for every input spelling."""
+    from .graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("id")).distinct()
+    pairs = qgram_fuzzy_pairs(part, "p_name")
+    edges = pairs.select(
+        F.col("name_a").alias("u"), F.col("name_b").alias("v")
+    )
+    comp = connected_components(names, edges).select(
+        F.col("doc_id").alias("name"), "cluster_id"
+    )
+    cnt = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").alias("c")
+    )
+    ranked = comp.join(F.broadcast(cnt), "name").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(F.desc("c"), "name")
+        ),
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("name"))).alias(
+                "canonical"
+            ),
+            F.count("*").alias("n_spellings"),
+            F.sum("c").alias("n_rows"),
+        )
+        .orderBy("cluster_id")
     )

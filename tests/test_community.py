@@ -52,3 +52,24 @@ def test_g6_plan_broadcasts_labels(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_matches_reference(spark):
+    from mkpipe_extractor_clickhouse_spark.operators.community import (
+        bfs_distances,
+    )
+
+    # chain 1-2-3-4-5-6 plus a shortcut 1-4: min-dist must use it
+    und = {(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)}
+    edges = sorted(und | {(b, a) for a, b in und})
+    df = spark.createDataFrame(edges, ["u", "v"])
+    seeds = spark.createDataFrame([(1,)], ["v"])
+    got = {r.v: r.d for r in bfs_distances(df, seeds, hops=3).collect()}
+    # hand-checked: 1:0, 2:1, 4:1, 3:2, 5:2, 6:3
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2, 6: 3}
+
+
+def test_g7_plan_no_cartesian(spark, sf_dir):
+    plan = plan_of("g7_bfs_hops", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -84,3 +84,11 @@ def test_j19_plan_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_er1_plan_no_cartesian(spark, sf_dir):
+    """The entity-cluster pipeline (blocked pairs + CC + count joins)
+    must stay cartesian-free end to end."""
+    plan = plan_of("er1_fuzzy_entity_clusters", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
