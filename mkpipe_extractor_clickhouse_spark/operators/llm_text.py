@@ -851,3 +851,124 @@ def l91_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("hits"))
         .orderBy("doc_id")
     )
+
+
+RETRIEVAL_QUERIES = (
+    (1, "spark table scan"),
+    (2, "fast merge batch"),
+    (3, "customer order value"),
+    (4, "window sort stream"),
+)
+RETRIEVAL_K = 5
+
+_QUERIES_VALUES = ", ".join(
+    f"({qid}, '{qtext}')" for qid, qtext in RETRIEVAL_QUERIES
+)
+
+
+@register(
+    "l92_bm25_retrieval",
+    oracle=f"""
+    WITH queries(qid, qtext) AS (VALUES {_QUERIES_VALUES}),
+    qtok AS (
+      SELECT DISTINCT qid, UNNEST(STRING_SPLIT(qtext, ' ')) AS token
+      FROM queries
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM doclen) AS avgdl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN (SELECT token FROM qtok)
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE token IN (SELECT token FROM qtok) GROUP BY token
+    ),
+    scored AS (
+      SELECT qtok.qid, tf.doc_id,
+             {DSUM.format(x=f'''LN(1 + (stats.n_docs - df.df + 0.5)
+               / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * doclen.dl / stats.avgdl))''')} AS bm25
+      FROM tf
+      JOIN qtok USING (token)
+      JOIN df USING (token)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY qtok.qid, tf.doc_id
+    )
+    SELECT qid, CAST(rnk AS BIGINT) AS rank, doc_id, bm25 FROM (
+      SELECT qid, doc_id, bm25,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {RETRIEVAL_K}
+    ORDER BY qid, rank
+    """,
+    tags=("EXT", "L6", "W8", "bm25", "retrieval"),
+)
+def l92_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 RETRIEVAL (l19 scores one fixed term set; this
+    is the search-engine shape): a query table joins the corpus
+    through the inverted posting list (token equi-join — the only
+    corpus-sized shuffle is the per-doc tf), per-(query, doc) Okapi
+    scores accumulate through quantized addends (dsum — exact,
+    order-independent), and a per-query window keeps top-k
+    (WindowGroupLimit bounds state at k per query below the exchange).
+    The query-token table broadcasts — at 100 TB the posting-list join
+    fans each doc token out only to the queries containing it, never
+    materializing the |queries| x |docs| matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(RETRIEVAL_QUERIES), ["qid", "qtext"]
+    )
+    qtok = queries.select(
+        "qid", F.explode(F.split("qtext", " ")).alias("token")
+    ).distinct()
+    tok = _tokens(d).select("doc_id", "token")
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qterms = [t for _, q in RETRIEVAL_QUERIES for t in q.split(" ")]
+    hit = tok.filter(F.col("token").isin(*sorted(set(qterms))))
+    tf = hit.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = hit.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    stats = d.agg(F.count("*").cast("double").alias("n_docs")).join(
+        doclen.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    addend = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qtok), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(dsum(addend).alias("bm25"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETRIEVAL_K)
+        .select("qid", "rank", "doc_id", "bm25")
+        .orderBy("qid", "rank")
+    )

@@ -1225,6 +1225,19 @@ def _translate_functions(sql: str) -> str:
     out = _rewrite_calls(
         out, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
     )
+    for ng in ("ngramDistance", "ngramSearch",
+               "ngramDistanceCaseInsensitive"):
+        def _no_ngram(a, name=ng):
+            raise ChDialectError(
+                f"{name} compares hashed n-gram multisets with "
+                "ClickHouse-private normalization (no portable "
+                "equivalent). For typo-tolerant matching use the exact "
+                "fuzzy-join operators instead: levenshtein(a, b) "
+                "scalar, or the blocked edit-distance joins "
+                "(operators/fuzzy_join.py — j19/j19b/er1)"
+            )
+        out = _rewrite_calls(out, ng, _no_ngram)
+
     for h in ("cityHash64", "sipHash64", "farmHash64", "halfMD5"):
         def _no_hash(a, name=h):
             raise ChDialectError(

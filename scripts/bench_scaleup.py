@@ -220,6 +220,151 @@ def time_llm(spark, sf_dir: str) -> tuple[dict, dict]:
     return sp, du
 
 
+def build_fuzzy_point(spark, n: int) -> Path:
+    """A deterministic n-name corpus for the fuzzy-join scale section:
+    ~80% independent 2-3-word names, ~20% single/double-edit mutations
+    of earlier names (the true-pair generator), exact-distinct, seeded
+    — regenerating a point reproduces it byte-for-byte."""
+    import random
+
+    out = DATA_ROOT / f"fuzzy_n{n}"
+    if (out / "_DONE").exists():
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(20260814)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def word() -> str:
+        return "".join(
+            rng.choice(alpha) for _ in range(rng.randint(3, 8))
+        )
+
+    def mutate(s: str) -> str:
+        for _ in range(rng.randint(1, 2)):
+            i = rng.randrange(max(len(s), 1))
+            kind = rng.choice("sid")
+            if kind == "s" and s:
+                s = s[:i] + rng.choice(alpha) + s[i + 1 :]
+            elif kind == "i":
+                s = s[:i] + rng.choice(alpha) + s[i:]
+            elif s:
+                s = s[:i] + s[i + 1 :]
+        return s
+
+    names: list[str] = []
+    seen: set[str] = set()
+    while len(names) < n:
+        if names and rng.random() < 0.2:
+            cand = mutate(rng.choice(names))
+        else:
+            cand = " ".join(word() for _ in range(rng.randint(2, 3)))
+        if cand and cand not in seen:
+            seen.add(cand)
+            names.append(cand)
+    (spark.createDataFrame([(x,) for x in names], ["name"])
+        .repartition(32)
+        .write.mode("overwrite").parquet(str(out / "names.parquet")))
+    (out / "_DONE").touch()
+    return out
+
+
+# Ed-Join (prefix-filtered q-gram blocking, q=3 t=2) in DuckDB SQL —
+# the SAME algorithm the Spark side runs, so the ratio compares
+# engines, not algorithms. {names} is the parquet glob.
+FUZZY_DUCK_BLOCKED = """
+WITH g AS (
+  SELECT name, length(name) AS len, pos,
+         substring(chr(1) || chr(1) || name || chr(1) || chr(1),
+                   pos, 3) AS gram
+  FROM (SELECT name, length(name) AS len,
+               unnest(range(1, length(name) + 3)) AS pos
+        FROM read_parquet('{names}'))
+),
+fr AS (SELECT gram, COUNT(*) AS freq FROM g GROUP BY 1),
+pre AS (
+  SELECT name, len, gram FROM (
+    SELECT g.name, g.len, g.gram,
+           ROW_NUMBER() OVER (PARTITION BY g.name
+                              ORDER BY fr.freq, g.gram, g.pos) AS rn
+    FROM g JOIN fr USING (gram)
+  ) WHERE rn <= 7
+),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, a.len AS la,
+                  b.name AS name_b, b.len AS lb
+  FROM pre a JOIN pre b ON a.gram = b.gram AND a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand
+WHERE abs(la - lb) <= 2 AND levenshtein(name_a, name_b) BETWEEN 1 AND 2
+"""
+
+FUZZY_DUCK_ALLPAIRS = """
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM read_parquet('{names}') a JOIN read_parquet('{names}') b
+  ON a.name < b.name
+WHERE abs(length(a.name) - length(b.name)) <= 2
+  AND levenshtein(a.name, b.name) BETWEEN 1 AND 2
+"""
+
+
+def time_fuzzy(spark, point_dir: str, n: int, prove: bool) -> dict:
+    """One fuzzy scale point: Spark Ed-Join vs the identical DuckDB
+    formulation (best-of-3 steady each); at the proof point also the
+    all-pairs oracle + three-way pair-set equality."""
+    import duckdb
+
+    from mkpipe_extractor_clickhouse_spark.operators.fuzzy_join import (
+        edjoin_fuzzy_pairs,
+    )
+
+    glob = f"{point_dir}/names.parquet/*.parquet"
+    names = spark.read.parquet(f"{point_dir}/names.parquet")
+    pairs = edjoin_fuzzy_pairs(names, "name")
+    pairs.write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pairs.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    pt: dict = {"n_names": n, "spark_sec": round(min(runs), 3)}
+
+    con = duckdb.connect()
+    blocked = FUZZY_DUCK_BLOCKED.format(names=glob)
+    con.sql(blocked).arrow()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.sql(blocked).arrow()
+        runs.append(time.perf_counter() - t0)
+    pt["duckdb_blocked_sec"] = round(min(runs), 3)
+    pt["ratio"] = round(pt["spark_sec"] / pt["duckdb_blocked_sec"], 2)
+
+    spark_pairs = {
+        (r.name_a, r.name_b, r.dist) for r in pairs.collect()
+    }
+    pt["n_pairs"] = len(spark_pairs)
+    duck_pairs = {
+        (a, b, d) for a, b, d in con.sql(blocked).fetchall()
+    }
+    pt["spark_eq_duckdb"] = spark_pairs == duck_pairs
+    if prove:
+        t0 = time.perf_counter()
+        oracle = {
+            (a, b, d)
+            for a, b, d in con.sql(
+                FUZZY_DUCK_ALLPAIRS.format(names=glob)
+            ).fetchall()
+        }
+        pt["duckdb_allpairs_sec"] = round(time.perf_counter() - t0, 3)
+        pt["blocked_eq_allpairs"] = spark_pairs == oracle
+    con.close()
+    return pt
+
+
 def verify_values(spark, sf_dir: str) -> dict[str, bool]:
     """Value-consistency at scale: collect each headline query's (tiny)
     result from BOTH engines and compare after canonical rounding.
@@ -263,6 +408,10 @@ def main() -> None:
     ap.add_argument("--llm-reps", default="",
                     help="documents/embeddings replication factors, e.g."
                          " 100,1000; appends an 'llm' section")
+    ap.add_argument("--fuzzy-ns", default="",
+                    help="fuzzy-join corpus sizes, e.g. 5000,50000; "
+                         "appends a 'fuzzy' section (all-pairs proof "
+                         "runs at the smallest point)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated parquet between points")
     args = ap.parse_args()
@@ -282,6 +431,50 @@ def main() -> None:
             # scan tasks/file set; fine, AQE coalesces downstream.
         },
     )
+
+    fuzzy_points = []
+    fuzzy_ns = sorted(int(x) for x in args.fuzzy_ns.split(",") if x)
+    for n in fuzzy_ns:
+        t0 = time.perf_counter()
+        d = build_fuzzy_point(spark, n)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        # the O(n^2) oracle is affordable up to ~200k names (244 s);
+        # above that only the blocked-vs-blocked engine comparison runs
+        pt = time_fuzzy(spark, str(d), n, prove=(n <= 200_000))
+        pt["gen_sec"] = gen_sec
+        fuzzy_points.append(pt)
+        print(json.dumps(pt))
+        if not args.keep:
+            shutil.rmtree(d, ignore_errors=True)
+    fuzzy_section = None
+    if fuzzy_points:
+        fuzzy_section = {
+            "note": (
+                "Ed-Join fuzzy edit-distance self-join (q=3, t=2, "
+                "rarest-gram prefix q*t+1) on seeded synthetic name "
+                "corpora with ~20% mutated twins; Spark vs the "
+                "IDENTICAL blocked formulation in DuckDB SQL — engine "
+                "vs engine, same algorithm. blocked_eq_allpairs at the "
+                "smallest point proves the blocking complete against "
+                "the O(n^2) oracle; spark_eq_duckdb proves pair-set "
+                "equality at every point."
+            ),
+            "points": fuzzy_points,
+        }
+    if fuzzy_section and not reps and not args.llm_reps:
+        try:
+            payload = json.loads((Path(REPO) / "SCALEUP.json").read_text())
+        except (OSError, ValueError):
+            payload = {}
+        payload["fuzzy"] = fuzzy_section
+        (Path(REPO) / "SCALEUP.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+        print("merged fuzzy section into SCALEUP.json")
+        spark.stop()
+        if not args.keep:
+            shutil.rmtree(DATA_ROOT, ignore_errors=True)
+        return
 
     llm_points = []
     for rep in [int(r) for r in args.llm_reps.split(",") if r]:
@@ -375,6 +568,11 @@ def main() -> None:
         "points": points,
         "generated_by": "scripts/bench_scaleup.py",
         **({"llm": prev["llm"]} if "llm" in prev else {}),
+        **(
+            {"fuzzy": fuzzy_section}
+            if fuzzy_section
+            else ({"fuzzy": prev["fuzzy"]} if "fuzzy" in prev else {})
+        ),
     }
     (Path(REPO) / "SCALEUP.json").write_text(json.dumps(payload, indent=1) + "\n")
     print("wrote SCALEUP.json")

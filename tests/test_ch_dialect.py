@@ -1170,3 +1170,8 @@ def test_ipv4_cidr_to_range_and_to_ipv4(spark):
                   '192.168.0.0' AS lo_str
            FROM events LIMIT 1""",
     )
+
+
+def test_ngram_distance_raises_with_guidance():
+    with pytest.raises(ChDialectError, match="fuzzy_join"):
+        translate("SELECT ngramDistance(event_type, 'click') FROM events")

@@ -92,3 +92,57 @@ def test_er1_plan_no_cartesian(spark, sf_dir):
     plan = plan_of("er1_fuzzy_entity_clusters", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edjoin_blocking_is_complete(spark):
+    """Ed-Join prefix filter must agree with brute force on a mutation-
+    rich corpus: random single/double edits of base strings (the true-
+    pair generator), plus sub-q-length strings that only the sentinel
+    padding keeps visible to gram blocking."""
+    import random
+
+    from mkpipe_extractor_clickhouse_spark.operators.fuzzy_join import (
+        edjoin_fuzzy_pairs,
+    )
+
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    bases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(5, 14)))
+        for _ in range(40)
+    ]
+
+    def mutate(s: str) -> str:
+        ops = rng.randint(1, 2)
+        for _ in range(ops):
+            i = rng.randrange(max(len(s), 1))
+            kind = rng.choice("sid")
+            if kind == "s" and s:
+                s = s[:i] + rng.choice(alpha) + s[i + 1 :]
+            elif kind == "i":
+                s = s[:i] + rng.choice(alpha) + s[i:]
+            elif s:
+                s = s[:i] + s[i + 1 :]
+        return s
+
+    vocab = sorted(
+        {b for b in bases}
+        | {mutate(b) for b in bases for _ in range(2)}
+        | {"ab", "ac", "a", "abc"}
+    )
+    vocab = [v for v in vocab if v]
+    names = spark.createDataFrame([(n,) for n in vocab], ["name"])
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in edjoin_fuzzy_pairs(names, "name").collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(vocab, 2):
+        d = _lev(a, b)
+        if 1 <= d <= 2:
+            want.add((a, b, d))
+    missed = want - got
+    extra = got - want
+    assert not missed, f"prefix filter dropped true pairs: {sorted(missed)[:5]}"
+    assert not extra, f"false positives past verify: {sorted(extra)[:5]}"
+    assert len(want) > 40, "fixture must be pair-rich"
