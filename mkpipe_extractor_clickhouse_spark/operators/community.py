@@ -252,3 +252,96 @@ def g7_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+LINKPRED_TOP = 20
+
+
+@register(
+    "g8_link_prediction",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+    wedge AS (
+      SELECT a.u AS pa, b.v AS pb, COUNT(*) AS cn
+      FROM e0 a JOIN e0 b ON a.v = b.u AND a.u < b.v
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.pa, w.pb, w.cn FROM wedge w
+      LEFT JOIN e0 e ON e.u = w.pa AND e.v = w.pb
+      WHERE e.u IS NULL
+    )
+    SELECT pa AS part_a, pb AS part_b, cn AS common_neighbors,
+           cn * 1000000 // (da.d + db.d - cn) AS jaccard_ppm
+    FROM cand
+    JOIN deg da ON da.u = pa
+    JOIN deg db ON db.u = pb
+    ORDER BY common_neighbors DESC, jaccard_ppm DESC, part_a, part_b
+    LIMIT {LINKPRED_TOP}
+    """,
+    tags=("J1", "J6", "W8", "EXT", "graph"),
+)
+def g8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor / Jaccard scoring — 'which
+    parts SHOULD share a supplier but don't yet' (the recommendation
+    primitive behind you-may-also-know / assortment-gap analysis).
+    Candidates come from the WEDGE join (e0 ⋈ e0 on the middle node —
+    only 2-hop-connected pairs ever materialize, never the node-pair
+    square), existing edges drop via a left-anti join, and the Jaccard
+    denominator |Γa ∪ Γb| = deg(a)+deg(b)−cn stays in exact integer
+    ppm. Total order on (cn, score, pair) + LIMIT = deterministic
+    TakeOrderedAndProject. Same scale posture as g3: the top-m cut
+    bounds per-node degree before any pairing."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    a, b = edges.alias("a"), edges.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.u"))
+            & (F.col("a.u") < F.col("b.v")),
+        )
+        .groupBy(F.col("a.u").alias("pa"), F.col("b.v").alias("pb"))
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = wedge.join(
+        edges,
+        (wedge.pa == edges.u) & (wedge.pb == edges.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("pb"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("cn * 1000000 DIV (da + db - cn)").alias("jaccard_ppm"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"),
+            F.desc("jaccard_ppm"),
+            "part_a",
+            "part_b",
+        )
+        .limit(LINKPRED_TOP)
+    )

@@ -183,6 +183,7 @@ def x5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ._determinism import DSUM  # noqa: E402
+from ._determinism import _Q  # noqa: E402
 from ._determinism import _quantize as _quantize_local  # noqa: E402
 
 
@@ -1959,3 +1960,77 @@ def x39_clause_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         custom_query_dialect="clickhouse",
     )
     return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "x40_manifest_vacuum_lifecycle",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           SUM({_Q.format(x='value')}) AS val_q,
+           2 AS versions_left,
+           TRUE AS old_dirs_swept,
+           TRUE AS time_travel_pruned
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-09'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("S7", "S8", "EXT", "manifest"),
+)
+def x40_manifest_vacuum_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full table-maintenance lifecycle VACUUM closes: overwrite →
+    append → OPTIMIZE (compaction publishes a content-identical
+    version referencing one coalesced dir) → append → vacuum keeping 2
+    versions. The sweep must (a) delete the pre-compaction batch dirs
+    — now unreferenced by any kept manifest — (b) drop the expired
+    manifests so time travel to them fails loudly rather than reading
+    half-deleted data, and (c) leave the live snapshot bit-identical
+    to the source-derived oracle. min_age_seconds=0 is safe here only
+    because this builder holds exclusive access (the retention guard
+    against sweeping an in-flight writer's staged dir is covered in
+    tests/test_manifest.py). Lifecycle facts ride along as constant
+    columns so the driver hash pins them, not just the data."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x40_vac_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    mt = ManifestedTable(os.path.join(workdir, "events"))
+    mt.commit_overwrite(ev.filter(F.col("day") <= F.lit("2024-01-07")))
+    mt.commit_append(ev.filter(F.col("day") == F.lit("2024-01-08")))
+    mt.compact(spark, target_files=4)
+    mt.commit_append(ev.filter(F.col("day") == F.lit("2024-01-09")))
+    before = mt.versions()
+    removed = mt.vacuum(keep_versions=2, min_age_seconds=0)
+    after = mt.versions()
+    if len(after) != 2 or not removed:
+        raise RuntimeError(
+            f"vacuum lifecycle broken: versions {before}->{after}, "
+            f"removed={removed}"
+        )
+    pruned = False
+    try:
+        mt.read(spark, version=before[0])
+    except Exception:
+        pruned = True
+    return (
+        mt.read(spark)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "val_q",
+            F.lit(len(after)).alias("versions_left"),
+            F.lit(bool(removed)).alias("old_dirs_swept"),
+            F.lit(pruned).alias("time_travel_pruned"),
+        )
+        .orderBy("day")
+    )

@@ -73,3 +73,10 @@ def test_g7_plan_no_cartesian(spark, sf_dir):
     plan = plan_of("g7_bfs_hops", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_g8_plan_topk_and_no_cartesian(spark, sf_dir):
+    plan = plan_of("g8_link_prediction", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # deterministic top-k cut
