@@ -58,6 +58,12 @@ Supported rewrites
   ``isIPAddressInRange`` as the equal-quotient-by-block CIDR test,
   ``IPv4CIDRToRange``→ordinal tuple of numeric block bounds;
   ClickHouse-private hashes (cityHash64 …) raise with guidance.
+* readable rendering: ``formatReadableSize`` (KiB ladder) /
+  ``formatReadableQuantity`` (thousand ladder) as 2-decimal strings;
+  ``arrayRotateLeft`` via modular slices;
+  ``greatCircleDistance``/``geoDistance`` as portable haversine on the
+  6371 km sphere; ``toUnixTimestamp64Milli``→``unix_millis``;
+  ``pointInPolygon`` and ``ngramDistance``-family raise with guidance.
 * JSON: ``JSONHas``/``JSONExtractRaw``/``JSONLength``/
   ``JSONExtractKeys`` (plus the JSONExtract{String,Int,Float}
   family).
@@ -1179,6 +1185,87 @@ def _translate_functions(sql: str) -> str:
             f"+ CAST(split_part({a[0]}, '.', 4) AS BIGINT))"
         ),
     )
+    # ---- readable formatting / rotation / geo / ms-epoch --------------
+    def _fmt_readable(units: list[str], base: int, step: int):
+        """formatReadableSize (binary, KiB ladder) / formatReadableQuantity
+        (decimal, thousand ladder): pick the exponent by logarithm,
+        clamp to the unit table, scale, render with 2 decimals."""
+        log_fn = "log2" if base == 2 else "log10"
+        arr = ", ".join(f"'{u}'" for u in units)
+
+        def repl(a: list[str]) -> str:
+            e = (
+                f"least(greatest(floor({log_fn}(greatest("
+                f"CAST({a[0]} AS DOUBLE), 1.0)) / {step}), 0), "
+                f"{len(units) - 1})"
+            )
+            return (
+                # replace(): format_number inserts thousands separators
+                # ('1,023.00 B'); ClickHouse renders plain digits
+                f"concat(replace(format_number(CAST({a[0]} AS DOUBLE) / "
+                f"power({base}, {step} * {e}), 2), ',', ''), "
+                f"element_at(array({arr}), CAST({e} AS INT) + 1))"
+            )
+
+        return repl
+
+    out = _rewrite_calls(
+        out,
+        "formatReadableSize",
+        _fmt_readable(
+            [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"], 2, 10
+        ),
+    )
+    out = _rewrite_calls(
+        out,
+        "formatReadableQuantity",
+        _fmt_readable(
+            ["", " thousand", " million", " billion", " trillion"], 10, 3
+        ),
+    )
+
+    def _array_rotate_left(a: list[str]) -> str:
+        n = f"pmod({a[1]}, size({a[0]}))"
+        return (
+            f"(CASE WHEN size({a[0]}) <= 0 THEN {a[0]} "
+            f"ELSE concat(slice({a[0]}, {n} + 1, size({a[0]}) - {n}), "
+            f"slice({a[0]}, 1, {n})) END)"
+        )
+
+    out = _rewrite_calls(out, "arrayRotateLeft", _array_rotate_left)
+
+    def _haversine(a: list[str]) -> str:
+        # ClickHouse argument order: (lon1, lat1, lon2, lat2) → meters.
+        # Portable semantics: haversine on the 6371 km mean sphere
+        # (ClickHouse's native ellipsoid-corrected variant differs in
+        # low-order digits — this is the documented portable contract).
+        lon1, lat1, lon2, lat2 = a
+        h = (
+            f"power(sin(radians(({lat2}) - ({lat1})) / 2), 2) "
+            f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+            f"* power(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
+        )
+        return f"(2 * 6371000.0 * asin(sqrt({h})))"
+
+    for geo in ("greatCircleDistance", "geoDistance"):
+        out = _rewrite_calls(out, geo, _haversine)
+
+    out = _rewrite_calls(
+        out,
+        "toUnixTimestamp64Milli",
+        lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
+    )
+
+    def _no_point_in_polygon(a: list[str]) -> str:
+        raise ChDialectError(
+            "pointInPolygon needs tuple-literal surgery a string "
+            "rewrite cannot do safely; express the ray-casting test "
+            "with aggregate() over a named_struct array, or bucket by "
+            "geohash cells first (f16_geohash / j18_geo_bucket_join)"
+        )
+
+    out = _rewrite_calls(out, "pointInPolygon", _no_point_in_polygon)
+
     def _ipnum(x: str) -> str:
         """Dotted-quad string expr → numeric IPv4 (BIGINT) Spark SQL."""
         return (

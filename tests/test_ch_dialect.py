@@ -1175,3 +1175,80 @@ def test_ipv4_cidr_to_range_and_to_ipv4(spark):
 def test_ngram_distance_raises_with_guidance():
     with pytest.raises(ChDialectError, match="fuzzy_join"):
         translate("SELECT ngramDistance(event_type, 'click') FROM events")
+
+
+# ---- readable formatting / rotation / geo / ms-epoch (round 5) -------------
+
+
+def test_format_readable_size_and_quantity(spark):
+    _same(
+        spark,
+        """SELECT formatReadableSize(0) AS a,
+                  formatReadableSize(1023) AS b,
+                  formatReadableSize(1024) AS c,
+                  formatReadableSize(1536) AS d,
+                  formatReadableSize(1048576) AS e,
+                  formatReadableQuantity(5) AS f,
+                  formatReadableQuantity(1500) AS g,
+                  formatReadableQuantity(2250000) AS h
+           FROM events LIMIT 1""",
+        """SELECT '0.00 B' AS a, '1023.00 B' AS b, '1.00 KiB' AS c,
+                  '1.50 KiB' AS d, '1.00 MiB' AS e,
+                  '5.00' AS f, '1.50 thousand' AS g, '2.25 million' AS h
+           FROM events LIMIT 1""",
+    )
+
+
+def test_array_rotate_left(spark):
+    _same(
+        spark,
+        """SELECT arrayRotateLeft(array(1, 2, 3, 4, 5), 2) AS a,
+                  arrayRotateLeft(array(1, 2, 3, 4, 5), 7) AS b,
+                  arrayRotateLeft(array(1, 2, 3, 4, 5), 0) AS c,
+                  arrayRotateLeft(array(), 3) AS d
+           FROM events LIMIT 1""",
+        """SELECT array(3, 4, 5, 1, 2) AS a,
+                  array(3, 4, 5, 1, 2) AS b,
+                  array(1, 2, 3, 4, 5) AS c,
+                  array() AS d
+           FROM events LIMIT 1""",
+    )
+
+
+def test_geo_distance_portable_haversine(spark):
+    # 1 degree of longitude on the equator on the 6371 km sphere =
+    # R * pi/180 = 111194.93 m; plus identity and symmetry
+    _same(
+        spark,
+        """SELECT CAST(ROUND(greatCircleDistance(0, 0, 1, 0)) AS BIGINT)
+                    AS one_deg,
+                  CAST(ROUND(geoDistance(2.35, 48.85, 2.35, 48.85))
+                    AS BIGINT) AS self_dist,
+                  CAST(ROUND(greatCircleDistance(-0.13, 51.51, 2.35, 48.85))
+                    AS BIGINT)
+                  = CAST(ROUND(greatCircleDistance(2.35, 48.85, -0.13, 51.51))
+                    AS BIGINT) AS symmetric
+           FROM events LIMIT 1""",
+        """SELECT CAST(111195 AS BIGINT) AS one_deg,
+                  CAST(0 AS BIGINT) AS self_dist,
+                  TRUE AS symmetric
+           FROM events LIMIT 1""",
+    )
+
+
+def test_unix_timestamp_64_milli(spark):
+    _same(
+        spark,
+        "SELECT event_id, toUnixTimestamp64Milli(ts) AS ms "
+        "FROM events WHERE event_id <= 100",
+        "SELECT event_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ms "
+        "FROM events WHERE event_id <= 100",
+    )
+
+
+def test_point_in_polygon_raises_with_guidance():
+    with pytest.raises(ChDialectError, match="geohash"):
+        translate(
+            "SELECT pointInPolygon((1.0, 2.0), [(0,0), (10,0), (10,10)]) "
+            "FROM events"
+        )
