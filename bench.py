@@ -350,6 +350,16 @@ def main() -> None:
                 }
                 for p in su.get("llm", {}).get("points", [])
             ],
+            "fuzzy_points": [
+                {
+                    "n_names": p["n_names"],
+                    "spark_sec": p["spark_sec"],
+                    "duckdb_blocked_sec": p["duckdb_blocked_sec"],
+                    "ratio": p["ratio"],
+                    "blocked_eq_allpairs": p.get("blocked_eq_allpairs"),
+                }
+                for p in su.get("fuzzy", {}).get("points", [])
+            ],
         }
     except (OSError, ValueError):
         pass
