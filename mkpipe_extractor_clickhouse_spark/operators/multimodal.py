@@ -358,3 +358,112 @@ def m5_histogram_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+AUDIO_FRAME = 64  # fake-PCM frame length in bytes
+AUDIO_TOP_FRAMES = 3
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def frame_energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: blobs → per-frame signal energy. The payload
+    bytes play the role of unsigned 8-bit PCM samples; each FULL
+    64-byte frame's energy is Σ(sample−128)² — pure integer math, so
+    the SQL oracle re-derives it exactly. Vectorized per batch: one
+    concatenation, one reshape-free segmented reduction via bincount
+    on (blob, frame) ids; the tail partial frame is dropped (a real
+    hop-framed STFT does the same)."""
+    for pdf in batches:
+        blobs = list(pdf["blob"])
+        doc_ids = pdf["doc_id"].to_numpy()
+        lengths = np.fromiter((len(b) for b in blobs), dtype=np.int64)
+        n_frames = lengths // AUDIO_FRAME
+        cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        seg = np.repeat(np.arange(len(blobs)), lengths)
+        # byte offset within its own blob, then frame id; bytes past
+        # the last full frame get a sentinel bucket that is sliced off
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        off = np.arange(cat.size) - np.repeat(starts, lengths)
+        frame = off // AUDIO_FRAME
+        in_full = frame < np.repeat(n_frames, lengths)
+        sq = (cat.astype(np.int64) - 128) ** 2
+        # flat (blob, frame) key over only in-full-frame bytes
+        frame_base = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+        flat = np.repeat(frame_base, lengths) + frame
+        energies = np.bincount(
+            flat[in_full],
+            weights=sq[in_full],
+            minlength=int(n_frames.sum()),
+        ).astype(np.int64)
+        out_doc = np.repeat(doc_ids, n_frames)
+        out_idx = np.arange(int(n_frames.sum())) - np.repeat(
+            frame_base, n_frames
+        )
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "energy": energies}
+        )
+
+
+@register(
+    "m6_audio_frame_energy",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             (i - 1) // {AUDIO_FRAME} AS frame_idx,
+             ascii(substr(text, i, 1)) AS code,
+             length(text) // {AUDIO_FRAME} AS n_frames
+      FROM pos
+    ),
+    fe AS (
+      SELECT doc_id, frame_idx,
+             SUM((code - 128) * (code - 128)) AS energy
+      FROM codes WHERE frame_idx < n_frames
+      GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rank,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(energy AS BIGINT) AS energy
+    FROM (
+      SELECT doc_id, frame_idx, energy,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY energy DESC, frame_idx) AS rnk
+      FROM fe
+    ) WHERE rnk <= {AUDIO_TOP_FRAMES}
+    ORDER BY doc_id, rank
+    """,
+    tags=("EXT", "D3", "W8", "multimodal", "audio"),
+)
+def m6_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal op: loudest-frames detection. Blobs play
+    unsigned 8-bit PCM; the Arrow-batched mapInPandas kernel emits one
+    integer energy per full 64-byte frame (module kernel: segmented
+    bincount, no Python loop), then a per-doc window keeps the top-3
+    loudest frames — the clip-selection step an audio curation
+    pipeline runs before expensive transcription. All-integer energies
+    make the whole path oracle-checkable; the blob itself never
+    shuffles (energies are 24 bytes/frame, frames leave the map
+    already reduced). The real decoder stays behind the documented
+    codec gate (decode_image pattern); this pins the batching, offset
+    arithmetic, and tail-frame semantics a real PCM kernel needs."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    fe = blobs.mapInPandas(frame_energies, schema=ENERGY_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("energy"), "frame_idx")
+    return (
+        fe.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= AUDIO_TOP_FRAMES)
+        .select("doc_id", "rank", "frame_idx", "energy")
+        .orderBy("doc_id", "rank")
+    )

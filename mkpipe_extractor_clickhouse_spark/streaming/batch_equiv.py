@@ -548,3 +548,52 @@ def t14_evicted_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "t15_exactly_once_sink",
+    oracle="SELECT *, TRUE AS replay_skipped FROM events",
+    tags=("T7", "S8", "EXT", "streaming", "manifest"),
+)
+def t15_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED exactly-once streaming delivery: the staged event log
+    streams through a real availableNow query into the manifest sink
+    (sources/manifest.py ManifestStreamSink — foreachBatch commits the
+    batch_id inside the same atomic manifest publish as the data),
+    then the builder SIMULATES the failure mode the contract exists
+    for: re-delivering an already-committed batch, as Structured
+    Streaming does after a crash between sink write and checkpoint
+    commit. The sink must refuse it (batch_id <= last committed) with
+    zero new versions, and the final snapshot must equal the full
+    source byte-for-byte — both pinned by the oracle hash via the
+    replay_skipped constant column. This is the streaming capstone on
+    x8's batch-incremental manifest lifecycle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import ManifestStreamSink
+    from . import runtime
+
+    workdir = tempfile.mkdtemp(prefix="t15_eos_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    staged = runtime.stage_event_chunks(
+        spark, sf_dir, os.path.join(workdir, "staged"), n_chunks=4
+    )
+    stream = runtime.read_event_stream(spark, staged)
+    sink = ManifestStreamSink(os.path.join(workdir, "table"))
+    sink.run_available_now(stream, os.path.join(workdir, "ckpt"))
+
+    last = sink.last_batch_id()
+    versions_before = sink.table.versions()
+    redelivered = spark.read.parquet(os.path.join(staged, "chunk_004"))
+    accepted = sink.handle(redelivered, last)  # retry of committed batch
+    if accepted or sink.table.versions() != versions_before:
+        raise RuntimeError(
+            "exactly-once violated: re-delivered batch "
+            f"{last} was accepted (versions {versions_before} -> "
+            f"{sink.table.versions()})"
+        )
+    out = sink.table.read(spark)
+    return out.withColumn("replay_skipped", F.lit(True))
