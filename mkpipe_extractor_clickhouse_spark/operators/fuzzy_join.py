@@ -24,9 +24,13 @@ Free" (VLDB 2001), expressed as plain DataFrame ops:
 Because the filter is complete (never drops a true pair) the output is
 bit-identical to the all-pairs oracle — the O(n²) scan exists only in
 the DuckDB oracle SQL. Candidate cost is O(Σ gram-bucket²) instead of
-O(n²): on a 100 M-name catalog the gram table shuffles on the gram
-text and hot buckets split under AQE, while the all-pairs form is
-simply unrunnable.
+O(n²). Two complete blocking schemes are implemented against the same
+oracle: ``qgram_fuzzy_pairs`` (this count filter — joins on EVERY
+gram, right for modest distinct-name domains) and
+``edjoin_fuzzy_pairs`` (the Ed-Join prefix filter — caps join input
+at q·t+1 rarest grams per string, the scheme the scale-up bench runs
+at 10⁵-10⁶-name corpora where full-gram joins go quadratic on hot
+grams; see SCALEUP.json's `fuzzy` section).
 
 Reference anchor: the reference engine exposes joins only through its
 query passthrough (reference __init__.py:26-43); fuzzy matching is a
