@@ -61,6 +61,7 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.skew",
     "mkpipe_extractor_clickhouse_spark.operators.fuzzy_join",
     "mkpipe_extractor_clickhouse_spark.operators.community",
+    "mkpipe_extractor_clickhouse_spark.operators.geo",
     "mkpipe_extractor_clickhouse_spark.operators.analytics",
     "mkpipe_extractor_clickhouse_spark.operators.analytics2",
     "mkpipe_extractor_clickhouse_spark.operators.funnel",

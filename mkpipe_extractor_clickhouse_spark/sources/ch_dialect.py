@@ -1259,9 +1259,12 @@ def _translate_functions(sql: str) -> str:
     def _no_point_in_polygon(a: list[str]) -> str:
         raise ChDialectError(
             "pointInPolygon needs tuple-literal surgery a string "
-            "rewrite cannot do safely; express the ray-casting test "
-            "with aggregate() over a named_struct array, or bucket by "
-            "geohash cells first (f16_geohash / j18_geo_bucket_join)"
+            "rewrite cannot do safely; use the native integer "
+            "ray-casting operator (operators/geo.py — "
+            "f19_point_in_polygon, inside_sql() renders the exact "
+            "containment expression for any literal polygon), or "
+            "bucket by geohash cells first (f16_geohash / "
+            "j18_geo_bucket_join)"
         )
 
     out = _rewrite_calls(out, "pointInPolygon", _no_point_in_polygon)
