@@ -740,3 +740,182 @@ def f18_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- round 5b: dialect text/geo measures, oracle-checked end-to-end ----
+
+# Shared DuckDB gram-profile fragment: per-key 4-gram counts of an
+# expression. The Spark side computes the same multisets through the
+# dialect's higher-order-fold rewrite; the oracle recomputes them
+# relationally (unnest + group) — two independent formulations of the
+# documented ClickHouse formula, hash-matched.
+_GRAMS_OF = (
+    "unnest(list_transform(range(1, greatest(length({s}) - 2, 1)), "
+    "i -> substring({s}, CAST(i AS INT), 4)))"
+)
+
+
+def _ngram_oracle() -> str:
+    hay = "c_name"
+    hay_ci = "lower(c_name)"
+    n1, n1_ci, n2 = "'Customer#000001000'", "lower('CUSTOMER#000001000')", "'#0000'"
+
+    def profile(name: str, key: str, s: str) -> str:
+        return (
+            f"{name} AS (SELECT {key} AS k, t, COUNT(*) AS cnt FROM "
+            f"(SELECT {key}, {_GRAMS_OF.format(s=s)} AS t FROM customer) "
+            f"GROUP BY 1, 2)"
+        )
+
+    def needle(name: str, s: str) -> str:
+        return (
+            f"{name} AS (SELECT t, COUNT(*) AS cnt FROM "
+            f"(SELECT {_GRAMS_OF.format(s=s)} AS t) GROUP BY t)"
+        )
+
+    def common(name: str, hg: str, ng: str) -> str:
+        return (
+            f"{name} AS (SELECT h.k, SUM(LEAST(h.cnt, n.cnt)) AS c "
+            f"FROM {hg} h JOIN {ng} n USING (t) GROUP BY 1)"
+        )
+
+    # dist = (totH + totN - 2*common) / (totH + totN); floor(x*1e6) is
+    # deterministic across engines (same IEEE double, no rounding-mode
+    # divergence — never round() a half-exact product).
+    return f"""
+    WITH {profile('hg', 'c_custkey', hay)},
+         {profile('hgci', 'c_custkey', hay_ci)},
+         {needle('n1', n1)}, {needle('n1ci', n1_ci)}, {needle('n2', n2)},
+         {common('c1', 'hg', 'n1')},
+         {common('c1ci', 'hgci', 'n1ci')},
+         {common('c2', 'hg', 'n2')},
+         base AS (
+           SELECT c_custkey,
+                  GREATEST(LENGTH(c_name) - 3, 0) AS toth,
+                  (SELECT SUM(cnt) FROM n1) AS totn1,
+                  (SELECT SUM(cnt) FROM n2) AS totn2,
+                  COALESCE((SELECT c FROM c1 WHERE c1.k = c_custkey), 0) AS com1,
+                  COALESCE((SELECT c FROM c1ci WHERE c1ci.k = c_custkey), 0) AS com1ci,
+                  COALESCE((SELECT c FROM c2 WHERE c2.k = c_custkey), 0) AS com2
+           FROM customer
+         ),
+         m AS (
+           SELECT c_custkey % 10 AS bucket,
+                  CAST(FLOOR(CAST(toth + totn1 - 2 * com1 AS DOUBLE)
+                       / CAST(toth + totn1 AS DOUBLE) * 1000000) AS BIGINT) AS d_ppm,
+                  CAST(FLOOR(CAST(toth + totn1 - 2 * com1ci AS DOUBLE)
+                       / CAST(toth + totn1 AS DOUBLE) * 1000000) AS BIGINT) AS dci_ppm,
+                  CAST(FLOOR(CAST(com2 AS DOUBLE)
+                       / CAST(totn2 AS DOUBLE) * 1000000) AS BIGINT) AS s_ppm
+           FROM base
+         )
+    SELECT bucket, COUNT(*) AS n,
+           SUM(d_ppm) AS dist_ppm_sum,
+           SUM(dci_ppm) AS dist_ci_ppm_sum,
+           SUM(s_ppm) AS search_ppm_sum
+    FROM m GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register(
+    "f20_ngram_measures",
+    oracle=_ngram_oracle(),
+    tags=("F1", "S3", "EXT", "dialect", "ngram"),
+)
+def f20_ngram_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``ngramDistance`` / ``ngramSearch`` (+ the
+    CaseInsensitive variant) running UNCHANGED through the dialect
+    translator (sources/ch_dialect.py round 5b): exact character
+    4-gram multiset measures — distance = symmetric difference over
+    total grams, search = needle-gram coverage. The Spark plan is pure
+    codegen (higher-order folds over the gram arrays, no UDF, no
+    join); the oracle recomputes the same formula RELATIONALLY in
+    DuckDB (unnest → count → min-join), so the hash-match proves the
+    fold against an independent formulation, not a transcription.
+    Doubles quantize via floor(x*1e6) — one IEEE division of identical
+    integers per row, deterministic in both engines."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    table = TableConfig(
+        name="customer",
+        custom_query=(
+            "SELECT c_custkey % 10 AS bucket, count(*) AS n, "
+            "sum(toInt64(floor(ngramDistance(c_name, "
+            "'Customer#000001000') * 1000000))) AS dist_ppm_sum, "
+            "sum(toInt64(floor(ngramDistanceCaseInsensitive(c_name, "
+            "'CUSTOMER#000001000') * 1000000))) AS dist_ci_ppm_sum, "
+            "sum(toInt64(floor(ngramSearch(c_name, "
+            "'#0000') * 1000000))) AS search_ppm_sum "
+            "FROM customer GROUP BY bucket ORDER BY bucket"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+# f21: the dialect's pointInPolygon rewrite (literal integer polygons
+# → exact ray-cast CASE sums, operators/geo.py renders both sides).
+from ..operators.geo import crossings_sql_verts  # noqa: E402
+
+_F21_HOOK = [(-700, -100), (-100, -100), (-100, -700), (100, -700),
+             (100, 100), (-700, 100)]
+_F21_DIAMOND = [(0, -900), (900, 0), (0, 900), (-900, 0)]
+
+
+def _f21_poly_lit(verts: list[tuple[int, int]]) -> str:
+    return "[" + ", ".join(f"({x}, {y})" for x, y in verts) + "]"
+
+
+@register(
+    "f21_point_in_polygon_dialect",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id * 48271) % 2001 - 1000 AS px,
+             (event_id * 69621) % 2001 - 1000 AS py
+      FROM events
+    )
+    SELECT
+      SUM(CASE WHEN ({crossings_sql_verts(_F21_HOOK)}) % 2 = 1
+               THEN 1 ELSE 0 END) AS in_hook,
+      SUM(CASE WHEN ({crossings_sql_verts(_F21_DIAMOND)}) % 2 = 1
+               THEN 1 ELSE 0 END) AS in_diamond,
+      SUM(CASE WHEN ({crossings_sql_verts(_F21_HOOK)}) % 2 = 1
+                AND ({crossings_sql_verts(_F21_DIAMOND)}) % 2 = 1
+               THEN event_id ELSE 0 END) AS overlap_checksum
+    FROM pts
+    """,
+    tags=("F3", "S3", "EXT", "dialect", "geo"),
+)
+def f21_point_in_polygon_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user's ``pointInPolygon`` query running UNCHANGED through the
+    dialect translator: literal integer-vertex polygons (one CONCAVE
+    hook — exercises even-odd parity — and a rotated diamond) become
+    the exact ray-cast CASE sums of operators/geo.py, evaluated
+    against event-derived integer points. countIf sums the boolean the
+    rewrite returns; the overlap checksum pins WHICH points satisfy
+    both predicates. Join-free row-local codegen + one global
+    aggregate — the same shape at 100 TB. The oracle renders the same
+    per-edge terms from the same vertex lists (shared generator), so
+    the match pins the DIALECT PARSE (tuple surgery, vertex
+    validation, boolean wrapping), the algorithm being already pinned
+    by f19."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    hook, diamond = _f21_poly_lit(_F21_HOOK), _f21_poly_lit(_F21_DIAMOND)
+    table = TableConfig(
+        name="events",
+        custom_query=(
+            "SELECT "
+            f"countIf(pointInPolygon((px, py), {hook})) AS in_hook, "
+            f"countIf(pointInPolygon((px, py), {diamond})) AS in_diamond, "
+            f"sum(CASE WHEN pointInPolygon((px, py), {hook}) "
+            f"AND pointInPolygon((px, py), {diamond}) "
+            "THEN event_id ELSE 0 END) AS overlap_checksum "
+            "FROM (SELECT event_id, "
+            "(event_id * 48271) % 2001 - 1000 AS px, "
+            "(event_id * 69621) % 2001 - 1000 AS py FROM events)"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df

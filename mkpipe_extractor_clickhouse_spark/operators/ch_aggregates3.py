@@ -1697,3 +1697,51 @@ def dq9_volume_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "ch_retention_dialect",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(r1) AS BIGINT) AS viewed,
+           CAST(SUM(LEAST(r1, c2)) AS BIGINT) AS viewed_clicked,
+           CAST(SUM(LEAST(r1, c3)) AS BIGINT) AS viewed_purchased
+    FROM per_user
+    """,
+    tags=("A7", "EXT", "dialect", "retention"),
+)
+def ch_retention_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``retention(cond1, …, condN)`` aggregate — the
+    cohort-analysis staple — running UNCHANGED through the dialect
+    (round 5b): per user, r[1] = cond1 held on some event and
+    r[i>1] = cond1 AND condi, then the classic outer SUM over users.
+    The rewrite renders max-CASE flag aggregates, so the whole thing
+    is two hash aggregations (user grouping, then one global row) —
+    partial-aggregated map-side, no join, the exact shape a 100 TB
+    event table wants. Subscripts use element_at (ClickHouse arrays
+    are 1-based; Spark ``[]`` is 0-based — element_at is the portable
+    1-based spelling). The oracle is independent ANSI max-CASE."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    table = TableConfig(
+        name="events",
+        custom_query=(
+            "SELECT count(*) AS users, "
+            "sum(element_at(r, 1)) AS viewed, "
+            "sum(element_at(r, 2)) AS viewed_clicked, "
+            "sum(element_at(r, 3)) AS viewed_purchased "
+            "FROM (SELECT user_id, "
+            "retention(event_type = 'view', event_type = 'click', "
+            "event_type = 'purchase') AS r "
+            "FROM events GROUP BY user_id)"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df

@@ -2034,3 +2034,47 @@ def x40_manifest_vacuum_lifecycle(
         )
         .orderBy("day")
     )
+
+
+@register(
+    "x41_with_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           LEAST(COUNT(DISTINCT o_custkey), 10 + 1) AS u10,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS even_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    ORDER BY o_orderpriority NULLS LAST
+    """,
+    tags=("S3", "A6", "EXT", "dialect"),
+)
+def x41_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY … WITH TOTALS`` + ``uniqUpTo(N)(x)`` + ``countIf``
+    riding one custom_query through the extractor's S3 path (dialect
+    round 5b). WITH TOTALS translates to GROUPING SETS ((keys), ()) —
+    the totals row is the empty set's NULL-key row, computed in the
+    SAME partial-aggregate pass (Spark's Expand feeds both sets, no
+    second scan of the fact table — the 100 TB reason GROUPING SETS
+    beats a UNION ALL of two aggregates). uniqUpTo saturates the exact
+    distinct count at N+1 per its documented contract; both engines
+    evaluate the identical clamped COUNT(DISTINCT). The oracle is
+    hand-written ANSI, so the hash-match pins the whole clause
+    pipeline: keys captured paren-safely, totals row NULL-keyed,
+    aggregates replicated into both grouping sets."""
+    from ..sources.extract import ParquetExtractor, TableConfig
+
+    table = TableConfig(
+        name="orders",
+        custom_query=(
+            "SELECT o_orderpriority, "
+            "uniqUpTo(10)(o_custkey) AS u10, "
+            "count(*) AS n, "
+            "countIf(o_orderkey % 2 = 0) AS even_orders "
+            "FROM orders "
+            "GROUP BY o_orderpriority WITH TOTALS "
+            "ORDER BY o_orderpriority NULLS LAST"
+        ),
+        custom_query_dialect="clickhouse",
+    )
+    return ParquetExtractor(sf_dir).extract(table, spark).df

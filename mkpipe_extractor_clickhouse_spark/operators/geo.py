@@ -67,26 +67,40 @@ POLYGONS: dict[str, list[tuple[int, int]]] = {
 }
 
 
-def _edge_term(x1: int, y1: int, x2: int, y2: int) -> str:
-    """One edge's crossing contribution as a shared ANSI CASE term."""
+def _edge_term(
+    x1: int, y1: int, x2: int, y2: int, px: str = "px", py: str = "py"
+) -> str:
+    """One edge's crossing contribution as a shared ANSI CASE term.
+    ``px``/``py`` are the point-coordinate EXPRESSIONS (column names
+    here; arbitrary parenthesized expressions when the dialect renders
+    a user's ``pointInPolygon`` call)."""
     lit = lambda v: f"({v})" if v < 0 else str(v)  # noqa: E731
     x1s, y1s, x2s, y2s = lit(x1), lit(y1), lit(x2), lit(y2)
-    cross = f"(px - {x1s}) * ({y2s} - {y1s})"
-    rhs = f"({x2s} - {x1s}) * (py - {y1s})"
-    up = f"({y1s} <= py AND py < {y2s} AND {cross} < {rhs})"
-    down = f"({y2s} <= py AND py < {y1s} AND {cross} > {rhs})"
+    cross = f"({px} - {x1s}) * ({y2s} - {y1s})"
+    rhs = f"({x2s} - {x1s}) * ({py} - {y1s})"
+    up = f"({y1s} <= {py} AND {py} < {y2s} AND {cross} < {rhs})"
+    down = f"({y2s} <= {py} AND {py} < {y1s} AND {cross} > {rhs})"
     return f"CASE WHEN {up} OR {down} THEN 1 ELSE 0 END"
 
 
-def crossings_sql(poly: str) -> str:
-    """Total boundary crossings of the +x ray from (px, py) — a fixed
-    sum of per-edge CASE terms, identical text for Spark and DuckDB."""
-    verts = POLYGONS[poly]
+def crossings_sql_verts(
+    verts: list[tuple[int, int]], px: str = "px", py: str = "py"
+) -> str:
+    """Total boundary crossings of the +x ray from (px, py) for an
+    arbitrary integer-vertex polygon — a fixed sum of per-edge CASE
+    terms, identical text for Spark and DuckDB. The dialect's
+    ``pointInPolygon`` rewrite calls this with the user's literal
+    vertices."""
     terms = [
-        _edge_term(*verts[i], *verts[(i + 1) % len(verts)])
+        _edge_term(*verts[i], *verts[(i + 1) % len(verts)], px=px, py=py)
         for i in range(len(verts))
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def crossings_sql(poly: str) -> str:
+    """Crossing count for one of the module's named fixture polygons."""
+    return crossings_sql_verts(POLYGONS[poly])
 
 
 def inside_sql(poly: str) -> str:

@@ -62,8 +62,20 @@ Supported rewrites
   ``formatReadableQuantity`` (thousand ladder) as 2-decimal strings;
   ``arrayRotateLeft`` via modular slices;
   ``greatCircleDistance``/``geoDistance`` as portable haversine on the
-  6371 km sphere; ``toUnixTimestamp64Milli``→``unix_millis``;
-  ``pointInPolygon`` and ``ngramDistance``-family raise with guidance.
+  6371 km sphere; ``toUnixTimestamp64Milli``→``unix_millis``.
+* geo/text measures (round 5b): ``pointInPolygon`` with a LITERAL
+  integer-vertex polygon → the exact even-odd ray-cast CASE sum
+  (operators/geo.py renders it; holes/float vertices raise with the
+  microdegree-scaling fix); ``ngramDistance``/``ngramSearch``
+  (+``CaseInsensitive``) as exact character-4-gram multiset measures
+  per the documented formulas (collision-free where ClickHouse hashes
+  grams; character-based = the *UTF8 variants' behavior).
+* retention/saturation aggregates (round 5b): ``uniqUpTo(N)(x)``→
+  ``least(count(DISTINCT x), N+1)``; ``retention(c1, …, cN)``→array of
+  max-CASE flags (r[i>1] = c1 AND ci, each "held on some row").
+* ``GROUP BY … WITH TOTALS``→``GROUP BY GROUPING SETS ((keys), ())``
+  (totals row = the empty set's NULL-key row; HAVING applies to it —
+  the after_having_inclusive convention).
 * JSON: ``JSONHas``/``JSONExtractRaw``/``JSONLength``/
   ``JSONExtractKeys`` (plus the JSONExtract{String,Int,Float}
   family).
@@ -110,6 +122,10 @@ Supported rewrites
   (broadcast-join the dictionary table instead).
 * value mapping: ``transform(x, [from…], [to…][, default])``→CASE
   ladder (the HIGHER-ORDER lambda ``transform`` passes through).
+
+(Guided-error list unchanged otherwise; ``pointInPolygon`` and the
+``ngramDistance`` family moved from guided errors to real rewrites in
+round 5b.)
 
 Scope note: this is a pragmatic string-level rewriter with a
 paren-aware argument splitter, not a full parser — the documented
@@ -411,6 +427,32 @@ def _translate_functions(sql: str) -> str:
         )
 
     out = _rewrite_parameterized(out, "topK", _no_topk)
+
+    # uniqUpTo(N)(x): exact distinct count saturating at N+1 — the
+    # documented ClickHouse contract ("if more than N, returns N+1"),
+    # expressible exactly as a clamped COUNT(DISTINCT).
+    out = _rewrite_parameterized(
+        out,
+        "uniqUpTo",
+        lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    )
+
+    # retention(c1, …, cN): per-group flag array — r[1] = c1 held on
+    # some row; r[i>1] = c1 held AND ci held (each condition evaluated
+    # as "true on at least one row of the group", per the ClickHouse
+    # docs' retention-analysis contract). Renders as max-CASE aggregates
+    # so it composes with GROUP BY exactly like the original aggregate.
+    def _retention(a: list[str]) -> str:
+        if not a:
+            raise ChDialectError("retention needs at least one condition")
+        first = f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"
+        elems = [first] + [
+            f"least({first}, max(CASE WHEN {c} THEN 1 ELSE 0 END))"
+            for c in a[1:]
+        ]
+        return f"array({', '.join(elems)})"
+
+    out = _rewrite_calls(out, "retention", _retention)
 
     out = _rewrite_parameterized(
         out,
@@ -1256,18 +1298,53 @@ def _translate_functions(sql: str) -> str:
         lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
     )
 
-    def _no_point_in_polygon(a: list[str]) -> str:
-        raise ChDialectError(
-            "pointInPolygon needs tuple-literal surgery a string "
-            "rewrite cannot do safely; use the native integer "
-            "ray-casting operator (operators/geo.py — "
-            "f19_point_in_polygon, inside_sql() renders the exact "
-            "containment expression for any literal polygon), or "
-            "bucket by geohash cells first (f16_geohash / "
-            "j18_geo_bucket_join)"
-        )
+    def _point_in_polygon(a: list[str]) -> str:
+        # pointInPolygon((x, y), [(x1, y1), …]) with a LITERAL
+        # integer-vertex polygon → the exact even-odd ray-cast CASE sum
+        # (operators/geo.py renders it; f19 pins the algorithm against
+        # an oracle). Point coordinates may be arbitrary integer
+        # expressions. Returns a BOOLEAN (ClickHouse returns UInt8 —
+        # CAST(… AS INT) to sum it). Holes and float vertices are
+        # outside the exact contract and raise.
+        if len(a) != 2:
+            raise ChDialectError(
+                "pointInPolygon with hole polygons (3+ arguments) is "
+                "not supported; AND NOT the inner ring's containment "
+                "flag explicitly"
+            )
+        pt = a[0].strip()
+        if not (pt.startswith("(") and pt.endswith(")")):
+            raise ChDialectError("pointInPolygon needs an (x, y) point tuple")
+        comps = _split_args(pt[1:-1])
+        if len(comps) != 2:
+            raise ChDialectError("pointInPolygon point must be 2-D (x, y)")
+        arr = a[1].strip()
+        if not (arr.startswith("[") and arr.endswith("]")):
+            raise ChDialectError(
+                "pointInPolygon needs a LITERAL vertex array "
+                "[(x1, y1), (x2, y2), …]"
+            )
+        verts: list[tuple[int, int]] = []
+        for v in _split_args(arr[1:-1]):
+            m = re.match(r"^\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$", v.strip())
+            if not m:
+                raise ChDialectError(
+                    "pointInPolygon vertices must be INTEGER literals — "
+                    "the exact ray-cast contract has no float mode; "
+                    "scale coordinates to integer microdegrees first "
+                    "(operators/geo.py documents the convention)"
+                )
+            verts.append((int(m.group(1)), int(m.group(2))))
+        if len(verts) < 3:
+            raise ChDialectError("pointInPolygon polygon needs >= 3 vertices")
+        from ..operators.geo import crossings_sql_verts  # lazy: no load cycle
 
-    out = _rewrite_calls(out, "pointInPolygon", _no_point_in_polygon)
+        cross = crossings_sql_verts(
+            verts, px=f"({comps[0]})", py=f"({comps[1]})"
+        )
+        return f"(({cross}) % 2 = 1)"
+
+    out = _rewrite_calls(out, "pointInPolygon", _point_in_polygon)
 
     def _ipnum(x: str) -> str:
         """Dotted-quad string expr → numeric IPv4 (BIGINT) Spark SQL."""
@@ -1315,18 +1392,66 @@ def _translate_functions(sql: str) -> str:
     out = _rewrite_calls(
         out, "base64Decode", lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
     )
-    for ng in ("ngramDistance", "ngramSearch",
-               "ngramDistanceCaseInsensitive"):
-        def _no_ngram(a, name=ng):
-            raise ChDialectError(
-                f"{name} compares hashed n-gram multisets with "
-                "ClickHouse-private normalization (no portable "
-                "equivalent). For typo-tolerant matching use the exact "
-                "fuzzy-join operators instead: levenshtein(a, b) "
-                "scalar, or the blocked edit-distance joins "
-                "(operators/fuzzy_join.py — j19/j19b/er1)"
-            )
-        out = _rewrite_calls(out, ng, _no_ngram)
+    # ngramDistance / ngramSearch: ClickHouse documents these as 4-gram
+    # multiset measures (distance = symmetric difference / total grams;
+    # search = needle grams covered / needle grams). ClickHouse's own
+    # implementation HASHES grams (collisions can perturb low-order
+    # digits); this translation computes the collision-free documented
+    # value with exact character 4-grams — higher-order array folds,
+    # no UDF, deterministic across engines since the final division is
+    # one IEEE op over identical integers. Grams are CHARACTER-based
+    # (Spark substring is codepoint-aware), i.e. the *UTF8 variants'
+    # behavior, identical on ASCII. For corpus-scale near-dup use the
+    # blocked joins instead (l23 / j19 / j19b — these scalars re-scan
+    # both gram arrays per distinct gram, fine for short strings only).
+    def _gram4(x: str, lowered: bool) -> str:
+        s = f"lower({x})" if lowered else f"({x})"
+        ln = f"(length({s}) - 3)"
+        return (
+            f"transform(slice(sequence(1, greatest({ln}, 1)), 1, "
+            f"greatest({ln}, 0)), i -> substring({s}, i, 4))"
+        )
+
+    def _ngram_distance(a: list[str], lowered: bool = False) -> str:
+        ga, gb = _gram4(a[0], lowered), _gram4(a[1], lowered)
+        sym = (
+            f"aggregate(array_distinct(concat({ga}, {gb})), 0, (acc, t) -> "
+            f"acc + abs(size(filter({ga}, u -> u = t)) - "
+            f"size(filter({gb}, u -> u = t))))"
+        )
+        tot = f"(size({ga}) + size({gb}))"
+        return (
+            f"(CASE WHEN {tot} = 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE CAST({sym} AS DOUBLE) / CAST({tot} AS DOUBLE) END)"
+        )
+
+    def _ngram_search(a: list[str], lowered: bool = False) -> str:
+        # ngramSearch(haystack, needle): fraction of the needle's gram
+        # multiset present in the haystack (1 = fully covered). Empty
+        # needle → vacuous full match (1.0) by this engine's convention.
+        gh, gn = _gram4(a[0], lowered), _gram4(a[1], lowered)
+        common = (
+            f"aggregate(array_distinct({gn}), 0, (acc, t) -> acc + "
+            f"least(size(filter({gh}, u -> u = t)), "
+            f"size(filter({gn}, u -> u = t))))"
+        )
+        return (
+            f"(CASE WHEN size({gn}) = 0 THEN CAST(1 AS DOUBLE) "
+            f"ELSE CAST({common} AS DOUBLE) / CAST(size({gn}) AS DOUBLE) END)"
+        )
+
+    out = _rewrite_calls(
+        out,
+        "ngramDistanceCaseInsensitive",
+        lambda a: _ngram_distance(a, lowered=True),
+    )
+    out = _rewrite_calls(
+        out,
+        "ngramSearchCaseInsensitive",
+        lambda a: _ngram_search(a, lowered=True),
+    )
+    out = _rewrite_calls(out, "ngramDistance", _ngram_distance)
+    out = _rewrite_calls(out, "ngramSearch", _ngram_search)
 
     for h in ("cityHash64", "sipHash64", "farmHash64", "halfMD5"):
         def _no_hash(a, name=h):
@@ -1727,6 +1852,32 @@ def _translate_clauses(
     # own data movement, so the modifier drops cleanly
     sql = re.sub(r"\bGLOBAL\s+(?=IN\b|NOT\s+IN\b|JOIN\b|ANY\b|ALL\b|LEFT\b|RIGHT\b|INNER\b)",
                  "", sql, flags=re.IGNORECASE)
+
+    # GROUP BY … WITH TOTALS → GROUPING SETS ((keys), ()): the totals
+    # row materializes as the extra empty grouping set (NULL keys —
+    # ClickHouse renders defaults, NULL is the relational equivalent;
+    # grouping() distinguishes it from a genuine NULL key). Convention
+    # note: a HAVING applies to the totals row too (ClickHouse's
+    # totals_mode=after_having_inclusive); the default before_having
+    # mode is not expressible without duplicating the aggregate.
+    while True:
+        m_tot = re.search(r"\bWITH\s+TOTALS\b", sql, re.IGNORECASE)
+        if not m_tot:
+            break
+        gb = None
+        for g in re.finditer(r"\bGROUP\s+BY\b", sql[: m_tot.start()],
+                             re.IGNORECASE):
+            gb = g
+        if gb is None:
+            raise ChDialectError("WITH TOTALS without a preceding GROUP BY")
+        keys = sql[gb.end() : m_tot.start()].strip()
+        if not keys:
+            raise ChDialectError("GROUP BY WITH TOTALS needs grouping keys")
+        sql = (
+            sql[: gb.start()]
+            + f"GROUP BY GROUPING SETS (({keys}), ())"
+            + sql[m_tot.end() :]
+        )
 
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
         raise ChDialectError(

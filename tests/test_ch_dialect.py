@@ -1172,9 +1172,26 @@ def test_ipv4_cidr_to_range_and_to_ipv4(spark):
     )
 
 
-def test_ngram_distance_raises_with_guidance():
-    with pytest.raises(ChDialectError, match="fuzzy_join"):
-        translate("SELECT ngramDistance(event_type, 'click') FROM events")
+def test_ngram_distance_and_search(spark):
+    # exact 4-gram multiset measures per the documented formulas:
+    # 'hello world' (8 grams) vs 'hello word' (7 grams) share 6 grams
+    # → sym = (8-6)+(7-6) = 3, dist = 3/15 = 0.2; search = 6/7.
+    _same(
+        spark,
+        """SELECT ngramDistance('hello world', 'hello word') AS d,
+                  ngramSearch('hello world', 'hello word') AS s,
+                  ngramDistance('', '') AS d_empty,
+                  ngramSearch('hello', '') AS s_empty,
+                  ngramDistanceCaseInsensitive('Hello World', 'hello world')
+                    AS d_ci
+           FROM events LIMIT 1""",
+        """SELECT CAST(0.2 AS DOUBLE) AS d,
+                  CAST(6 AS DOUBLE) / CAST(7 AS DOUBLE) AS s,
+                  CAST(0 AS DOUBLE) AS d_empty,
+                  CAST(1 AS DOUBLE) AS s_empty,
+                  CAST(0 AS DOUBLE) AS d_ci
+           FROM events LIMIT 1""",
+    )
 
 
 # ---- readable formatting / rotation / geo / ms-epoch (round 5) -------------
@@ -1246,9 +1263,82 @@ def test_unix_timestamp_64_milli(spark):
     )
 
 
-def test_point_in_polygon_raises_with_guidance():
-    with pytest.raises(ChDialectError, match="geohash"):
+def test_point_in_polygon_literal(spark):
+    # exact even-odd ray cast on a literal square; boundary follows the
+    # half-open rule (bottom/left edges in, top/right out for an
+    # axis-aligned box traversed CCW)
+    _same(
+        spark,
+        """SELECT pointInPolygon((5, 5), [(0,0), (10,0), (10,10), (0,10)])
+                    AS inside,
+                  pointInPolygon((15, 5), [(0,0), (10,0), (10,10), (0,10)])
+                    AS outside,
+                  pointInPolygon((0, 0), [(0,0), (10,0), (10,10), (0,10)])
+                    AS corner_in,
+                  pointInPolygon((10, 10), [(0,0), (10,0), (10,10), (0,10)])
+                    AS corner_out
+           FROM events LIMIT 1""",
+        """SELECT TRUE AS inside, FALSE AS outside,
+                  TRUE AS corner_in, FALSE AS corner_out
+           FROM events LIMIT 1""",
+    )
+
+
+def test_point_in_polygon_guided_errors():
+    with pytest.raises(ChDialectError, match="INTEGER literals"):
+        translate("SELECT pointInPolygon((1, 2), [(0.5, 0), (10, 0), (10, 10)])")
+    with pytest.raises(ChDialectError, match="hole"):
         translate(
-            "SELECT pointInPolygon((1.0, 2.0), [(0,0), (10,0), (10,10)]) "
-            "FROM events"
+            "SELECT pointInPolygon((1, 2), [(0,0), (9,0), (9,9)], "
+            "[(1,1), (2,1), (2,2)])"
         )
+    with pytest.raises(ChDialectError, match="LITERAL vertex array"):
+        translate("SELECT pointInPolygon((1, 2), poly_col) FROM t")
+    with pytest.raises(ChDialectError, match=">= 3"):
+        translate("SELECT pointInPolygon((1, 2), [(0,0), (1,1)])")
+
+
+def test_uniq_up_to(spark):
+    # 5 distinct event types: below the cap it is exact, above it
+    # saturates at N+1
+    _same(
+        spark,
+        """SELECT uniqUpTo(10)(event_type) AS exact_u,
+                  uniqUpTo(3)(event_type) AS capped_u
+           FROM events""",
+        """SELECT COUNT(DISTINCT event_type) AS exact_u,
+                  CAST(4 AS BIGINT) AS capped_u
+           FROM events""",
+    )
+
+
+def test_retention_flags(spark):
+    _same(
+        spark,
+        """SELECT user_id,
+                  retention(event_type = 'view', event_type = 'click') AS r
+           FROM events GROUP BY user_id ORDER BY user_id""",
+        """SELECT user_id,
+                  array(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                        LEAST(
+                          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+                          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        )) AS r
+           FROM events GROUP BY user_id ORDER BY user_id""",
+    )
+
+
+def test_with_totals(spark):
+    _same(
+        spark,
+        """SELECT coalesce(event_type, 'TOTAL') AS et, count(*) AS n
+           FROM events
+           GROUP BY event_type WITH TOTALS
+           ORDER BY et""",
+        """SELECT coalesce(event_type, 'TOTAL') AS et, count(*) AS n
+           FROM events
+           GROUP BY GROUPING SETS ((event_type), ())
+           ORDER BY et""",
+    )
+    with pytest.raises(ChDialectError, match="WITH TOTALS"):
+        translate("SELECT count(*) FROM events WITH TOTALS")
