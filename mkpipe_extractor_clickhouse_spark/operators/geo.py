@@ -1,8 +1,10 @@
 """Point-in-polygon (planar geo containment) in PURE integer
 arithmetic — the capability behind ClickHouse's ``pointInPolygon``
-(public docs: SELECT pointInPolygon((x, y), [(a1, b1), ...])), which
-the dialect deliberately refuses to rewrite from a string (tuple-
-literal surgery is unsafe — sources/ch_dialect.py) and routes here.
+(public docs: SELECT pointInPolygon((x, y), [(a1, b1), ...])). The
+dialect's round-5b rewrite (sources/ch_dialect.py) renders LITERAL
+integer polygons through this module's ``crossings_sql_verts``; this
+module also houses the native operators (f19 scalar flags, j20 the
+grid-blocked containment JOIN for polygon sets).
 
 Algorithm: the even-odd ray-casting rule (Shimrat, CACM 1962; the
 "crossing number" formulation in Franklin's public PNPOLY notes). A
@@ -176,3 +178,158 @@ def f19_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (poly, inside_pts, id_checksum)"
         )
     ).orderBy("poly")
+
+
+# --- j20: polygon containment JOIN (variable polygons, grid-blocked) ---
+
+# Integer pentagon offsets (approximately regular, radius 120); odd
+# nations take the first three vertices (a triangle) so the fold runs
+# over VARIABLE vertex counts. Scaled 1-3× per nation.
+J20_OFFSETS: list[tuple[int, int]] = [
+    (120, 0), (37, 114), (-97, 70), (-97, -70), (37, -114),
+]
+J20_CELL = 256  # grid cell edge; domain is [-1000, 1000] → 8×8 cells
+
+
+def _j20_oracle() -> str:
+    """Brute-force oracle: every (polygon, point) pair tested with the
+    same half-open ray-cast terms, UNROLLED per parity (pentagon /
+    triangle) over the vertex EXPRESSIONS — an independent formulation
+    of the Spark side's fold over vertex arrays."""
+
+    def vx(i: int) -> str:
+        return f"(cx + s * ({J20_OFFSETS[i][0]}))"
+
+    def vy(i: int) -> str:
+        return f"(cy + s * ({J20_OFFSETS[i][1]}))"
+
+    def edges(n: int) -> str:
+        terms = []
+        for i in range(n):
+            j = (i + 1) % n
+            x1, y1, x2, y2 = vx(i), vy(i), vx(j), vy(j)
+            cross = f"(px - {x1}) * ({y2} - {y1})"
+            rhs = f"({x2} - {x1}) * (py - {y1})"
+            up = f"({y1} <= py AND py < {y2} AND {cross} < {rhs})"
+            down = f"({y2} <= py AND py < {y1} AND {cross} > {rhs})"
+            terms.append(f"CASE WHEN {up} OR {down} THEN 1 ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH polys AS (
+      SELECT n_nationkey AS poly_id,
+             (n_nationkey * 48271) % 1601 - 800 AS cx,
+             (n_nationkey * 69621) % 1601 - 800 AS cy,
+             1 + n_nationkey % 3 AS s,
+             n_nationkey % 2 AS parity
+      FROM nation
+    ),
+    pts AS (
+      SELECT event_id,
+             {PX_SQL} AS px,
+             {PY_SQL} AS py
+      FROM events
+    ),
+    hits AS (
+      SELECT p.poly_id, t.event_id
+      FROM polys p JOIN pts t ON p.parity = 0 AND ({edges(5)}) % 2 = 1
+      UNION ALL
+      SELECT p.poly_id, t.event_id
+      FROM polys p JOIN pts t ON p.parity = 1 AND ({edges(3)}) % 2 = 1
+    )
+    SELECT poly_id, COUNT(*) AS n_inside, SUM(event_id) AS id_checksum
+    FROM hits GROUP BY poly_id ORDER BY poly_id
+    """
+
+
+@register(
+    "j20_polygon_containment_join",
+    oracle=_j20_oracle(),
+    tags=("J9", "EXT", "geo", "spatial-join"),
+)
+def j20_polygon_containment_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Polygon containment JOIN — assign every point to the region
+    polygons that contain it — as a grid-blocked equi-join, the scale
+    shape geospatial engines (PostGIS gist, Sedona) use where a naive
+    plan is points × polygons. Polygons are VARIABLE per row (vertex
+    arrays derived from nation — pentagons and triangles at three
+    scales), so the exact verify is a higher-order FOLD over the edge
+    list (aggregate over element_at — stays in codegen for any vertex
+    count; memory's 64-term-unroll lesson says never flatten this).
+    Blocking: each polygon's bbox expands to the grid cells it covers
+    (explode over the cell ranges — bounded by the bbox, ~16 cells
+    max), each point lands in exactly ONE cell (+1000 offset keeps DIV
+    a floor), and the candidate join is a BROADCAST hash join on
+    (cellx, celly) — containment ⊆ bbox ⊆ cells makes it lossless, and
+    one-cell-per-point means no pair dedup. At 100 TB the point side
+    streams through codegen with no shuffle at all (polygon-cells
+    broadcast), and the only exchange is the final per-polygon rollup.
+    The oracle brute-forces all pairs with per-parity UNROLLED edge
+    terms — hash-matching proves the blocked plan equals all-pairs."""
+    nat = load_table(spark, sf_dir, "nation")
+    xs = ", ".join(f"cx + s * ({ox})" for ox, _ in J20_OFFSETS)
+    ys = ", ".join(f"cy + s * ({oy})" for _, oy in J20_OFFSETS)
+    polys = nat.selectExpr(
+        "n_nationkey AS poly_id",
+        "(n_nationkey * 48271) % 1601 - 800 AS cx",
+        "(n_nationkey * 69621) % 1601 - 800 AS cy",
+        "1 + n_nationkey % 3 AS s",
+        "CASE WHEN n_nationkey % 2 = 0 THEN 5 ELSE 3 END AS nv",
+    ).selectExpr(
+        "poly_id",
+        f"slice(array({xs}), 1, nv) AS xs",
+        f"slice(array({ys}), 1, nv) AS ys",
+    )
+    pcells = polys.selectExpr(
+        "poly_id",
+        "xs",
+        "ys",
+        f"explode(sequence((array_min(xs) + 1000) DIV {J20_CELL}, "
+        f"(array_max(xs) + 1000) DIV {J20_CELL})) AS cellx",
+    ).selectExpr(
+        "poly_id",
+        "xs",
+        "ys",
+        "cellx",
+        f"explode(sequence((array_min(ys) + 1000) DIV {J20_CELL}, "
+        f"(array_max(ys) + 1000) DIV {J20_CELL})) AS celly",
+    )
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id",
+            f"{PX_SQL} AS px",
+            f"{PY_SQL} AS py",
+        )
+        .selectExpr(
+            "event_id",
+            "px",
+            "py",
+            f"(px + 1000) DIV {J20_CELL} AS cellx",
+            f"(py + 1000) DIV {J20_CELL} AS celly",
+        )
+    )
+    cand = pts.join(F.broadcast(pcells), ["cellx", "celly"])
+    crossings = (
+        "aggregate(sequence(1, size(xs)), 0, (acc, i) -> acc + (CASE WHEN "
+        "(element_at(ys, i) <= py AND py < element_at(ys, i % size(ys) + 1)"
+        " AND (px - element_at(xs, i)) * (element_at(ys, i % size(ys) + 1)"
+        " - element_at(ys, i)) < (element_at(xs, i % size(xs) + 1)"
+        " - element_at(xs, i)) * (py - element_at(ys, i))) OR "
+        "(element_at(ys, i % size(ys) + 1) <= py AND py < element_at(ys, i)"
+        " AND (px - element_at(xs, i)) * (element_at(ys, i % size(ys) + 1)"
+        " - element_at(ys, i)) > (element_at(xs, i % size(xs) + 1)"
+        " - element_at(xs, i)) * (py - element_at(ys, i))) "
+        "THEN 1 ELSE 0 END))"
+    )
+    inside = cand.filter(F.expr(f"({crossings}) % 2 = 1"))
+    return (
+        inside.groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_inside"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("poly_id")
+    )

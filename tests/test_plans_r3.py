@@ -336,3 +336,15 @@ def test_stream_topk_batch_single_window_exchange(spark, sf_dir):
     rows, not the fact table."""
     plan = plan_of("t12_stream_topk", spark, sf_dir)
     assert plan.count("hashpartitioning(event_type") == 1
+
+
+def test_polygon_join_blocked_broadcast(spark, sf_dir):
+    """j20's candidate generation must be a BROADCAST equi-join on the
+    grid cells — the point side streams with no shuffle; a regression
+    to all-pairs (nested loop over polygons) fails here before it
+    fails at 100 TB."""
+    plan = plan_of("j20_polygon_containment_join", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
