@@ -1457,3 +1457,196 @@ def l76_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("inner_product").desc(), F.col("vec_id")
     ).limit(TOP_K)
+
+
+# --- round 5c: embedding compression + truncated-dim retrieval --------
+
+# Shared expression text (IDENTICAL in Spark and DuckDB so every double
+# op runs in the same order → same IEEE result → same FLOOR):
+_SQ8_CODE = (
+    "CASE WHEN mx = mn THEN 0 "
+    "ELSE CAST(FLOOR(((x - mn) * 255) / (mx - mn)) AS BIGINT) END"
+)
+_SQ8_DEQ = (
+    "CASE WHEN mx = mn THEN mn "
+    "ELSE mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255 END"
+)
+_SQ8_ERR = "CAST(FLOOR(((x - deq) * (x - deq)) * 1000000000000) AS BIGINT)"
+
+
+@register(
+    "l93_sq8_quantize",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    stats AS (
+      SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY i
+    ),
+    coded AS (
+      SELECT vec_id, i, x, mn, mx, {_SQ8_CODE} AS code
+      FROM vals JOIN stats USING (i)
+    ),
+    deqd AS (
+      SELECT vec_id, i, code, {_SQ8_DEQ} AS deq, x FROM coded
+    ),
+    err AS (
+      SELECT vec_id, code, i, {_SQ8_ERR} AS err_e12 FROM deqd
+    )
+    SELECT vec_id,
+           SUM(err_e12) AS mse_e12_sum,
+           SUM(code * i) AS code_checksum
+    FROM err GROUP BY vec_id
+    ORDER BY mse_e12_sum DESC, vec_id LIMIT 20
+    """,
+    tags=("L4", "EXT", "ann", "quantization"),
+)
+def l93_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization (SQ8 — the FAISS
+    ScalarQuantizer / Milvus SQ8 compression every embedding store
+    ships): per dim, min/max over the corpus define an affine grid;
+    each value maps to floor((x-mn)*255/(mx-mn)) and back. Output =
+    the 20 vectors with the worst reconstruction error (squared-error
+    quantized to e-12 longs so the 64-term sum is INTEGER — double
+    summation order never matters) plus a code checksum pinning every
+    code byte. Scale shape: per-dim stats are one 64-row aggregate
+    broadcast back to the exploded values — the fact side is one
+    shuffle-free scan + a final per-vector rollup; at 100 TB the codes
+    write back as a byte column at 4× compression. Shared expression
+    text with the DuckDB oracle makes every FLOOR bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).selectExpr("vec_id", "i0 + 1 AS i", "x")
+    stats = vals.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = vals.join(F.broadcast(stats), "i").selectExpr(
+        "vec_id", "i", "x", "mn", "mx", f"{_SQ8_CODE} AS code"
+    )
+    deqd = coded.selectExpr(
+        "vec_id", "i", "code", f"{_SQ8_DEQ} AS deq", "x"
+    )
+    err = deqd.selectExpr("vec_id", "code", "i", f"{_SQ8_ERR} AS err_e12")
+    return (
+        err.groupBy("vec_id")
+        .agg(
+            F.sum("err_e12").alias("mse_e12_sum"),
+            F.sum(F.expr("code * i")).alias("code_checksum"),
+        )
+        .orderBy(F.desc("mse_e12_sum"), "vec_id")
+        .limit(20)
+    )
+
+
+L94_PREFIX = 16
+L94_SHORTLIST = 50
+L94_K = 10
+# per-dim integer partial dot: one double multiply then floor → the
+# 64-term sum is integer arithmetic, order-free in both engines
+_L94_P = "CAST(FLOOR((x * qx) * 1000000000) AS BIGINT)"
+
+
+@register(
+    "l94_matryoshka_rerank",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (SELECT i, x AS qx FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+    p AS (
+      SELECT v.vec_id, v.i, {_L94_P} AS pd
+      FROM vals v JOIN q USING (i) WHERE v.vec_id <> {QUERY_VEC_ID}
+    ),
+    dots AS (
+      SELECT vec_id,
+             SUM(CASE WHEN i <= {L94_PREFIX} THEN pd ELSE 0 END) AS pdot_e9,
+             SUM(pd) AS fdot_e9
+      FROM p GROUP BY vec_id
+    ),
+    short AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pdot_e9 DESC, vec_id) AS pr
+      FROM dots
+    ),
+    rer AS (
+      SELECT vec_id, pdot_e9, fdot_e9,
+             ROW_NUMBER() OVER (ORDER BY fdot_e9 DESC, vec_id) AS rank
+      FROM short WHERE pr <= {L94_SHORTLIST}
+    ),
+    exact AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY fdot_e9 DESC, vec_id) AS er
+      FROM dots
+    ),
+    rec AS (
+      SELECT COUNT(*) * (1000000 // {L94_K}) AS recall_ppm
+      FROM rer JOIN exact USING (vec_id)
+      WHERE rer.rank <= {L94_K} AND exact.er <= {L94_K}
+    )
+    SELECT r.rank, r.vec_id, r.fdot_e9, r.pdot_e9, rec.recall_ppm
+    FROM rer r, rec WHERE r.rank <= {L94_K} ORDER BY r.rank
+    """,
+    tags=("L4", "EXT", "ann", "matryoshka"),
+)
+def l94_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval (the MRL pattern —
+    Kusupati et al., NeurIPS'22 — productized by every 2024+ embedding
+    API): shortlist with the FIRST {16} dimensions (4× cheaper dot
+    products, 4× smaller hot index), then re-rank the shortlist with
+    the full vector, reporting recall vs exact full-dim top-k in ppm —
+    the measured cost of the truncation, in-query like l14/l21's
+    recall. All dot products are per-dim floor(x*q*1e9) integers, so
+    both engines sum exactly. Scale shape: the prefix scan is the only
+    full-corpus pass (at 100 TB: scan a 16-dim column family, not the
+    64-dim payload); the rerank touches SHORTLIST rows. Everything is
+    one exploded scan + broadcast query row + two window top-k cuts
+    (TakeOrderedAndProject-class, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).selectExpr("vec_id", "i0 + 1 AS i", "x")
+    q = vals.filter(F.col("vec_id") == QUERY_VEC_ID).selectExpr(
+        "i", "x AS qx"
+    )
+    p = (
+        vals.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), "i")
+        .selectExpr("vec_id", "i", f"{_L94_P} AS pd")
+    )
+    dots = p.groupBy("vec_id").agg(
+        F.sum(
+            F.expr(f"CASE WHEN i <= {L94_PREFIX} THEN pd ELSE 0 END")
+        ).alias("pdot_e9"),
+        F.sum("pd").alias("fdot_e9"),
+    )
+    # both full-corpus cuts are TakeOrderedAndProject (orderBy+limit) —
+    # never a global row_number window, which would single-partition the
+    # whole dots relation; ranks are assigned only inside the 50-row
+    # shortlist
+    short = dots.orderBy(F.desc("pdot_e9"), "vec_id").limit(L94_SHORTLIST)
+    w_f = Window.orderBy(F.desc("fdot_e9"), "vec_id")
+    rer = short.withColumn("rank", F.row_number().over(w_f)).filter(
+        F.col("rank") <= L94_K
+    )
+    exact = (
+        dots.orderBy(F.desc("fdot_e9"), "vec_id")
+        .limit(L94_K)
+        .select("vec_id")
+    )
+    rec = (
+        rer.join(exact, "vec_id")
+        .agg((F.count("*") * (1000000 // L94_K)).alias("recall_ppm"))
+    )
+    return (
+        rer.crossJoin(F.broadcast(rec))
+        .select("rank", "vec_id", "fdot_e9", "pdot_e9", "recall_ppm")
+        .orderBy("rank")
+    )
