@@ -597,3 +597,93 @@ def t15_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = sink.table.read(spark)
     return out.withColumn("replay_skipped", F.lit(True))
+
+
+@register(
+    "t16_checkpoint_resume",
+    oracle="SELECT *, TRUE AS resumed_incrementally FROM events",
+    tags=("T7", "EXT", "streaming"),
+)
+def t16_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED checkpoint recovery across a stream RESTART — the other
+    half of exactly-once that t15 doesn't cover: the source side. The
+    events log stages as 4 arrival chunks; a first availableNow run
+    sees only chunks 1-2 and drains them through foreachBatch into a
+    plain parquet sink; chunks 3-4 then arrive and a SECOND stream
+    starts against the SAME checkpoint — Structured Streaming's file
+    source must resume from its commit log and process ONLY the two
+    new files (asserted exactly: second-run row count == chunks 3+4,
+    batch ids strictly continue the first run's). The final table must
+    equal the full source with no row duplicated or dropped — pinned
+    by the oracle hash, not just counts. This is the crash/redeploy
+    cycle every incremental pipeline lives through; the batch-side
+    twin is x1's watermark replay."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from . import runtime
+
+    workdir = tempfile.mkdtemp(prefix="t16_resume_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    full = runtime.stage_event_chunks(
+        spark, sf_dir, os.path.join(workdir, "all"), n_chunks=4
+    )
+    staged = os.path.join(workdir, "staged")
+    os.makedirs(staged)
+    for i in (1, 2):
+        shutil.copytree(
+            os.path.join(full, f"chunk_{i:03d}"),
+            os.path.join(staged, f"chunk_{i:03d}"),
+        )
+    data_dir = os.path.join(workdir, "data")
+    ckpt = os.path.join(workdir, "ckpt")
+    processed: list[tuple[str, int, int]] = []
+
+    def run(tag: str) -> None:
+        stream = runtime.read_event_stream(spark, staged)
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            processed.append((tag, batch_id, batch_df.count()))
+            batch_df.write.mode("append").parquet(data_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("first")
+    first_rows = sum(c for t, _, c in processed if t == "first")
+    first_max_batch = max(b for t, b, _ in processed if t == "first")
+    for i in (3, 4):
+        shutil.copytree(
+            os.path.join(full, f"chunk_{i:03d}"),
+            os.path.join(staged, f"chunk_{i:03d}"),
+        )
+    run("second")
+    second = [(b, c) for t, b, c in processed if t == "second"]
+    late_rows = sum(
+        spark.read.parquet(os.path.join(full, f"chunk_{i:03d}")).count()
+        for i in (3, 4)
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    if sum(c for _, c in second) != late_rows:
+        raise RuntimeError(
+            f"resume reprocessed data: second run saw "
+            f"{sum(c for _, c in second)} rows, expected {late_rows} "
+            f"(first run: {first_rows})"
+        )
+    if second and min(b for b, _ in second) <= first_max_batch:
+        raise RuntimeError(
+            f"batch ids did not continue across restart: {processed}"
+        )
+    out = spark.read.parquet(data_dir)
+    if out.count() != total:
+        raise RuntimeError(
+            f"final table has {out.count()} rows, source has {total}"
+        )
+    return out.withColumn("resumed_incrementally", F.lit(True))
