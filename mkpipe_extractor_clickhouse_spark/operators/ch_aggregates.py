@@ -543,3 +543,63 @@ def ch_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("entropy_bits"),
         F.max("n").alias("n"),
     )
+
+
+@register(
+    "ch_sum_foreach",
+    oracle="""
+    WITH vals AS (
+      SELECT label, i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                 * 1000000000) AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    sums AS (
+      SELECT label, i, SUM(xq) AS s, COUNT(*) AS n
+      FROM vals GROUP BY label, i
+    )
+    SELECT label,
+           MAX(n) AS n_vecs,
+           STRING_AGG(CAST(s AS VARCHAR), ',' ORDER BY i) AS sums_e9
+    FROM sums GROUP BY label ORDER BY label
+    """,
+    tags=("A2", "EXT", "combinator", "ForEach"),
+)
+def ch_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``-ForEach`` combinator (``sumForEach(arr)``):
+    element-wise aggregation over an array column — per label, the
+    64-dim element-wise sum of the embedding vectors (how ClickHouse
+    users average vectors server-side). Values quantize to e9 longs
+    BEFORE summing so the per-position totals are exact integers in
+    any aggregation order; the result array CSV-joins per the repo's
+    hashable-output convention. Scale shape: posexplode multiplies
+    rows by the (fixed, small) dimensionality and the single shuffle
+    key is (label, i) — 64× more keys than a plain label grouping,
+    which at 100 TB is a FEATURE (finer partial-agg parallelism, no
+    hot label key); reassembly aggregates 64 rows per label. The
+    dialect raises a guided error for -ForEach pointing here (an
+    aggregate returning arrays has no safe string rewrite)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).selectExpr(
+        "label",
+        "i0 + 1 AS i",
+        "CAST(FLOOR(x * 1000000000) AS BIGINT) AS xq",
+    )
+    sums = vals.groupBy("label", "i").agg(
+        F.sum("xq").alias("s"), F.count("*").alias("n")
+    )
+    assembled = sums.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))),
+                lambda e: e["s"].cast("string"),
+            ),
+            ",",
+        ).alias("sums_e9"),
+    )
+    return assembled.orderBy("label")

@@ -920,3 +920,57 @@ def l89_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ess, 6).alias("effective_sample_size"),
         F.round(ess / F.count("*"), 6).alias("efficiency"),
     )
+
+
+@register(
+    "l95_curriculum_phases",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             NTILE(4) OVER (ORDER BY n_chars, doc_id) AS phase
+      FROM documents
+    ),
+    agg AS (
+      SELECT phase, source, COUNT(*) AS n_docs,
+             SUM(n_chars) AS chars_sum
+      FROM ranked GROUP BY phase, source
+    )
+    SELECT phase, source, n_docs, chars_sum,
+           n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY phase)
+             AS share_ppm
+    FROM agg ORDER BY phase, source
+    """,
+    tags=("L7", "EXT", "curation", "curriculum"),
+)
+def l95_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction — the easy→hard training schedule
+    (Bengio et al., ICML'09; used by most staged pretraining recipes):
+    documents order by difficulty (length here; swap in any scalar
+    score) and cut into 4 equal phases with NTILE, then each phase's
+    SOURCE MIX is audited in ppm — the number a curriculum designer
+    watches, because naive difficulty sorting silently front-loads
+    whichever source writes short documents. Fully deterministic
+    ((difficulty, doc_id) total order; both engines give NTILE's extra
+    rows to the earliest buckets; integer ppm shares). Scale shape:
+    the global NTILE is the one inherently serial cut — at 100 TB
+    replace it with rank-by-quantile against the a14 percentile sketch
+    and everything downstream (the per-phase mix audit, one grouped
+    aggregate) is unchanged."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.withColumn(
+        "phase", F.ntile(4).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    agg = ranked.groupBy("phase", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_sum")
+    )
+    return agg.select(
+        "phase",
+        "source",
+        "n_docs",
+        "chars_sum",
+        F.expr(
+            "n_docs * 1000000 DIV SUM(n_docs) OVER (PARTITION BY phase)"
+        ).alias("share_ppm"),
+    ).orderBy("phase", "source")

@@ -13,7 +13,7 @@ scan; only O(rules) rows ever shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -278,4 +278,147 @@ def dq10_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check(c, "c_nationkey", n, "n_nationkey", "customer->nation", True))
         .unionAll(check(s, "s_nationkey", n, "n_nationkey", "supplier->nation", True))
         .orderBy("fk")
+    )
+
+
+# Benford first-digit expectations in ppm: round(log10(1 + 1/d) * 1e6).
+# Rendered as literals into BOTH engines' SQL — no runtime log10.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@register(
+    "dq11_benford_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    digits AS (
+      SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM cents
+    ),
+    dist AS (
+      SELECT d, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS total
+      FROM digits GROUP BY d
+    )
+    SELECT d, n,
+           n * 1000000 // total AS observed_ppm,
+           {_BENFORD_CASE} AS expected_ppm,
+           ABS(n * 1000000 // total - ({_BENFORD_CASE})) AS deviation_ppm
+    FROM dist ORDER BY d
+    """,
+    tags=("A7", "EXT", "quality", "benford"),
+)
+def dq11_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit — the classic forensic
+    data-quality screen (fabricated or truncated monetary columns
+    break the log distribution): observed vs expected first-digit
+    frequency of l_extendedprice, in exact integer ppm (counts and
+    integer division only; the Benford expectations are precomputed
+    literals shared with the oracle — no runtime log10). One scan +
+    one 9-key aggregate — map-side partial sums make this free at any
+    scale; the deviation column is what a monitoring gate thresholds.
+    Digits come from the CENTS integer's decimal rendering, exact in
+    both engines (no float log/pow)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digits = li.selectExpr(
+        "CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+        "AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS d"
+    )
+    dist = (
+        digits.groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    return dist.selectExpr(
+        "d",
+        "n",
+        "n * 1000000 DIV total AS observed_ppm",
+        f"{_BENFORD_CASE} AS expected_ppm",
+        f"ABS(n * 1000000 DIV total - ({_BENFORD_CASE})) AS deviation_ppm",
+    ).orderBy("d")
+
+
+@register(
+    "ch_tukey_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    q AS (
+      SELECT CAST(quantile_cont(c, 0.25) * 8 AS BIGINT) AS q1_8,
+             CAST(quantile_cont(c, 0.75) * 8 AS BIGINT) AS q3_8
+      FROM cents
+    ),
+    f AS (
+      SELECT q1_8, q3_8,
+             q1_8 - (3 * (q3_8 - q1_8)) // 2 AS lo_8,
+             q3_8 + (3 * (q3_8 - q1_8)) // 2 AS hi_8
+      FROM q
+    )
+    SELECT f.q1_8, f.q3_8, f.lo_8, f.hi_8,
+           COUNT(*) FILTER (WHERE c * 8 < lo_8) AS n_low,
+           COUNT(*) FILTER (WHERE c * 8 > hi_8) AS n_high,
+           COALESCE(SUM(CASE WHEN c * 8 < lo_8 OR c * 8 > hi_8
+                             THEN l_orderkey ELSE 0 END), 0) AS out_checksum
+    FROM cents, f
+    GROUP BY f.q1_8, f.q3_8, f.lo_8, f.hi_8
+    """,
+    tags=("A9", "EXT", "quality", "tukey"),
+)
+def ch_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5×IQR) outlier audit — ClickHouse ships it as
+    seriesOutliersDetectTukey; it is the robust sibling of dq2's
+    z-score gate (quartiles don't move when the outliers themselves
+    do). All arithmetic is EXACT: prices become integer cents, the
+    interpolated quartiles are scaled ×8 so every possible
+    interpolation fraction (quarters) and the 1.5× fence multiplier
+    land on integers — both engines compare integers, no float
+    threshold drift. Shape: one exact-percentile aggregate (single
+    reduce), fences broadcast back over one scan; the id-sum checksum
+    pins WHICH rows breached. At 100 TB swap the exact percentile for
+    the mergeable sketch (a14) and keep the fence algebra unchanged."""
+    cents = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
+    )
+    q = cents.agg(
+        F.expr("CAST(percentile(c, 0.25) * 8 AS BIGINT)").alias("q1_8"),
+        F.expr("CAST(percentile(c, 0.75) * 8 AS BIGINT)").alias("q3_8"),
+    )
+    f = q.selectExpr(
+        "q1_8",
+        "q3_8",
+        "q1_8 - (3 * (q3_8 - q1_8)) DIV 2 AS lo_8",
+        "q3_8 + (3 * (q3_8 - q1_8)) DIV 2 AS hi_8",
+    )
+    return (
+        cents.crossJoin(F.broadcast(f))
+        .groupBy("q1_8", "q3_8", "lo_8", "hi_8")
+        .agg(
+            F.count_if(F.expr("c * 8 < lo_8")).alias("n_low"),
+            F.count_if(F.expr("c * 8 > hi_8")).alias("n_high"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN c * 8 < lo_8 OR c * 8 > hi_8 "
+                        "THEN l_orderkey ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            ).alias("out_checksum"),
+        )
     )

@@ -513,6 +513,18 @@ def _translate_functions(sql: str) -> str:
         "uniqMerge",
         lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))",
     )
+    # -ForEach: element-wise array aggregation — an AGGREGATE returning
+    # an array has no safe string rewrite (needs posexplode + regroup);
+    # the native operator covers it
+    for fe in ("sumForEach", "avgForEach", "minForEach", "maxForEach"):
+        def _no_foreach(a, name=fe):
+            raise ChDialectError(
+                f"{name} aggregates element-wise over array columns; "
+                "use the native ch_sum_foreach operator (posexplode → "
+                "per-position aggregate → reassemble)"
+            )
+        out = _rewrite_calls(out, fe, _no_foreach)
+
     for fn, why in (
         (
             "avgState",

@@ -1342,3 +1342,10 @@ def test_with_totals(spark):
     )
     with pytest.raises(ChDialectError, match="WITH TOTALS"):
         translate("SELECT count(*) FROM events WITH TOTALS")
+
+
+def test_foreach_combinator_guided():
+    with pytest.raises(ChDialectError, match="ch_sum_foreach"):
+        translate("SELECT label, sumForEach(embedding) FROM embeddings GROUP BY label")
+    with pytest.raises(ChDialectError, match="ch_sum_foreach"):
+        translate("SELECT avgForEach(arr) FROM t")
