@@ -467,3 +467,91 @@ def m6_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "frame_idx", "energy")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "m7_shot_boundaries",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id,
+             (i - 1) // {AUDIO_FRAME} AS frame_idx,
+             ascii(substr(text, i, 1)) AS code,
+             length(text) // {AUDIO_FRAME} AS n_frames
+      FROM pos
+    ),
+    fe AS (
+      SELECT doc_id, frame_idx,
+             SUM((code - 128) * (code - 128)) AS energy
+      FROM codes WHERE frame_idx < n_frames
+      GROUP BY doc_id, frame_idx
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, energy,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS prev
+      FROM fe
+    ),
+    ad AS (
+      SELECT doc_id, frame_idx, ABS(energy - prev) AS adelta,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_d,
+             SUM(ABS(energy - prev)) OVER (PARTITION BY doc_id) AS s_d
+      FROM d WHERE prev IS NOT NULL
+    )
+    SELECT doc_id,
+           MAX(n_d) + 1 AS n_frames,
+           SUM(CASE WHEN adelta * n_d > 2 * s_d THEN 1 ELSE 0 END) + 1
+             AS n_shots,
+           SUM(CASE WHEN adelta * n_d > 2 * s_d
+                    THEN frame_idx ELSE 0 END) AS boundary_checksum,
+           MAX(adelta) AS max_delta
+    FROM ad GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("EXT", "D3", "W3", "multimodal", "video"),
+)
+def m7_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped multimodal op: SHOT-BOUNDARY detection — the frame
+    where the signal jumps is where a curation pipeline cuts clips and
+    samples keyframes (m3 picks frames, this picks CUTS). Reuses the
+    m6 Arrow kernel (bytes → per-frame integer energies, blob reduced
+    map-side), then a per-doc lag gives consecutive energy deltas and
+    a frame is a boundary when its |delta| exceeds 2× the doc's mean
+    |delta| — compared as the integer cross-product |Δ|·n > 2·ΣΔ, so
+    no division and the oracle matches bit-for-bit. Output per doc:
+    frame count, shot count, a boundary-position checksum, and the
+    sharpest cut. Scale: the heavy bytes never shuffle; the window
+    state is one doc's frame list (bounded by clip length, like any
+    real shot detector)."""
+    blobs = synthesize_blobs(spark, sf_dir)
+    fe = blobs.mapInPandas(frame_energies, schema=ENERGY_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = (
+        fe.withColumn("prev", F.lag("energy").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("adelta", F.abs(F.col("energy") - F.col("prev")))
+    )
+    wd = Window.partitionBy("doc_id")
+    ad = d.withColumn("n_d", F.count("*").over(wd)).withColumn(
+        "s_d", F.sum("adelta").over(wd)
+    )
+    flag = F.expr("CASE WHEN adelta * n_d > 2 * s_d THEN 1 ELSE 0 END")
+    return (
+        ad.groupBy("doc_id")
+        .agg(
+            (F.max("n_d") + 1).alias("n_frames"),
+            (F.sum(flag) + 1).alias("n_shots"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN adelta * n_d > 2 * s_d "
+                    "THEN frame_idx ELSE 0 END"
+                )
+            ).alias("boundary_checksum"),
+            F.max("adelta").alias("max_delta"),
+        )
+        .orderBy("doc_id")
+    )
