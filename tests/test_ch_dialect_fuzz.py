@@ -294,3 +294,71 @@ def test_avg_state_raises_with_pair_hint(spark):
 
     with pytest.raises(ChDialectError, match="PAIR"):
         translate("SELECT avgState(value) FROM events")
+
+
+# -- round 5b: geo/text measures + retention/saturation + WITH TOTALS --------
+
+r5b_agg = st.one_of(
+    st.tuples(st.integers(1, 20), num_leaf).map(
+        lambda p: f"uniqUpTo({p[0]})({p[1]})"
+    ),
+    st.lists(bool_expr(1), min_size=1, max_size=3).map(
+        lambda cs: "retention(" + ", ".join(cs) + ")"
+    ),
+)
+
+r5b_scalar = st.one_of(
+    st.tuples(num_expr(1), num_expr(1)).map(
+        lambda p: (
+            f"pointInPolygon((toInt64({p[0]}), toInt64({p[1]})), "
+            "[(0, 0), (500, 0), (500, 500), (0, 500)])"
+        )
+    ),
+    st.tuples(str_expr(1), str_expr(1)).map(
+        lambda p: f"ngramDistance({p[0]}, {p[1]})"
+    ),
+    st.tuples(str_expr(1), str_expr(1)).map(
+        lambda p: f"ngramSearch({p[0]}, {p[1]})"
+    ),
+    st.tuples(str_expr(1), str_expr(1)).map(
+        lambda p: f"ngramDistanceCaseInsensitive({p[0]}, {p[1]})"
+    ),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e=r5b_scalar)
+def test_r5b_scalar_compositions_execute(spark, e):
+    sql = f"SELECT {e} AS x FROM events WHERE event_id < 50"
+    spark.sql(translate(sql)).collect()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=r5b_agg)
+def test_r5b_aggregate_compositions_execute(spark, a):
+    sql = f"SELECT event_type, {a} AS x FROM events GROUP BY event_type"
+    spark.sql(translate(sql)).collect()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=agg)
+def test_with_totals_compositions_execute(spark, a):
+    """Any documented aggregate must survive the WITH TOTALS clause
+    rewrite (GROUPING SETS replicates it into both sets)."""
+    sql = (
+        f"SELECT event_type, {a} AS x FROM events "
+        "GROUP BY event_type WITH TOTALS"
+    )
+    spark.sql(translate(sql)).collect()
