@@ -1745,3 +1745,100 @@ def ch_retention_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         custom_query_dialect="clickhouse",
     )
     return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "ts12_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope_d
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY slope_d, xi, xj) AS rn,
+             COUNT(*) OVER () AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT slope_d, yj - yi AS slope_num, xj - xi AS slope_den, np
+      FROM ranked WHERE rn = (np + 1) // 2
+    ),
+    resid AS (
+      SELECT d.x, d.y - m.slope_d * d.x AS r, m.slope_d,
+             m.slope_num, m.slope_den, m.np
+      FROM daily d CROSS JOIN med m
+    ),
+    rranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+             COUNT(*) OVER () AS n
+      FROM resid
+    )
+    SELECT n AS n_points, np AS n_pairs,
+           slope_num, slope_den,
+           CAST(FLOOR(slope_d * 1000000) AS BIGINT) AS slope_ppm,
+           CAST(FLOOR(r * 1000) AS BIGINT) AS intercept_milli
+    FROM rranked WHERE rn = (n + 1) // 2
+    """,
+    tags=("A10", "EXT", "robust", "trend"),
+)
+def ts12_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator (Sen, JASA 1968) over the daily
+    event-volume series — the median of all pairwise slopes, the
+    regression a monitoring system wants because one bad day cannot
+    move it (unlike the least-squares fit). Determinism: the LOWER
+    median is selected discretely over a total order (slope double —
+    one IEEE division of identical integers per pair — then pair id),
+    never interpolated; the chosen slope is also reported as its exact
+    num/den integer pair, and the intercept is the discrete median of
+    residuals under that slope. Scale: pairwise slopes are O(days²) of
+    the AGGREGATED series — the self-join runs on one row per day
+    (~365/year), never on raw events; the raw scan is one count-by-day
+    partial aggregate."""
+    daily = load_table(spark, sf_dir, "events").selectExpr(
+        "unix_date(CAST(ts AS DATE)) AS x"
+    ).groupBy("x").agg(F.count("*").alias("y")).selectExpr(
+        "CAST(x AS BIGINT) AS x", "y"
+    )
+    a = daily.selectExpr("x AS xi", "y AS yi")
+    b = daily.selectExpr("x AS xj", "y AS yj")
+    pairs = a.join(b, F.col("xj") > F.col("xi")).selectExpr(
+        "xi", "yi", "xj", "yj",
+        "CAST(yj - yi AS DOUBLE) / (xj - xi) AS slope_d",
+    )
+    from pyspark.sql import Window
+
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("slope_d", "xi", "xj"))
+    ).withColumn("np", F.count("*").over(Window.partitionBy()))
+    med = ranked.filter(
+        F.expr("rn = (np + 1) DIV 2")
+    ).selectExpr(
+        "slope_d", "yj - yi AS slope_num", "xj - xi AS slope_den", "np"
+    )
+    resid = daily.crossJoin(F.broadcast(med)).selectExpr(
+        "x",
+        "y - slope_d * x AS r",
+        "slope_d",
+        "slope_num",
+        "slope_den",
+        "np",
+    )
+    rranked = resid.withColumn(
+        "rn", F.row_number().over(Window.orderBy("r", "x"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    return rranked.filter(F.expr("rn = (n + 1) DIV 2")).selectExpr(
+        "n AS n_points",
+        "np AS n_pairs",
+        "slope_num",
+        "slope_den",
+        "CAST(FLOOR(slope_d * 1000000) AS BIGINT) AS slope_ppm",
+        "CAST(FLOOR(r * 1000) AS BIGINT) AS intercept_milli",
+    )
