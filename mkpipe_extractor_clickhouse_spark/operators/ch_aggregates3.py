@@ -1842,3 +1842,94 @@ def ts12_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(FLOOR(slope_d * 1000000) AS BIGINT) AS slope_ppm",
         "CAST(FLOOR(r * 1000) AS BIGINT) AS intercept_milli",
     )
+
+
+J21_BUCKET = 3600  # seconds; durations cap at 2 h → ≤ 3 buckets/interval
+J21_MAX_ID = 20000
+
+
+@register(
+    "j21_interval_overlap_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id AS id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               + 60 * (1 + event_id % 120) AS e
+      FROM events WHERE event_id <= {J21_MAX_ID}
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS ov_s,
+             GREATEST(a.s, b.s) // {J21_BUCKET} AS day_bucket
+      FROM iv a JOIN iv b
+        ON a.id < b.id AND a.s < b.e AND b.s < a.e
+    )
+    SELECT day_bucket // 24 AS day,
+           COUNT(*) AS n_pairs,
+           SUM(ov_s) AS overlap_s_sum,
+           SUM(id_a + id_b) AS id_checksum
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+    tags=("J9", "EXT", "interval", "spatial-join"),
+)
+def j21_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP-PAIR join — find every pair of time intervals
+    that intersect (meeting-room conflicts, session collisions, trade
+    matching) — as a bucket-replicated EQUI-join: each interval lands
+    in every hour bucket it spans (≤3 here — durations are bounded,
+    the precondition any interval blocking needs), candidates join on
+    the bucket, and a pair is emitted ONLY in the canonical bucket
+    floor(max(starts)/W) — the standard dedup-free trick, because the
+    later start lies in exactly one bucket and any overlapping pair
+    shares that bucket (overlap means max(start) < min(end), both
+    intervals alive there). The oracle is the brute theta-join, so the
+    hash-match proves the blocking lossless AND duplicate-free. Per
+    day: pair count, total overlap seconds, id checksum. At 100 TB the
+    shuffle key is the hour bucket — time-local pairs never leave
+    their bucket's partition (AQE handles rush-hour skew)."""
+    iv = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") <= J21_MAX_ID
+    ).selectExpr(
+        "event_id AS id",
+        "unix_timestamp(CAST(ts AS TIMESTAMP)) AS s",
+        "unix_timestamp(CAST(ts AS TIMESTAMP)) + 60 * (1 + event_id % 120)"
+        " AS e",
+    )
+    a = iv.selectExpr(
+        "id AS id_a",
+        "s AS s_a",
+        "e AS e_a",
+        f"explode(sequence(s DIV {J21_BUCKET}, (e - 1) DIV {J21_BUCKET}))"
+        " AS bucket",
+    )
+    b = iv.selectExpr(
+        "id AS id_b",
+        "s AS s_b",
+        "e AS e_b",
+        f"explode(sequence(s DIV {J21_BUCKET}, (e - 1) DIV {J21_BUCKET}))"
+        " AS bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            F.expr(
+                "id_a < id_b AND s_a < e_b AND s_b < e_a "
+                f"AND GREATEST(s_a, s_b) DIV {J21_BUCKET} = bucket"
+            )
+        )
+        .selectExpr(
+            "LEAST(e_a, e_b) - GREATEST(s_a, s_b) AS ov_s",
+            f"bucket DIV 24 AS day",
+            "id_a + id_b AS ids",
+        )
+    )
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ov_s").alias("overlap_s_sum"),
+            F.sum("ids").alias("id_checksum"),
+        )
+        .orderBy("day")
+    )

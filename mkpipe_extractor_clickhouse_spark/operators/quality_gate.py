@@ -422,3 +422,72 @@ def ch_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("out_checksum"),
         )
     )
+
+
+# dq12: per-column profile spec — (name, normalized-expression) pairs
+# rendered into BOTH engines (doubles become exact integers first so
+# min/max render identically; dates render ISO in both).
+_DQ12_COLS = (
+    ("l_orderkey", "CAST(l_orderkey AS BIGINT)"),
+    ("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_extendedprice", "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    ("l_returnflag", "l_returnflag"),
+    ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) AS {STR})"),
+)
+
+
+def _dq12_oracle() -> str:
+    parts = []
+    for name, expr in _DQ12_COLS:
+        e = expr.format(STR="VARCHAR")
+        parts.append(
+            f"""
+            SELECT '{name}' AS col,
+                   COUNT(*) - COUNT({e}) AS n_null,
+                   COUNT(DISTINCT {e}) AS n_distinct,
+                   CAST(MIN({e}) AS VARCHAR) AS min_s,
+                   CAST(MAX({e}) AS VARCHAR) AS max_s
+            FROM lineitem
+            """
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY col"
+
+
+@register(
+    "dq12_column_profile",
+    oracle=_dq12_oracle(),
+    tags=("A3", "EXT", "quality", "profiling"),
+)
+def dq12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile — null count, exact distinct
+    cardinality, min/max — the table-health card every catalog
+    (Datahub/Amundsen) and every Deequ/GE suite materializes before a
+    dataset ships. One scan computes all columns' stats as parallel
+    aggregates (Spark plans the multi-distinct via Expand — still a
+    single pass over the fact table), then stack() pivots to the
+    (col, stat) report shape monitoring ingests. Doubles normalize to
+    exact integers (cents / unit counts) BEFORE min/max so both
+    engines render identical strings; at 100 TB swap exact distinct
+    for HLL per column (a4) and keep the report shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for name, expr in _DQ12_COLS:
+        e = expr.format(STR="STRING")
+        aggs += [
+            F.expr(f"COUNT(*) - COUNT({e})").alias(f"{name}__null"),
+            F.expr(f"COUNT(DISTINCT {e})").alias(f"{name}__dist"),
+            F.expr(f"CAST(MIN({e}) AS STRING)").alias(f"{name}__min"),
+            F.expr(f"CAST(MAX({e}) AS STRING)").alias(f"{name}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', {n}__null, {n}__dist, {n}__min, {n}__max"
+        for n, _ in _DQ12_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_DQ12_COLS)}, {stack_args}) "
+            "AS (col, n_null, n_distinct, min_s, max_s)"
+        )
+    ).orderBy("col")
