@@ -471,23 +471,19 @@ def dq12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines render identical strings; at 100 TB swap exact distinct
     for HLL per column (a4) and keep the report shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    # one pruned pass PER COLUMN, unioned — NOT one agg with six
+    # DISTINCTs: multiple exact distinct aggregates make Spark Expand
+    # the scan x(aggs+1) (measured 14 s at sf0.1); six column-pruned
+    # single-column scans total ~1 s and at 100 TB each reads one
+    # parquet column instead of materializing the expanded fact
+    parts = None
     for name, expr in _DQ12_COLS:
         e = expr.format(STR="STRING")
-        aggs += [
-            F.expr(f"COUNT(*) - COUNT({e})").alias(f"{name}__null"),
-            F.expr(f"COUNT(DISTINCT {e})").alias(f"{name}__dist"),
-            F.expr(f"CAST(MIN({e}) AS STRING)").alias(f"{name}__min"),
-            F.expr(f"CAST(MAX({e}) AS STRING)").alias(f"{name}__max"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{n}', {n}__null, {n}__dist, {n}__min, {n}__max"
-        for n, _ in _DQ12_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_DQ12_COLS)}, {stack_args}) "
-            "AS (col, n_null, n_distinct, min_s, max_s)"
-        )
-    ).orderBy("col")
+        one = li.selectExpr(f"{e} AS v").agg(
+            F.expr("COUNT(*) - COUNT(v)").alias("n_null"),
+            F.expr("COUNT(DISTINCT v)").alias("n_distinct"),
+            F.expr("CAST(MIN(v) AS STRING)").alias("min_s"),
+            F.expr("CAST(MAX(v) AS STRING)").alias("max_s"),
+        ).select(F.lit(name).alias("col"), "*")
+        parts = one if parts is None else parts.unionByName(one)
+    return parts.orderBy("col")
