@@ -896,6 +896,25 @@ def _translate_functions(sql: str) -> str:
 
     out = _rewrite_calls(out, "dateDiff", _date_diff)
 
+    # dateAdd(unit, n, d) / dateSub(unit, n, d): unit may be bare or
+    # quoted per the ClickHouse docs
+    def _date_add(a: list[str], neg: bool = False) -> str:
+        unit = a[0].strip().strip("'\"").upper()
+        n = f"-({a[1]})" if neg else a[1]
+        return f"timestampadd({unit}, {n}, {a[2]})"
+
+    out = _rewrite_calls(out, "dateAdd", _date_add)
+    out = _rewrite_calls(out, "dateSub", lambda a: _date_add(a, neg=True))
+
+    out = _rewrite_calls(
+        out,
+        "substringIndex",
+        lambda a: f"substring_index({a[0]}, {a[1]}, {a[2]})",
+    )
+    out = _rewrite_calls(
+        out, "toLastDayOfMonth", lambda a: f"last_day({a[0]})"
+    )
+
     # regex / prefix predicates
     out = _rewrite_calls(out, "match", lambda a: f"({a[0]} RLIKE {a[1]})")
 

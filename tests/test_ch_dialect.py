@@ -1349,3 +1349,18 @@ def test_foreach_combinator_guided():
         translate("SELECT label, sumForEach(embedding) FROM embeddings GROUP BY label")
     with pytest.raises(ChDialectError, match="ch_sum_foreach"):
         translate("SELECT avgForEach(arr) FROM t")
+
+
+def test_date_add_sub_and_substring_index(spark):
+    _same(
+        spark,
+        """SELECT dateAdd(day, 3, ts) AS a, dateSub('hour', 2, ts) AS b,
+                  substringIndex('a.b.c', '.', 2) AS s,
+                  toLastDayOfMonth(ts) AS ld
+           FROM events WHERE event_id < 50""",
+        """SELECT timestampadd(DAY, 3, ts) AS a,
+                  timestampadd(HOUR, -(2), ts) AS b,
+                  substring_index('a.b.c', '.', 2) AS s,
+                  last_day(ts) AS ld
+           FROM events WHERE event_id < 50""",
+    )
