@@ -117,3 +117,84 @@ def z2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+Z4_KNUTH = 2654435761  # 2^32/phi — the repo's portable-hash constant
+Z4_LANES = 1024
+Z4_KEEP = 64  # 64/1024 = 1/16 keep rate → ×16 scale-up
+
+
+@register(
+    "z4_sampled_aggregate",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag AS flag, l_orderkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             ((l_orderkey * {Z4_KNUTH}) % 4294967296) % {Z4_LANES}
+               AS lane
+      FROM lineitem
+    ),
+    ex AS (
+      SELECT flag, COUNT(*) AS n_exact, SUM(cents) AS sum_exact
+      FROM base GROUP BY flag
+    ),
+    sm AS (
+      SELECT flag,
+             COUNT(*) * ({Z4_LANES} // {Z4_KEEP}) AS n_est,
+             SUM(cents) * ({Z4_LANES} // {Z4_KEEP}) AS sum_est
+      FROM base WHERE lane < {Z4_KEEP} GROUP BY flag
+    )
+    SELECT ex.flag, n_exact, n_est,
+           ABS(n_est - n_exact) * 1000000 // n_exact AS n_err_ppm,
+           sum_exact, sum_est,
+           ABS(sum_est - sum_exact) * 1000000 // sum_exact AS sum_err_ppm
+    FROM ex JOIN sm USING (flag) ORDER BY flag
+    """,
+    tags=("A2", "EXT", "sampling", "approximate"),
+)
+def z4_sampled_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation over a DETERMINISTIC key sample with the
+    error self-audited in-query — the BlinkDB/sampled-warehouse pattern
+    (AQP): keep the 1/16 of ORDER KEYS whose Knuth-hash lane falls
+    under the keep rate (cluster sampling by the correlation unit, not
+    per row — per-row sampling underestimates order-level variance),
+    scale estimates ×16, and report the exact-vs-estimate error in ppm
+    per group. Everything is a pure function of the data (no RNG, no
+    partition dependence — the property that makes an AQP layer
+    RESUMABLE and oracle-checkable). At 100 TB only the sampled branch
+    runs (a pushed-down filter making the scan 16× cheaper) and the
+    exact branch is the offline audit this query performs inline; the
+    measured ppm error IS the number an AQP gate thresholds before
+    trusting the sample."""
+    base = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS flag",
+        "l_orderkey",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+        f"((l_orderkey * {Z4_KNUTH}) % 4294967296) % {Z4_LANES} AS lane",
+    )
+    scale = Z4_LANES // Z4_KEEP
+    ex = base.groupBy("flag").agg(
+        F.count("*").alias("n_exact"), F.sum("cents").alias("sum_exact")
+    )
+    sm = (
+        base.filter(F.col("lane") < Z4_KEEP)
+        .groupBy("flag")
+        .agg(
+            (F.count("*") * scale).alias("n_est"),
+            (F.sum("cents") * scale).alias("sum_est"),
+        )
+    )
+    return (
+        ex.join(sm, "flag")
+        .selectExpr(
+            "flag",
+            "n_exact",
+            "n_est",
+            "ABS(n_est - n_exact) * 1000000 DIV n_exact AS n_err_ppm",
+            "sum_exact",
+            "sum_est",
+            "ABS(sum_est - sum_exact) * 1000000 DIV sum_exact"
+            " AS sum_err_ppm",
+        )
+        .orderBy("flag")
+    )
