@@ -2078,3 +2078,68 @@ def x41_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         custom_query_dialect="clickhouse",
     )
     return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "x42_http_parallel_extract",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM({_Q.format(x='value')}) AS val_q,
+           4 AS slices_executed
+    FROM events
+    WHERE event_id <= 6000
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S5", "S2", "EXT", "http"),
+)
+def x42_http_parallel_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE-EXECUTED parallel read over the ClickHouse HTTP interface —
+    the jar-free connector's x32 moment: the in-process wire double
+    (sources/ch_http_stub.py — DuckDB behind the real socket protocol:
+    auth headers, JSONCompact probe, JSONEachRow data) serves a
+    pushdown query, and ClickHouseHttpSource range-partitions it into
+    4 half-open event_id slices, EACH fetched by its own Spark task
+    over its own HTTP connection (the driver never sees row data). The
+    builder forces one materialization and asserts from the server's
+    query log that exactly 4 disjoint slice SELECTs ran; the
+    hash-match then pins that the slice union equals the unpartitioned
+    ANSI result — no row lost or doubled at a slice boundary. At scale
+    this is how the reference's S5 parallel read maps onto an HTTP
+    endpoint when no JDBC jar can be shipped."""
+    from ..sources.ch_http import ClickHouseHttpSource
+    from ..sources.ch_http_stub import STUB_KEY, STUB_USER, start_stub
+
+    server, port, log = start_stub(sf_dir)
+    atexit.register(server.shutdown)
+    src = ClickHouseHttpSource(
+        host="127.0.0.1", port=port, user=STUB_USER, password=STUB_KEY
+    )
+    df = src.load(
+        spark,
+        "SELECT event_id, event_type, value FROM events"
+        " WHERE event_id <= 6000",
+        is_query=True,
+        partition_column="event_id",
+        lower_bound=0,
+        upper_bound=6000,
+        num_partitions=4,
+    )
+    df.count()  # force the executor-side fetches so the log is proof
+    slice_sqls = {
+        q for q in log if "__t WHERE event_id >=" in q
+    }
+    if len(slice_sqls) != 4:
+        raise RuntimeError(
+            f"expected 4 distinct slice fetches, saw {len(slice_sqls)}: "
+            f"{sorted(slice_sqls)[:2]}…"
+        )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(len(slice_sqls)).alias("slices_executed"),
+        )
+        .orderBy("event_type")
+    )

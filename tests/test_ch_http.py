@@ -1,18 +1,13 @@
 """Live-wire integration test for the jar-free ClickHouse HTTP source:
-an in-process HTTP server speaks the ClickHouse wire format (POST body
-query, JSONCompact meta probe, JSONEachRow data, X-ClickHouse-* auth)
-and executes the received SQL in DuckDB over the fixture parquet — so
-everything except ClickHouse's own SQL engine is the real code path,
-including the per-task executor-side HTTP fetches."""
+the in-process wire-format double (sources/ch_http_stub.py) executes
+the received SQL in DuckDB over the fixture parquet — so everything
+except ClickHouse's own SQL engine is the real code path, including
+the per-task executor-side HTTP fetches."""
 
 from __future__ import annotations
 
 import json
-import re
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -21,116 +16,17 @@ from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
     ClickHouseHttpSource,
     ch_type_to_spark,
 )
-
-USER, KEY = "graft", "s3cret"
-
-
-def _make_handler(sf_dir: str, query_log: list[str], store: dict | None = None):
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):  # quiet
-            pass
-
-        def do_POST(self):
-            if (
-                self.headers.get("X-ClickHouse-User") != USER
-                or self.headers.get("X-ClickHouse-Key") != KEY
-            ):
-                self.send_response(401)
-                self.end_headers()
-                return
-            n = int(self.headers.get("Content-Length", 0))
-            body_bytes = self.rfile.read(n)
-            # INSERT protocol: the query rides the URL, the body is data
-            from urllib.parse import parse_qs, urlparse
-
-            url_q = parse_qs(urlparse(self.path).query).get("query", [""])[0]
-            m = re.match(
-                r"INSERT\s+INTO\s+(\w+)\s+FORMAT\s+JSONEachRow",
-                url_q,
-                re.IGNORECASE,
-            )
-            if m:
-                query_log.append(url_q)
-                tbl = m.group(1)
-                rows = [
-                    json.loads(line)
-                    for line in body_bytes.decode("utf-8").splitlines()
-                    if line.strip()
-                ]
-                (store if store is not None else {}).setdefault(
-                    tbl, []
-                ).extend(rows)
-                self.send_response(200)
-                self.send_header("Content-Length", "0")
-                self.end_headers()
-                return
-            sql = body_bytes.decode("utf-8").strip()
-            query_log.append(sql)
-            tm = re.match(r"TRUNCATE\s+TABLE\s+(\w+)", sql, re.IGNORECASE)
-            if tm:
-                (store if store is not None else {}).pop(tm.group(1), None)
-                self.send_response(200)
-                self.send_header("Content-Length", "0")
-                self.end_headers()
-                return
-            fmt = "TSV"
-            for f in ("JSONCompact", "JSONEachRow"):
-                if sql.endswith(f"FORMAT {f}"):
-                    fmt = f
-                    sql = sql[: -len(f"FORMAT {f}")].strip()
-            con = duckdb.connect()
-            for t in ("events", "nation", "orders"):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')"
-                )
-            if store:
-                import pandas as _pd
-
-                for t, rows_ in store.items():
-                    con.register(t, _pd.DataFrame(rows_))
-            try:
-                cur = con.sql(sql)
-                cols = cur.columns
-                types = [str(t) for t in cur.types]
-                rows = cur.fetchall()
-            except Exception as e:  # pragma: no cover
-                self.send_response(500)
-                self.end_headers()
-                self.wfile.write(str(e).encode())
-                return
-            if fmt == "JSONCompact":
-                body = json.dumps(
-                    {
-                        "meta": [
-                            {"name": c, "type": t}
-                            for c, t in zip(cols, types)
-                        ],
-                        "data": [list(map(str, r)) for r in rows],
-                    }
-                ).encode()
-            else:
-                body = "\n".join(
-                    json.dumps(dict(zip(cols, r)), default=str) for r in rows
-                ).encode()
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-    return Handler
-
+from mkpipe_extractor_clickhouse_spark.sources.ch_http_stub import (
+    STUB_KEY as KEY,
+    STUB_USER as USER,
+    start_stub,
+)
 
 @pytest.fixture(scope="module")
 def ch_server(sf_dir):
-    log: list[str] = []
     store: dict = {}
-    server = ThreadingHTTPServer(
-        ("127.0.0.1", 0), _make_handler(sf_dir, log, store)
-    )
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
-    yield server.server_address[1], log, store
+    server, port, log = start_stub(sf_dir, store=store)
+    yield port, log, store
     server.shutdown()
 
 
