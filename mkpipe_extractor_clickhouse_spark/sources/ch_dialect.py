@@ -1625,6 +1625,29 @@ def _translate_functions(sql: str) -> str:
             )
         out = _rewrite_calls(out, fn_name2, _no_cluster)
 
+    # sequence/funnel aggregates: parameterized event-order semantics a
+    # string rewrite cannot express — route to the native operators
+    # (passthrough would die on Spark's parser with a cryptic error)
+    for seq_fn, native in (
+        ("windowFunnel", "ch_window_funnel / ch_window_funnel_strict /"
+                         " ch_window_funnel_sliding (funnel.py)"),
+        ("sequenceMatch", "ch_sequence_match / ch_sequence_match_timed"),
+        ("sequenceCount", "ch_sequence_count"),
+        ("sequenceNextNode", "ch_sequence_next_node"),
+        ("groupArrayMovingSum", "ch_moving_sum_array"),
+        ("groupArrayMovingAvg", "ch_moving_avg_array"),
+        ("maxIntersections", "ch_running_concurrency"),
+        ("sumMap", "ch_summap"),
+        ("minMap", "ch_minmax_map"),
+        ("maxMap", "ch_minmax_map"),
+    ):
+        def _no_seq(a, n=seq_fn, nat=native):
+            raise ChDialectError(
+                f"{n} is an event-order/map aggregate whose semantics "
+                f"need the native operator: {nat}"
+            )
+        out = _rewrite_calls(out, seq_fn, _no_seq)
+
     # window-context pseudo-functions cannot be expressed by string
     # rewriting — point at the native operators instead of mistranslating
     for fn_name, hint in (

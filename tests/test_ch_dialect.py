@@ -1364,3 +1364,18 @@ def test_date_add_sub_and_substring_index(spark):
                   last_day(ts) AS ld
            FROM events WHERE event_id < 50""",
     )
+
+
+def test_sequence_funnel_guided_errors():
+    cases = [
+        ("windowFunnel(3600)(ts, a, b)", "ch_window_funnel"),
+        ("sequenceMatch('(?1)(?2)')(ts, a, b)", "ch_sequence_match"),
+        ("sequenceCount('(?1)(?2)')(ts, a, b)", "ch_sequence_count"),
+        ("groupArrayMovingSum(3)(value)", "ch_moving_sum_array"),
+        ("maxIntersections(s, e)", "ch_running_concurrency"),
+        ("sumMap(k, v)", "ch_summap"),
+        ("minMap(k, v)", "ch_minmax_map"),
+    ]
+    for expr, native in cases:
+        with pytest.raises(ChDialectError, match=native):
+            translate(f"SELECT {expr} FROM t")
