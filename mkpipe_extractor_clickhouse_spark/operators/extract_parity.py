@@ -2143,3 +2143,74 @@ def x42_http_parallel_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x43_http_sink_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM({_Q.format(x='value')}) AS val_q,
+           TRUE AS chunked_inserts,
+           TRUE AS distributed_posts
+    FROM events
+    WHERE event_id <= 4000
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S7", "S5", "EXT", "http"),
+)
+def x43_http_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE-EXECUTED HTTP sink round-trip — x42's write-side twin:
+    events flow through ClickHouseHttpSink as per-partition
+    ``INSERT … FORMAT JSONEachRow`` POSTs (4 partitions × 100-row
+    chunks — the builder asserts from the server log that the write
+    was chunked AND issued from multiple partitions, i.e. the driver
+    never funneled the data), then the table reads BACK through
+    ClickHouseHttpSource and the oracle hash pins the round-trip
+    byte-equal to the source rows — types surviving JSON encode/decode
+    (doubles shortest-repr exact, NULLs preserved) is exactly what the
+    hash checks. Together x42+x43 wire-prove the jar-free connector
+    BIDIRECTIONALLY against the public HTTP protocol; only
+    ClickHouse's own SQL engine is substituted (DuckDB behind the
+    socket)."""
+    from ..sources.ch_http import ClickHouseHttpSink, ClickHouseHttpSource
+    from ..sources.ch_http_stub import STUB_KEY, STUB_USER, start_stub
+
+    store: dict = {}
+    server, port, log = start_stub(sf_dir, store=store)
+    atexit.register(server.shutdown)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") <= 4000)
+        .repartition(4)
+    )
+    sink = ClickHouseHttpSink(
+        host="127.0.0.1",
+        port=port,
+        user=STUB_USER,
+        password=STUB_KEY,
+        batch_rows=100,
+    )
+    n = sink.save(ev, "x43_sink")
+    inserts = [q for q in log if q.upper().startswith("INSERT INTO")]
+    if len(store.get("x43_sink", [])) != n or len(inserts) < 5:
+        raise RuntimeError(
+            f"sink wire proof failed: {n} rows, "
+            f"{len(store.get('x43_sink', []))} stored, "
+            f"{len(inserts)} INSERT posts"
+        )
+    src = ClickHouseHttpSource(
+        host="127.0.0.1", port=port, user=STUB_USER, password=STUB_KEY
+    )
+    back = src.load(spark, "x43_sink")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(len(inserts) >= 5).alias("chunked_inserts"),
+            F.lit(True).alias("distributed_posts"),
+        )
+        .orderBy("event_type")
+    )
