@@ -1894,6 +1894,13 @@ def _translate_clauses(
         r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$", "", sql
     ).rstrip()
 
+    if re.search(r"\bLIMIT\s+\d+\s+WITH\s+TIES\b", sql, re.IGNORECASE):
+        raise ChDialectError(
+            "LIMIT n WITH TIES has no Spark clause; use the rank()-based "
+            "native operator (o7_topn_with_ties) — rank() <= n keeps the "
+            "tied tail exactly like WITH TIES"
+        )
+
     if re.search(r"\bINTO\s+OUTFILE\b", sql, re.IGNORECASE):
         raise ChDialectError(
             "INTO OUTFILE is client-side file output; write the result "

@@ -1379,3 +1379,8 @@ def test_sequence_funnel_guided_errors():
     for expr, native in cases:
         with pytest.raises(ChDialectError, match=native):
             translate(f"SELECT {expr} FROM t")
+
+
+def test_with_ties_raises_with_rank_hint():
+    with pytest.raises(ChDialectError, match="o7_topn_with_ties"):
+        translate("SELECT x FROM t ORDER BY x LIMIT 3 WITH TIES")
