@@ -281,75 +281,6 @@ def dq10_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Benford first-digit expectations in ppm: round(log10(1 + 1/d) * 1e6).
-# Rendered as literals into BOTH engines' SQL — no runtime log10.
-_BENFORD_PPM = {
-    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
-    6: 66947, 7: 57992, 8: 51153, 9: 45757,
-}
-_BENFORD_CASE = (
-    "CASE d "
-    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
-    + " END"
-)
-
-
-@register(
-    "dq11_benford_audit",
-    oracle=f"""
-    WITH cents AS (
-      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
-      FROM lineitem WHERE l_extendedprice > 0
-    ),
-    digits AS (
-      SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
-      FROM cents
-    ),
-    dist AS (
-      SELECT d, COUNT(*) AS n,
-             SUM(COUNT(*)) OVER () AS total
-      FROM digits GROUP BY d
-    )
-    SELECT d, n,
-           n * 1000000 // total AS observed_ppm,
-           {_BENFORD_CASE} AS expected_ppm,
-           ABS(n * 1000000 // total - ({_BENFORD_CASE})) AS deviation_ppm
-    FROM dist ORDER BY d
-    """,
-    tags=("A7", "EXT", "quality", "benford"),
-)
-def dq11_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-significant-digit audit — the classic forensic
-    data-quality screen (fabricated or truncated monetary columns
-    break the log distribution): observed vs expected first-digit
-    frequency of l_extendedprice, in exact integer ppm (counts and
-    integer division only; the Benford expectations are precomputed
-    literals shared with the oracle — no runtime log10). One scan +
-    one 9-key aggregate — map-side partial sums make this free at any
-    scale; the deviation column is what a monitoring gate thresholds.
-    Digits come from the CENTS integer's decimal rendering, exact in
-    both engines (no float log/pow)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_extendedprice") > 0
-    )
-    digits = li.selectExpr(
-        "CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
-        "AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS d"
-    )
-    dist = (
-        digits.groupBy("d")
-        .agg(F.count("*").alias("n"))
-        .withColumn("total", F.sum("n").over(Window.partitionBy()))
-    )
-    return dist.selectExpr(
-        "d",
-        "n",
-        "n * 1000000 DIV total AS observed_ppm",
-        f"{_BENFORD_CASE} AS expected_ppm",
-        f"ABS(n * 1000000 DIV total - ({_BENFORD_CASE})) AS deviation_ppm",
-    ).orderBy("d")
-
-
 @register(
     "ch_tukey_outliers",
     oracle="""
