@@ -1933,79 +1933,3 @@ def j21_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
-
-
-TS13_OFFSETS = (0, 1, 3, 7, 14)
-
-
-@register(
-    "ts13_cohort_retention",
-    oracle=f"""
-    WITH act AS (
-      SELECT DISTINCT user_id,
-             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
-      FROM events
-    ),
-    first AS (
-      SELECT user_id, MIN(d) AS cohort_d FROM act GROUP BY user_id
-    ),
-    sizes AS (
-      SELECT cohort_d, COUNT(*) AS cohort_size FROM first GROUP BY cohort_d
-    ),
-    hits AS (
-      SELECT f.cohort_d, a.d - f.cohort_d AS off, a.user_id
-      FROM act a JOIN first f USING (user_id)
-      WHERE a.d - f.cohort_d IN ({", ".join(map(str, TS13_OFFSETS))})
-    ),
-    m AS (
-      SELECT cohort_d, off, COUNT(DISTINCT user_id) AS n_active
-      FROM hits GROUP BY cohort_d, off
-    )
-    SELECT m.cohort_d, m.off, m.n_active, s.cohort_size,
-           m.n_active * 1000000 // s.cohort_size AS retention_ppm
-    FROM m JOIN sizes s USING (cohort_d)
-    ORDER BY cohort_d, off
-    """,
-    tags=("A3", "EXT", "retention", "cohort"),
-)
-def ts13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cohort-retention TRIANGLE — product analytics' headline
-    table (Amplitude/Mixpanel's retention view; ClickHouse users build
-    it with retention()/windowFunnel): users cohort by first-active
-    day, and each cohort reports what fraction returned at the classic
-    D0/D1/D3/D7/D14 milestones, in exact integer ppm. Shapes: one
-    distinct-(user, day) contraction of the raw scan, a per-user min,
-    a broadcastable cohort-size rollup, then one equi-join back — at
-    100 TB the heavy table is the daily-active contraction (map-side
-    distinct riding the scan) and everything after is
-    cohort-cardinality sized. Day arithmetic is integer epoch-days in
-    both engines."""
-    act = (
-        load_table(spark, sf_dir, "events")
-        .selectExpr("user_id", "CAST(unix_date(CAST(ts AS DATE)) AS BIGINT) AS d")
-        .distinct()
-    )
-    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
-    sizes = first.groupBy("cohort_d").agg(
-        F.count("*").alias("cohort_size")
-    )
-    offs = ", ".join(map(str, TS13_OFFSETS))
-    hits = (
-        act.join(first, "user_id")
-        .selectExpr("cohort_d", "d - cohort_d AS off", "user_id")
-        .filter(F.expr(f"off IN ({offs})"))
-    )
-    m = hits.groupBy("cohort_d", "off").agg(
-        F.countDistinct("user_id").alias("n_active")
-    )
-    return (
-        m.join(F.broadcast(sizes), "cohort_d")
-        .selectExpr(
-            "cohort_d",
-            "off",
-            "n_active",
-            "cohort_size",
-            "n_active * 1000000 DIV cohort_size AS retention_ppm",
-        )
-        .orderBy("cohort_d", "off")
-    )
