@@ -402,40 +402,34 @@ def x11_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineer's first query against any new table, and the statistics a
     cost-based optimizer ingests.
 
-    ONE scan: all per-column aggregates run in a single agg (Spark
-    expands the multi-count-distinct internally), the single stats row
-    is exploded to per-column rows driver-free. At 100 TB swap the
-    exact count-distincts for approx_count_distinct — same plan shape
-    minus the expand."""
+    One pruned pass PER COLUMN, unioned — NOT one agg with five
+    DISTINCTs: multiple exact distinct aggregates make Spark Expand
+    the scan x(aggs+1) (measured 8x slower on the lineitem variant of
+    this profile); per-column passes each read ONE parquet column,
+    which is also the shape that wins at 100 TB on a wide table. Swap
+    the exact count-distincts for approx_count_distinct to drop to a
+    single pass."""
     o = load_table(spark, sf_dir, "orders")
-    aggs, structs = [], []
+    parts = None
     for c, kind in _PROFILE_COLS:
         if kind == "double":
-            mn = F.round(F.min(c) * 1_000_000).cast("long").cast("string")
-            mx = F.round(F.max(c) * 1_000_000).cast("long").cast("string")
+            mn = F.round(F.min("v") * 1_000_000).cast("long").cast("string")
+            mx = F.round(F.max("v") * 1_000_000).cast("long").cast("string")
         else:
-            mn = F.min(c).cast("string")
-            mx = F.max(c).cast("string")
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            mn.alias(f"{c}__min"),
-            mx.alias(f"{c}__max"),
-        ]
-        structs.append(
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__nulls").alias("null_count"),
-                F.col(f"{c}__nd").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
+            mn = F.min("v").cast("string")
+            mx = F.max("v").cast("string")
+        one = (
+            o.select(F.col(c).alias("v"))
+            .agg(
+                F.sum(F.col("v").isNull().cast("long")).alias("null_count"),
+                F.countDistinct("v").alias("n_distinct"),
+                mn.alias("min_value"),
+                mx.alias("max_value"),
             )
+            .select(F.lit(c).alias("column_name"), "*")
         )
-    return (
-        o.agg(*aggs)
-        .select(F.explode(F.array(*structs)).alias("p"))
-        .select("p.*")
-    )
+        parts = one if parts is None else parts.unionByName(one)
+    return parts
 
 
 CDC_T1 = "1998-04-01"

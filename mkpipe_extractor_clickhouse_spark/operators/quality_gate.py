@@ -353,68 +353,3 @@ def ch_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("out_checksum"),
         )
     )
-
-
-# dq12: per-column profile spec — (name, normalized-expression) pairs
-# rendered into BOTH engines (doubles become exact integers first so
-# min/max render identically; dates render ISO in both).
-_DQ12_COLS = (
-    ("l_orderkey", "CAST(l_orderkey AS BIGINT)"),
-    ("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
-    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
-    ("l_extendedprice", "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"),
-    ("l_returnflag", "l_returnflag"),
-    ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) AS {STR})"),
-)
-
-
-def _dq12_oracle() -> str:
-    parts = []
-    for name, expr in _DQ12_COLS:
-        e = expr.format(STR="VARCHAR")
-        parts.append(
-            f"""
-            SELECT '{name}' AS col,
-                   COUNT(*) - COUNT({e}) AS n_null,
-                   COUNT(DISTINCT {e}) AS n_distinct,
-                   CAST(MIN({e}) AS VARCHAR) AS min_s,
-                   CAST(MAX({e}) AS VARCHAR) AS max_s
-            FROM lineitem
-            """
-        )
-    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY col"
-
-
-@register(
-    "dq12_column_profile",
-    oracle=_dq12_oracle(),
-    tags=("A3", "EXT", "quality", "profiling"),
-)
-def dq12_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column dataset profile — null count, exact distinct
-    cardinality, min/max — the table-health card every catalog
-    (Datahub/Amundsen) and every Deequ/GE suite materializes before a
-    dataset ships. One scan computes all columns' stats as parallel
-    aggregates (Spark plans the multi-distinct via Expand — still a
-    single pass over the fact table), then stack() pivots to the
-    (col, stat) report shape monitoring ingests. Doubles normalize to
-    exact integers (cents / unit counts) BEFORE min/max so both
-    engines render identical strings; at 100 TB swap exact distinct
-    for HLL per column (a4) and keep the report shape."""
-    li = load_table(spark, sf_dir, "lineitem")
-    # one pruned pass PER COLUMN, unioned — NOT one agg with six
-    # DISTINCTs: multiple exact distinct aggregates make Spark Expand
-    # the scan x(aggs+1) (measured 14 s at sf0.1); six column-pruned
-    # single-column scans total ~1 s and at 100 TB each reads one
-    # parquet column instead of materializing the expanded fact
-    parts = None
-    for name, expr in _DQ12_COLS:
-        e = expr.format(STR="STRING")
-        one = li.selectExpr(f"{e} AS v").agg(
-            F.expr("COUNT(*) - COUNT(v)").alias("n_null"),
-            F.expr("COUNT(DISTINCT v)").alias("n_distinct"),
-            F.expr("CAST(MIN(v) AS STRING)").alias("min_s"),
-            F.expr("CAST(MAX(v) AS STRING)").alias("max_s"),
-        ).select(F.lit(name).alias("col"), "*")
-        parts = one if parts is None else parts.unionByName(one)
-    return parts.orderBy("col")
