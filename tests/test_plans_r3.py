@@ -348,3 +348,21 @@ def test_polygon_join_blocked_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_join_blocked(spark, sf_dir):
+    """j21's pair generation must be an equi-join on the hour bucket
+    (bucket-replication blocking) — never a nested-loop over the
+    interval theta predicate."""
+    plan = plan_of("j21_interval_overlap_join", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_matryoshka_cuts_are_take_ordered(spark, sf_dir):
+    """l94's full-corpus shortlist and exact-top-k cuts must compile to
+    TakeOrderedAndProject — a global row_number window here would
+    single-partition the whole dots relation at scale."""
+    plan = plan_of("l94_matryoshka_rerank", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
