@@ -402,6 +402,145 @@ def verify_values(spark, sf_dir: str) -> dict[str, bool]:
     return ok
 
 
+SPATIAL_QUERIES = ("j20_polygon_containment_join", "j21_interval_overlap_join")
+
+
+def build_spatial_point(spark, rep: int) -> Path:
+    """R offset copies of events for the spatial-join section: event_id
+    strides so the congruence-derived (px, py) points differ per
+    replica (uniform stays uniform), and ts shifts by 31 days per
+    replica so INTERVAL DENSITY stays constant — overlap-pair output
+    scales linearly with R instead of quadratically, the realistic
+    shape for a longer event history. nation (the polygon source) keeps
+    its real-world size."""
+    out = DATA_ROOT / f"sp{rep}"
+    if (out / "_DONE").exists():
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+    ev = load_table(spark, BASE_SF, "events")
+    stride = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    reps = spark.range(rep).select(F.col("id").cast("int").alias("__rep"))
+    df = ev.crossJoin(F.broadcast(reps))
+    cols = [
+        (F.col("event_id") + F.col("__rep") * F.lit(stride))
+        .cast("long").alias("event_id"),
+        F.expr("ts + make_interval(0, 0, 0, __rep * 31, 0, 0, 0)")
+        .cast(dict(df.dtypes)["ts"]).alias("ts"),
+        *[c for c in ("user_id", "event_type", "value", "props")],
+    ]
+    (df.select(cols).repartition(32)
+       .write.mode("overwrite").parquet(str(out / "events.parquet")))
+    load_table(spark, BASE_SF, "nation").coalesce(1) \
+        .write.mode("overwrite").parquet(str(out / "nation.parquet"))
+    (out / "_DONE").touch()
+    return out
+
+
+def time_spatial(spark, sf_dir: str, prove: bool) -> dict:
+    """One spatial scale point: Spark's blocked j20/j21 vs DuckDB. j20's
+    DuckDB side is the all-pairs oracle (linear in points — the polygon
+    set is fixed); j21's DuckDB side runs the IDENTICAL bucket-blocked
+    formulation (the theta-join oracle is quadratic in candidates and
+    stops being runnable at these scales — the fuzzy-section
+    precedent). The j21 id cap lifts for the scale run (module constant
+    read at call time; the DuckDB text patches the same bound)."""
+    import duckdb
+
+    from mkpipe_extractor_clickhouse_spark.operators import (
+        ch_aggregates3 as _a3,
+    )
+
+    specs = all_specs()
+    old_cap = _a3.J21_MAX_ID
+    _a3.J21_MAX_ID = 1 << 60
+    try:
+        sp = {}
+        for name in SPATIAL_QUERIES:
+            df = specs[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            sp[name] = round(min(runs), 3)
+
+        con = duckdb.connect()
+        for t in ("events", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+            )
+        j20_sql = specs["j20_polygon_containment_join"].oracle
+        bucket, cap = _a3.J21_BUCKET, 1 << 60
+        j21_blocked = f"""
+        WITH iv AS (
+          SELECT event_id AS id,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + 60 * (1 + event_id % 120) AS e
+          FROM events WHERE event_id <= {cap}
+        ),
+        repl AS (
+          SELECT id, s, e, r.b AS bucket
+          FROM iv, LATERAL (
+            SELECT unnest(range(s // {bucket}, (e - 1) // {bucket} + 1))
+          ) r(b)
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS ov_s,
+                 a.bucket AS day_bucket
+          FROM repl a JOIN repl b USING (bucket)
+          WHERE a.id < b.id AND a.s < b.e AND b.s < a.e
+            AND GREATEST(a.s, b.s) // {bucket} = a.bucket
+        )
+        SELECT day_bucket // 24 AS day,
+               COUNT(*) AS n_pairs,
+               SUM(ov_s) AS overlap_s_sum,
+               SUM(id_a + id_b) AS id_checksum
+        FROM pairs GROUP BY 1 ORDER BY 1
+        """
+        du = {}
+        for name, sql in (
+            ("j20_polygon_containment_join", j20_sql),
+            ("j21_interval_overlap_join", j21_blocked),
+        ):
+            con.sql(sql).arrow()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.sql(sql).arrow()
+                runs.append(time.perf_counter() - t0)
+            du[name] = round(min(runs), 3)
+
+        checks = {}
+        if prove:
+            for name, sql in (
+                ("j20_polygon_containment_join", j20_sql),
+                ("j21_interval_overlap_join", j21_blocked),
+            ):
+                srows = sorted(
+                    tuple(r) for r in
+                    specs[name].builder(spark, sf_dir).collect()
+                )
+                drows = sorted(tuple(r) for r in con.sql(sql).fetchall())
+                checks[name] = srows == drows
+        con.close()
+        st, dt = round(sum(sp.values()), 3), round(sum(du.values()), 3)
+        pt = {
+            "spark": sp, "duckdb": du,
+            "spark_total": st, "duckdb_total": dt,
+            "ratio": round(st / dt, 2) if dt else None,
+        }
+        if checks:
+            pt["spark_eq_duckdb"] = checks
+        return pt
+    finally:
+        _a3.J21_MAX_ID = old_cap
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", default="5,20,50,100")
@@ -412,6 +551,11 @@ def main() -> None:
                     help="fuzzy-join corpus sizes, e.g. 5000,50000; "
                          "appends a 'fuzzy' section (all-pairs proof "
                          "runs at the smallest point)")
+    ap.add_argument("--spatial-reps", default="",
+                    help="events replication factors for the spatial "
+                         "joins (j20/j21), e.g. 10,100; appends a "
+                         "'spatial' section (Spark-vs-DuckDB equality "
+                         "proof runs at the smallest point)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated parquet between points")
     args = ap.parse_args()
@@ -431,6 +575,48 @@ def main() -> None:
             # scan tasks/file set; fine, AQE coalesces downstream.
         },
     )
+
+    spatial_reps = sorted(int(x) for x in args.spatial_reps.split(",") if x)
+    spatial_points = []
+    for i, rep in enumerate(spatial_reps):
+        t0 = time.perf_counter()
+        d = build_spatial_point(spark, rep)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        nev = spark.read.parquet(str(d / "events.parquet")).count()
+        pt = time_spatial(spark, str(d), prove=(i == 0))
+        pt.update({"rep": rep, "events": nev, "gen_sec": gen_sec})
+        spatial_points.append(pt)
+        print(json.dumps(pt))
+        if not args.keep:
+            shutil.rmtree(d, ignore_errors=True)
+    if spatial_points and not reps and not args.llm_reps and not args.fuzzy_ns:
+        try:
+            payload = json.loads((Path(REPO) / "SCALEUP.json").read_text())
+        except (OSError, ValueError):
+            payload = {}
+        payload["spatial"] = {
+            "note": (
+                "grid-blocked spatial joins on offset-replicated events "
+                "(ts shifts 31 d/replica so interval density is "
+                "constant; polygon dims stay real-world size). j20's "
+                "DuckDB side is the all-pairs oracle (linear — fixed "
+                "polygon set); j21's DuckDB side runs the IDENTICAL "
+                "bucket-blocked algorithm (the theta oracle is "
+                "unrunnable at scale). spark_eq_duckdb at the smallest "
+                "point proves result equality; the j21 id cap lifts "
+                "for the scale run."
+            ),
+            "queries": list(SPATIAL_QUERIES),
+            "points": spatial_points,
+        }
+        (Path(REPO) / "SCALEUP.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+        print("merged spatial section into SCALEUP.json")
+        spark.stop()
+        if not args.keep:
+            shutil.rmtree(DATA_ROOT, ignore_errors=True)
+        return
 
     fuzzy_points = []
     fuzzy_ns = sorted(int(x) for x in args.fuzzy_ns.split(",") if x)
@@ -568,6 +754,7 @@ def main() -> None:
         "points": points,
         "generated_by": "scripts/bench_scaleup.py",
         **({"llm": prev["llm"]} if "llm" in prev else {}),
+        **({"spatial": prev["spatial"]} if "spatial" in prev else {}),
         **(
             {"fuzzy": fuzzy_section}
             if fuzzy_section
