@@ -1887,7 +1887,9 @@ def j21_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match proves the blocking lossless AND duplicate-free. Per
     day: pair count, total overlap seconds, id checksum. At 100 TB the
     shuffle key is the hour bucket — time-local pairs never leave
-    their bucket's partition (AQE handles rush-hour skew)."""
+    their bucket's partition (AQE handles rush-hour skew). Measured
+    at scale (SCALEUP.json `spatial`, id cap lifted): Spark beats
+    DuckDB's identical blocked formulation 2-3x at 1-10M events."""
     iv = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") <= J21_MAX_ID
     ).selectExpr(

@@ -267,7 +267,9 @@ def j20_polygon_containment_join(
     streams through codegen with no shuffle at all (polygon-cells
     broadcast), and the only exchange is the final per-polygon rollup.
     The oracle brute-forces all pairs with per-parity UNROLLED edge
-    terms — hash-matching proves the blocked plan equals all-pairs."""
+    terms — hash-matching proves the blocked plan equals all-pairs.
+    Measured at scale (SCALEUP.json `spatial`): Spark runs this
+    2.4-2.8x FASTER than DuckDB at 1-10M points, results equal."""
     nat = load_table(spark, sf_dir, "nation")
     xs = ", ".join(f"cx + s * ({ox})" for ox, _ in J20_OFFSETS)
     ys = ", ".join(f"cy + s * ({oy})" for _, oy in J20_OFFSETS)

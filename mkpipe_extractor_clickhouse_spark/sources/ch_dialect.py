@@ -426,7 +426,24 @@ def _translate_functions(sql: str) -> str:
             "a23_spacesaving_topk (the same SpaceSaving sketch)"
         )
 
+    def _no_topk_weighted(p, a):
+        raise ChDialectError(
+            "topKWeighted is an approximate weighted heavy-hitters "
+            "aggregate returning an array; use the exact native "
+            "operator ch_topk_weighted"
+        )
+
+    out = _rewrite_parameterized(out, "topKWeighted", _no_topk_weighted)
     out = _rewrite_parameterized(out, "topK", _no_topk)
+
+    # quantileDeterministic(p)(x, det) is approximate-by-contract with a
+    # determinism hint ClickHouse uses for sampling — Spark's t-digest
+    # percentile_approx is already deterministic, drop the hint arg
+    out = _rewrite_parameterized(
+        out,
+        "quantileDeterministic",
+        lambda p, a: f"percentile_approx({a[0]}, {p[0]})",
+    )
 
     # uniqUpTo(N)(x): exact distinct count saturating at N+1 — the
     # documented ClickHouse contract ("if more than N, returns N+1"),

@@ -1384,3 +1384,11 @@ def test_sequence_funnel_guided_errors():
 def test_with_ties_raises_with_rank_hint():
     with pytest.raises(ChDialectError, match="o7_topn_with_ties"):
         translate("SELECT x FROM t ORDER BY x LIMIT 3 WITH TIES")
+
+
+def test_quantile_deterministic_and_topk_weighted():
+    assert "percentile_approx(value, 0.5)" in translate(
+        "SELECT quantileDeterministic(0.5)(value, user_id) FROM events"
+    )
+    with pytest.raises(ChDialectError, match="ch_topk_weighted"):
+        translate("SELECT topKWeighted(5)(event_type, value) FROM events")
