@@ -2208,3 +2208,105 @@ def x43_http_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x44_http_incremental_pipeline",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM({_Q.format(x='value')}) AS val_q,
+           TRUE AS boundary_redelivery_absorbed,
+           TRUE AS where_pushed_to_server
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S3", "S8", "T7", "EXT", "http", "pipeline"),
+)
+def x44_http_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S ACTUAL JOB, wire-executed end to end: a YAML-
+    shaped config whose SOURCE is ``variant: clickhouse_http`` (the
+    jar-free remote) drives the extract→load→commit-state loop against
+    a live socket speaking the public ClickHouse HTTP protocol. Tick 1
+    extracts the events table incrementally (custom_query with
+    ``{{query_filter}}`` — the window predicate lands INSIDE the POSTed
+    SQL, asserted from the server log, so filtering happens
+    server-side); the watermark commits; tick 2 re-runs against the
+    unchanged remote and must report no_new_data WITHOUT transferring
+    rows (the posted tick-2 SQL carries the advanced watermark — also
+    asserted). The destination parquet then hash-matches the plain
+    ANSI aggregate over the source table: nothing lost, nothing
+    doubled, across two ticks and one wire. Completes the bidirectional
+    story: x42 reads, x43 writes, x44 runs the reference's LOOP."""
+    import re as _re
+    import tempfile
+
+    from ..pipeline import run_pipelines
+    from ..sources.ch_http_stub import STUB_KEY, STUB_USER, start_stub
+
+    server, port, log = start_stub(sf_dir)
+    atexit.register(server.shutdown)
+    dest = tempfile.mkdtemp(prefix="x44_dest_")
+    atexit.register(shutil.rmtree, dest, ignore_errors=True)
+    config = {
+        "connections": {
+            "ch": {
+                "variant": "clickhouse_http",
+                "host": "127.0.0.1",
+                "port": port,
+                "user": STUB_USER,
+                "password": STUB_KEY,
+            },
+            "lake": {"variant": "parquet", "path": dest},
+        },
+        "pipelines": [
+            {
+                "name": "events_http",
+                "source": "ch",
+                "destination": "lake",
+                "tables": [
+                    {
+                        "name": "events",
+                        "replication_method": "incremental",
+                        "iterate_column": "event_id",
+                        "iterate_column_type": "int",
+                        "dedup_keys": ["event_id"],
+                        "custom_query": (
+                            "SELECT event_id, event_type, value "
+                            "FROM events {query_filter}"
+                        ),
+                    }
+                ],
+            }
+        ],
+    }
+    r1 = run_pipelines(config, spark)["events_http"][0]
+    n_sql_t1 = len(log)
+    r2 = run_pipelines(config, spark)["events_http"][0]
+    # the watermark window is INCLUSIVE at the boundary (>=): the edge
+    # row re-delivers every tick and the loader's idempotent append
+    # (dedup_keys) absorbs it — x1's batch contract, here over the wire
+    if r1.status != "extracted" or r2.status != "extracted":
+        raise RuntimeError(f"tick statuses wrong: {r1} / {r2}")
+    if r2.last_point != r1.last_point:
+        raise RuntimeError(f"watermark moved without data: {r1} / {r2}")
+    posted = [q for q in log if q.upper().startswith("SELECT")]
+    t2_where = [
+        q for q in posted[n_sql_t1:]
+        if _re.search(rf"event_id\s*>=\s*{r1.last_point}", q)
+    ]
+    if not t2_where:
+        raise RuntimeError(
+            f"tick-2 watermark did not reach the server: {posted[-4:]}"
+        )
+    out = spark.read.parquet(os.path.join(dest, "events.parquet"))
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(True).alias("boundary_redelivery_absorbed"),
+            F.lit(True).alias("where_pushed_to_server"),
+        )
+        .orderBy("event_type")
+    )

@@ -16,6 +16,13 @@ Connections:
     required). run_pipelines rejects these loudly rather than
     misreading a remote config as a local path — wire the JdbcSource
     reader into an extractor when a live server exists.
+  * ``variant: clickhouse_http`` — jar-free remote over the public
+    HTTP wire, BOTH sides: as a SOURCE it is the reference's
+    extract-from-ClickHouse loop (ClickHouseHttpExtractor — window
+    predicates render into the POSTed SQL, optional per-task range
+    slices); as a DESTINATION it streams per-partition JSONEachRow
+    INSERTs (ClickHouseHttpSink). Wire-tested end-to-end against the
+    in-process protocol double (x44 / tests/test_ch_http.py).
 """
 
 from __future__ import annotations
@@ -83,11 +90,15 @@ class Pipeline:
     state_path: str | None = None
     sql_dir: str | None = None
     loader: object | None = None  # override: any ParquetLoader-contract loader
+    extractor: object | None = None  # override: any extract()-contract source
     manifest_dest: bool = False  # destination variant: manifest-committed
     auto_compact_max_dirs: int | None = None  # manifest auto-maintenance
 
     def runner(self):
         os.makedirs(self.dest_dir, exist_ok=True)
+        extractor = self.extractor or ParquetExtractor(
+            self.source_dir, sql_dir=self.sql_dir
+        )
         if self.manifest_dest:
             # lakehouse destination: snapshots + the watermark INSIDE
             # the same atomic commit — no sidecar state file at all
@@ -97,9 +108,7 @@ class Pipeline:
             )
 
             return ManifestIncrementalRunner(
-                extractor=ParquetExtractor(
-                    self.source_dir, sql_dir=self.sql_dir
-                ),
+                extractor=extractor,
                 loader=ManifestLoader(
                     self.dest_dir,
                     auto_compact_max_dirs=self.auto_compact_max_dirs,
@@ -107,7 +116,7 @@ class Pipeline:
             )
         state = self.state_path or f"{self.dest_dir}/_state.json"
         return IncrementalRunner(
-            extractor=ParquetExtractor(self.source_dir, sql_dir=self.sql_dir),
+            extractor=extractor,
             loader=self.loader or ParquetLoader(self.dest_dir),
             store=WatermarkStore(state),
         )
@@ -175,9 +184,32 @@ def run_pipelines(
                     database=dst.get("database", "default"),
                 )
             )
+        custom_extractor = None
+        if src.get("variant") == "clickhouse_http":
+            # jar-free remote SOURCE: the reference's extract-from-
+            # ClickHouse loop over the HTTP wire — incremental window
+            # predicates render into the POSTed SQL server-side
+            from .sources.ch_http import (
+                ClickHouseHttpExtractor,
+                ClickHouseHttpSource,
+            )
+
+            custom_extractor = ClickHouseHttpExtractor(
+                ClickHouseHttpSource(
+                    host=src["host"],
+                    port=int(src.get("port", 8123)),
+                    user=src.get("user", "default"),
+                    password=src.get("password", ""),
+                    database=src.get("database", "default"),
+                ),
+                partition_column=src.get("partitions_column"),
+                lower_bound=src.get("lower_bound"),
+                upper_bound=src.get("upper_bound"),
+                num_partitions=int(src.get("partitions_count", 1)),
+            )
         for side, c in (("source", src), ("destination", dst)):
             variant = c.get("variant", "parquet")
-            if variant == "clickhouse_http" and side == "destination":
+            if variant == "clickhouse_http":
                 continue
             if variant == "manifest" and side == "destination":
                 continue
@@ -192,6 +224,10 @@ def run_pipelines(
                     "sources.jdbc.JdbcSource / ClickHouseNativeSource "
                     "(CLICKHOUSE_JAR_PACKAGES lists the required jars)"
                 )
+        if custom_extractor is None and "path" not in src:
+            raise ValueError(
+                f"pipeline {p['name']!r}: parquet source needs a 'path'"
+            )
         if "path" not in dst and (
             custom_loader is not None or dst.get("variant") == "manifest"
         ):
@@ -206,11 +242,12 @@ def run_pipelines(
                 "refusing to default into the source data directory"
             )
         pipe = Pipeline(
-            source_dir=src["path"],
+            source_dir=src.get("path", ""),
             dest_dir=dst["path"],
             tables=p.get("tables", []),
             sql_dir=p.get("sql_dir"),
             loader=custom_loader,
+            extractor=custom_extractor,
             manifest_dest=dst.get("variant") == "manifest",
             auto_compact_max_dirs=dst.get("auto_compact_max_dirs"),
         )
