@@ -272,3 +272,96 @@ def test_pipeline_http_destination_requires_state_path(spark, sf_dir):
     }
     with pytest.raises(ValueError, match="explicit 'path'"):
         run_pipelines(config, spark)
+
+
+# ---- round 5c: the HTTP SOURCE as a config-driven extractor ---------------
+
+
+def test_http_extractor_window_pushdown(spark, sf_dir, ch_server):
+    """Incremental ticks render the watermark window INTO the POSTed
+    SQL (server-side filtering); the >= boundary re-delivery is the
+    loader's problem, not the extractor's."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, log, _ = ch_server
+    ex = ClickHouseHttpExtractor(_source(port))
+    t = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+    )
+    res = ex.extract(t, spark)
+    assert res.write_mode == "overwrite"
+    n0 = res.df.count()
+    assert n0 == load_table(spark, sf_dir, "events").count()
+    last = res.resolve_last_point()
+    res2 = ex.extract(t, spark, last_point=last)
+    assert res2.write_mode == "append"
+    # inclusive boundary: exactly the watermark row comes back
+    assert res2.df.count() == 1
+    assert any(f"event_id >= {last}" in q for q in log)
+
+
+def test_http_extractor_empty_window_is_no_new_data(spark, ch_server):
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, _, _ = ch_server
+    ex = ClickHouseHttpExtractor(_source(port))
+    t = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        custom_query=(
+            "SELECT event_id, event_type FROM events {query_filter}"
+        ),
+    )
+    # append tick whose watermark is beyond all data → df=None
+    res = ex.extract(t, spark, last_point="1000000000")
+    assert res.df is None and res.write_mode == "append"
+
+
+def test_http_extractor_partitioned_slices(spark, sf_dir, ch_server):
+    """Range partitioning hands each Spark task its own slice SELECT."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, log, _ = ch_server
+    before = len(log)
+    ex = ClickHouseHttpExtractor(
+        _source(port),
+        partition_column="event_id",
+        lower_bound=0,
+        upper_bound=999,
+        num_partitions=3,
+    )
+    t = TableConfig(name="events", replication_method="full")
+    res = ex.extract(t, spark)
+    assert res.df.count() == load_table(spark, sf_dir, "events").count()
+    slices = {q for q in log[before:] if "__t WHERE event_id >=" in q}
+    assert len(slices) == 3
+
+
+def test_http_extractor_rejects_source_filter(spark, ch_server):
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, _, _ = ch_server
+    ex = ClickHouseHttpExtractor(_source(port))
+    with pytest.raises(ValueError, match="remote source"):
+        ex.extract(
+            TableConfig(name="events", replication_method="full"),
+            spark,
+            source_filter="1=1",
+        )
