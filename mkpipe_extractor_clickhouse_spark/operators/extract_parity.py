@@ -2310,3 +2310,57 @@ def x44_http_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x45_bloom_skip_read",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n,
+           SUM({_Q.format(x='value')}) AS val_q,
+           SUM(event_id) AS id_checksum,
+           TRUE AS dirs_skipped
+    FROM events
+    WHERE user_id = 7
+    GROUP BY user_id
+    """,
+    tags=("S1", "P2", "EXT", "manifest", "bloom"),
+)
+def x45_bloom_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM skip index on the manifest — the point-lookup complement
+    of x17's zone maps and x33's Z-order (ranges need clustering;
+    ``WHERE user_id = ?`` on an unsorted high-cardinality column needs
+    a bloom — ClickHouse's bloom_filter skip index, Delta/Iceberg's
+    bloom filters). The builder commits events as 4 batches split by a
+    user hash (each holds a disjoint user subset), every commit
+    building a per-batch md5-double-hashed bitset at write time; the
+    point read then opens ONLY the dirs whose bloom might contain the
+    probe user — ≥2 of 4 provably skipped, asserted in-builder — and
+    the oracle hash pins that skipping lost nothing (no false
+    negatives by construction; false positives cost an extra open,
+    never a row). At 100 TB this is the difference between scanning a
+    day's partitions and opening one file set for an id lookup."""
+    import tempfile
+
+    from ..sources.manifest import ManifestedTable
+
+    tdir = tempfile.mkdtemp(prefix="x45_bloom_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+    mt = ManifestedTable(tdir, bloom_cols=("user_id",))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for part in range(4):
+        mt.commit_append(ev.filter(F.expr(f"user_id % 4 = {part}")))
+    probe = 7
+    kept, skipped = mt.prune_dirs_point("user_id", probe)
+    if len(skipped) < 2:
+        raise RuntimeError(
+            f"bloom skipped only {len(skipped)} of 4 dirs: {skipped}"
+        )
+    out = mt.read_point(spark, "user_id", probe)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(_quantize_local("value")).alias("val_q"),
+        F.sum("event_id").alias("id_checksum"),
+        F.lit(True).alias("dirs_skipped"),
+    )

@@ -67,14 +67,85 @@ def _json_safe(v):
 
 
 class ManifestedTable:
-    def __init__(self, table_dir: str, stats_cols: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        table_dir: str,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 4096,
+        bloom_hashes: int = 5,
+    ):
         self.table_dir = table_dir
         # Columns whose per-batch min/max land in the manifest (zone
         # maps): commits compute them once, reads prune whole batch
         # dirs whose range cannot match a predicate — the Iceberg
         # metadata-skipping model at directory granularity.
         self.stats_cols = tuple(stats_cols)
+        # Columns carrying a per-batch BLOOM skip index (ClickHouse's
+        # bloom_filter skip index / Delta-Iceberg bloom filters): zone
+        # maps prune RANGE predicates on clustered columns; the bloom
+        # prunes POINT lookups on high-cardinality columns no sort
+        # order helps with. md5-double-hashing keeps the bitset
+        # engine- and session-portable (no seed, no partitioning
+        # dependence), stored hex in the manifest (~bits/4 chars per
+        # column per batch).
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_bits = bloom_bits
+        self.bloom_hashes = bloom_hashes
         os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+
+    # ---- bloom skip index -------------------------------------------
+
+    def _bloom_positions(self, value) -> list[int]:
+        """Bit positions of one value: md5 split into two 64-bit words,
+        double hashing h1 + i*h2 (Kirsch-Mitzenmacher) — deterministic
+        for any engine that can md5 the value's canonical string."""
+        import hashlib
+
+        key = str(_json_safe(value)).encode("utf-8")
+        hx = hashlib.md5(key).hexdigest()
+        h1, h2 = int(hx[:16], 16), int(hx[16:32], 16) | 1
+        return [
+            (h1 + i * h2) % self.bloom_bits
+            for i in range(self.bloom_hashes)
+        ]
+
+    def _compute_bloom(self, name: str) -> dict:
+        """Per-batch bloom bitsets for ``bloom_cols`` from a
+        column-pruned pyarrow read of the staged batch — the same
+        build-at-write-time moment ClickHouse materializes its skip
+        index granules (one bounded batch, one column; never a second
+        full-table scan)."""
+        if not self.bloom_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        batch_dir = os.path.join(self.table_dir, name)
+        out: dict[str, str] = {}
+        for col in self.bloom_cols:
+            bits = bytearray(self.bloom_bits // 8)
+            seen = set()
+            for fname in os.listdir(batch_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    os.path.join(batch_dir, fname), columns=[col]
+                )
+                for v in t.column(0).to_pylist():
+                    if v is None or v in seen:
+                        continue
+                    seen.add(v)
+                    for pos in self._bloom_positions(v):
+                        bits[pos // 8] |= 1 << (pos % 8)
+            out[col] = bits.hex()
+        return out
+
+    def bloom_might_contain(self, hex_bits: str, value) -> bool:
+        bits = bytes.fromhex(hex_bits)
+        return all(
+            bits[pos // 8] & (1 << (pos % 8))
+            for pos in self._bloom_positions(value)
+        )
 
     # ---- snapshot bookkeeping -------------------------------------
 
@@ -157,6 +228,7 @@ class ManifestedTable:
         meta: dict,
         parent: int | None = None,
         stats: dict | None = None,
+        bloom: dict | None = None,
     ) -> int:
         """Atomic version publish. ``parent`` pins the snapshot this
         commit replaces: the target name becomes v(parent+1), so ANY
@@ -192,6 +264,17 @@ class ManifestedTable:
                         for d, s in (stats or {}).items()
                         if d in dirs and s
                     },
+                    **(
+                        {
+                            "bloom": {
+                                d: b
+                                for d, b in bloom.items()
+                                if d in dirs and b
+                            }
+                        }
+                        if bloom
+                        else {}
+                    ),
                 },
                 f,
             )
@@ -221,10 +304,12 @@ class ManifestedTable:
         under host-load interleavings.)"""
         name = self.stage_batch(df)
         new_stats = self._compute_stats(name)
+        new_bloom = self._compute_bloom(name)
         while True:
             head = self.manifest()
             dirs = head["dirs"] + [name]
             stats = {**head.get("stats", {}), name: new_stats}
+            bloom = {**head.get("bloom", {}), name: new_bloom}
             try:
                 return self._publish(
                     dirs,
@@ -232,6 +317,7 @@ class ManifestedTable:
                     meta or {},
                     parent=head["version"],
                     stats=stats,
+                    bloom=bloom,
                 )
             except CommitConflict:
                 continue  # re-read head, keep our batch dir
@@ -242,10 +328,12 @@ class ManifestedTable:
         travel until vacuum."""
         name = self.stage_batch(df)
         stats = {name: self._compute_stats(name)}
+        bloom = {name: self._compute_bloom(name)}
         while True:
             try:
                 return self._publish(
-                    [name], "overwrite", meta or {}, stats=stats
+                    [name], "overwrite", meta or {}, stats=stats,
+                    bloom=bloom,
                 )
             except CommitConflict:
                 continue
@@ -653,6 +741,45 @@ class ManifestedTable:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def prune_dirs_point(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Split a snapshot's dirs into (kept, skipped) for an EQUALITY
+        probe ``col = value`` using the per-batch bloom index. A dir is
+        skipped only when its bloom PROVABLY lacks the value (no false
+        negatives by construction — every committed distinct value set
+        its bits); dirs without a bloom for ``col`` are always kept
+        (skipping is an optimization, never a filter). False positives
+        only cost an extra dir open, never correctness."""
+        m = self.manifest(version)
+        blooms = m.get("bloom", {})
+        kept, skipped = [], []
+        for d in m["dirs"]:
+            hx = blooms.get(d, {}).get(col)
+            if hx is None or self.bloom_might_contain(hx, value):
+                kept.append(d)
+            else:
+                skipped.append(d)
+        return kept, skipped
+
+    def read_point(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame | None:
+        """Point-lookup read that opens ONLY the batch dirs whose bloom
+        might contain ``value`` — the ClickHouse bloom_filter skip
+        index at directory granularity, complementing read_pruned's
+        zone maps (ranges need clustering; equality on an unsorted
+        high-cardinality column needs a bloom). The predicate is still
+        applied to surviving rows."""
+        from pyspark.sql import functions as F
+
+        kept, _ = self.prune_dirs_point(col, value, version)
+        if not kept:
+            return None
+        paths = [os.path.join(self.table_dir, d) for d in kept]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.filter(F.col(col) == F.lit(value))
 
     def vacuum(
         self, keep_versions: int = 1, min_age_seconds: float = 3600.0

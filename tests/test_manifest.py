@@ -167,7 +167,7 @@ def test_compact_content_identical_and_conflict_safe(spark, mt):
     base = mt.head_version()
     orig_publish = mt._publish
 
-    def racing_publish(dirs, op, meta, parent=None, stats=None):
+    def racing_publish(dirs, op, meta, parent=None, stats=None, bloom=None):
         if op == "compact":
             orig_publish(
                 mt.manifest()["dirs"]
@@ -359,7 +359,7 @@ def test_merge_retries_on_concurrent_append(spark, tmp_path):
     real_publish = t._publish
     raced = {"done": False}
 
-    def racing_publish(dirs, op, meta, parent=None, stats=None):
+    def racing_publish(dirs, op, meta, parent=None, stats=None, bloom=None):
         if op == "merge" and not raced["done"]:
             raced["done"] = True
             t.commit_append(
@@ -1110,3 +1110,35 @@ def test_loader_auto_compact_races_append_tick(spark, sf_dir):
         assert mt.manifest()["op"] == "compact"
         assert len(mt.manifest()["dirs"]) == 1
         assert mt.read(spark).count() == 160 + 7
+
+
+def test_bloom_skip_index_point_lookup(spark, tmp_path):
+    """Bloom skip index: no false negatives for any committed value,
+    real dir skipping for absent/other-batch values, and dirs without
+    a bloom are always kept."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    mt = ManifestedTable(str(tmp_path / "t"), bloom_cols=("k",))
+    # three batches with disjoint key ranges
+    for lo in (0, 100, 200):
+        mt.commit_append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 2 AS v")
+        )
+    # every committed value must be found (no false negatives)
+    for probe in (0, 49, 100, 149, 200, 249):
+        kept, _ = mt.prune_dirs_point("k", probe)
+        df = mt.read_point(spark, "k", probe)
+        assert df is not None and df.count() == 1
+    # a value in exactly one batch skips the other two (false positives
+    # could reduce this, but at 4096 bits / 50 keys they are ~absent)
+    kept, skipped = mt.prune_dirs_point("k", 120)
+    assert len(kept) == 1 and len(skipped) == 2
+    # absent value: every dir is skipped → read_point returns None
+    kept_a, _ = mt.prune_dirs_point("k", 99999)
+    assert kept_a == [] and mt.read_point(spark, "k", 99999) is None
+    # a reader without bloom metadata keeps every dir (optimization,
+    # never a filter): simulate by probing a column with no bloom
+    kept_n, skipped_n = mt.prune_dirs_point("v", 4)
+    assert skipped_n == [] and len(kept_n) == 3
