@@ -337,11 +337,16 @@ def test_http_extractor_partitioned_slices(spark, sf_dir, ch_server):
 
     port, log, _ = ch_server
     before = len(log)
+    hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("event_id"))
+        .collect()[0][0]
+    )
     ex = ClickHouseHttpExtractor(
         _source(port),
         partition_column="event_id",
         lower_bound=0,
-        upper_bound=999,
+        upper_bound=int(hi),
         num_partitions=3,
     )
     t = TableConfig(name="events", replication_method="full")
