@@ -50,6 +50,54 @@ FUZZY_Q = 2  # q-gram width
 FUZZY_T = 2  # edit-distance threshold
 
 
+def _deletion_neighborhood_expr(col: str, t: int) -> str:
+    """SQL expr: array of every string reachable from ``col`` by
+    removing up to ``t`` characters (the FastSS deletion
+    neighborhood). Size is O(len^t) — used only for strings too short
+    for gram blocking, where len is bounded by construction."""
+    cur = f"array({col})"
+    for _ in range(t):
+        cur = (
+            f"array_union({cur}, flatten(transform({cur}, s -> "
+            f"transform(sequence(1, greatest(length(s), 1)), i -> "
+            f"concat(substring(s, 1, i - 1), "
+            f"substring(s, i + 1, length(s)))))))"
+        )
+    return f"array_distinct({cur})"
+
+
+def _short_pairs(shorts: DataFrame, t: int) -> DataFrame:
+    """Complete candidate pairs among strings the gram bounds cannot
+    filter (they may be within ``t`` edits yet share zero grams).
+    Deletion-neighborhood blocking keeps this an EQUI-join: an optimal
+    alignment of a true pair leaves ≤ t unmatched characters on each
+    side, so the matched subsequence is in BOTH strings' ≤t-deletion
+    neighborhoods — join on the variant key, never all-pairs.
+    Returns distinct (name_a, name_b), unverified."""
+    keys = shorts.select(
+        "name",
+        F.explode(F.expr(_deletion_neighborhood_expr("name", t))).alias(
+            "key"
+        ),
+    )
+    return (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= t
+        )
+    )
+
+
 def qgram_fuzzy_pairs(
     names: DataFrame, col: str, q: int = FUZZY_Q, t: int = FUZZY_T
 ) -> DataFrame:
@@ -57,7 +105,18 @@ def qgram_fuzzy_pairs(
     distance ``t``, via positional q-gram blocking + exact verify.
 
     Returns (name_a, name_b, dist) with name_a < name_b, dist ≥ 1.
+
+    Completeness: the count lower bound ``max(len)−q+1−q·t`` is only a
+    filter when it is ≥ 1, i.e. when the longer string has length
+    ≥ q·(t+1). A pair of strings BOTH shorter than that can be within
+    ``t`` edits while sharing ZERO q-grams (e.g. 'ab'/'cd' at q=2,
+    t=2) — the gram equi-join would never generate it. Those strings
+    form a tiny bounded domain (length < q·(t+1)), so they get an
+    deletion-neighborhood equi-join (_short_pairs) with the same
+    exact verify; the gram
+    path excludes short-short pairs so the union stays duplicate-free.
     """
+    min_len = q * (t + 1)  # longer side needs ≥ q·t+1 grams to lose
     distinct = names.select(F.col(col).alias("name")).distinct()
     grams = distinct.select(
         "name",
@@ -84,20 +143,31 @@ def qgram_fuzzy_pairs(
             F.col("b.len").alias("len_b"),
         )
         .agg(F.count("*").alias("m"))
-        # count filter: lower bound on shared grams for a true pair
+        # count filter: lower bound on shared grams for a true pair;
+        # short-short pairs (bound ≤ 0, i.e. no filtering power) are
+        # excluded here and handled completely by the short branch
         .filter(
             (F.abs(F.col("len_a") - F.col("len_b")) <= t)
+            & (F.greatest("len_a", "len_b") >= min_len)
             & (
                 F.col("m")
                 >= F.greatest("len_a", "len_b") - (q - 1) - q * t
             )
         )
+        .select("name_a", "name_b")
     )
-    return cand.select(
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
-    ).filter(F.col("dist").between(1, t))
+    short_pairs = _short_pairs(
+        distinct.filter(F.length("name") < min_len), t
+    )
+    return (
+        cand.unionAll(short_pairs)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist").between(1, t))
+    )
 
 
 @register(
@@ -254,9 +324,17 @@ def edjoin_fuzzy_pairs(
     almost exclusively through rare grams with tiny buckets.
 
     Returns (name_a, name_b, dist), name_a < name_b, 1 ≤ dist ≤ t.
+
+    Completeness: Lemma 1 needs the longer string to have MORE than
+    q·t padded grams (len+q−1 > q·t), else t edits can destroy every
+    gram and a true pair can share nothing. Pairs where both strings
+    are below that bound (len ≤ q·(t−1)+1, a tiny bounded domain) get
+    the deletion-neighborhood branch (_short_pairs), shared with
+    qgram_fuzzy_pairs.
     """
     pad = "\x01" * (q - 1)
     prefix_len = q * t + 1
+    min_len = q * (t - 1) + 2  # len+q−1 ≥ q·t+1 ⇔ lemma has force
     distinct = names.select(F.col(col).alias("name")).distinct()
     grams = (
         distinct.withColumn(
@@ -301,13 +379,26 @@ def edjoin_fuzzy_pairs(
             F.col("b.len").alias("len_b"),
         )
         .distinct()
-        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= t)
+        .filter(
+            (F.abs(F.col("len_a") - F.col("len_b")) <= t)
+            # short-short pairs go through the complete short branch
+            # below; excluding them here keeps the union exact
+            & (F.greatest("len_a", "len_b") >= min_len)
+        )
+        .select("name_a", "name_b")
     )
-    return cand.select(
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
-    ).filter(F.col("dist").between(1, t))
+    short_pairs = _short_pairs(
+        distinct.filter(F.length("name") < min_len), t
+    )
+    return (
+        cand.unionAll(short_pairs)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist").between(1, t))
+    )
 
 
 @register(

@@ -54,15 +54,19 @@ _TABLE_FIELDS = {
     "custom_query_file",
     "custom_query_dialect",
     "write_partitions",
+    "partitions_column",
+    "partitions_count",
     "pass_on_error",
 }
 
 
 def table_config_from_dict(d: dict) -> TableConfig:
     """Accept the reference's table parameter names (README.md:100-117).
-    ``tags``/``dedup_keys`` are coerced to tuples; unknown keys
-    (fetchsize, partitions_column/count) are reader tuning handled at
-    the source layer, not errors."""
+    ``tags``/``dedup_keys`` are coerced to tuples;
+    ``partitions_column``/``partitions_count`` are per-TABLE (the
+    reference's shape) and flow to the remote extractor; other unknown
+    keys (fetchsize) are reader tuning handled at the source layer, not
+    errors."""
     kwargs = {k: v for k, v in d.items() if k in _TABLE_FIELDS}
     if "dedup_keys" in d:
         kwargs["dedup_keys"] = tuple(d["dedup_keys"])
@@ -202,6 +206,11 @@ def run_pipelines(
                     password=src.get("password", ""),
                     database=src.get("database", "default"),
                 ),
+                # Connection-level values are DEFAULTS only; the
+                # reference defines partitions_column/partitions_count
+                # per table, and the extractor resolves table-config
+                # values first (then these, then iterate_column),
+                # probing MIN/MAX server-side when bounds are absent.
                 partition_column=src.get("partitions_column"),
                 lower_bound=src.get("lower_bound"),
                 upper_bound=src.get("upper_bound"),

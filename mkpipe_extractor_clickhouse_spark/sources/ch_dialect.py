@@ -914,8 +914,27 @@ def _translate_functions(sql: str) -> str:
     out = _rewrite_calls(out, "dateDiff", _date_diff)
 
     # dateAdd(unit, n, d) / dateSub(unit, n, d): unit may be bare or
-    # quoted per the ClickHouse docs
+    # quoted per the ClickHouse docs. The docs' OTHER form —
+    # dateAdd(date, INTERVAL n unit) — is translated too; anything
+    # else gets a guided ChDialectError instead of an IndexError.
     def _date_add(a: list[str], neg: bool = False) -> str:
+        if len(a) == 2:
+            m = re.match(
+                r"^INTERVAL\s+(.+?)\s+(\w+)$", a[1].strip(), re.IGNORECASE
+            )
+            if not m:
+                raise ChDialectError(
+                    "dateAdd/dateSub with 2 arguments must be the "
+                    "documented INTERVAL form dateAdd(date, INTERVAL n "
+                    "unit); rewrite as dateAdd(unit, n, date) otherwise"
+                )
+            n = f"-({m.group(1)})" if neg else m.group(1)
+            return f"timestampadd({m.group(2).upper()}, {n}, {a[0]})"
+        if len(a) != 3:
+            raise ChDialectError(
+                f"dateAdd/dateSub takes (unit, n, date) or "
+                f"(date, INTERVAL n unit); got {len(a)} arguments"
+            )
         unit = a[0].strip().strip("'\"").upper()
         n = f"-({a[1]})" if neg else a[1]
         return f"timestampadd({unit}, {n}, {a[2]})"

@@ -384,14 +384,39 @@ class ClickHouseHttpExtractor:
             )
         else:
             remote = f"SELECT * FROM {table.name}"
+        # Per-TABLE slicing first (reference README "All Table
+        # Parameters"), connection-level as the default, iterate_column
+        # as the final fallback (the reference's behavior) when a slice
+        # count is requested without naming a column.
+        part_col = table.partitions_column or self.partition_column
+        n_parts = int(table.partitions_count or self.num_partitions or 1)
+        if part_col is None and n_parts > 1:
+            part_col = table.iterate_column
         load_kw: dict = {}
-        if self.partition_column:
-            load_kw = dict(
-                partition_column=self.partition_column,
-                lower_bound=self.lower_bound,
-                upper_bound=self.upper_bound,
-                num_partitions=self.num_partitions,
-            )
+        if part_col and n_parts > 1:
+            lo, hi = self.lower_bound, self.upper_bound
+            if lo is None or hi is None:
+                # Derive bounds server-side — one MIN/MAX row over the
+                # wire against the SAME windowed query the slices will
+                # scan, so the range always covers exactly this batch
+                # (the reference probes bounds when not configured
+                # rather than erroring).
+                probe = (
+                    f"SELECT MIN({part_col}) AS lo, MAX({part_col}) AS hi "
+                    f"FROM ({remote}) AS __bounds"
+                )
+                row = self.source.load(spark, probe, is_query=True).first()
+                if row is None or row["lo"] is None or row["hi"] is None:
+                    part_col = None  # empty window: single-slice fetch
+                else:
+                    lo, hi = int(row["lo"]), int(row["hi"])
+            if part_col:
+                load_kw = dict(
+                    partition_column=part_col,
+                    lower_bound=lo,
+                    upper_bound=hi,
+                    num_partitions=n_parts,
+                )
         df = self.source.load(spark, remote, is_query=True, **load_kw)
         if spec is None:
             return ExtractResult(df, "overwrite", None)

@@ -67,6 +67,12 @@ class TableConfig:
     # path for queries written against the reference's passthrough.
     custom_query_dialect: Literal["spark", "clickhouse"] = "spark"
     write_partitions: int | None = None
+    # Per-TABLE parallel-read slicing (reference README "All Table
+    # Parameters": partitions_column / partitions_count are table-level,
+    # not connection-level). Remote extractors read these first and fall
+    # back to connection defaults, then to iterate_column.
+    partitions_column: str | None = None
+    partitions_count: int | None = None
     partition_columns: tuple[str, ...] = ()  # destination partitionBy
     dedup_keys: tuple[str, ...] = ()  # idempotent-append keys
     # columns whose per-batch min/max land in manifest zone maps (the

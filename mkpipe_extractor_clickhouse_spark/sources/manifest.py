@@ -96,19 +96,26 @@ class ManifestedTable:
 
     # ---- bloom skip index -------------------------------------------
 
-    def _bloom_positions(self, value) -> list[int]:
+    def _bloom_positions(
+        self, value, bits_n: int | None = None, hashes: int | None = None
+    ) -> list[int]:
         """Bit positions of one value: md5 split into two 64-bit words,
         double hashing h1 + i*h2 (Kirsch-Mitzenmacher) — deterministic
-        for any engine that can md5 the value's canonical string."""
+        for any engine that can md5 the value's canonical string.
+
+        ``bits_n``/``hashes`` default to the writer-side instance
+        config; probes against a PERSISTED bitset must pass the
+        geometry stored with it (see bloom_might_contain) so a reader
+        constructed with different parameters never computes positions
+        mod the wrong size."""
         import hashlib
 
         key = str(_json_safe(value)).encode("utf-8")
         hx = hashlib.md5(key).hexdigest()
         h1, h2 = int(hx[:16], 16), int(hx[16:32], 16) | 1
-        return [
-            (h1 + i * h2) % self.bloom_bits
-            for i in range(self.bloom_hashes)
-        ]
+        n = self.bloom_bits if bits_n is None else bits_n
+        k = self.bloom_hashes if hashes is None else hashes
+        return [(h1 + i * h2) % n for i in range(k)]
 
     def _compute_bloom(self, name: str) -> dict:
         """Per-batch bloom bitsets for ``bloom_cols`` from a
@@ -137,15 +144,34 @@ class ManifestedTable:
                     seen.add(v)
                     for pos in self._bloom_positions(v):
                         bits[pos // 8] |= 1 << (pos % 8)
-            out[col] = bits.hex()
+            # Geometry is PERSISTED with the bitset: a reader built
+            # with different bloom_bits/bloom_hashes must probe with
+            # the writer's parameters or it gets false negatives.
+            out[col] = {"bits": bits.hex(), "k": self.bloom_hashes}
         return out
 
-    def bloom_might_contain(self, hex_bits: str, value) -> bool:
-        bits = bytes.fromhex(hex_bits)
-        return all(
-            bits[pos // 8] & (1 << (pos % 8))
-            for pos in self._bloom_positions(value)
-        )
+    def bloom_might_contain(self, entry, value) -> bool:
+        """Probe one persisted bloom entry. The bit count is derived
+        from the stored bitset length and the hash count from the
+        stored ``k`` — never from this reader's construction params.
+        Any malformed/unreadable geometry returns True (keep the dir):
+        skipping is an optimization, never a filter."""
+        if isinstance(entry, dict):
+            hex_bits = entry.get("bits")
+            k = entry.get("k")
+        else:  # legacy plain-hex entry (pre-geometry manifests)
+            hex_bits, k = entry, self.bloom_hashes
+        try:
+            bits = bytes.fromhex(hex_bits)
+            n = len(bits) * 8
+            if n <= 0 or not isinstance(k, int) or k <= 0:
+                return True
+            return all(
+                bits[pos // 8] & (1 << (pos % 8))
+                for pos in self._bloom_positions(value, n, k)
+            )
+        except (TypeError, ValueError):
+            return True
 
     # ---- snapshot bookkeeping -------------------------------------
 

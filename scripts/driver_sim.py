@@ -80,23 +80,94 @@ def main() -> int:
     names = args.names or sorted(qs)
 
     # Fingerprints: a query re-runs iff its observable definition
-    # changed — builder SOURCE, raw oracle, or the cast-map-wrapped
-    # oracle actually served to DuckDB.
+    # changed — builder SOURCE, raw oracle, the cast-map-wrapped
+    # oracle actually served to DuckDB, or ANY package module the
+    # builder's module (transitively) depends on. The dependency
+    # closure is what makes helper edits (qgram_fuzzy_pairs,
+    # connected_components, dialect rewrites, _determinism…) visible:
+    # without it the fast gate kept stale greens after helper changes.
     import hashlib
     import inspect
     import json
+    import re
 
     from mkpipe_extractor_clickhouse_spark.registry import all_specs
 
     manifest_path = REPO / ".driver_sim_green.json"
+    PKG = "mkpipe_extractor_clickhouse_spark"
+    _mod_src: dict[str, str] = {}
+
+    def _module_hash(modname: str) -> str:
+        h = _mod_src.get(modname)
+        if h is None:
+            mod = sys.modules.get(modname)
+            try:
+                src = inspect.getsource(mod) if mod else ""
+            except (OSError, TypeError):
+                src = ""
+            h = hashlib.sha256(src.encode()).hexdigest()[:16]
+            _mod_src[modname] = h
+        return h
+
+    def _dep_closure(root_modname: str) -> list[str]:
+        """Package-internal modules reachable from a module's globals
+        (imported modules + the defining modules of imported callables),
+        transitively — the helpers whose edits must re-run the query."""
+        seen: set[str] = set()
+        stack = [root_modname]
+        while stack:
+            mn = stack.pop()
+            if mn in seen or not mn.startswith(PKG):
+                continue
+            seen.add(mn)
+            mod = sys.modules.get(mn)
+            if mod is None:
+                continue
+            for v in vars(mod).values():
+                if inspect.ismodule(v):
+                    dep = v.__name__
+                else:
+                    dep = getattr(v, "__module__", None)
+                if isinstance(dep, str) and dep.startswith(PKG):
+                    stack.append(dep)
+            # Function-BODY relative imports (lazy `from .x import y`)
+            # never reach module globals — recover them from source.
+            try:
+                msrc = inspect.getsource(mod)
+            except (OSError, TypeError):
+                msrc = ""
+            pkg_parts = mn.split(".")[:-1]  # module's own package
+            for dots, relmod in re.findall(
+                r"^\s*from\s+(\.+)([\w.]*)\s+import", msrc, re.MULTILINE
+            ):
+                base = pkg_parts[: len(pkg_parts) - (len(dots) - 1)]
+                target = ".".join(base + ([relmod] if relmod else []))
+                # `from .x import y`: y may be a module or an attr —
+                # push both candidates; unknown names fall out at the
+                # sys.modules lookup.
+                stack.append(target)
+                if relmod:
+                    stack.append(target.rsplit(".", 1)[0])
+        return sorted(seen)
+
     fps: dict[str, str] = {}
     for n, spec in all_specs().items():
         try:
             src = inspect.getsource(spec.builder)
         except OSError:
             src = repr(spec.builder)
+        deps = _dep_closure(getattr(spec.builder, "__module__", "") or "")
+        dep_blob = "\x00".join(f"{d}={_module_hash(d)}" for d in deps)
         fps[n] = hashlib.sha256(
-            (src + "\x00" + (spec.oracle or "") + "\x00" + osql.get(n, "")).encode()
+            (
+                src
+                + "\x00"
+                + (spec.oracle or "")
+                + "\x00"
+                + osql.get(n, "")
+                + "\x00"
+                + dep_blob
+            ).encode()
         ).hexdigest()[:16]
     if args.changed_since:
         try:

@@ -356,6 +356,62 @@ def test_http_extractor_partitioned_slices(spark, sf_dir, ch_server):
     assert len(slices) == 3
 
 
+def test_http_extractor_per_table_partitions_autobounds(
+    spark, sf_dir, ch_server
+):
+    """The reference defines partitions_column/partitions_count per
+    TABLE, and derives bounds when not configured: a reference-shaped
+    table config must slice the fetch (not silently degrade to one
+    slice) with bounds probed via a server-side MIN/MAX — never a
+    ValueError for missing connection-level bounds."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, log, _ = ch_server
+    before = len(log)
+    ex = ClickHouseHttpExtractor(_source(port))  # no connection-level config
+    t = TableConfig(
+        name="events",
+        replication_method="full",
+        partitions_column="event_id",
+        partitions_count=4,
+    )
+    res = ex.extract(t, spark)
+    assert res.df.count() == load_table(spark, sf_dir, "events").count()
+    new = log[before:]
+    assert any("MIN(event_id)" in q and "MAX(event_id)" in q for q in new)
+    slices = {q for q in new if "__t WHERE event_id >=" in q}
+    assert len(slices) == 4
+
+
+def test_http_extractor_partitions_fall_back_to_iterate_column(
+    spark, sf_dir, ch_server
+):
+    """partitions_count without a column falls back to iterate_column
+    (the reference's behavior)."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, log, _ = ch_server
+    before = len(log)
+    ex = ClickHouseHttpExtractor(_source(port))
+    t = TableConfig(
+        name="events",
+        replication_method="incremental",
+        iterate_column="event_id",
+        iterate_column_type="int",
+        partitions_count=2,
+    )
+    res = ex.extract(t, spark)
+    assert res.df.count() == load_table(spark, sf_dir, "events").count()
+    slices = {q for q in log[before:] if "__t WHERE event_id >=" in q}
+    assert len(slices) == 2
+
+
 def test_http_extractor_rejects_source_filter(spark, ch_server):
     from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
         ClickHouseHttpExtractor,

@@ -146,3 +146,28 @@ def test_edjoin_blocking_is_complete(spark):
     assert not missed, f"prefix filter dropped true pairs: {sorted(missed)[:5]}"
     assert not extra, f"false positives past verify: {sorted(extra)[:5]}"
     assert len(want) > 40, "fixture must be pair-rich"
+
+
+def test_short_strings_sharing_zero_grams(spark):
+    """Strings below the gram-count bound's minimum length can be within
+    t edits while sharing ZERO q-grams ('ab'/'cd' at q=2, t=2: both
+    grams differ) — the equi-join alone would never generate the pair.
+    Both blocking schemes must route such pairs through the all-pairs
+    short branch and still agree exactly with brute force."""
+    from mkpipe_extractor_clickhouse_spark.operators.fuzzy_join import (
+        edjoin_fuzzy_pairs,
+    )
+
+    vocab = ["ab", "cd", "ef", "abcd", "abce", "x", "xy", "wxyz", "klmno"]
+    names = spark.createDataFrame([(n,) for n in vocab], ["name"])
+    want = {
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(sorted(vocab), 2)
+        if 1 <= _lev(a, b) <= 2
+    }
+    assert ("ab", "cd", 2) in want, "fixture must hit the zero-share case"
+    for fn in (qgram_fuzzy_pairs, edjoin_fuzzy_pairs):
+        rows = fn(names, "name").collect()
+        got = [(r.name_a, r.name_b, r.dist) for r in rows]
+        assert len(got) == len(set(got)), f"{fn.__name__} emitted duplicates"
+        assert set(got) == want, f"{fn.__name__}: {set(got) ^ want}"

@@ -1142,3 +1142,42 @@ def test_bloom_skip_index_point_lookup(spark, tmp_path):
     # never a filter): simulate by probing a column with no bloom
     kept_n, skipped_n = mt.prune_dirs_point("v", 4)
     assert skipped_n == [] and len(kept_n) == 3
+
+
+def test_bloom_geometry_survives_reader_config(spark, tmp_path):
+    """The bloom geometry (bit count + hash count) is persisted WITH
+    the bitset: a reader constructed with different bloom_bits/
+    bloom_hashes than the writer must still find every committed value
+    (no false negatives) — probing with the reader's own geometry
+    would compute positions mod the wrong size and silently skip dirs
+    that contain the probe."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    writer = ManifestedTable(
+        str(tmp_path / "t"), bloom_cols=("k",), bloom_bits=4096,
+        bloom_hashes=5,
+    )
+    for lo in (0, 100):
+        writer.commit_append(
+            spark.range(lo, lo + 50).selectExpr("id AS k", "id * 2 AS v")
+        )
+    reader = ManifestedTable(
+        str(tmp_path / "t"), bloom_cols=("k",), bloom_bits=512,
+        bloom_hashes=2,
+    )
+    for probe in range(0, 150, 7):
+        if probe >= 50 and probe < 100:
+            continue
+        kept, _ = reader.prune_dirs_point("k", probe)
+        df = reader.read_point(spark, "k", probe)
+        assert df is not None and df.count() == 1, probe
+    # pruning still WORKS through the persisted geometry (not just
+    # degraded to keep-everything)
+    kept, skipped = reader.prune_dirs_point("k", 120)
+    assert len(kept) == 1 and len(skipped) == 1
+    # malformed persisted entries are kept, never skipped
+    assert reader.bloom_might_contain({"bits": "zz", "k": 5}, 1)
+    assert reader.bloom_might_contain({"bits": "", "k": 5}, 1)
+    assert reader.bloom_might_contain(None, 1)
