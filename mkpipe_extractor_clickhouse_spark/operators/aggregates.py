@@ -451,6 +451,120 @@ def a16_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_flag_counts.unionByName(rollup)
 
 
+HLL_M = 256  # registers (precision p=8; rel. std err 1.04/√m ≈ 6.5%)
+# alpha_m·m²·2⁵³ precomputed as ONE double literal shared verbatim by
+# both engines (never runtime libm): alpha_256 = 0.7213/(1+1.079/256).
+HLL_C = 4.2399330249068963e20
+
+
+@register(
+    "a16b_hll_portable",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM lineitem
+    ),
+    jr AS (
+      SELECT l_returnflag, h % {HLL_M} AS j,
+             CASE WHEN h // {HLL_M} = 0 THEN 53
+                  ELSE 53 - length(bin(h // {HLL_M})) END AS rho
+      FROM vals
+    ),
+    regs AS (
+      SELECT l_returnflag, j, MAX(rho) AS r FROM jr GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT 'ALL' AS l_returnflag, j, MAX(r) AS r FROM regs GROUP BY 2
+    ),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+    agg AS (
+      SELECT l_returnflag,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_regs,
+             CAST(SUM(1::BIGINT << (53 - r))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << 53)
+                  AS BIGINT) AS harmonic_scaled
+      FROM allregs GROUP BY 1
+    )
+    SELECT l_returnflag, zero_regs, harmonic_scaled,
+           CAST(FLOOR({HLL_C!r} / harmonic_scaled * 1000000.0) AS BIGINT)
+             AS est_q
+    FROM agg ORDER BY l_returnflag
+    """,
+    tags=("A4", "EXT", "sketch"),
+)
+def a16b_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with a PORTABLE hash and deterministic register
+    layout — a16's uniqState/uniqMerge pattern upgraded from rows-only
+    to fully hash-checked, the a24/a25 md5-family precedent applied to
+    HLL (Flajolet et al. 2007; any well-mixed hash satisfies the
+    estimator's analysis, so swapping the engine-internal hash for
+    md5 changes nothing about the sketch's guarantees).
+
+    Layout: h = 60-bit md5 prefix; register j = h mod 256; rho =
+    leading-zero count of the remaining 52 bits + 1 (computed via
+    length(bin(w)) — string arithmetic, no runtime libm). The sketch
+    IS the (group, register) → max(rho) relation; MERGE is max per
+    register (the 'ALL' rollup row merges the per-flag sketches
+    without rescanning rows — uniqMerge). The harmonic sum is kept as
+    an EXACT scaled integer (Σ 2^(53-rho) ≤ 2⁶¹) so cross-engine
+    equality is bit-level, and the raw estimator alpha·m²/Σ2^-M is
+    emitted quantized (×1e6, floored) from one shared double literal —
+    no ln/pow anywhere. The small-range linear-counting correction is
+    deliberately NOT applied (it needs runtime ln); zero_regs is
+    emitted so a consumer can apply it. Estimate-vs-exact accuracy is
+    pytest-bounded in tests/test_llm.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    jr = (
+        li.select("l_returnflag", h)
+        .withColumn("w", F.expr(f"h DIV {HLL_M}"))
+        .select(
+            "l_returnflag",
+            F.pmod(F.col("h"), F.lit(HLL_M)).alias("j"),
+            F.when(F.col("w") == 0, F.lit(53))
+            .otherwise(F.lit(53) - F.length(F.bin(F.col("w"))))
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    regs = jr.groupBy("l_returnflag", "j").agg(F.max("rho").alias("r"))
+    merged = (
+        regs.groupBy("j")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("l_returnflag"), "j", "r")
+    )
+    allregs = regs.unionByName(merged)
+    agg = allregs.groupBy("l_returnflag").agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zero_regs"),
+        (
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 53)
+        )
+        .cast("long")
+        .alias("harmonic_scaled"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "zero_regs",
+        "harmonic_scaled",
+        F.floor(F.lit(HLL_C) / F.col("harmonic_scaled") * F.lit(1000000.0))
+        .cast("long")
+        .alias("est_q"),
+    ).orderBy("l_returnflag")
+
+
 @register(
     "a17_correlation",
     oracle=f"""

@@ -332,6 +332,16 @@ def edjoin_fuzzy_pairs(
     the deletion-neighborhood branch (_short_pairs), shared with
     qgram_fuzzy_pairs.
     """
+    return _edjoin_verify(edjoin_candidates(names, col, q, t), t)
+
+
+def edjoin_candidates(
+    names: DataFrame, col: str, q: int = EDJOIN_Q, t: int = FUZZY_T
+) -> DataFrame:
+    """Ed-Join candidate generation only (no verify) — split out so
+    the scale bench can attribute wall-clock between candidate
+    generation and the levenshtein verify (SCALEUP.json `fuzzy`
+    profiling columns). Returns distinct (name_a, name_b)."""
     pad = "\x01" * (q - 1)
     prefix_len = q * t + 1
     min_len = q * (t - 1) + 2  # len+q−1 ≥ q·t+1 ⇔ lemma has force
@@ -390,15 +400,17 @@ def edjoin_fuzzy_pairs(
     short_pairs = _short_pairs(
         distinct.filter(F.length("name") < min_len), t
     )
-    return (
-        cand.unionAll(short_pairs)
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
-        )
-        .filter(F.col("dist").between(1, t))
-    )
+    return cand.unionAll(short_pairs)
+
+
+def _edjoin_verify(cand: DataFrame, t: int) -> DataFrame:
+    """Exact verify of candidate pairs: JVM-codegen levenshtein (no
+    UDF), keeping only true pairs 1 ≤ dist ≤ t."""
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    ).filter(F.col("dist").between(1, t))
 
 
 @register(

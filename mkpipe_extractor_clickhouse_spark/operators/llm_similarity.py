@@ -115,6 +115,81 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
+def arrow_topk_cosine(
+    vecs: DataFrame, query: list[float], k: int = TOP_K,
+    exclude_id: int | None = QUERY_VEC_ID,
+) -> DataFrame:
+    """Partition-local top-k cosine via mapInArrow with ZERO-COPY
+    vector access — the scale kernel behind l4 (and l3's bench path).
+
+    Why mapInArrow and not mapInPandas: pandas materializes the
+    ``array<double>`` column as one Python list object PER ROW, and
+    ``np.stack`` re-boxes every element — measured 6.8× slower than
+    DuckDB's native cosine at 2.4 M vectors with the matmul itself
+    nearly free. Here the Arrow ListArray's flat values buffer maps
+    straight into a (n, dim) ndarray view (``flatten().to_numpy()``,
+    no per-row objects), so the kernel is one BLAS matvec per batch.
+
+    Exactness contract (same as the mapInPandas predecessor): scores
+    quantize to 1e-6 half-away-from-zero BEFORE the local cut, so
+    partition-local winners agree with the global (rounded, vec_id)
+    order even at ties; each partition ships ≤ k rows into one
+    TakeOrderedAndProject. ``vecs`` must be (vec_id long,
+    v array<double>).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = vecs.sparkSession
+    bq = spark.sparkContext.broadcast([float(x) for x in query])
+    excl = exclude_id
+
+    def local_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        q = np.asarray(bq.value)
+        qn = np.sqrt(q @ q)
+        best_ids = np.empty(0, dtype=np.int64)
+        best_sims = np.empty(0, dtype=np.float64)
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            col = rb.column(1)
+            flat = col.flatten()  # offset-aware view of the values buffer
+            if len(flat) == n * len(q) and flat.null_count == 0:
+                m = flat.to_numpy(zero_copy_only=True).reshape(n, len(q))
+            else:  # ragged/null rows: fall back to per-row boxing
+                m = np.stack(col.to_pylist())
+            if excl is not None:
+                keep = ids != excl
+                ids, m = ids[keep], m[keep]
+                if ids.size == 0:
+                    continue
+            sims = (m @ q) / (np.sqrt(np.einsum("ij,ij->i", m, m)) * qn)
+            # quantize BEFORE pruning, half-away-from-zero like F.round
+            # (np.round is half-to-even) so local cuts match the
+            # global (rounded, vec_id) order at ties
+            sims = np.trunc(sims * 1e6 + np.copysign(0.5, sims)) / 1e6
+            best_ids = np.concatenate([best_ids, ids])
+            best_sims = np.concatenate([best_sims, sims])
+            if best_ids.size > k:
+                order = np.lexsort((best_ids, -best_sims))[:k]
+                best_ids, best_sims = best_ids[order], best_sims[order]
+        if best_ids.size:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(best_ids, type=pa.int64()),
+                    pa.array(best_sims, type=pa.float64()),
+                ],
+                ["vec_id", "cosine"],
+            )
+
+    local = vecs.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "v"
+    ).mapInArrow(local_topk, _TOPK_SCHEMA)
+    return local.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
 @register(
     "l4_distributed_topk",
     # The partition-heap algorithm is exact (local cuts use the same
@@ -128,56 +203,17 @@ _TOPK_SCHEMA = T.StructType(
     tags=("L4", "O4", "D3"),
 )
 def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed top-k: each partition keeps a local k-heap
-    (mapInPandas + NumPy), then the k×partitions survivors take one
-    TakeOrderedAndProject. Shuffle volume is k rows per partition
-    regardless of corpus size — the REPOSE-style scale shape."""
-    import numpy as np
-
+    """Distributed top-k: each partition keeps a local k-cut over
+    zero-copy Arrow batches (arrow_topk_cosine), then the k×partitions
+    survivors take one TakeOrderedAndProject. Shuffle volume is k rows
+    per partition regardless of corpus size — the REPOSE-style scale
+    shape, with the r5→r6 kernel upgrade from mapInPandas (per-row
+    list boxing) to mapInArrow (flat-buffer matvec)."""
     vecs = _vectors(spark, sf_dir)
     q_row = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
     if q_row is None:
         raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in corpus")
-    q_arr = [float(x) for x in q_row["v"]]
-    bq = spark.sparkContext.broadcast(q_arr)
-
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q = np.asarray(bq.value)
-        qn = np.sqrt((q * q).sum())
-        best_ids: list[int] = []
-        best_sims: list[float] = []
-        for pdf in batches:
-            mask = pdf["vec_id"] != QUERY_VEC_ID
-            if not mask.any():
-                continue
-            ids = pdf.loc[mask, "vec_id"].to_numpy()
-            m = np.stack(pdf.loc[mask, "v"].to_numpy())
-            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-            # quantize BEFORE pruning, same half-away-from-zero rule as
-            # F.round, so local cuts agree with l3's (rounded, vec_id)
-            # order even at ties (np.round would be half-to-even)
-            sims = np.trunc(sims * 1e6 + np.copysign(0.5, sims)) / 1e6
-            best_ids.extend(ids.tolist())
-            best_sims.extend(sims.tolist())
-            if len(best_ids) > 4 * TOP_K:
-                order = sorted(
-                    range(len(best_ids)), key=lambda i: (-best_sims[i], best_ids[i])
-                )[:TOP_K]
-                best_ids = [best_ids[i] for i in order]
-                best_sims = [best_sims[i] for i in order]
-        if best_ids:
-            order = sorted(
-                range(len(best_ids)), key=lambda i: (-best_sims[i], best_ids[i])
-            )[:TOP_K]
-            yield pd.DataFrame(
-                {
-                    "vec_id": [best_ids[i] for i in order],
-                    "cosine": [best_sims[i] for i in order],
-                }
-            )
-
-    local = vecs.select("vec_id", "v").mapInPandas(local_topk, _TOPK_SCHEMA)
-    return local.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(TOP_K)
+    return arrow_topk_cosine(vecs, q_row["v"], TOP_K)
 
 
 @register(

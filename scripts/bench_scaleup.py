@@ -49,6 +49,16 @@ from mkpipe_extractor_clickhouse_spark.catalog import load_table  # noqa: E402
 from mkpipe_extractor_clickhouse_spark.registry import all_specs  # noqa: E402
 from mkpipe_extractor_clickhouse_spark.session import get_spark  # noqa: E402
 
+def _settle(sec: float = 5.0) -> None:
+    """Flush dirty pages and let writeback drain before a timing
+    window: materializing a scale point writes gigabytes, and timing
+    the first query while the kernel is still writing back measures
+    I/O contention, not the engine (the r6 x100 q3 artifact — 2.27 s
+    under writeback vs 1.31 s interleaved-clean)."""
+    os.sync()
+    time.sleep(sec)
+
+
 QUERIES = ("q1_pricing_summary", "q3_shipping_priority",
            "q10_returned_items", "j11_multiway_star")
 TABLES = ("lineitem", "orders", "customer", "nation", "region")
@@ -95,6 +105,186 @@ def build_point(spark, rep: int) -> Path:
             .write.mode("overwrite").parquet(str(out / f"{dim}.parquet"))
     (out / "_DONE").touch()
     return out
+
+
+BUCKETS = 32
+BUCKETED_QUERIES = ("q3_shipping_priority", "q10_returned_items",
+                    "j11_multiway_star")
+
+
+def build_bucketed_tables(spark, sf_dir: str) -> float:
+    """Materialize lineitem/orders BUCKETED by order key (x38's
+    zero-Exchange machinery applied to the scale fixtures): the
+    layout investment a lakehouse makes once so every fact-fact
+    orderkey join afterwards runs co-located, bucket i against
+    bucket i, with no exchange. repartition on the key first so each
+    task owns exactly one bucket (same murmur3 hash mod n) — 32 files,
+    not 32×32. Returns the build wall (reported, never folded into
+    query time — DuckDB gets no equivalent prepass, which is the
+    honest asymmetry: the bucketed layout is amortized across every
+    future query, the point of owning storage layout)."""
+    t0 = time.perf_counter()
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for tbl in ("li_bx", "o_bx"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if wh:  # orphaned location from a previous session's catalog
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    (load_table(spark, sf_dir, "lineitem")
+        .repartition(BUCKETS, F.col("l_orderkey"))
+        .write.bucketBy(BUCKETS, "l_orderkey")
+        .mode("overwrite").saveAsTable("li_bx"))
+    (load_table(spark, sf_dir, "orders")
+        .repartition(BUCKETS, F.col("o_orderkey"))
+        .write.bucketBy(BUCKETS, "o_orderkey")
+        .mode("overwrite").saveAsTable("o_bx"))
+    return round(time.perf_counter() - t0, 1)
+
+
+def _bucketed_builder(name: str):
+    """The q3/q10/j11 logic verbatim (operators/analytics.py,
+    operators/joins.py) with the fact tables read from the bucketed
+    catalog tables instead of raw parquet — the ONLY change is where
+    lineitem/orders come from, so result equality vs the plain
+    builders (asserted at the proof point) pins the rewrite."""
+    from mkpipe_extractor_clickhouse_spark.operators._determinism import (
+        _quantize, dsum,
+    )
+
+    def q3(spark, sf_dir):
+        c = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = spark.table("o_bx").filter(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+        )
+        li = spark.table("li_bx").filter(
+            F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+        )
+        # broadcast join preserves the streamed side's bucket
+        # distribution, so qualifying is still hashed on o_orderkey
+        qualifying = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        return (
+            li.select(
+                "l_orderkey",
+                _quantize(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("q"),
+            )
+            .join(
+                qualifying.hint("shuffle_hash"),
+                F.col("l_orderkey") == qualifying.o_orderkey,
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg((F.sum("q") / 1_000_000.0).cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    def q10(spark, sf_dir):
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation")
+        o = spark.table("o_bx")
+        li = spark.table("li_bx").filter(F.col("l_returnflag") == "R")
+        addends = li.select(
+            "l_orderkey",
+            _quantize(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("q"),
+        )
+        per_cust = (
+            addends.join(
+                o.hint("shuffle_hash").select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("q").alias("rqs"))
+        )
+        return (
+            per_cust.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                "c_custkey", "c_name", "n_name",
+                (F.col("rqs") / 1_000_000.0).cast("double").alias("revenue"),
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+
+    def j11(spark, sf_dir):
+        li = spark.table("li_bx")
+        o = spark.table("o_bx").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        c = load_table(spark, sf_dir, "customer")
+        n = load_table(spark, sf_dir, "nation")
+        r = load_table(spark, sf_dir, "region")
+        first_region = r.agg(F.min("r_name").alias("m"))
+        r1 = r.join(F.broadcast(first_region), r.r_name == F.col("m")).select(
+            "r_regionkey"
+        )
+        cust_n = (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r1), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", "n_name")
+        )
+        # bucketed contrast to the broadcast plan: ordkeys keeps
+        # orders' o_orderkey bucketing through the broadcast dim
+        # joins, so the fact join is co-located — no broadcast BUILD
+        # of the ~6% key set and no fact exchange either
+        ordkeys = o.join(
+            F.broadcast(cust_n), o.o_custkey == F.col("c_custkey")
+        ).select("o_orderkey", "n_name")
+        return (
+            li.join(
+                ordkeys.hint("shuffle_hash"),
+                li.l_orderkey == F.col("o_orderkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue")
+            )
+        )
+
+    return {"q3_shipping_priority": q3, "q10_returned_items": q10,
+            "j11_multiway_star": j11}[name]
+
+
+def time_spark_bucketed(spark, sf_dir: str) -> dict[str, float]:
+    res = {}
+    for name in BUCKETED_QUERIES:
+        df = _bucketed_builder(name)(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        res[name] = round(min(runs), 3)
+    return res
+
+
+def verify_bucketed(spark, sf_dir: str) -> dict[str, bool]:
+    """Bucketed variants must return exactly the plain builders' rows
+    (identical quantized arithmetic ⇒ identical bits regardless of
+    partitioning)."""
+    specs = all_specs()
+    ok = {}
+    for name in BUCKETED_QUERIES:
+        plain = sorted(
+            tuple(r) for r in specs[name].builder(spark, sf_dir).collect()
+        )
+        buck = sorted(
+            tuple(r)
+            for r in _bucketed_builder(name)(spark, sf_dir).collect()
+        )
+        ok[name] = plain == buck
+    return ok
 
 
 def time_spark(spark, sf_dir: str) -> dict[str, float]:
@@ -182,13 +372,32 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
-def time_llm(spark, sf_dir: str) -> tuple[dict, dict]:
+def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]:
     import duckdb
 
     specs = all_specs()
     sp: dict[str, float] = {}
+    checks: dict[str, bool] = {}
     for name in LLM_QUERIES:
-        df = specs[name].builder(spark, sf_dir)
+        if name == "l3_topk_cosine":
+            # The bench path for brute-force top-k cosine is the shared
+            # zero-copy Arrow kernel (arrow_topk_cosine — also l4's
+            # builder): the higher-order-fold formulation is the
+            # declarative plan-locked baseline, but at millions of
+            # vectors the scalar fold is the wrong physical strategy
+            # (r5 verdict: 13× vs DuckDB's native cosine). Equality
+            # fold == kernel == oracle is asserted at the smallest
+            # point (and the fold stays driver-hash-checked at sf0.01).
+            df = specs["l4_distributed_topk"].builder(spark, sf_dir)
+            if prove:
+                fold = sorted(
+                    tuple(r)
+                    for r in specs[name].builder(spark, sf_dir).collect()
+                )
+                kern = sorted(tuple(r) for r in df.collect())
+                checks["l3_fold_eq_kernel"] = fold == kern
+        else:
+            df = specs[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(3):
@@ -217,7 +426,7 @@ def time_llm(spark, sf_dir: str) -> tuple[dict, dict]:
             runs.append(time.perf_counter() - t0)
         du[name] = round(min(runs), 3)
     con.close()
-    return sp, du
+    return sp, du, checks
 
 
 def build_fuzzy_point(spark, n: int) -> Path:
@@ -318,6 +527,7 @@ def time_fuzzy(spark, point_dir: str, n: int, prove: bool) -> dict:
     import duckdb
 
     from mkpipe_extractor_clickhouse_spark.operators.fuzzy_join import (
+        edjoin_candidates,
         edjoin_fuzzy_pairs,
     )
 
@@ -331,6 +541,20 @@ def time_fuzzy(spark, point_dir: str, n: int, prove: bool) -> dict:
         pairs.write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
     pt: dict = {"n_names": n, "spark_sec": round(min(runs), 3)}
+    # Profiling split (r5 verdict ask): candidate generation alone vs
+    # the full pipeline — verify share = spark_sec − cand_sec (the
+    # verify is JVM-codegen levenshtein, no UDF; if cand_sec dominates,
+    # the optimization target is the gram/prefix machinery, not the
+    # edit distance).
+    cand = edjoin_candidates(names, "name")
+    cand.write.format("noop").mode("overwrite").save()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cand.write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    pt["cand_sec"] = round(min(runs), 3)
+    pt["n_candidates"] = cand.count()
 
     con = duckdb.connect()
     blocked = FUZZY_DUCK_BLOCKED.format(names=glob)
@@ -573,6 +797,10 @@ def main() -> None:
             "spark.sql.parquet.columnarReaderBatchSize": "16384",
             # at 60M rows the 16m fixture split target would make ~70
             # scan tasks/file set; fine, AQE coalesces downstream.
+            # Wider Arrow batches for the mapInArrow similarity kernel:
+            # one BLAS matvec per 64k rows instead of per 10k — the
+            # per-batch fixed cost (ffi + reshape) amortizes 6×.
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         },
     )
 
@@ -582,6 +810,7 @@ def main() -> None:
         t0 = time.perf_counter()
         d = build_spatial_point(spark, rep)
         gen_sec = round(time.perf_counter() - t0, 1)
+        _settle()
         nev = spark.read.parquet(str(d / "events.parquet")).count()
         pt = time_spatial(spark, str(d), prove=(i == 0))
         pt.update({"rep": rep, "events": nev, "gen_sec": gen_sec})
@@ -624,6 +853,7 @@ def main() -> None:
         t0 = time.perf_counter()
         d = build_fuzzy_point(spark, n)
         gen_sec = round(time.perf_counter() - t0, 1)
+        _settle()
         # the O(n^2) oracle is affordable up to ~200k names (244 s);
         # above that only the blocked-vs-blocked engine comparison runs
         pt = time_fuzzy(spark, str(d), n, prove=(n <= 200_000))
@@ -663,13 +893,15 @@ def main() -> None:
         return
 
     llm_points = []
-    for rep in [int(r) for r in args.llm_reps.split(",") if r]:
+    llm_rep_list = [int(r) for r in args.llm_reps.split(",") if r]
+    for i, rep in enumerate(llm_rep_list):
         t0 = time.perf_counter()
         d = build_llm_point(spark, rep)
         gen_sec = round(time.perf_counter() - t0, 1)
         ndocs = spark.read.parquet(str(d / "documents.parquet")).count()
         nvecs = spark.read.parquet(str(d / "embeddings.parquet")).count()
-        sp, du = time_llm(spark, str(d))
+        _settle()
+        sp, du, checks = time_llm(spark, str(d), prove=(i == 0))
         st, dt = round(sum(sp.values()), 3), round(sum(du.values()), 3)
         pt = {
             "rep": rep, "documents": ndocs, "vectors": nvecs,
@@ -677,6 +909,8 @@ def main() -> None:
             "spark_total": st, "duckdb_total": dt,
             "ratio": round(st / dt, 2) if dt else None,
         }
+        if checks:
+            pt.update(checks)
         llm_points.append(pt)
         print(json.dumps(pt))
         if not args.keep:
@@ -693,7 +927,11 @@ def main() -> None:
                 "embeddings (text and vectors unchanged; exact-dup "
                 "groups scale by R). l3's DuckDB side uses the native "
                 "list_cosine_similarity kernel, not the row-exploded "
-                "oracle, to avoid strawmanning DuckDB."
+                "oracle, to avoid strawmanning DuckDB; l3's SPARK bench "
+                "path correspondingly runs the zero-copy Arrow kernel "
+                "(arrow_topk_cosine) rather than the scalar fold — "
+                "l3_fold_eq_kernel at the smallest point asserts both "
+                "produce identical rows."
             ),
             "queries": list(LLM_QUERIES),
             "points": llm_points,
@@ -713,6 +951,7 @@ def main() -> None:
         d = build_point(spark, rep)
         gen_sec = round(time.perf_counter() - t0, 1)
         nrows = spark.read.parquet(str(d / "lineitem.parquet")).count()
+        _settle()
         s = time_spark(spark, str(d))
         k = time_duckdb(str(d))
         st, kt = round(sum(s.values()), 3), round(sum(k.values()), 3)
@@ -726,10 +965,27 @@ def main() -> None:
             "duckdb_total": kt,
             "ratio": round(st / kt, 2) if kt else None,
         }
+        # Bucketed co-located layout (the round-6 ask): same queries,
+        # fact tables bucketed by order key so the fact join runs with
+        # zero exchange. spark_bucketed_total substitutes the bucketed
+        # q3/q10/j11 walls into the headline set (q1 is scan+agg, no
+        # join — unchanged).
+        pt["bucket_gen_sec"] = build_bucketed_tables(spark, str(d))
+        _settle()
+        sb = time_spark_bucketed(spark, str(d))
+        pt["spark_bucketed"] = sb
+        sbt = round(sum(sb.values())
+                    + sum(v for q, v in s.items()
+                          if q not in BUCKETED_QUERIES), 3)
+        pt["spark_bucketed_total"] = sbt
+        pt["ratio_bucketed"] = round(sbt / kt, 2) if kt else None
         if rep == reps[-1]:
             # value-consistency proof at the LARGEST point (overflow &
             # scale-dependent bugs live here, not at the driver's sf)
             pt["values_match"] = verify_values(spark, str(d))
+            pt["bucketed_matches_plain"] = verify_bucketed(spark, str(d))
+        for tbl in ("li_bx", "o_bx"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         points.append(pt)
         print(json.dumps(pt))
         if not args.keep and rep != reps[-1]:
@@ -747,7 +1003,14 @@ def main() -> None:
             "sink vs DuckDB Arrow materialization, same host, 32-way "
             "parquet layout for both engines; values_match at the "
             "largest point = per-query Spark-vs-DuckDB result equality "
-            "(rounded 1e-6) at 60 M rows"
+            "(rounded 1e-6) at 60 M rows. spark_bucketed = the same "
+            "q3/q10/j11 with lineitem/orders bucketed by order key "
+            "(32 buckets, murmur3) so the fact join is co-located and "
+            "exchange-free; the one-time layout cost is bucket_gen_sec "
+            "and bucketed_matches_plain asserts bit-identical results "
+            "at the largest point. DuckDB keeps its best layout (plain "
+            "32-way parquet; it has no co-located-join equivalent to "
+            "amortize)."
         ),
         "base_sf_dir": BASE_SF,
         "queries": list(QUERIES),

@@ -37,7 +37,14 @@ def main() -> int:
     spark = get_spark(app_name="bench_sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Output-volume counters for the sweep's tail: the near-dup family
+    # dominates wall-clock BECAUSE it emits millions of true pairs on
+    # the 31-token-vocabulary fixture (output-bound, not plan-bound) —
+    # n_out rows make the artifact self-explaining instead of looking
+    # like a slow operator.
+    N_OUT_TAGS = {"L1", "L2", "fuzzy"}
     times: dict[str, float] = {}
+    n_out: dict[str, int] = {}
     errors: dict[str, str] = {}
     specs = all_specs()
     names = args.names or sorted(specs)
@@ -48,7 +55,13 @@ def main() -> int:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
-            print(f"{times[name]:8.3f}s  {name}", flush=True)
+            if N_OUT_TAGS & set(specs[name].tags or ()):
+                n_out[name] = df.count()
+            print(
+                f"{times[name]:8.3f}s  {name}"
+                + (f"  [{n_out[name]} rows out]" if name in n_out else ""),
+                flush=True,
+            )
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e)[:200]
             traceback.print_exc(limit=1)
@@ -56,6 +69,12 @@ def main() -> int:
     payload = {
         "sf_dir": args.sf_dir,
         "steady_sec": ranked,
+        "n_out": dict(sorted(n_out.items(), key=lambda kv: -kv[1])),
+        "n_out_note": (
+            "output row counts for the dedup/fuzzy families — the sweep "
+            "tail is output-bound on the fixtures' 31-token vocabulary "
+            "(millions of true near-dup pairs), not plan-bound"
+        ),
         "total": round(sum(times.values()), 1),
         "errors": errors,
     }

@@ -166,6 +166,50 @@ def test_hll_sketch_union_consistency(spark, sf_dir):
         assert abs(rows[flag] - n) / n < 0.05
 
 
+def test_hll_portable_accuracy_and_merge(spark, sf_dir):
+    """a16b (portable-hash HLL, fully oracle-checked): the raw
+    estimator must land within HLL error bounds of exact distincts
+    (m=256 → 1.04/√m ≈ 6.5% std; assert 4σ), and the 'ALL' row — a
+    register-level MERGE of the per-flag sketches — must estimate the
+    UNION's cardinality, not the sum."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    import math
+
+    m = 256
+
+    def corrected(r):
+        # the consumer-side small-range correction the query
+        # deliberately leaves out (runtime ln is banned in-engine):
+        # linear counting when the raw estimate is below 2.5m and
+        # zero registers remain (Flajolet et al. 2007 §4)
+        est = r.est_q / 1e6
+        if est <= 2.5 * m and r.zero_regs > 0:
+            return m * math.log(m / r.zero_regs)
+        return est
+
+    rows = {
+        r.l_returnflag: corrected(r)
+        for r in _run("a16b_hll_portable", spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_all = li.select("l_partkey").distinct().count()
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.26
+    exact_per = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact_per.items():
+        assert abs(rows[flag] - n) / n < 0.26, (flag, rows[flag], n)
+    # merge semantics: the flags share most part keys, so the union
+    # estimate must sit far below the per-flag sum
+    assert rows["ALL"] < 0.75 * sum(rows[f] for f in exact_per)
+
+
 def test_kmeans_invariants(spark, sf_dir):
     """k-means: every vector assigned, cells non-empty-ish, and the
     cell stats are self-consistent with a fresh nearest-centroid
