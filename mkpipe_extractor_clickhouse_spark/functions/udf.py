@@ -9,7 +9,7 @@ and to document its cost model:
   D1 row-at-a-time Python UDF — escape hatch only (per-row Py4J-free
      but pickled batches; ~10-100× slower than built-ins);
   D2 pandas_udf — Arrow-vectorized, the sanctioned Python fast path;
-  D3 mapInPandas — exercised by l4_distributed_topk and
+  D3 mapInPandas/mapInArrow — exercised by l4_distributed_topk and
      m1_multimodal_features;
   D4 applyInPandas — grouped-map "UDAF" (one output row per group).
 

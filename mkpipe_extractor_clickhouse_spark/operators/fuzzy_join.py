@@ -53,8 +53,8 @@ FUZZY_T = 2  # edit-distance threshold
 def _deletion_neighborhood_expr(col: str, t: int) -> str:
     """SQL expr: array of every string reachable from ``col`` by
     removing up to ``t`` characters (the FastSS deletion
-    neighborhood). Size is O(len^t) — used only for strings too short
-    for gram blocking, where len is bounded by construction."""
+    neighborhood). Size is O(len^t) per string — the short-string
+    branch of the gram schemes and the whole index for j19c/FastSS."""
     cur = f"array({col})"
     for _ in range(t):
         cur = (
@@ -67,8 +67,10 @@ def _deletion_neighborhood_expr(col: str, t: int) -> str:
 
 
 def _short_pairs(shorts: DataFrame, t: int) -> DataFrame:
-    """Complete candidate pairs among strings the gram bounds cannot
-    filter (they may be within ``t`` edits yet share zero grams).
+    """Complete candidate pairs via deletion-neighborhood blocking
+    (FastSS) — used as the short-string branch of the gram schemes
+    (strings that may be within ``t`` edits yet share zero grams) and
+    as the full index for j19c.
     Deletion-neighborhood blocking keeps this an EQUI-join: an optimal
     alignment of a true pair leaves ≤ t unmatched characters on each
     side, so the matched subsequence is in BOTH strings' ≤t-deletion
@@ -411,6 +413,39 @@ def _edjoin_verify(cand: DataFrame, t: int) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
     ).filter(F.col("dist").between(1, t))
+
+
+@register(
+    "j19c_fastss_pairs",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_T}
+      AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_T}
+    ORDER BY name_a, name_b
+    """,
+    tags=("J8", "L2", "EXT", "fuzzy"),
+)
+def j19c_fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fuzzy pair set as j19/j19b via FULL deletion-
+    neighborhood blocking (FastSS, Bocek et al. 2007) — the third
+    complete scheme against the same all-pairs oracle, and the one
+    with NO minimum-length precondition: every string joins on its
+    ≤t-deletion variants (an optimal alignment leaves ≤t unmatched
+    characters per side, so a true pair always shares the matched
+    subsequence as a variant key — an EQUI-join, no all-pairs
+    anywhere). Index size is O(n·len^t) keys, so this wins for SHORT
+    string domains (codes, tokens, names) where gram filters have no
+    force, and loses to Ed-Join on long strings where len² keys
+    outgrow the q·t+1 gram prefix. Exact levenshtein verifies the
+    survivors, same as the siblings."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    return _edjoin_verify(_short_pairs(names, FUZZY_T), FUZZY_T).orderBy(
+        "name_a", "name_b"
+    )
 
 
 @register(

@@ -316,7 +316,13 @@ def j11_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast budget (at the ~100 TB extreme), drop the explicit
     broadcast and the identical dims-first plan degrades to ONE
     fact shuffle — still strictly better than joining before
-    reducing."""
+    reducing.
+
+    Round-6 refinement (interleaved min-of-5 at 60 M rows, 1.90 →
+    1.56 s): the broadcast payload and the fact-side aggregate carry
+    the INT nation key, not the name string — smaller hash relation,
+    narrower agg rows — and the 6-row result broadcast-joins the
+    names back at the end."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -332,19 +338,23 @@ def j11_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_n = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r1), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey", "n_name")
+        .select("c_custkey", F.col("n_nationkey").alias("nk"), "n_name")
     )
+    names = cust_n.select("nk", "n_name").distinct()
     ordkeys = o.join(
-        F.broadcast(cust_n), o.o_custkey == F.col("c_custkey")
-    ).select("o_orderkey", "n_name")
+        F.broadcast(cust_n.select("c_custkey", "nk")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "nk")
     return (
         li.join(F.broadcast(ordkeys), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("n_name")
+        .groupBy("nk")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
+        .join(F.broadcast(names), "nk")
+        .select("n_name", "revenue")
     )
 
 

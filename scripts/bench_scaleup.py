@@ -19,9 +19,13 @@ Dataset construction (FK-consistent replication, no synthesis):
   right plan.  Files are written 32-way so both engines can
   parallelize scans (the pristine fixtures ship ONE row group).
 
-Methodology per point, identical for both engines: warm run, then best
-of 3 steady runs; Spark executes to the noop sink, DuckDB materializes
-to Arrow (no per-row Python transfer on either side).  Output:
+Methodology per point, identical for both engines: warm run, then
+INTERLEAVED min-of-5 — each rep times Spark-plain, Spark-bucketed and
+DuckDB back-to-back so multi-minute host-contention episodes inflate
+all variants equally and cancel in the ratios (sequential windows
+measured the host, not the engines: two r6 runs disagreed 4-8x on the
+same point). Spark executes to the noop sink, DuckDB materializes to
+Arrow (no per-row Python transfer on either side).  Output:
 SCALEUP.json, which bench.py embeds in BENCH_FULL.json under
 "scaleup" (clearly labeled precomputed — regenerating ~2.5 GB of
 parquet inside the driver's bench window would be rude).
@@ -229,44 +233,37 @@ def _bucketed_builder(name: str):
         cust_n = (
             c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r1), F.col("n_regionkey") == F.col("r_regionkey"))
-            .select("c_custkey", "n_name")
+            .select("c_custkey", F.col("n_nationkey").alias("nk"), "n_name")
         )
+        names = cust_n.select("nk", "n_name").distinct()
         # bucketed contrast to the broadcast plan: ordkeys keeps
         # orders' o_orderkey bucketing through the broadcast dim
         # joins, so the fact join is co-located — no broadcast BUILD
-        # of the ~6% key set and no fact exchange either
+        # of the ~6% key set and no fact exchange either; the probe
+        # payload and the aggregate carry the INT nation key (names
+        # broadcast-join back onto the 6-row result — measured 25%
+        # faster than string-keyed at 60 M, interleaved min-of-5)
         ordkeys = o.join(
-            F.broadcast(cust_n), o.o_custkey == F.col("c_custkey")
-        ).select("o_orderkey", "n_name")
+            F.broadcast(cust_n.select("c_custkey", "nk")),
+            o.o_custkey == F.col("c_custkey"),
+        ).select("o_orderkey", "nk")
         return (
             li.join(
                 ordkeys.hint("shuffle_hash"),
                 li.l_orderkey == F.col("o_orderkey"),
             )
-            .groupBy("n_name")
+            .groupBy("nk")
             .agg(
                 dsum(
                     F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ).alias("revenue")
             )
+            .join(F.broadcast(names), "nk")
+            .select("n_name", "revenue")
         )
 
     return {"q3_shipping_priority": q3, "q10_returned_items": q10,
             "j11_multiway_star": j11}[name]
-
-
-def time_spark_bucketed(spark, sf_dir: str) -> dict[str, float]:
-    res = {}
-    for name in BUCKETED_QUERIES:
-        df = _bucketed_builder(name)(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        res[name] = round(min(runs), 3)
-    return res
 
 
 def verify_bucketed(spark, sf_dir: str) -> dict[str, bool]:
@@ -287,22 +284,21 @@ def verify_bucketed(spark, sf_dir: str) -> dict[str, bool]:
     return ok
 
 
-def time_spark(spark, sf_dir: str) -> dict[str, float]:
-    specs = all_specs()
-    res = {}
-    for name in QUERIES:
-        df = specs[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        res[name] = round(min(runs), 3)
-    return res
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
 
 
-def time_duckdb(sf_dir: str) -> dict[str, float]:
+def time_point_interleaved(
+    spark, sf_dir: str, n_reps: int = 5
+) -> tuple[dict, dict, dict]:
+    """INTERLEAVED min-of-N across Spark-plain, Spark-bucketed, and
+    DuckDB: each rep times every (query, variant) back-to-back, so a
+    multi-minute host-contention episode inflates all three equally
+    and cancels in the ratios. Two r6 sequential-window runs disagreed
+    4-8× on the same query at the same point (one hit a clean window,
+    one a contended one) — sequential engine windows measure the host,
+    interleaved reps measure the engines. Returns (spark_plain,
+    spark_bucketed, duckdb) per-query min walls."""
     import duckdb
 
     specs = all_specs()
@@ -312,18 +308,32 @@ def time_duckdb(sf_dir: str) -> dict[str, float]:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
         )
-    res = {}
-    for name in QUERIES:
-        sql = specs[name].oracle
-        con.sql(sql).arrow()  # warm
-        runs = []
-        for _ in range(3):
+    plain = {n: specs[n].builder(spark, sf_dir) for n in QUERIES}
+    buck = {
+        n: _bucketed_builder(n)(spark, sf_dir) for n in BUCKETED_QUERIES
+    }
+    for df in (*plain.values(), *buck.values()):  # warm: codegen, cache
+        _noop(df)
+    for n in QUERIES:
+        con.sql(specs[n].oracle).arrow()
+    S: dict[str, list] = {n: [] for n in QUERIES}
+    B: dict[str, list] = {n: [] for n in BUCKETED_QUERIES}
+    D: dict[str, list] = {n: [] for n in QUERIES}
+    for _ in range(n_reps):
+        for n in QUERIES:
             t0 = time.perf_counter()
-            con.sql(sql).arrow()
-            runs.append(time.perf_counter() - t0)
-        res[name] = round(min(runs), 3)
+            _noop(plain[n])
+            S[n].append(time.perf_counter() - t0)
+            if n in buck:
+                t0 = time.perf_counter()
+                _noop(buck[n])
+                B[n].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.sql(specs[n].oracle).arrow()
+            D[n].append(time.perf_counter() - t0)
     con.close()
-    return res
+    r3 = lambda d: {n: round(min(v), 3) for n, v in d.items()}  # noqa: E731
+    return r3(S), r3(B), r3(D)
 
 
 LLM_QUERIES = ("l1_exact_dedup", "l5_wordcount", "l12_token_count",
@@ -373,11 +383,13 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]:
+    """Interleaved min-of-5 Spark-vs-DuckDB per LLM kernel (the same
+    host-noise-cancelling protocol as time_point_interleaved)."""
     import duckdb
 
     specs = all_specs()
-    sp: dict[str, float] = {}
     checks: dict[str, bool] = {}
+    dfs = {}
     for name in LLM_QUERIES:
         if name == "l3_topk_cosine":
             # The bench path for brute-force top-k cosine is the shared
@@ -388,44 +400,46 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
             # (r5 verdict: 13× vs DuckDB's native cosine). Equality
             # fold == kernel == oracle is asserted at the smallest
             # point (and the fold stays driver-hash-checked at sf0.01).
-            df = specs["l4_distributed_topk"].builder(spark, sf_dir)
+            dfs[name] = specs["l4_distributed_topk"].builder(spark, sf_dir)
             if prove:
                 fold = sorted(
                     tuple(r)
                     for r in specs[name].builder(spark, sf_dir).collect()
                 )
-                kern = sorted(tuple(r) for r in df.collect())
+                kern = sorted(tuple(r) for r in dfs[name].collect())
                 checks["l3_fold_eq_kernel"] = fold == kern
         else:
-            df = specs[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        sp[name] = round(min(runs), 3)
+            dfs[name] = specs[name].builder(spark, sf_dir)
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
         )
-    du: dict[str, float] = {}
-    for name in LLM_QUERIES:
-        sql = (
+    duck_sql = {
+        name: (
             L3_DUCK_NATIVE
             if name in ("l3_topk_cosine", "l4_distributed_topk")
             else specs[name].oracle
         )
-        con.sql(sql).arrow()
-        runs = []
-        for _ in range(3):
+        for name in LLM_QUERIES
+    }
+    for name in LLM_QUERIES:  # warm both engines
+        _noop(dfs[name])
+        con.sql(duck_sql[name]).arrow()
+    S: dict[str, list] = {n: [] for n in LLM_QUERIES}
+    D: dict[str, list] = {n: [] for n in LLM_QUERIES}
+    for _ in range(5):
+        for name in LLM_QUERIES:
             t0 = time.perf_counter()
-            con.sql(sql).arrow()
-            runs.append(time.perf_counter() - t0)
-        du[name] = round(min(runs), 3)
+            _noop(dfs[name])
+            S[name].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.sql(duck_sql[name]).arrow()
+            D[name].append(time.perf_counter() - t0)
     con.close()
+    sp = {n: round(min(v), 3) for n, v in S.items()}
+    du = {n: round(min(v), 3) for n, v in D.items()}
     return sp, du, checks
 
 
@@ -534,37 +548,33 @@ def time_fuzzy(spark, point_dir: str, n: int, prove: bool) -> dict:
     glob = f"{point_dir}/names.parquet/*.parquet"
     names = spark.read.parquet(f"{point_dir}/names.parquet")
     pairs = edjoin_fuzzy_pairs(names, "name")
-    pairs.write.format("noop").mode("overwrite").save()
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pairs.write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-    pt: dict = {"n_names": n, "spark_sec": round(min(runs), 3)}
     # Profiling split (r5 verdict ask): candidate generation alone vs
     # the full pipeline — verify share = spark_sec − cand_sec (the
     # verify is JVM-codegen levenshtein, no UDF; if cand_sec dominates,
     # the optimization target is the gram/prefix machinery, not the
-    # edit distance).
+    # edit distance). All three measurements INTERLEAVED min-of-3 with
+    # DuckDB so host-contention episodes cancel in the ratio.
     cand = edjoin_candidates(names, "name")
-    cand.write.format("noop").mode("overwrite").save()
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cand.write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-    pt["cand_sec"] = round(min(runs), 3)
-    pt["n_candidates"] = cand.count()
-
     con = duckdb.connect()
     blocked = FUZZY_DUCK_BLOCKED.format(names=glob)
+    _noop(pairs)
+    _noop(cand)
     con.sql(blocked).arrow()
-    runs = []
+    rs, rc, rd = [], [], []
     for _ in range(3):
         t0 = time.perf_counter()
+        _noop(pairs)
+        rs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _noop(cand)
+        rc.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         con.sql(blocked).arrow()
-        runs.append(time.perf_counter() - t0)
-    pt["duckdb_blocked_sec"] = round(min(runs), 3)
+        rd.append(time.perf_counter() - t0)
+    pt: dict = {"n_names": n, "spark_sec": round(min(rs), 3)}
+    pt["cand_sec"] = round(min(rc), 3)
+    pt["n_candidates"] = cand.count()
+    pt["duckdb_blocked_sec"] = round(min(rd), 3)
     pt["ratio"] = round(pt["spark_sec"] / pt["duckdb_blocked_sec"], 2)
 
     spark_pairs = {
@@ -951,9 +961,15 @@ def main() -> None:
         d = build_point(spark, rep)
         gen_sec = round(time.perf_counter() - t0, 1)
         nrows = spark.read.parquet(str(d / "lineitem.parquet")).count()
+        # Bucketed co-located layout (the round-6 ask): same queries,
+        # fact tables bucketed by order key so the fact join runs with
+        # zero exchange. Built BEFORE the timing window so both layouts
+        # are measured interleaved; spark_bucketed_total substitutes
+        # the bucketed q3/q10/j11 walls into the headline set (q1 is
+        # scan+agg, no join — unchanged).
+        bucket_gen_sec = build_bucketed_tables(spark, str(d))
         _settle()
-        s = time_spark(spark, str(d))
-        k = time_duckdb(str(d))
+        s, sb, k = time_point_interleaved(spark, str(d))
         st, kt = round(sum(s.values()), 3), round(sum(k.values()), 3)
         pt = {
             "rep": rep,
@@ -964,16 +980,9 @@ def main() -> None:
             "spark_total": st,
             "duckdb_total": kt,
             "ratio": round(st / kt, 2) if kt else None,
+            "bucket_gen_sec": bucket_gen_sec,
+            "spark_bucketed": sb,
         }
-        # Bucketed co-located layout (the round-6 ask): same queries,
-        # fact tables bucketed by order key so the fact join runs with
-        # zero exchange. spark_bucketed_total substitutes the bucketed
-        # q3/q10/j11 walls into the headline set (q1 is scan+agg, no
-        # join — unchanged).
-        pt["bucket_gen_sec"] = build_bucketed_tables(spark, str(d))
-        _settle()
-        sb = time_spark_bucketed(spark, str(d))
-        pt["spark_bucketed"] = sb
         sbt = round(sum(sb.values())
                     + sum(v for q, v in s.items()
                           if q not in BUCKETED_QUERIES), 3)
@@ -999,7 +1008,9 @@ def main() -> None:
         "note": (
             "headline shuffle queries (q1 grouped agg, q3/q10 fact-fact "
             "join + top-k, j11 star join) on FK-consistent offset "
-            "replication of sf0.1; best-of-3 steady wall, Spark noop "
+            "replication of sf0.1; INTERLEAVED min-of-5 steady wall "
+            "(each rep runs Spark-plain, Spark-bucketed, DuckDB "
+            "back-to-back — host noise cancels in ratios), Spark noop "
             "sink vs DuckDB Arrow materialization, same host, 32-way "
             "parquet layout for both engines; values_match at the "
             "largest point = per-query Spark-vs-DuckDB result equality "

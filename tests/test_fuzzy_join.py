@@ -94,6 +94,44 @@ def test_er1_plan_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_j19c_fastss_plan_no_cartesian(spark, sf_dir):
+    """FastSS deletion-neighborhood blocking must also stay an
+    equi-join end to end — the variant-key join is the whole point."""
+    plan = plan_of("j19c_fastss_pairs", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_fastss_agrees_with_edjoin(spark):
+    """Three complete blocking schemes, one truth: FastSS must produce
+    exactly the q-gram count-filter pair set on the mutation corpus."""
+    import random
+
+    from mkpipe_extractor_clickhouse_spark.operators.fuzzy_join import (
+        _edjoin_verify,
+        _short_pairs,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdef "
+    vocab = sorted({
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        for _ in range(120)
+    } - {""})
+    names = spark.createDataFrame([(n,) for n in vocab], ["name"])
+    fastss = {
+        (r.name_a, r.name_b, r.dist)
+        for r in _edjoin_verify(_short_pairs(names, 2), 2).collect()
+    }
+    qgram = {
+        (r.name_a, r.name_b, r.dist)
+        for r in qgram_fuzzy_pairs(names, "name").collect()
+    }
+    assert fastss == qgram
+    assert len(fastss) > 10, "fixture must be pair-rich"
+
+
 def test_edjoin_blocking_is_complete(spark):
     """Ed-Join prefix filter must agree with brute force on a mutation-
     rich corpus: random single/double edits of base strings (the true-
