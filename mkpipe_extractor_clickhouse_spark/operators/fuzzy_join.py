@@ -326,7 +326,7 @@ def edjoin_fuzzy_pairs(
     the deletion-neighborhood branch (_short_pairs), shared with
     qgram_fuzzy_pairs.
     """
-    return _edjoin_verify(edjoin_candidates(names, col, q, t), t)
+    return _edjoin_verify(edjoin_candidates(names, col, q, t), t).distinct()
 
 
 def edjoin_candidates(
@@ -335,7 +335,16 @@ def edjoin_candidates(
     """Ed-Join candidate generation only (no verify) — split out so
     the scale bench can attribute wall-clock between candidate
     generation and the levenshtein verify (SCALEUP.json `fuzzy`
-    profiling columns). Returns distinct (name_a, name_b)."""
+    profiling columns).
+
+    Returns (name_a, name_b) WITH multi-gram duplicates: a pair
+    sharing k prefix grams appears k times. Deduplicating here costs
+    a full shuffle of the ~100×-larger candidate set (measured 12.9 s
+    vs 5.7 s end-to-end at 200 k names); the banded verify is cheaper
+    per row than the dedup shuffle, so callers verify first and
+    distinct() the small true-pair output instead. Length filters
+    live INSIDE the join condition so non-candidates never reach the
+    join output at all."""
     pad = "\x01" * (q - 1)
     prefix_len = q * t + 1
     min_len = q * (t - 1) + 2  # len+q−1 ≥ q·t+1 ⇔ lemma has force
@@ -370,26 +379,18 @@ def edjoin_candidates(
         .select("name", "len", "gram")
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
-        .select(
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            F.col("a.len").alias("len_a"),
-            F.col("b.len").alias("len_b"),
-        )
-        .distinct()
-        .filter(
-            (F.abs(F.col("len_a") - F.col("len_b")) <= t)
-            # short-short pairs go through the complete short branch
-            # below; excluding them here keeps the union exact
-            & (F.greatest("len_a", "len_b") >= min_len)
-        )
-        .select("name_a", "name_b")
+    cand = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.name") < F.col("b.name"))
+        # length filters in the JOIN condition: non-candidates never
+        # materialize in the join output (short-short pairs go
+        # through the complete short branch below)
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= t)
+        & (F.greatest(F.col("a.len"), F.col("b.len")) >= min_len),
+    ).select(
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
     )
     short_pairs = _short_pairs(
         distinct.filter(F.length("name") < min_len), t

@@ -890,9 +890,15 @@ def main() -> None:
             "note": (
                 "Ed-Join fuzzy edit-distance self-join (q=3, t=2, "
                 "rarest-gram prefix q*t+1) on seeded synthetic name "
-                "corpora with ~20% mutated twins; Spark vs the "
-                "IDENTICAL blocked formulation in DuckDB SQL — engine "
-                "vs engine, same algorithm. blocked_eq_allpairs at the "
+                "corpora with ~20% mutated twins; Spark vs the same "
+                "blocked ALGORITHM in DuckDB SQL — engine vs engine. "
+                "One physical divergence, each engine's measured-"
+                "faster choice: Spark verifies multi-gram duplicate "
+                "candidates with the banded thresholded levenshtein "
+                "and dedups the small true-pair output (12.9 to 5.7 s "
+                "at 200k vs dedup-first); DuckDB keeps dedup-first "
+                "(2.0 s either way). cand_sec/n_candidates profile "
+                "the split (candidates incl. duplicates). blocked_eq_allpairs at the "
                 "smallest point proves the blocking complete against "
                 "the O(n^2) oracle; spark_eq_duckdb proves pair-set "
                 "equality at every point."
