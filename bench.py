@@ -480,6 +480,11 @@ def main() -> None:
                     [p["lineitem_rows"], p["ratio"]]
                     for p in scaleup.get("points", [])
                 ],
+                "scaleup_ratio_bucketed": [
+                    [p["lineitem_rows"], p["ratio_bucketed"]]
+                    for p in scaleup.get("points", [])
+                    if p.get("ratio_bucketed") is not None
+                ],
                 "detail": "BENCH_FULL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -450,6 +450,104 @@ def j19c_fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l96_vocab_spellmap",
+    oracle="""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM part
+      ) GROUP BY word
+    ),
+    nbr AS (
+      SELECT a.word AS w2, a.cnt, b.word AS cand, b.cnt AS cand_cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.word
+               ORDER BY b.cnt DESC, b.word
+             ) AS rn
+      FROM words a JOIN words b
+        ON a.word <> b.word
+       AND abs(length(a.word) - length(b.word)) <= 1
+       AND levenshtein(a.word, b.word) <= 1
+      WHERE b.cnt > a.cnt OR (b.cnt = a.cnt AND b.word < a.word)
+    )
+    SELECT w.word, w.cnt,
+           COALESCE(n.cand, w.word) AS corrected,
+           COALESCE(n.cand_cnt, w.cnt) AS corrected_cnt
+    FROM words w LEFT JOIN nbr n ON n.w2 = w.word AND n.rn = 1
+    ORDER BY word
+    """,
+    tags=("L2", "L5", "EXT", "fuzzy"),
+)
+def l96_vocab_spellmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary spell-normalization — the token-cleanup pass a
+    training-data pipeline runs before counting/dedup: every word maps
+    to its most frequent neighbor within ONE edit (ties break
+    lexicographically; words with no better neighbor map to
+    themselves). Candidate neighbors come from the FastSS
+    deletion-neighborhood equi-join (_short_pairs, t=1) — the scheme
+    built for short-string domains like word vocabularies, where gram
+    bounds have no force — so the plan is explode → count → variant-
+    key join → window, no all-pairs anywhere; the O(|V|²) join exists
+    only in the DuckDB oracle. Exact verify via the banded
+    levenshtein(w, c, 1)."""
+    part = load_table(spark, sf_dir, "part")
+    words = (
+        part.select(
+            F.explode(F.split("p_name", " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = _short_pairs(words.select(F.col("word").alias("name")), 1)
+    directed = (
+        pairs.select(
+            F.col("name_a").alias("word"), F.col("name_b").alias("cand")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("name_b").alias("word"),
+                F.col("name_a").alias("cand"),
+            )
+        )
+        .filter(F.levenshtein("word", "cand", 1) == 1)
+    )
+    w_cnt = words.select("word", "cnt")
+    c_cnt = words.select(
+        F.col("word").alias("cand"), F.col("cnt").alias("cand_cnt")
+    )
+    best = (
+        directed.join(w_cnt, "word")
+        .join(c_cnt, "cand")
+        .filter(
+            (F.col("cand_cnt") > F.col("cnt"))
+            | (
+                (F.col("cand_cnt") == F.col("cnt"))
+                & (F.col("cand") < F.col("word"))
+            )
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("word").orderBy(
+                    F.col("cand_cnt").desc(), "cand"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("word", "cand", "cand_cnt")
+    )
+    return (
+        words.join(best, "word", "left")
+        .select(
+            "word",
+            "cnt",
+            F.coalesce("cand", "word").alias("corrected"),
+            F.coalesce("cand_cnt", "cnt").alias("corrected_cnt"),
+        )
+        .orderBy("word")
+    )
+
+
+@register(
     "j19b_edjoin_pairs",
     oracle=f"""
     WITH names AS (SELECT DISTINCT p_name FROM part)
