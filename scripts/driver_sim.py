@@ -119,10 +119,18 @@ def main() -> int:
             mn = stack.pop()
             if mn in seen or not mn.startswith(PKG):
                 continue
-            seen.add(mn)
             mod = sys.modules.get(mn)
             if mod is None:
                 continue
+            # PACKAGE modules (__init__) are excluded from the
+            # closure: the operators package imports every operator
+            # module for registration, so traversing through it would
+            # make every edit invalidate every query (the gate would
+            # be safe but useless). Logic lives in leaf modules here;
+            # `from .x import y` edges to those are followed directly.
+            if hasattr(mod, "__path__"):
+                continue
+            seen.add(mn)
             for v in vars(mod).values():
                 if inspect.ismodule(v):
                     dep = v.__name__
@@ -143,11 +151,10 @@ def main() -> int:
                 base = pkg_parts[: len(pkg_parts) - (len(dots) - 1)]
                 target = ".".join(base + ([relmod] if relmod else []))
                 # `from .x import y`: y may be a module or an attr —
-                # push both candidates; unknown names fall out at the
-                # sys.modules lookup.
+                # push the module candidate; unknown names fall out at
+                # the sys.modules lookup (the parent package is NOT
+                # pushed — packages are excluded above).
                 stack.append(target)
-                if relmod:
-                    stack.append(target.rsplit(".", 1)[0])
         return sorted(seen)
 
     fps: dict[str, str] = {}
