@@ -2120,8 +2120,11 @@ def x42_http_parallel_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=4,
     )
     df.count()  # force the executor-side fetches so the log is proof
+    # JDBC stride semantics: the outer edges are UNBOUNDED (first
+    # slice `< hi OR IS NULL`, last `>= lo`) so stale bounds can
+    # never lose rows — count every event_id-strided slice shape.
     slice_sqls = {
-        q for q in log if "__t WHERE event_id >=" in q
+        q for q in log if "__t WHERE event_id" in q
     }
     if len(slice_sqls) != 4:
         raise RuntimeError(

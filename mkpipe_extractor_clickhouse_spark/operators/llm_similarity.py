@@ -167,7 +167,17 @@ def arrow_topk_cosine(
             ids = rb.column(0).to_numpy(zero_copy_only=False)
             col = rb.column(1)
             flat = col.flatten()  # offset-aware view of the values buffer
-            if len(flat) == n * len(q) and flat.null_count == 0:
+            # Per-row length check, not just the sum: ragged rows whose
+            # lengths happen to total n*dim (63+65, …) would otherwise
+            # reshape misaligned and score silently wrong. One C++
+            # min/max over the lengths — still no per-row Python.
+            mm = pa.compute.min_max(pa.compute.list_value_length(col))
+            uniform = (
+                col.null_count == 0
+                and mm["min"].as_py() == len(q)
+                and mm["max"].as_py() == len(q)
+            )
+            if uniform and flat.null_count == 0:
                 m = flat.to_numpy(zero_copy_only=True).reshape(n, len(q))
                 if m.dtype != np.float64:
                     m = m.astype(np.float64)  # exact float32→float64

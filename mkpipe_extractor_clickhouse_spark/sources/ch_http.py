@@ -169,14 +169,29 @@ class ClickHouseHttpSource:
             span = upper_bound - lower_bound
             num_partitions = max(1, num_partitions)
             step = max(1, span // num_partitions)
+            # Spark-JDBC stride semantics: bounds STRIDE the range, they
+            # do not filter it. The first and last slices are UNBOUNDED
+            # on their outer edge (and the first also catches NULLs), so
+            # stale or too-narrow bounds can never silently drop rows —
+            # they only skew slice balance.
             slices = []
             for i in range(num_partitions):
                 lo = lower_bound + i * step
-                hi = upper_bound + 1 if i == num_partitions - 1 else lo + step
-                slices.append(
-                    f" WHERE {partition_column} >= {lo}"
-                    f" AND {partition_column} < {hi}"
-                )
+                hi = lo + step
+                if num_partitions == 1:
+                    slices.append("")
+                elif i == 0:
+                    slices.append(
+                        f" WHERE {partition_column} < {hi}"
+                        f" OR {partition_column} IS NULL"
+                    )
+                elif i == num_partitions - 1:
+                    slices.append(f" WHERE {partition_column} >= {lo}")
+                else:
+                    slices.append(
+                        f" WHERE {partition_column} >= {lo}"
+                        f" AND {partition_column} < {hi}"
+                    )
 
         url, headers = self._url, dict(self._headers)
         ntz_cols = [
@@ -390,11 +405,22 @@ class ClickHouseHttpExtractor:
         # count is requested without naming a column.
         part_col = table.partitions_column or self.partition_column
         n_parts = int(table.partitions_count or self.num_partitions or 1)
-        if part_col is None and n_parts > 1:
+        if part_col is None and n_parts > 1 and table.iterate_column_type == "int":
+            # The iterate_column fallback only slices on INTEGER
+            # watermark columns; a datetime watermark degrades to a
+            # single-slice fetch instead of crashing on int(probe).
             part_col = table.iterate_column
         load_kw: dict = {}
         if part_col and n_parts > 1:
-            lo, hi = self.lower_bound, self.upper_bound
+            # Connection-level bounds were configured for the
+            # CONNECTION's partition column; reusing them when the
+            # per-table config or the iterate fallback resolved a
+            # DIFFERENT column would stride the wrong value range.
+            # (Striding never drops rows — edge slices are unbounded —
+            # but wrong-column bounds collapse the parallelism.)
+            lo = hi = None
+            if part_col == self.partition_column:
+                lo, hi = self.lower_bound, self.upper_bound
             if lo is None or hi is None:
                 # Derive bounds server-side — one MIN/MAX row over the
                 # wire against the SAME windowed query the slices will
@@ -409,7 +435,10 @@ class ClickHouseHttpExtractor:
                 if row is None or row["lo"] is None or row["hi"] is None:
                     part_col = None  # empty window: single-slice fetch
                 else:
-                    lo, hi = int(row["lo"]), int(row["hi"])
+                    try:
+                        lo, hi = int(row["lo"]), int(row["hi"])
+                    except (TypeError, ValueError):
+                        part_col = None  # non-integer column: one slice
             if part_col:
                 load_kw = dict(
                     partition_column=part_col,

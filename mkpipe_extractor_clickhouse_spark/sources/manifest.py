@@ -90,7 +90,14 @@ class ManifestedTable:
         # dependence), stored hex in the manifest (~bits/4 chars per
         # column per batch).
         self.bloom_cols = tuple(bloom_cols)
-        self.bloom_bits = bloom_bits
+        # Round UP to a whole number of bytes: positions are computed
+        # mod bloom_bits and the reader re-derives the geometry as
+        # len(bits)*8, so a non-multiple-of-8 size would both index
+        # past the allocation at write time and disagree with the
+        # probe modulus at read time.
+        if bloom_bits <= 0:
+            raise ValueError(f"bloom_bits must be positive, got {bloom_bits}")
+        self.bloom_bits = (bloom_bits + 7) // 8 * 8
         self.bloom_hashes = bloom_hashes
         os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
 

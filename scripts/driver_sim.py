@@ -157,6 +157,20 @@ def main() -> int:
                 stack.append(target)
         return sorted(seen)
 
+    # Package __init__ modules are EXCLUDED from the per-query closure
+    # (traversing the registration hub would invalidate everything on
+    # any edit) — but logic added to one must still be visible to the
+    # gate. Hash every __init__.py into ONE global salt: an __init__
+    # edit invalidates the whole manifest (rare, correct), while leaf
+    # edits keep their narrow per-query invalidation.
+    init_hash = hashlib.sha256()
+    pkg_dir = REPO / PKG
+    for p in sorted(pkg_dir.rglob("__init__.py")):
+        init_hash.update(str(p.relative_to(REPO)).encode())
+        init_hash.update(b"\x00")
+        init_hash.update(p.read_bytes())
+    init_salt = init_hash.hexdigest()[:16]
+
     fps: dict[str, str] = {}
     for n, spec in all_specs().items():
         try:
@@ -174,6 +188,8 @@ def main() -> int:
                 + osql.get(n, "")
                 + "\x00"
                 + dep_blob
+                + "\x00"
+                + init_salt
             ).encode()
         ).hexdigest()[:16]
     if args.changed_since:

@@ -352,8 +352,11 @@ def test_http_extractor_partitioned_slices(spark, sf_dir, ch_server):
     t = TableConfig(name="events", replication_method="full")
     res = ex.extract(t, spark)
     assert res.df.count() == load_table(spark, sf_dir, "events").count()
-    slices = {q for q in log[before:] if "__t WHERE event_id >=" in q}
+    slices = {q for q in log[before:] if "__t WHERE event_id" in q}
     assert len(slices) == 3
+    # JDBC stride semantics: outer edges unbounded, NULLs caught
+    assert any("IS NULL" in q for q in slices)
+    assert not all(">=" in q for q in slices)
 
 
 def test_http_extractor_per_table_partitions_autobounds(
@@ -382,7 +385,7 @@ def test_http_extractor_per_table_partitions_autobounds(
     assert res.df.count() == load_table(spark, sf_dir, "events").count()
     new = log[before:]
     assert any("MIN(event_id)" in q and "MAX(event_id)" in q for q in new)
-    slices = {q for q in new if "__t WHERE event_id >=" in q}
+    slices = {q for q in new if "__t WHERE event_id" in q}
     assert len(slices) == 4
 
 
@@ -408,7 +411,7 @@ def test_http_extractor_partitions_fall_back_to_iterate_column(
     )
     res = ex.extract(t, spark)
     assert res.df.count() == load_table(spark, sf_dir, "events").count()
-    slices = {q for q in log[before:] if "__t WHERE event_id >=" in q}
+    slices = {q for q in log[before:] if "__t WHERE event_id" in q}
     assert len(slices) == 2
 
 
@@ -426,3 +429,85 @@ def test_http_extractor_rejects_source_filter(spark, ch_server):
             spark,
             source_filter="1=1",
         )
+
+
+def test_http_load_stale_bounds_lose_no_rows(spark, sf_dir, ch_server):
+    """Bounds STRIDE the range, they don't filter it (Spark-JDBC
+    semantics): a load() with bounds far narrower than the data must
+    still return every row — the edge slices are unbounded."""
+    port, _, _ = ch_server
+    ev = load_table(spark, sf_dir, "events")
+    df = _source(port).load(
+        spark,
+        "events",
+        partition_column="event_id",
+        lower_bound=100,
+        upper_bound=120,  # covers ~nothing; rows live far outside
+        num_partitions=4,
+    )
+    assert df.count() == ev.count()
+
+
+def test_http_extractor_table_column_ignores_connection_bounds(
+    spark, sf_dir, ch_server
+):
+    """Connection-level bounds belong to the CONNECTION's partition
+    column; when a per-table partitions_column resolves a DIFFERENT
+    column, the extractor must probe fresh MIN/MAX bounds for THAT
+    column instead of striding the wrong value range — and must never
+    lose rows either way."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, log, _ = ch_server
+    before = len(log)
+    ex = ClickHouseHttpExtractor(
+        _source(port),
+        partition_column="user_id",
+        lower_bound=1,
+        upper_bound=3,  # sane for user_id, nonsense for event_id
+        num_partitions=4,
+    )
+    t = TableConfig(
+        name="events",
+        replication_method="full",
+        partitions_column="event_id",
+        partitions_count=4,
+    )
+    res = ex.extract(t, spark)
+    assert res.df.count() == load_table(spark, sf_dir, "events").count()
+    new = log[before:]
+    # fresh probe on the TABLE's column, and slices stride event_id
+    assert any("MIN(event_id)" in q and "MAX(event_id)" in q for q in new)
+    slices = {q for q in new if "__t WHERE event_id" in q}
+    assert len(slices) == 4
+    # no slice strided the connection column
+    assert not any("__t WHERE user_id" in q for q in new)
+
+
+def test_http_extractor_datetime_iterate_fallback_degrades(
+    spark, sf_dir, ch_server
+):
+    """partitions_count with only a DATETIME iterate_column cannot
+    integer-stride: it must degrade to a single-slice fetch (full
+    rows back), never crash on int(datetime)."""
+    from mkpipe_extractor_clickhouse_spark.sources.ch_http import (
+        ClickHouseHttpExtractor,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.extract import TableConfig
+
+    port, log, _ = ch_server
+    before = len(log)
+    ex = ClickHouseHttpExtractor(_source(port))
+    t = TableConfig(
+        name="events",
+        replication_method="full",
+        iterate_column="ts",
+        iterate_column_type="datetime",
+        partitions_count=3,
+    )
+    res = ex.extract(t, spark)
+    assert res.df.count() == load_table(spark, sf_dir, "events").count()
+    assert not any("__t WHERE ts" in q for q in log[before:])

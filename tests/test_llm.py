@@ -551,3 +551,34 @@ def test_simhash_pairs_equal_bruteforce_hamming_join(spark, sf_dir):
     want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
     assert got == want
     assert got  # non-degenerate fixture: some near pairs exist
+
+
+def test_arrow_kernel_rejects_ragged_rows_summing_to_dim(spark):
+    """The zero-copy reshape guard must validate PER-ROW lengths, not
+    just the flat total: a batch of 3-dim and 5-dim vectors sums to
+    2*4 and would silently reshape misaligned (wrong cosines) under a
+    sum-only check. With per-row validation the kernel takes the
+    boxing fallback, which fails LOUDLY on genuinely ragged input —
+    never a silently wrong score."""
+    import pytest
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        arrow_topk_cosine,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, v array<float>",
+    ).coalesce(1)
+    with pytest.raises(Exception):
+        arrow_topk_cosine(ragged, [1.0, 0.0, 0.0, 0.0], k=2,
+                          exclude_id=None).collect()
+    # uniform rows of the query's dim still flow through zero-copy
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, v array<float>",
+    ).coalesce(1)
+    rows = arrow_topk_cosine(ok, [1.0, 0.0, 0.0, 0.0], k=2,
+                             exclude_id=None).collect()
+    assert [r.vec_id for r in rows] == [1, 2]
+    assert rows[0].cosine == 1.0

@@ -1181,3 +1181,30 @@ def test_bloom_geometry_survives_reader_config(spark, tmp_path):
     assert reader.bloom_might_contain({"bits": "zz", "k": 5}, 1)
     assert reader.bloom_might_contain({"bits": "", "k": 5}, 1)
     assert reader.bloom_might_contain(None, 1)
+
+
+def test_bloom_bits_round_to_whole_bytes(spark, tmp_path):
+    """A bloom_bits that isn't a multiple of 8 rounds UP to whole
+    bytes at construction: positions are computed mod bloom_bits and
+    the reader derives geometry as len(bits)*8, so a ragged size
+    would IndexError at commit (writer) or probe with the wrong
+    modulus (reader). Write + probe must work end-to-end."""
+    import pytest
+
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ManifestedTable,
+    )
+
+    mt = ManifestedTable(
+        str(tmp_path / "t"), bloom_cols=("k",), bloom_bits=4097,
+    )
+    assert mt.bloom_bits == 4104  # next multiple of 8
+    mt.commit_append(spark.range(0, 50).selectExpr("id AS k", "id AS v"))
+    mt.commit_append(spark.range(100, 150).selectExpr("id AS k", "id AS v"))
+    for probe in (0, 49, 100, 149):
+        df = mt.read_point(spark, "k", probe)
+        assert df is not None and df.count() == 1
+    kept, skipped = mt.prune_dirs_point("k", 120)
+    assert len(kept) == 1 and len(skipped) == 1
+    with pytest.raises(ValueError, match="bloom_bits"):
+        ManifestedTable(str(tmp_path / "t2"), bloom_bits=0)
