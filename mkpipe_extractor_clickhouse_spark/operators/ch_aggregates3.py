@@ -1935,3 +1935,160 @@ def j21_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+K_ANON = 8  # groups smaller than this are re-identification risks
+
+
+@register(
+    "dq10_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT MIN(cnt) AS k_anonymity,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risk_groups,
+           CAST(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_risk_rows,
+           CAST((CAST(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END)
+                      AS BIGINT) * 1000000
+                 // CAST(SUM(cnt) AS BIGINT)) / 10000.0 AS DOUBLE)
+             AS risk_pct
+    FROM g
+    """,
+    tags=("A2", "A3", "EXT", "dq", "privacy"),
+)
+def dq10_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier projection — the
+    privacy gate a dataset passes before release/training: every
+    (nationkey, mktsegment) equivalence class smaller than K_ANON rows
+    is a re-identification risk.  One hash aggregate to the class
+    relation, one ungrouped aggregate over O(classes) rows; the risk
+    percentage stays in integer arithmetic (ppm div) until the final
+    literal division, so the report is engine-exact.  At 100 TB the
+    class relation is the only shuffle and it is bounded by the QI
+    domain, not the row count."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    risk_rows = F.sum(
+        F.when(F.col("cnt") < K_ANON, F.col("cnt")).otherwise(F.lit(0))
+    )
+    return g.agg(
+        F.min("cnt").alias("k_anonymity"),
+        F.count("*").alias("n_groups"),
+        F.sum(
+            F.when(F.col("cnt") < K_ANON, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_risk_groups"),
+        risk_rows.alias("n_risk_rows"),
+        (
+            F.expr(
+                f"sum(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END) "
+                f"* 1000000 div sum(cnt)"
+            )
+            / 10_000.0
+        )
+        .cast("double")
+        .alias("risk_pct"),
+    )
+
+
+WINSOR_LO, WINSOR_HI = 10, 90  # percent bounds (integer → exact)
+
+
+@register(
+    "a28_winsorized_mean",
+    oracle=f"""
+    WITH per AS (
+      SELECT l_returnflag, {_Q.format(x='l_extendedprice')} AS vq,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY l_returnflag, vq
+    ),
+    cum AS (
+      SELECT l_returnflag, vq, c,
+             SUM(c) OVER (PARTITION BY l_returnflag ORDER BY vq) AS cc,
+             SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM per
+    ),
+    thr AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN cc * 100 >= {WINSOR_LO} * n THEN vq END) AS loq,
+             MIN(CASE WHEN cc * 100 >= {WINSOR_HI} * n THEN vq END) AS hiq,
+             MAX(n) AS n
+      FROM cum GROUP BY l_returnflag
+    )
+    SELECT per.l_returnflag,
+           CAST(thr.loq / 1000000.0 AS DOUBLE) AS p{WINSOR_LO},
+           CAST(thr.hiq / 1000000.0 AS DOUBLE) AS p{WINSOR_HI},
+           CAST(CAST(SUM(LEAST(GREATEST(per.vq, thr.loq), thr.hiq) * per.c)
+                     AS BIGINT) / 1000000.0 / MAX(thr.n) AS DOUBLE)
+             AS winsorized_mean,
+           CAST(MAX(thr.n) AS BIGINT) AS n
+    FROM per JOIN thr USING (l_returnflag)
+    GROUP BY per.l_returnflag, thr.loq, thr.hiq
+    ORDER BY per.l_returnflag
+    """,
+    tags=("A9", "A10", "EXT", "robust"),
+)
+def a28_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (robust location estimate): clamp values to the
+    exact type-1 [p10, p90] quantiles, then average.  Same mergeable
+    shape as ch_quantiles_disc — one hash agg collapses rows to
+    distinct quantized values, the window + threshold agg run over
+    O(distinct) — then the clamped sum re-uses the SAME distinct
+    relation (no second pass over raw rows).  All clamping and
+    summation is scaled-long integer; the only floats are two final
+    literal divisions (|Σ clamped| ≈ n·price·1e6 — fits int64 through
+    ~sf10 per flag; beyond that swap in dsum_decimal per
+    _determinism.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        "l_returnflag", _quantize("l_extendedprice").alias("vq")
+    ).agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy("vq")
+    cum = per.select(
+        "l_returnflag",
+        "vq",
+        "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cc"),
+        F.sum("c").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    thr = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cc") * 100 >= WINSOR_LO * F.col("n"), F.col("vq"))
+        ).alias("loq"),
+        F.min(
+            F.when(F.col("cc") * 100 >= WINSOR_HI * F.col("n"), F.col("vq"))
+        ).alias("hiq"),
+        F.max("n").alias("n"),
+    )
+    return (
+        per.join(F.broadcast(thr), "l_returnflag")
+        .groupBy("l_returnflag", "loq", "hiq")
+        .agg(
+            (
+                F.sum(
+                    F.least(F.greatest(F.col("vq"), F.col("loq")), F.col("hiq"))
+                    * F.col("c")
+                )
+                / 1_000_000.0
+                / F.max("n")
+            )
+            .cast("double")
+            .alias("winsorized_mean"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("loq") / 1_000_000.0).cast("double").alias(f"p{WINSOR_LO}"),
+            (F.col("hiq") / 1_000_000.0).cast("double").alias(f"p{WINSOR_HI}"),
+            "winsorized_mean",
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -54,6 +54,7 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.ch_analytics",
     "mkpipe_extractor_clickhouse_spark.operators.ch_sql_features",
     "mkpipe_extractor_clickhouse_spark.operators.llm_signals",
+    "mkpipe_extractor_clickhouse_spark.operators.llm_retrieval",
     "mkpipe_extractor_clickhouse_spark.operators.quality_gate",
     "mkpipe_extractor_clickhouse_spark.operators.llm_training",
     "mkpipe_extractor_clickhouse_spark.operators.multimodal",
