@@ -340,7 +340,8 @@ def time_point_interleaved(
 
 
 LLM_QUERIES = ("l1_exact_dedup", "l5_wordcount", "l12_token_count",
-               "l3_topk_cosine", "l4_distributed_topk")
+               "l3_topk_cosine", "l4_distributed_topk",
+               "l4b_shard_scan_topk")
 
 
 def build_llm_point(spark, rep: int) -> Path:
@@ -416,7 +417,19 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
         elif name == "l4_distributed_topk" and "l3_topk_cosine" in dfs:
             dfs[name] = dfs["l3_topk_cosine"]  # same kernel, one instance
         else:
+            # l4b_shard_scan_topk builds here too: its builder derives
+            # the (file, row_group) shard list from sf_dir directly —
+            # the pyarrow-in-task scan path with NO JVM row→Arrow
+            # bridge (the r6-documented floor of the mapInArrow
+            # kernel).
             dfs[name] = specs[name].builder(spark, sf_dir)
+            if name == "l4b_shard_scan_topk" and prove:
+                shard = sorted(tuple(r) for r in dfs[name].collect())
+                kern = sorted(
+                    tuple(r)
+                    for r in dfs["l4_distributed_topk"].collect()
+                )
+                checks["l4b_shard_eq_kernel"] = shard == kern
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
         con.execute(
@@ -426,7 +439,12 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
     duck_sql = {
         name: (
             L3_DUCK_NATIVE
-            if name in ("l3_topk_cosine", "l4_distributed_topk")
+            if name
+            in (
+                "l3_topk_cosine",
+                "l4_distributed_topk",
+                "l4b_shard_scan_topk",
+            )
             else specs[name].oracle
         )
         for name in LLM_QUERIES
