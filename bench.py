@@ -365,6 +365,26 @@ def main() -> None:
                     "spark_total": p["spark_total"],
                     "duckdb_total": p["duckdb_total"],
                     "ratio": p["ratio"],
+                    **(
+                        # best vector-kernel ratio at this point: the
+                        # faster of the mapInArrow bridge kernel (l4)
+                        # and the pyarrow shard-scan kernel (l4b) vs
+                        # DuckDB's native cosine
+                        {
+                            "vector_kernel_ratio": round(
+                                min(
+                                    p["spark"].get("l4b_shard_scan_topk", 1e9),
+                                    p["spark"]["l4_distributed_topk"],
+                                )
+                                / p["duckdb"]["l4_distributed_topk"],
+                                2,
+                            )
+                        }
+                        if "spark" in p
+                        and "l4_distributed_topk" in p.get("spark", {})
+                        and p.get("duckdb", {}).get("l4_distributed_topk")
+                        else {}
+                    ),
                 }
                 for p in su.get("llm", {}).get("points", [])
             ],

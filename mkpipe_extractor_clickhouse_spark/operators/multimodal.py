@@ -555,3 +555,134 @@ def m7_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Magic-byte signatures for the m8 sniffer (public file-format magic
+# numbers: PNG RFC 2083 §12.12, JPEG/JFIF SOI marker, RIFF/WAVE).
+MAGIC_HEADERS = (
+    ("89504e470d0a1a0a", "image/png"),
+    ("ffd8ff", "image/jpeg"),
+    ("52494646", "audio/wav"),  # 'RIFF'
+)
+_FMTS = tuple(f for _, f in MAGIC_HEADERS)
+
+SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("declared_format", T.StringType()),
+        T.StructField("sniffed_format", T.StringType()),
+    ]
+)
+
+
+def synthesize_typed_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-format binary fixture: each doc's payload
+    gets a REAL magic-byte header (PNG/JPEG/RIFF by doc_id mod 3)
+    prepended to its utf-8 bytes, and a DECLARED format in the
+    metadata struct that is deliberately wrong for doc_id % 10 == 0 —
+    the corrupted-upload / mislabeled-asset case a multimodal QA gate
+    exists to catch."""
+    d = load_table(spark, sf_dir, "documents")
+    true_idx = F.col("doc_id") % 3
+    decl_idx = (F.col("doc_id") % 3 + F.when(
+        F.col("doc_id") % 10 == 0, F.lit(1)
+    ).otherwise(F.lit(0))) % 3
+    def fmt_case(idx):
+        c = F.when(idx == 0, F.lit(_FMTS[0])).when(idx == 1, F.lit(_FMTS[1]))
+        return c.otherwise(F.lit(_FMTS[2]))
+    header = (
+        F.when(true_idx == 0, F.unhex(F.lit(MAGIC_HEADERS[0][0])))
+        .when(true_idx == 1, F.unhex(F.lit(MAGIC_HEADERS[1][0])))
+        .otherwise(F.unhex(F.lit(MAGIC_HEADERS[2][0])))
+    )
+    return d.select(
+        "doc_id",
+        F.concat(header, F.encode("text", "utf-8")).alias("blob"),
+        F.struct(
+            fmt_case(decl_idx).alias("format"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def sniff_formats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: classify each blob by its leading magic
+    bytes — the payload itself is the witness, independent of any
+    metadata. Prefix-compare only (blob[:8] per row); payloads are
+    never copied or decoded."""
+    magics = [(bytes.fromhex(h), f) for h, f in MAGIC_HEADERS]
+    for pdf in batches:
+        sniffed = []
+        for b in pdf["blob"]:
+            head = bytes(b[:8])
+            for m, f in magics:
+                if head.startswith(m):
+                    sniffed.append(f)
+                    break
+            else:
+                sniffed.append("unknown")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "declared_format": [m["format"] for m in pdf["meta"]],
+                "sniffed_format": sniffed,
+            }
+        )
+
+
+@register(
+    "m8_format_sniff",
+    # The oracle recomputes declared/sniffed from the SAME doc_id
+    # arithmetic the fixture builder uses (m1 precedent: the fixture
+    # formula is part of the contract); the Spark side actually
+    # pattern-matches the payload bytes.
+    oracle="""
+    WITH fmts(idx, fmt) AS (VALUES
+      (0, 'image/png'), (1, 'image/jpeg'), (2, 'audio/wav')),
+    rows_ AS (
+      SELECT d.doc_id,
+             fd.fmt AS declared_format,
+             ft.fmt AS sniffed_format
+      FROM documents d
+      JOIN fmts ft ON ft.idx = d.doc_id % 3
+      JOIN fmts fd ON fd.idx =
+        (d.doc_id % 3 + CASE WHEN d.doc_id % 10 = 0 THEN 1 ELSE 0 END) % 3
+    )
+    SELECT declared_format, sniffed_format,
+           declared_format = sniffed_format AS is_match,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM rows_
+    GROUP BY declared_format, sniffed_format
+    ORDER BY declared_format, sniffed_format
+    """,
+    tags=("EXT", "D3", "multimodal", "dq"),
+)
+def m8_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal QA gate: magic-byte sniffing of every payload versus
+    its DECLARED metadata format — mislabeled or corrupted assets
+    surface as (declared, sniffed) mismatch classes.  The sniffer is a
+    narrow mapInPandas over the blob column (first 8 bytes per row, no
+    decode, no shuffle of payload bytes); only the tiny classification
+    rows aggregate.  At 100 TB this is the cheapest possible pass over
+    a binary corpus: one scan, prefix-compare, fixed-width output."""
+    blobs = synthesize_typed_blobs(spark, sf_dir)
+    sn = blobs.mapInPandas(sniff_formats, schema=SNIFF_SCHEMA)
+    return (
+        sn.groupBy("declared_format", "sniffed_format")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .select(
+            "declared_format",
+            "sniffed_format",
+            (F.col("declared_format") == F.col("sniffed_format")).alias(
+                "is_match"
+            ),
+            "n_docs",
+            "min_doc_id",
+        )
+        .orderBy("declared_format", "sniffed_format")
+    )
