@@ -345,3 +345,105 @@ def g8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(LINKPRED_TOP)
     )
+
+
+@register(
+    "g9_modularity",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey <> b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT u AS v, u AS lab FROM e0),
+    {_lpa_iter_sql('l0', 'l1')},
+    {_lpa_iter_sql('l1', 'l2')},
+    {_lpa_iter_sql('l2', 'l3')},
+    twom AS (SELECT COUNT(*) AS m2 FROM e0),
+    deg AS (SELECT u AS v, COUNT(*) AS d FROM e0 GROUP BY u),
+    cdeg AS (
+      SELECT l.lab AS community, COUNT(*) AS size,
+             CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      FROM l3 l JOIN deg USING (v) GROUP BY l.lab
+    ),
+    cint AS (
+      SELECT lu.lab AS community, COUNT(*) AS internal_edges
+      FROM e0 e
+      JOIN l3 lu ON lu.v = e.u
+      JOIN l3 lv ON lv.v = e.v
+      WHERE lu.lab = lv.lab
+      GROUP BY lu.lab
+    )
+    SELECT cdeg.community, cdeg.size,
+           COALESCE(cint.internal_edges, 0) AS internal_edges,
+           cdeg.degree_sum,
+           CAST(CAST(COALESCE(cint.internal_edges, 0) * twom.m2
+                     - cdeg.degree_sum * cdeg.degree_sum AS BIGINT)
+                AS DOUBLE)
+             / CAST(twom.m2 * twom.m2 AS DOUBLE) AS q_contrib
+    FROM cdeg LEFT JOIN cint USING (community) CROSS JOIN twom
+    ORDER BY cdeg.size DESC, cdeg.community
+    """,
+    tags=("A2", "J1", "EXT", "graph"),
+)
+def g9_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition (Newman & Girvan 2004):
+    Q = Σ_c [e_c/2m − (deg_c/2m)²] over the directed-both-ways edge
+    list (2m = |E|).  The quality score every community-detection
+    pipeline reports next to its labels — g6 finds the partition, this
+    grades it.  Plan: the label table (one row per node) broadcasts
+    into the edge relation twice (endpoint labels), then two bounded
+    aggregates on community id; per-community numerators stay exact
+    BIGINT (e_c·2m − deg_c², |numerator| < 2^53 through ~50 M directed
+    edges — beyond that, decimal per _determinism.py) and the single
+    final division is one IEEE op in both engines."""
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges)
+    m2 = edges.agg(F.count("*").alias("m2"))
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed(
+        "u", "v"
+    )
+    cdeg = (
+        labels.join(deg, "v")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").alias("size"), F.sum("d").alias("degree_sum"))
+    )
+    lu = labels.select(F.col("v").alias("u"), F.col("lab").alias("lab_u"))
+    lv = labels.select("v", F.col("lab").alias("lab_v"))
+    cint = (
+        edges.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("community"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    return (
+        cdeg.join(cint, "community", "left")
+        .join(F.broadcast(m2))
+        .select(
+            "community",
+            "size",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            (
+                (
+                    F.coalesce("internal_edges", F.lit(0)) * F.col("m2")
+                    - F.col("degree_sum") * F.col("degree_sum")
+                ).cast("double")
+                / (F.col("m2") * F.col("m2")).cast("double")
+            ).alias("q_contrib"),
+        )
+        .orderBy(F.desc("size"), "community")
+    )

@@ -974,3 +974,87 @@ def l95_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs * 1000000 DIV SUM(n_docs) OVER (PARTITION BY phase)"
         ).alias("share_ppm"),
     ).orderBy("phase", "source")
+
+
+NEG_BATCHES = 8  # training micro-batches (hash-assigned)
+NEG_K = 3  # shared negatives per batch
+NEG_ANCHOR_MOD = 10  # doc_id % this == 0 → anchor
+
+
+@register(
+    "l99_inbatch_negatives",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {NEG_BATCHES} AS batch,
+             doc_id % {NEG_ANCHOR_MOD} = 0 AS is_anchor
+      FROM documents
+    ),
+    negs AS (
+      SELECT batch, doc_id AS neg_doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY batch
+               ORDER BY ('0x' || substr(md5('n' || CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT,
+                        doc_id
+             ) AS neg_rank
+      FROM docs WHERE NOT is_anchor
+    )
+    SELECT a.doc_id AS anchor_doc_id, a.batch,
+           CAST(n.neg_rank AS BIGINT) AS neg_rank, n.neg_doc_id
+    FROM docs a JOIN negs n USING (batch)
+    WHERE a.is_anchor AND n.neg_rank <= {NEG_K}
+    ORDER BY anchor_doc_id, neg_rank
+    """,
+    tags=("EXT", "W8", "training"),
+)
+def l99_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative sampling for contrastive training: docs are
+    hash-assigned to micro-batches (portable md5-affine idiom, same
+    family as l2b_portable/a16b), and every anchor in a batch shares
+    the batch's K pseudo-random negatives — the standard in-batch
+    scheme (each batch's negatives are computed ONCE and reused by all
+    its anchors), reproducible bit-for-bit across engines and runs.
+    Plan shape at 100 TB: one hash projection, one per-batch window
+    bounded at K rows (WindowGroupLimit), one equi-join on batch id —
+    no anchor×corpus cross join anywhere; negatives-per-anchor stays
+    O(K) regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = d.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % NEG_BATCHES
+        ).alias("batch"),
+        (F.col("doc_id") % NEG_ANCHOR_MOD == 0).alias("is_anchor"),
+    )
+    order_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("n"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("batch").orderBy(order_h, "doc_id")
+    negs = (
+        docs.filter(~F.col("is_anchor"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("batch", F.col("doc_id").alias("neg_doc_id"), "neg_rank")
+    )
+    return (
+        docs.filter("is_anchor")
+        .join(F.broadcast(negs), "batch")
+        .select(
+            F.col("doc_id").alias("anchor_doc_id"),
+            "batch",
+            "neg_rank",
+            "neg_doc_id",
+        )
+        .orderBy("anchor_doc_id", "neg_rank")
+    )
