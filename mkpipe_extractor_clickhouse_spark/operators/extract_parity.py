@@ -2367,3 +2367,84 @@ def x45_bloom_skip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_checksum"),
         F.lit(True).alias("dirs_skipped"),
     )
+
+
+@register(
+    "x46_http_stride_safety",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM({_Q.format(x='value')}) AS val_q,
+           TRUE AS probed_table_column,
+           TRUE AS edges_unbounded
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S5", "S2", "EXT", "http"),
+)
+def x46_http_stride_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE-EXECUTED stride-safety proof for the round-7 ADVICE fix:
+    the extractor is configured with connection-level bounds that are
+    (a) for a DIFFERENT column (user_id) and (b) far too narrow —
+    exactly the stale-config shape that silently lost rows before the
+    fix. The per-table config names event_id, so the extractor must
+    IGNORE the connection bounds, probe MIN/MAX(event_id) server-side,
+    and stride with UNBOUNDED outer edges (first slice `< hi OR IS
+    NULL`, last `>= lo` — Spark-JDBC semantics). The builder asserts
+    all three from the server's query log; the oracle hash then pins
+    zero rows lost or doubled against the plain full-table ANSI
+    result."""
+    from ..sources.ch_http import ClickHouseHttpExtractor, ClickHouseHttpSource
+    from ..sources.ch_http_stub import STUB_KEY, STUB_USER, start_stub
+    from ..sources.extract import TableConfig
+
+    server, port, log = start_stub(sf_dir)
+    atexit.register(server.shutdown)
+    src = ClickHouseHttpSource(
+        host="127.0.0.1", port=port, user=STUB_USER, password=STUB_KEY
+    )
+    ex = ClickHouseHttpExtractor(
+        src,
+        partition_column="user_id",  # connection config: WRONG column
+        lower_bound=1,
+        upper_bound=3,  # and absurdly narrow
+        num_partitions=4,
+    )
+    t = TableConfig(
+        name="events",
+        replication_method="full",
+        partitions_column="event_id",
+        partitions_count=4,
+    )
+    res = ex.extract(t, spark)
+    res.df.count()  # force the executor-side slice fetches
+    probed = any(
+        "MIN(event_id)" in q and "MAX(event_id)" in q for q in log
+    )
+    slices = {q for q in log if "__t WHERE event_id" in q}
+    unbounded_low = any("IS NULL" in q for q in slices)
+    unbounded_high = any(
+        ">=" in q and "AND" not in q.split("__t WHERE event_id", 1)[1]
+        for q in slices
+    )
+    wrong_col = any("__t WHERE user_id" in q for q in log)
+    if not probed or len(slices) != 4 or wrong_col:
+        raise RuntimeError(
+            f"stride-safety proof failed: probed={probed}, "
+            f"slices={len(slices)}, wrong_col_strided={wrong_col}"
+        )
+    if not (unbounded_low and unbounded_high):
+        raise RuntimeError(
+            "edge slices are not unbounded: "
+            f"low={unbounded_low}, high={unbounded_high}: {sorted(slices)}"
+        )
+    return (
+        res.df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(probed).alias("probed_table_column"),
+            F.lit(unbounded_low and unbounded_high).alias("edges_unbounded"),
+        )
+        .orderBy("event_type")
+    )
