@@ -2092,3 +2092,53 @@ def a28_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "ch_combinators_matrix",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 100) AS count_if,
+           CAST(SUM({_Q.format(x='value')})
+                FILTER (WHERE value > 100) AS BIGINT) AS sum_if_q,
+           COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END)
+             AS uniq_exact_if,
+           CAST(SUM({_Q.format(x='value')}) FILTER (WHERE value > 400)
+                AS BIGINT) AS sum_if_rare_or_null,
+           MAX(CASE WHEN value > 400 THEN user_id END)
+             AS max_if_rare_or_null
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("A2", "A3", "A7", "EXT", "dialect"),
+)
+def ch_combinators_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's aggregate COMBINATOR system in one relation:
+    ``countIf`` / ``sumIf`` (the -If combinator on any aggregate),
+    ``uniqExactIf`` (stacked -ExactIf), and the -OrNull combinator's
+    contract — an aggregate whose filtered input is EMPTY yields NULL,
+    not 0 (exercised by the value > 400 tail, empty for some groups).
+    Spark-first restatement: -If is a CASE/FILTER inside the agg (one
+    pass, no second scan), -OrNull falls out of Spark's native
+    null-on-empty SUM/MAX semantics; sums ride quantized longs so the
+    conditional totals hash across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hot = F.col("value") > 100
+    rare = F.col("value") > 400
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(hot, F.lit(1))).alias("count_if"),
+            F.sum(F.when(hot, _quantize("value"))).alias("sum_if_q"),
+            F.countDistinct(
+                F.when(hot, F.col("user_id"))
+            ).alias("uniq_exact_if"),
+            F.sum(F.when(rare, _quantize("value"))).alias(
+                "sum_if_rare_or_null"
+            ),
+            F.max(F.when(rare, F.col("user_id"))).alias(
+                "max_if_rare_or_null"
+            ),
+        )
+        .orderBy("event_type")
+    )
