@@ -597,3 +597,39 @@ def test_bucketed_join_has_no_exchange_or_sort(spark, sf_dir):
     )
     assert plan.count("Bucketed: true") == 2
     assert "SelectedBucketsCount: 16 out of 16" in plan
+
+
+def test_rrf_hybrid_bounded_before_fusion(spark, sf_dir):
+    """l97: both retriever sides must cut to top-N via
+    TakeOrderedAndProject BEFORE any single-partition window ranks
+    them — the fusion stage is constant-size at any corpus scale —
+    and the BM25 side's dimension joins broadcast."""
+    plan = plan_of("l97_rrf_hybrid", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # SortMergeJoin appears ONLY as the full-outer fusion of the two
+    # ≤N-row rank lists (full outer cannot broadcast) — both inputs
+    # sit above a TakeOrderedAndProject cut, so the exchange is
+    # constant-size; the corpus-sized joins all broadcast.
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_inbatch_negatives_window_bounded(spark, sf_dir):
+    """l99: the per-batch negative pick is a rank-limited window
+    (WindowGroupLimit pushes the k-cut below the exchange) and the
+    anchor join broadcasts the tiny negatives relation — no
+    anchor×corpus product anywhere."""
+    plan = plan_of("l99_inbatch_negatives", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_label_broadcast(spark, sf_dir):
+    """g9: endpoint-label attachment must broadcast the label table
+    into the edge relation (never shuffle the edges twice), and no
+    join degrades to a product."""
+    plan = plan_of("g9_modularity", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
