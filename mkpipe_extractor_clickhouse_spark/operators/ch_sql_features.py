@@ -163,8 +163,8 @@ def ch_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ch_moving_sum_array",
     oracle=f"""
     SELECT user_id,
-           LIST(CAST(msq / 1000000.0 AS DOUBLE) ORDER BY ts, event_id)
-             AS moving_sums
+           STRING_AGG(CAST(CAST(msq AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY ts, event_id) AS moving_sums
     FROM (
       SELECT user_id, ts, event_id,
              SUM({_Q.format(x='value')}) OVER (
@@ -177,13 +177,19 @@ def ch_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ch_moving_sum_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupArrayMovingSum(3)(value)`` per user: the
-    per-user *array* of trailing-3 moving sums in event order.  The
+    per-user sequence of trailing-3 moving sums in event order.  The
     moving-sum window and the final collect group on the SAME key, so
     Spark reuses one hash exchange on user_id for both — a single
     shuffle end-to-end (locked in tests/test_plans.py).  Addends are
-    quantized longs, so every array element is exact in both engines;
-    array order is forced by sorting (ts, event_id, msq) structs, never
-    left to collect order."""
+    quantized longs, so every element is exact in both engines; order
+    is forced by sorting (ts, event_id, msq) structs, never left to
+    collect order.  The sequence is emitted as a comma-joined string
+    of the quantized longs (value×1e6), NOT an array column: the round
+    driver canonicalizes results through a pandas multi-key sort,
+    which cannot factorize list cells (round-7 harness crash on this
+    query — ``TypeError: unhashable type: 'list'``); longs render
+    identically as text in both engines, so the string is still a
+    bit-exact, order-sensitive encoding of the full array."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -199,11 +205,14 @@ def ch_moving_sum_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "msq"))
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "msq"))
+                    ),
+                    lambda s: s["msq"].cast("string"),
                 ),
-                lambda s: (s["msq"] / 1_000_000.0).cast("double"),
+                ",",
             ).alias("moving_sums")
         )
     )
@@ -328,8 +337,8 @@ def ch_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ch_moving_avg_array",
     oracle=f"""
     SELECT user_id,
-           LIST(ROUND(CAST(msq AS DOUBLE) / 1000000.0 / cnt, 6)
-                ORDER BY ts, event_id) AS moving_avgs
+           STRING_AGG(CAST((CAST(msq AS BIGINT) * 6) // cnt AS VARCHAR),
+                      ',' ORDER BY ts, event_id) AS moving_avgs
     FROM (
       SELECT user_id, ts, event_id,
              SUM({_Q.format(x='value')}) OVER (
@@ -346,12 +355,17 @@ def ch_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ch_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``groupArrayMovingAvg(3)(value)`` — the moving-AVG
     companion of ch_moving_sum_array: per user, the 3-row trailing
-    mean at every event, gathered into the ordered array ClickHouse
-    returns. Numerator is the quantized moving sum (exact long),
-    denominator the same frame's COUNT (1-3 at the edges, like
-    ClickHouse's partial windows), so each element is one mirrored
-    IEEE division rounded once. One hash exchange serves the two
-    frame windows AND the final collect — single-shuffle plan."""
+    mean at every event, in the event order ClickHouse returns.
+    Numerator is the quantized moving sum (exact long), denominator
+    the same frame's COUNT (1-3 at the edges, like ClickHouse's
+    partial windows).  Each mean is emitted as the EXACT scaled long
+    ``msq*6/cnt`` — 6 is divisible by every frame size 1/2/3, so the
+    division is integer-exact and both engines render the identical
+    text — comma-joined into one string per user instead of an array
+    column (the round driver's pandas canonical sort cannot factorize
+    list cells; see ch_moving_sum_array).  One hash exchange serves
+    the two frame windows AND the final collect — single-shuffle
+    plan."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -365,15 +379,18 @@ def ch_moving_avg_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_quantize("value")).over(w).alias("msq"),
         F.count("*").over(w).alias("cnt"),
     )
-    elem = F.round(
-        F.col("msq").cast("double") / 1_000_000.0 / F.col("cnt"), 6
-    )
+    elem = F.expr("(msq * 6L) DIV cnt")
     return rows.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", elem.alias("v")))
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", elem.alias("v"))
+                    )
+                ),
+                lambda s: s["v"].cast("string"),
             ),
-            lambda s: s["v"],
+            ",",
         ).alias("moving_avgs")
     )
 

@@ -129,6 +129,8 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    from pyspark.sql import types as T
+
     from mkpipe_extractor_clickhouse_spark.session import get_spark
 
     spark = get_spark()
@@ -138,6 +140,26 @@ def main() -> int:
     for name, spec in registry._REGISTRY.items():
         if only and name not in only:
             continue
+        try:
+            sdf = spec.builder(spark, SF_DIR)
+            stypes = {f.name: spark_class(f.dataType) for f in sdf.schema.fields}
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK BUILD ERROR: {str(e)[:160]}")
+            bad += 1
+            continue
+        # Complex-typed OUTPUT columns are forbidden registry-wide
+        # (oracle and rows-only alike): the round driver canonicalizes
+        # results via a pandas multi-key sort, and list/dict cells are
+        # unhashable there (round-7 harness crash on the two
+        # ch_moving_*_array queries).  Serialize arrays to
+        # deterministic strings instead (a8_collect_list pattern).
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                print(
+                    f"{name}.{f.name}: COMPLEX OUTPUT TYPE "
+                    f"{f.dataType.simpleString()} (driver-unsortable)"
+                )
+                bad += 1
         if spec.oracle is None:
             continue
         sql = registry._normalized_oracle(name, spec.oracle)
@@ -146,13 +168,6 @@ def main() -> int:
             duck_types = {r[0]: duck_class(r[1]) for r in desc}
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE DESCRIBE ERROR: {str(e)[:160]}")
-            bad += 1
-            continue
-        try:
-            sdf = spec.builder(spark, SF_DIR)
-            stypes = {f.name: spark_class(f.dataType) for f in sdf.schema.fields}
-        except Exception as e:  # noqa: BLE001
-            print(f"{name}: SPARK BUILD ERROR: {str(e)[:160]}")
             bad += 1
             continue
         checked += 1

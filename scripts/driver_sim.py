@@ -209,6 +209,21 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir)
+            # The real driver canonicalizes via a pandas multi-key
+            # sort_values, which cannot factorize list/dict cells
+            # (round-7 crash on ch_moving_*_array) — forbid complex
+            # output types registry-wide, before any comparison.
+            from pyspark.sql import types as T
+
+            for fld in sdf.schema.fields:
+                assert not isinstance(
+                    fld.dataType, (T.ArrayType, T.MapType, T.StructType)
+                ), (
+                    f"{name}.{fld.name}: complex output type "
+                    f"{fld.dataType.simpleString()} — the round driver's "
+                    f"pandas sort crashes on list cells; serialize to a "
+                    f"string (a8_collect_list pattern)"
+                )
             if args.strict:
                 stab = sdf.toArrow()
                 scols = list(stab.column_names)
