@@ -366,19 +366,37 @@ def main() -> None:
                     "duckdb_total": p["duckdb_total"],
                     "ratio": p["ratio"],
                     **(
-                        # best vector-kernel ratio at this point: the
-                        # faster of the mapInArrow bridge kernel (l4)
-                        # and the pyarrow shard-scan kernel (l4b) vs
-                        # DuckDB's native cosine
+                        # per-kernel ratios vs DuckDB's native cosine,
+                        # plus the explicit best-of: l4 is the
+                        # mapInArrow bridge kernel, l4b the pyarrow
+                        # shard-scan kernel.  Named best_* so nobody
+                        # reads the min as a single kernel's steady
+                        # ratio (ADVICE r7).
                         {
-                            "vector_kernel_ratio": round(
+                            "l4_kernel_ratio": round(
+                                p["spark"]["l4_distributed_topk"]
+                                / p["duckdb"]["l4_distributed_topk"],
+                                2,
+                            ),
+                            **(
+                                {
+                                    "l4b_kernel_ratio": round(
+                                        p["spark"]["l4b_shard_scan_topk"]
+                                        / p["duckdb"]["l4_distributed_topk"],
+                                        2,
+                                    )
+                                }
+                                if "l4b_shard_scan_topk" in p["spark"]
+                                else {}
+                            ),
+                            "best_vector_kernel_ratio": round(
                                 min(
                                     p["spark"].get("l4b_shard_scan_topk", 1e9),
                                     p["spark"]["l4_distributed_topk"],
                                 )
                                 / p["duckdb"]["l4_distributed_topk"],
                                 2,
-                            )
+                            ),
                         }
                         if "spark" in p
                         and "l4_distributed_topk" in p.get("spark", {})

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 
@@ -2421,13 +2422,34 @@ def x46_http_stride_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = any(
         "MIN(event_id)" in q and "MAX(event_id)" in q for q in log
     )
-    slices = {q for q in log if "__t WHERE event_id" in q}
-    unbounded_low = any("IS NULL" in q for q in slices)
-    unbounded_high = any(
-        ">=" in q and "AND" not in q.split("__t WHERE event_id", 1)[1]
-        for q in slices
+    # Anchored regexes mirroring the builder's slice templates
+    # (sources/ch_http.py load(): `AS __t WHERE <col> ...  FORMAT`) —
+    # the earlier substring heuristics ('AND' not in the split tail)
+    # were proof-shaped but brittle against benign SQL-text changes
+    # (ADVICE r7).  Each slice's WHERE clause must match exactly one
+    # of the three stride shapes.
+    _clause = re.compile(r"AS __t WHERE event_id (.*?)\s+FORMAT", re.S)
+    _first = re.compile(r"^< \d+ OR event_id IS NULL$")
+    _last = re.compile(r"^>= \d+$")
+    _mid = re.compile(r"^>= \d+ AND event_id < \d+$")
+    clauses = [
+        m.group(1).strip() for q in log if (m := _clause.search(q))
+    ]
+    slices = set(clauses)
+    unbounded_low = any(_first.match(c) for c in clauses)
+    unbounded_high = any(_last.match(c) for c in clauses)
+    unmatched = [
+        c
+        for c in clauses
+        if not (_first.match(c) or _last.match(c) or _mid.match(c))
+    ]
+    if unmatched:
+        raise RuntimeError(
+            f"slice WHERE clauses outside the stride templates: {unmatched}"
+        )
+    wrong_col = any(
+        re.search(r"AS __t WHERE user_id\b", q) for q in log
     )
-    wrong_col = any("__t WHERE user_id" in q for q in log)
     if not probed or len(slices) != 4 or wrong_col:
         raise RuntimeError(
             f"stride-safety proof failed: probed={probed}, "

@@ -246,20 +246,26 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_shards(path: str) -> list[tuple[str, int]]:
     """(file, row_group) shard list for a parquet file or directory —
-    one metadata read per file (footers only, never row data)."""
+    one metadata read per file (footers only, never row data).
+
+    Walks the directory RECURSIVELY: a partitioned/nested layout (e.g.
+    Spark partitionBy output) with some top-level files would otherwise
+    silently scan a subset and return a wrong top-k (ADVICE r7).
+    ``_`` / ``.``-prefixed entries (_SUCCESS, _committed, hidden) are
+    skipped the way Spark's own file index skips them."""
     import os
 
     import pyarrow.parquet as pq
 
-    files = (
-        sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, dirs, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        if os.path.isdir(path)
-        else [path]
-    )
+    else:
+        files = [path]
     return [
         (f, rg)
         for f in files

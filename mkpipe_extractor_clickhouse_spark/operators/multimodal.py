@@ -559,10 +559,15 @@ def m7_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Magic-byte signatures for the m8 sniffer (public file-format magic
 # numbers: PNG RFC 2083 §12.12, JPEG/JFIF SOI marker, RIFF/WAVE).
+# RIFF is a CONTAINER magic — WebP and AVI share it — so the WAV
+# fixture header carries the full 12-byte 'RIFF'+size+'WAVE' preamble
+# (size field zeroed: sniffers key on the two tags, not the length)
+# and the sniffer requires bytes 8-12 == 'WAVE' before classifying as
+# audio/wav (ADVICE r7).
 MAGIC_HEADERS = (
     ("89504e470d0a1a0a", "image/png"),
     ("ffd8ff", "image/jpeg"),
-    ("52494646", "audio/wav"),  # 'RIFF'
+    ("524946460000000057415645", "audio/wav"),  # 'RIFF'....'WAVE'
 )
 _FMTS = tuple(f for _, f in MAGIC_HEADERS)
 
@@ -609,19 +614,30 @@ def synthesize_typed_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sniff_formats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: classify each blob by its leading magic
     bytes — the payload itself is the witness, independent of any
-    metadata. Prefix-compare only (blob[:8] per row); payloads are
-    never copied or decoded."""
-    magics = [(bytes.fromhex(h), f) for h, f in MAGIC_HEADERS]
+    metadata. Prefix-compare only (blob[:12] per row — 12 bytes so the
+    RIFF branch can verify the 'WAVE' form tag); payloads are never
+    copied or decoded."""
+    # PNG/JPEG are plain prefix magics; RIFF is a container shared by
+    # WebP/AVI, so audio/wav additionally requires the 'WAVE' form tag
+    # at bytes 8-12 (the size field at 4-8 is ignored, like file(1)).
+    magics = [
+        (bytes.fromhex(h), f)
+        for h, f in MAGIC_HEADERS
+        if f != "audio/wav"
+    ]
     for pdf in batches:
         sniffed = []
         for b in pdf["blob"]:
-            head = bytes(b[:8])
+            head = bytes(b[:12])
             for m, f in magics:
                 if head.startswith(m):
                     sniffed.append(f)
                     break
             else:
-                sniffed.append("unknown")
+                if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+                    sniffed.append("audio/wav")
+                else:
+                    sniffed.append("unknown")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
@@ -663,7 +679,7 @@ def m8_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal QA gate: magic-byte sniffing of every payload versus
     its DECLARED metadata format — mislabeled or corrupted assets
     surface as (declared, sniffed) mismatch classes.  The sniffer is a
-    narrow mapInPandas over the blob column (first 8 bytes per row, no
+    narrow mapInPandas over the blob column (first 12 bytes per row, no
     decode, no shuffle of payload bytes); only the tiny classification
     rows aggregate.  At 100 TB this is the cheapest possible pass over
     a binary corpus: one scan, prefix-compare, fixed-width output."""

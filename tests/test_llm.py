@@ -582,3 +582,55 @@ def test_arrow_kernel_rejects_ragged_rows_summing_to_dim(spark):
                              exclude_id=None).collect()
     assert [r.vec_id for r in rows] == [1, 2]
     assert rows[0].cosine == 1.0
+
+
+def test_sniffer_riff_requires_wave_tag():
+    """RIFF is a container magic shared by WebP/AVI: only a 'WAVE' form
+    tag at bytes 8-12 may classify as audio/wav (ADVICE r7); any other
+    RIFF payload is 'unknown', and truncated headers never crash."""
+    import pandas as pd
+
+    wav = b"RIFF\x00\x00\x00\x00WAVEdata..."
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 ..."
+    avi = b"RIFF\x00\x10\x00\x00AVI LIST"
+    short = b"RIFF\x00\x00"
+    png = bytes.fromhex("89504e470d0a1a0a") + b"rest"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "blob": [wav, webp, avi, short, png],
+            "meta": [{"format": "audio/wav"}] * 5,
+        }
+    )
+    (out,) = list(multimodal.sniff_formats(iter([pdf])))
+    assert list(out["sniffed_format"]) == [
+        "audio/wav", "unknown", "unknown", "unknown", "image/png",
+    ]
+
+
+def test_embedding_shards_walk_nested_dirs(tmp_path):
+    """A partitioned/nested parquet layout must contribute ALL its
+    row-groups to the shard list — a top-level-only listing would
+    silently scan a subset and return a wrong top-k (ADVICE r7).
+    Underscore/dot-prefixed sidecars are skipped like Spark's file
+    index does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        _embedding_shards,
+    )
+
+    t = pa.table({"x": [1, 2, 3]})
+    pq.write_table(t, tmp_path / "top.parquet")
+    sub = tmp_path / "part=a"
+    sub.mkdir()
+    pq.write_table(t, sub / "nested.parquet")
+    (tmp_path / "_SUCCESS").touch()
+    (tmp_path / "_metadata.parquet").write_bytes(b"")  # sidecar, skipped
+    shards = _embedding_shards(str(tmp_path))
+    files = {f for f, _ in shards}
+    assert files == {
+        str(tmp_path / "top.parquet"),
+        str(sub / "nested.parquet"),
+    }
