@@ -919,3 +919,55 @@ def f21_point_in_polygon_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         custom_query_dialect="clickhouse",
     )
     return ParquetExtractor(sf_dir).extract(table, spark).df
+
+
+@register(
+    "f24_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing')
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_path,
+           CAST(SUM(CASE WHEN json_type(json(props)) = 'OBJECT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_objects
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("F7", "F8", "EXT"),
+)
+def f24_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of the semi-structured ``props``
+    payload: ``parse_json`` builds the binary variant once per row,
+    ``variant_get`` extracts a typed field, ``try_variant_get`` probes
+    a missing path (NULL, never an error), and ``schema_of_variant``
+    classifies the value shape — the open-schema path a lake pipeline
+    uses when event payloads evolve faster than the table schema.
+    The oracle restates every extraction with DuckDB's JSON functions
+    over the same strings, so a hash match proves the variant decode
+    is value-identical to a JSON-text decode.  Plan: all variant
+    expressions are scan-side (no UDF, codegen'd), one hash aggregate
+    on event_type — the payload column itself never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    rows = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+    return rows.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+            "n_missing_path"
+        ),
+        F.sum(
+            F.when(F.col("vschema").startswith("OBJECT"), 1).otherwise(0)
+        ).alias("n_objects"),
+    )

@@ -2142,3 +2142,93 @@ def ch_combinators_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq11_rater_agreement",
+    oracle="""
+    WITH rated AS (
+      SELECT n_chars >= 250 AS a,
+             LEN(STRING_SPLIT(text, ' ')) >= 45 AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+             SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+             SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00,
+           CAST(1000000 * (n11 + n00) // n AS BIGINT) AS po_ppm,
+           CAST(((n11 + n10) * (n11 + n01)
+                 + (n01 + n00) * (n10 + n00)) * 1000000 // (n * n)
+                AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN n * n = (n11 + n10) * (n11 + n01)
+                                  + (n01 + n00) * (n10 + n00) THEN 1000000
+                WHEN n * (n11 + n00) >= (n11 + n10) * (n11 + n01)
+                                        + (n01 + n00) * (n10 + n00)
+                THEN 1000000 * (n * (n11 + n00)
+                                - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)))
+                     // (n * n - ((n11 + n10) * (n11 + n01)
+                                  + (n01 + n00) * (n10 + n00)))
+                ELSE -(1000000 * (((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00))
+                                  - n * (n11 + n00))
+                       // (n * n - ((n11 + n10) * (n11 + n01)
+                                    + (n01 + n00) * (n10 + n00))))
+                END AS BIGINT) AS kappa_ppm
+    FROM cells
+    """,
+    tags=("A7", "EXT", "dq"),
+)
+def dq11_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two deterministic
+    document-quality gates — the audit a labeling/curation pipeline
+    runs before trusting a cheap heuristic rater against a reference
+    rater.  Rater A passes docs with ≥250 chars, rater B docs with ≥45
+    whitespace tokens; kappa = (p_o − p_e)/(1 − p_e) is computed
+    ENTIRELY in scaled-long integer arithmetic from the 2×2 confusion
+    counts (sign-magnitude division so floor/// and trunc/DIV agree),
+    so both engines emit the identical ppm values — no float anywhere.
+    Plan: one map-side conditional-count aggregate over the scan — a
+    single-row exchange regardless of corpus size.  Long arithmetic
+    holds to n ≈ 3e6 rows (10⁶·n² < 2⁶³); beyond that the same
+    expression runs in decimal(38,0) — noted rather than silently
+    widened, since the fixture never approaches it."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 250).alias("a"),
+        (F.size(F.split("text", " ")) >= 45).alias("b"),
+    )
+    cells = d.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0)).alias("n00"),
+    )
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("1000000L * (n11 + n00) DIV n").alias("po_ppm"),
+        F.expr(f"{pe_num} * 1000000L DIV (n * n)").alias("pe_ppm"),
+        F.expr(
+            f"CASE WHEN n * n = {pe_num} THEN 1000000L"
+            f" WHEN n * (n11 + n00) >= {pe_num}"
+            f" THEN 1000000L * (n * (n11 + n00) - {pe_num})"
+            f"      DIV (n * n - {pe_num})"
+            f" ELSE -(1000000L * ({pe_num} - n * (n11 + n00))"
+            f"        DIV (n * n - {pe_num}))"
+            f" END"
+        ).alias("kappa_ppm"),
+    )

@@ -421,3 +421,45 @@ def ch_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.when(F.col("event_type").isNull(), 1).otherwise(0).alias("is_totals"),
     )
+
+
+@register(
+    "ch_resample_combinator",
+    oracle=f"""
+    SELECT event_type,
+           CAST(100 + 200 * ((event_id % 1000 - 100) // 200) AS BIGINT)
+             AS bucket_lo,
+           COUNT(*) AS n,
+           {DSUM.format(x='value')} AS sum_value
+    FROM events
+    WHERE event_id % 1000 >= 100 AND event_id % 1000 < 900
+    GROUP BY event_type, bucket_lo
+    """,
+    tags=("A2", "EXT", "dialect"),
+)
+def ch_resample_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-Resample`` combinator —
+    ``sumResample(100, 900, 200)(value, event_id % 1000)`` with a
+    parallel ``countResample``: aggregates are computed independently
+    for fixed-width subintervals of a resampling key, and key values
+    outside ``[start, end)`` are EXCLUDED (the combinator's contract,
+    public ClickHouse docs).  ClickHouse returns one array per group
+    with an element per subinterval; restated relationally as one row
+    per (group, bucket) — the x36 arrayJoin precedent, and the shape a
+    driver-side pandas sort can actually canonicalize.  The plan is a
+    single hash aggregate on (event_type, bucket): the bucket id is a
+    scan-side integer expression, the out-of-range filter pushes into
+    the parquet scan, and value sums are quantized longs — exact in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("event_id") % 1000
+    return (
+        ev.filter((key >= 100) & (key < 900))
+        .groupBy(
+            "event_type",
+            (100 + 200 * ((key - 100).cast("long") / 200).cast("long"))
+            .cast("long")
+            .alias("bucket_lo"),
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )

@@ -1058,3 +1058,132 @@ def l99_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_doc_id", "neg_rank")
     )
+
+
+@register(
+    "l100_padding_waste",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    batched AS (
+      SELECT source, tok,
+             (ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY doc_id) - 1) // 32
+               AS batch_arrival,
+             (ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY tok DESC, doc_id) - 1) // 32
+               AS batch_sorted
+      FROM toks
+    ),
+    wa AS (
+      SELECT source, SUM(pad) AS waste_arrival
+      FROM (
+        SELECT source, COUNT(*) * MAX(tok) - SUM(tok) AS pad
+        FROM batched GROUP BY source, batch_arrival
+      ) GROUP BY source
+    ),
+    ws AS (
+      SELECT source, SUM(pad) AS waste_sorted
+      FROM (
+        SELECT source, COUNT(*) * MAX(tok) - SUM(tok) AS pad
+        FROM batched GROUP BY source, batch_sorted
+      ) GROUP BY source
+    ),
+    tot AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(tok) AS tokens_total
+      FROM toks GROUP BY source
+    )
+    SELECT t.source,
+           t.n_docs,
+           CAST(t.tokens_total AS BIGINT) AS tokens_total,
+           CAST(wa.waste_arrival AS BIGINT) AS waste_arrival,
+           CAST(ws.waste_sorted AS BIGINT) AS waste_sorted,
+           CAST(CASE WHEN wa.waste_arrival <= 0 THEN 0
+                WHEN ws.waste_sorted <= wa.waste_arrival
+                THEN 1000000 * (wa.waste_arrival - ws.waste_sorted)
+                     // wa.waste_arrival
+                ELSE -(1000000 * (ws.waste_sorted - wa.waste_arrival)
+                       // wa.waste_arrival)
+                END AS BIGINT) AS saving_ppm
+    FROM tot t JOIN wa USING (source) JOIN ws USING (source)
+    """,
+    tags=("EXT", "W1", "training"),
+)
+def l100_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching padding audit — the token bill a trainer pays
+    for batch shape.  Fixed-size batches of 32 docs are formed two
+    ways per source: ARRIVAL order (doc_id) and LENGTH-SORTED order
+    (the standard dynamic-batching trick); each batch pads every doc
+    to the batch max, so its waste is ``count·max(tok) − Σtok``, and
+    the per-source saving of sorting over arrival order is reported in
+    exact ppm.  Plan: one exchange on source serves BOTH row_number
+    windows (same partition key, two sort orders), the per-batch and
+    per-source aggregates reuse that partitioning, and the final
+    three-way join is over the ~25-row source relation.  All integer
+    arithmetic end-to-end — no float in the metric.  At 100 TB the
+    shape holds: everything keys on source; a skewed giant source
+    salts the window by a doc_id prefix the same way z1/z2 do."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    wA = Window.partitionBy("source").orderBy("doc_id")
+    wS = Window.partitionBy("source").orderBy(F.desc("tok"), "doc_id")
+    batched = d.select(
+        "source",
+        "tok",
+        ((F.row_number().over(wA) - 1) / 32).cast("long").alias("ba"),
+        ((F.row_number().over(wS) - 1) / 32).cast("long").alias("bs"),
+    )
+
+    def _waste(frame: DataFrame, batch_col: str, out: str) -> DataFrame:
+        return (
+            frame.groupBy("source", batch_col)
+            .agg(
+                (F.count("*") * F.max("tok") - F.sum("tok")).alias("pad")
+            )
+            .groupBy("source")
+            .agg(F.sum("pad").cast("long").alias(out))
+        )
+
+    tot = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("long").alias("tokens_total"),
+    )
+    wa = _waste(batched, "ba", "waste_arrival")
+    ws = _waste(batched, "bs", "waste_sorted")
+    return (
+        tot.join(wa, "source")
+        .join(ws, "source")
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            "waste_arrival",
+            "waste_sorted",
+            # sign-magnitude integer division: floor (DuckDB //) and
+            # truncate (Spark DIV) agree on non-negative operands, so
+            # a sorted-batching regression (negative saving) can never
+            # skew the two engines by one ppm
+            F.when(F.col("waste_arrival") <= 0, F.lit(0))
+            .when(
+                F.col("waste_sorted") <= F.col("waste_arrival"),
+                F.expr(
+                    "1000000L * (waste_arrival - waste_sorted)"
+                    " DIV waste_arrival"
+                ),
+            )
+            .otherwise(
+                -F.expr(
+                    "1000000L * (waste_sorted - waste_arrival)"
+                    " DIV waste_arrival"
+                )
+            )
+            .cast("long")
+            .alias("saving_ppm"),
+        )
+    )

@@ -337,3 +337,44 @@ def sq7_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey
         """
     )
+
+
+@register(
+    "sq8_pipe_syntax",
+    oracle=f"""
+    SELECT cohort, n, sum_value
+    FROM (
+      SELECT user_id % 100 AS cohort,
+             COUNT(*) AS n,
+             {DSUM.format(x='value')} AS sum_value
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id % 100
+    )
+    WHERE n >= 20
+    """,
+    tags=("SQ", "EXT", "dialect"),
+)
+def sq8_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL *pipe syntax* (``|>``) — the linear query form
+    (FROM → WHERE → EXTEND → AGGREGATE → WHERE) that reads in
+    execution order instead of inside-out nesting; ClickHouse users
+    coming from chained subqueries map onto it directly.  Semantically
+    identical to the nested ANSI form the oracle runs: pipe operators
+    desugar to the same logical plan, so Catalyst still pushes the
+    event_type filter into the scan and plans ONE hash aggregate on
+    the cohort key — pipes change the authoring surface, never the
+    physical plan.  Sum is quantized-long (SPARK_DSUM ≡ DSUM), exact
+    in both engines."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        f"""
+        FROM events
+        |> WHERE event_type IN ('click', 'purchase')
+        |> EXTEND user_id % 100 AS cohort
+        |> AGGREGATE COUNT(*) AS n,
+                     {SPARK_DSUM.format(x='value')} AS sum_value
+           GROUP BY cohort
+        |> WHERE n >= 20
+        """
+    )

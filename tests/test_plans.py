@@ -633,3 +633,55 @@ def test_modularity_label_broadcast(spark, sf_dir):
     plan = plan_of("g9_modularity", spark, sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_resample_filter_pushed_single_agg(spark, sf_dir):
+    """ch_resample_combinator: the [start,end) range filter evaluates
+    scan-side (no post-shuffle Filter over the aggregate) and the
+    bucketed aggregate is ONE exchange on (event_type, bucket)."""
+    plan = plan_of("ch_resample_combinator", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_padding_waste_shared_window_exchange(spark, sf_dir):
+    """l100: both batching windows partition on source, so the two
+    row_number sorts share ONE source-hash exchange; the per-source
+    joins at the end are over the ~25-row source relation and must
+    broadcast, never sort-merge the corpus."""
+    plan = plan_of("l100_padding_waste", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    # one exchange for the shared window partitioning + at most the
+    # tiny per-source aggregate exchanges; the corpus shuffles once
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in plan
+
+
+def test_rater_agreement_single_row_agg(spark, sf_dir):
+    """dq11: a global 2x2 confusion count is a partial-agg plan — the
+    only exchange is the single-row final aggregate."""
+    plan = plan_of("dq11_rater_agreement", spark, sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+
+
+def test_variant_extraction_no_udf(spark, sf_dir):
+    """f24: variant parse/extract stays JVM-side — no Python eval node
+    in the plan; one hash aggregate on event_type."""
+    plan = plan_of("f24_variant_json", spark, sf_dir)
+    assert "PythonUDF" not in plan
+    assert "BatchEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
+
+
+def test_pipe_syntax_same_plan_as_nested(spark, sf_dir):
+    """sq8: pipe operators are authoring sugar — the plan must show
+    the pushed event_type filter and a single aggregate exchange,
+    exactly like the nested ANSI form."""
+    plan = plan_of("sq8_pipe_syntax", spark, sf_dir)
+    assert "PushedFilters" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 1
