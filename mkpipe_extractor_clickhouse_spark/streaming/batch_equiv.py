@@ -687,3 +687,66 @@ def t16_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"final table has {out.count()} rows, source has {total}"
         )
     return out.withColumn("resumed_incrementally", F.lit(True))
+
+
+@register(
+    "t17_multisource_watermark",
+    oracle="""
+    WITH bounds AS (
+      SELECT LEAST(
+               MAX(CASE WHEN event_type IN ('click', 'view')
+                        THEN ts END),
+               MAX(CASE WHEN event_type NOT IN ('click', 'view')
+                        THEN ts END)
+             ) - INTERVAL 1 HOUR AS wm
+      FROM events
+    )
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN event_type NOT IN ('click', 'view')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           COUNT(*) AS n
+    FROM events, bounds
+    WHERE DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= bounds.wm
+    GROUP BY DATE_TRUNC('hour', ts)
+    """,
+    tags=("T1", "T2", "T6", "EXT", "streaming"),
+)
+def t17_multisource_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two independently-watermarked sources, batch
+    semantics: the click/view feed (source a) and the
+    purchase/signup/error feed (source b) land in one tumbling-hour
+    table, and a window is FINAL only when the global watermark —
+    ``min(max_ts_a, max_ts_b) − delay``, Structured Streaming's
+    multipleWatermarkPolicy=min — has passed its end.  The slowest
+    source governs: windows one source has long passed stay open
+    while the other source lags, which is exactly what the append
+    stream emits (runtime.multisource_tumbling; executed parity in
+    tests/test_streaming.py::test_multisource_min_watermark_governs).
+    Shapes: one scan computes both per-source maxima (conditional
+    agg, single row, broadcast); the row-level cutoff filter runs
+    scan-side after the broadcast join, so only rows of closed
+    windows reach the aggregate exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    is_a = F.col("event_type").isin("click", "view")
+    bounds = ev.agg(
+        (
+            F.least(
+                F.max(F.when(is_a, F.col("ts"))),
+                F.max(F.when(~is_a, F.col("ts"))),
+            )
+            - F.expr("INTERVAL 1 HOUR")
+        ).alias("wm")
+    )
+    hour = F.date_trunc("hour", "ts")
+    return (
+        ev.join(F.broadcast(bounds))
+        .filter(hour + F.expr("INTERVAL 1 HOUR") <= F.col("wm"))
+        .groupBy(hour.alias("window_start"))
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+            F.count("*").alias("n"),
+        )
+    )

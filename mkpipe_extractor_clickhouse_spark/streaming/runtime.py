@@ -324,3 +324,49 @@ def rollup_sink(
     )
     q.awaitTermination()
     return rollup
+
+
+def multisource_tumbling(
+    stream_a: DataFrame,
+    stream_b: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T1+T2 over a UNION of independently-watermarked sources — the
+    multi-stream ingestion shape (two topics / two landing zones
+    feeding one table).  Each leg declares its own event-time
+    watermark BEFORE the union; Structured Streaming then advances the
+    query's global watermark with the MINIMUM across legs (default
+    ``spark.sql.streaming.multipleWatermarkPolicy=min``), so a window
+    finalizes only when the SLOWEST source has passed it — the
+    property that makes the union safe against one lagging source
+    silently losing its late rows.  Per-source counts ride along so
+    the governance is observable in the output."""
+    def leg(s: DataFrame, tag: str) -> DataFrame:
+        # same LTZ boundary cast as tumbling_counts: watermarks reject
+        # TIMESTAMP_NTZ event time; session TZ is UTC so it's identity
+        return (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .withColumn("src", F.lit(tag))
+        )
+
+    return (
+        leg(stream_a, "a")
+        .unionByName(leg(stream_b, "b"))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.sum(F.when(F.col("src") == "a", 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("src") == "b", 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n_a",
+            "n_b",
+            "n",
+        )
+    )

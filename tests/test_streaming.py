@@ -491,3 +491,77 @@ def test_session_eviction_append_matches_t14(spark, sf_dir, staged, tmp_path):
         .count()
     )
     assert len(want) < total
+
+
+def test_multisource_min_watermark_governs(spark, tmp_path):
+    """T17: two unioned streams, each with its own watermark — the
+    query's global watermark is the MIN across sources (default
+    multipleWatermarkPolicy), so windows the fast source has long
+    passed stay open while the slow source lags.  Source A advances
+    to 23:00, source B only to 12:30; with a 1-hour delay the global
+    watermark is 11:30, so exactly the 10:00 window (end 11:00) is
+    final — A's own watermark alone would have finalized everything
+    up to 22:00."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_s", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stage(dirname, batches):
+        d = str(tmp_path / dirname)
+        os.makedirs(d, exist_ok=True)
+        for i, rows in enumerate(batches):
+            (
+                spark.createDataFrame(rows, schema)
+                .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+                .drop("ts_s")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, f"chunk_{i:03d}"))
+            )
+        return d
+
+    a_rows1 = [
+        (i, f"2024-01-01 10:{i:02d}:00", 1, "click", 1.0, "{}")
+        for i in range(4)
+    ]
+    a_rows2 = [
+        (50, "2024-01-01 12:10:00", 1, "view", 1.0, "{}"),
+        (51, "2024-01-01 23:00:00", 1, "click", 1.0, "{}"),
+    ]
+    b_rows1 = [(100, "2024-01-01 10:05:00", 2, "purchase", 1.0, "{}")]
+    b_rows2 = [(101, "2024-01-01 12:30:00", 2, "signup", 1.0, "{}")]
+    # trailing chunks so the advanced watermark gets one more batch to
+    # flush finalized windows (propagation lags a batch)
+    a_rows3 = [(52, "2024-01-01 23:10:00", 1, "click", 1.0, "{}")]
+    b_rows3 = [(102, "2024-01-01 12:31:00", 2, "error", 1.0, "{}")]
+
+    stage_a = stage("src_a", [a_rows1, a_rows2, a_rows3])
+    stage_b = stage("src_b", [b_rows1, b_rows2, b_rows3])
+    sa = runtime.read_event_stream(spark, stage_a)
+    sb = runtime.read_event_stream(spark, stage_b)
+    agg = runtime.multisource_tumbling(sa, sb, watermark="1 hour")
+    runtime.run_available_now(
+        agg, "t17_out", "append", str(tmp_path / "ckpt")
+    )
+    got = {
+        str(r.window_start): (r.n_a, r.n_b, r.n)
+        for r in spark.sql("SELECT * FROM t17_out").collect()
+    }
+    # 10:00 window: closed under the GLOBAL (min) watermark 11:30/11:31
+    assert got.get("2024-01-01 10:00:00") == (4, 1, 5)
+    # 12:00 window: A's watermark (22:00+) passed it long ago, but B's
+    # (11:30) has not — min policy keeps it OPEN, nothing emitted
+    assert "2024-01-01 12:00:00" not in got
+    assert "2024-01-01 23:00:00" not in got
+    assert set(got) == {"2024-01-01 10:00:00"}
