@@ -971,3 +971,61 @@ def f24_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("vschema").startswith("OBJECT"), 1).otherwise(0)
         ).alias("n_objects"),
     )
+
+
+@register(
+    "f23_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 3 = 0
+                  THEN UPPER(SUBSTR(event_type, 1, 1))
+                       || SUBSTR(event_type, 2)
+                  WHEN event_id % 3 = 1 THEN UPPER(event_type)
+                  ELSE event_type END AS label
+      FROM events
+    )
+    SELECT LOWER(label) AS label_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT label) AS n_spellings
+    FROM mixed
+    GROUP BY LOWER(label)
+    """,
+    tags=("F1", "A2", "EXT"),
+)
+def f23_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION-aware grouping: the mixed-case label column
+    (Initcap/UPPER/lower spellings synthesized per row) groups under
+    the ``UTF8_LCASE`` collation, so 'Click', 'CLICK' and 'click' are
+    ONE group without rewriting the expression as lower() — the
+    engine-level case-insensitive semantics ClickHouse exposes via
+    *CaseInsensitive function variants.  The emitted key is
+    canonicalized with lower() and cast back to the default collation
+    (a collated group's representative value is first-seen —
+    nondeterministic across partitions — so the raw key must never be
+    output).  The spelling count audits how many case variants each
+    group absorbed.  Plan: one hash aggregate; the collation compares
+    in the grouping hash itself, no extra projection pass."""
+    ev = load_table(spark, sf_dir, "events")
+    label = (
+        F.when(
+            F.col("event_id") % 3 == 0, F.initcap("event_type")
+        )
+        .when(F.col("event_id") % 3 == 1, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("label")
+    )
+    return (
+        ev.select(label)
+        .groupBy(F.collate("label", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            # distinct over the ORIGINAL (UTF8_BINARY) column — the
+            # collated alias can't be referenced inside an aggregate
+            F.count_distinct(F.col("label")).alias("n_spellings"),
+        )
+        .select(
+            F.lower("k").cast("string").alias("label_ci"),
+            "n",
+            "n_spellings",
+        )
+    )

@@ -959,3 +959,87 @@ def q29_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q30_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(DATE_TRUNC('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort_month,
+             (EXTRACT(YEAR FROM o.o_orderdate) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate))
+             - (EXTRACT(YEAR FROM f.cohort_month) * 12
+                + EXTRACT(MONTH FROM f.cohort_month)) AS month_index,
+             COUNT(DISTINCT o.o_custkey) AS n_active,
+             SUM({_Q.format(x='o.o_totalprice')}) AS rev_q
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(month_index AS BIGINT) AS month_index,
+           n_active,
+           CAST(rev_q / 1000000.0 AS DOUBLE) AS revenue,
+           CAST(SUM(rev_q) OVER (
+                  PARTITION BY cohort_month ORDER BY month_index
+                  ROWS UNBOUNDED PRECEDING) / 1000000.0 AS DOUBLE)
+             AS cum_revenue
+    FROM monthly
+    """,
+    tags=("A2", "W5", "J1", "EXT"),
+)
+def q30_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by the month
+    of their FIRST order; each cohort's revenue tracked by months
+    since acquisition, with the cumulative LTV running total — the
+    retention-economics view every subscription/commerce warehouse
+    derives from its orders table.  Shapes: the firsts relation is a
+    per-customer min (one exchange on custkey), rejoined to orders on
+    the SAME key so the join reuses that partitioning; the monthly
+    rollup keys on (cohort, index) — thousands of cells regardless of
+    order count — and the cumulative window runs over that tiny
+    relation.  Revenue sums are quantized longs end-to-end; the
+    cumulative divide happens once at the end, so curve points are
+    bit-identical in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        _quantize("o_totalprice").alias("pq"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("om"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("om").alias("cohort_month")
+    )
+    midx = (
+        F.year("om") * 12
+        + F.month("om")
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("long")
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort_month"), midx.alias("month_index")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("pq").alias("rev_q"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cohort_month",
+        "month_index",
+        "n_active",
+        (F.col("rev_q") / 1_000_000.0).cast("double").alias("revenue"),
+        (F.sum("rev_q").over(w) / 1_000_000.0)
+        .cast("double")
+        .alias("cum_revenue"),
+    )

@@ -2470,3 +2470,94 @@ def x46_http_stride_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x47_branch_refs",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           CAST(SUM({_Q.format(x='value')}) AS BIGINT) AS val_q,
+           TRUE AS branch_isolated,
+           TRUE AS tag_immutable,
+           TRUE AS ff_applied,
+           TRUE AS divergence_refused
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-08'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("S7", "S8", "EXT", "manifest"),
+)
+def x47_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED branch/tag ref lifecycle over the manifest table
+    (Iceberg-style named refs: sources/manifest.py): fork a dev
+    branch at the production snapshot, land two batches on it while
+    the main ref stays pinned (write-audit-publish / WAP), tag the
+    audited snapshot immutably, FAST-FORWARD main onto the audited
+    dev tip, then prove a diverged fast-forward REFUSES instead of
+    silently merging.  Every governance fact is asserted in-process
+    (a violation raises, failing the query) and rides the result as a
+    constant column so the driver hash pins it; the surviving main
+    read must be bit-identical to the source-derived oracle.  Refs
+    are generation-file CAS pointers — no lock, no daemon — so the
+    whole protocol is safe under concurrent writers (raced in
+    tests/test_manifest.py)."""
+    from ..sources.manifest import CommitConflict, ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x47_refs_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    n_by_day = {
+        r["day"].isoformat(): r["n"]
+        for r in ev.groupBy("day").agg(F.count("*").alias("n")).collect()
+    }
+
+    def upto(d: str) -> int:
+        return sum(n for k, n in n_by_day.items() if k <= d)
+
+    mt = ManifestedTable(os.path.join(workdir, "events"))
+    mt.commit_overwrite(ev.filter(F.col("day") <= F.lit("2024-01-05")))
+    mt.branch_create("main")
+    mt.branch_create("dev")
+    mt.commit_append_on("dev", ev.filter(F.col("day") == F.lit("2024-01-06")))
+    mt.commit_append_on("dev", ev.filter(F.col("day") == F.lit("2024-01-07")))
+    isolated = (
+        mt.read_ref(spark, "main").count() == upto("2024-01-05")
+        and mt.read_ref(spark, "dev").count() == upto("2024-01-07")
+    )
+    if not isolated:
+        raise RuntimeError("branch isolation violated")
+    mt.branch_create("audit-0105", version=mt.branch_head("main"), kind="tag")
+    try:
+        mt.commit_append_on("audit-0105", ev.limit(1))
+        raise RuntimeError("tag accepted a write")
+    except CommitConflict:
+        tag_immutable = True
+    mt.fast_forward("main", "dev")
+    ff_applied = mt.read_ref(spark, "main").count() == upto("2024-01-07")
+    if not ff_applied:
+        raise RuntimeError("fast-forward did not apply")
+    mt.commit_append_on("main", ev.filter(F.col("day") == F.lit("2024-01-08")))
+    mt.commit_append_on("dev", ev.filter(F.col("day") == F.lit("2024-01-09")))
+    try:
+        mt.fast_forward("main", "dev")
+        raise RuntimeError("diverged fast-forward merged silently")
+    except CommitConflict:
+        divergence_refused = True
+    if mt.read_ref(spark, "audit-0105").count() != upto("2024-01-05"):
+        raise RuntimeError("tag snapshot drifted")
+    return (
+        mt.read_ref(spark, "main")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(isolated).alias("branch_isolated"),
+            F.lit(tag_immutable).alias("tag_immutable"),
+            F.lit(ff_applied).alias("ff_applied"),
+            F.lit(divergence_refused).alias("divergence_refused"),
+        )
+        .orderBy("day")
+    )

@@ -383,6 +383,171 @@ class ManifestedTable:
             except CommitConflict:
                 continue
 
+    # ---- named refs: branches and tags ------------------------------
+    #
+    # Iceberg-style refs over the SAME linear, CAS-published version
+    # log: a ref is a named pointer into the log, stored as a
+    # monotonic chain of generation files
+    # (_manifest/refs/<name>/g%06d.json) so updating a ref is the same
+    # atomic-exclusive os.link CAS the manifest publish uses — two
+    # racers on one branch collide on the generation name, never
+    # overwrite.  Branch commits merge their dirs against the BRANCH
+    # tip (not the table head) and record {ref, ref_base} in meta, so
+    # each branch is an isolated snapshot chain while version numbers
+    # stay globally unique (no renumbering, time travel unchanged).
+    # With refs in play, a versionless read() is the LOG TAIL — the
+    # newest snapshot regardless of which ref produced it (an audit /
+    # debugging view); governed readers address a ref via read_ref.  A
+    # publish that loses the ref CAS leaves a dangling version — the
+    # same orphan a failed optimistic commit leaves in Iceberg; it is
+    # never reachable from any ref and vacuum may reclaim its batch.
+
+    def _ref_dir(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self.table_dir, _MANIFEST_DIR, "refs", name)
+
+    def _ref_tip(self, name: str) -> tuple[int, dict]:
+        """(generation, ref record) of a ref's current tip."""
+        rd = self._ref_dir(name)
+        try:
+            gens = sorted(
+                int(fn[1:-5])
+                for fn in os.listdir(rd)
+                if fn.startswith("g") and fn.endswith(".json")
+            )
+        except FileNotFoundError:
+            raise KeyError(f"no such ref: {name}") from None
+        if not gens:
+            raise KeyError(f"no such ref: {name}")
+        with open(os.path.join(rd, f"g{gens[-1]:06d}.json")) as f:
+            return gens[-1], json.load(f)
+
+    def _ref_set(
+        self, name: str, version: int, expect_gen: int, kind: str
+    ) -> None:
+        """CAS the ref from generation ``expect_gen`` to a new record;
+        a concurrent update collides on the generation filename."""
+        rd = self._ref_dir(name)
+        tmp = os.path.join(rd, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": version, "kind": kind}, f)
+        target = os.path.join(rd, f"g{expect_gen + 1:06d}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflict(
+                f"ref {name} advanced past generation {expect_gen}"
+            )
+        finally:
+            os.unlink(tmp)
+
+    def branch_create(
+        self, name: str, version: int | None = None, kind: str = "branch"
+    ) -> int:
+        """Create a branch (mutable) or tag (immutable) pointing at a
+        snapshot (default: current head). Exclusive: creating an
+        existing ref raises."""
+        if kind not in ("branch", "tag"):
+            raise ValueError(f"kind must be branch|tag, got {kind!r}")
+        v = self.head_version() if version is None else version
+        if v > 0:
+            self.manifest(v)  # validates the snapshot exists
+        rd = self._ref_dir(name)
+        os.makedirs(rd, exist_ok=True)
+        if any(fn.endswith(".json") for fn in os.listdir(rd)):
+            raise CommitConflict(f"ref {name} already exists")
+        self._ref_set(name, v, expect_gen=0, kind=kind)
+        return v
+
+    def refs(self) -> dict[str, int]:
+        """All refs → tip version."""
+        root = os.path.join(self.table_dir, _MANIFEST_DIR, "refs")
+        out: dict[str, int] = {}
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                try:
+                    out[name] = self._ref_tip(name)[1]["version"]
+                except (KeyError, ValueError):
+                    continue
+        return out
+
+    def branch_head(self, name: str) -> int:
+        return self._ref_tip(name)[1]["version"]
+
+    def commit_append_on(
+        self, name: str, df: DataFrame, meta: dict | None = None
+    ) -> int:
+        """Append to a BRANCH: dirs merge against the branch tip (not
+        the table head), the new snapshot records its ref lineage, and
+        the ref advances by CAS — losing either race retries with the
+        staged batch reused, exactly like commit_append."""
+        batch = self.stage_batch(df)
+        new_stats = self._compute_stats(batch)
+        new_bloom = self._compute_bloom(batch)
+        while True:
+            gen, rec = self._ref_tip(name)
+            if rec["kind"] != "branch":
+                raise CommitConflict(f"ref {name} is a tag (immutable)")
+            base = self.manifest(rec["version"])
+            dirs = base["dirs"] + [batch]
+            stats = {**base.get("stats", {}), batch: new_stats}
+            bloom = {**base.get("bloom", {}), batch: new_bloom}
+            while True:
+                try:
+                    v = self._publish(
+                        dirs,
+                        "append",
+                        {**(meta or {}), "ref": name,
+                         "ref_base": rec["version"]},
+                        stats=stats,
+                        bloom=bloom,
+                    )
+                    break
+                except CommitConflict:
+                    continue  # linear version name taken; renumber
+            try:
+                self._ref_set(name, v, expect_gen=gen, kind="branch")
+                return v
+            except CommitConflict:
+                continue  # branch tip moved: re-merge against it
+
+    def _ref_chain_contains(self, tip: int, ancestor: int) -> bool:
+        """Walk a snapshot's branch lineage (ref_base for branch
+        commits, parent otherwise) back to ``ancestor``."""
+        v = tip
+        while v > ancestor:
+            m = self.manifest(v)
+            v = (
+                m["meta"]["ref_base"]
+                if m.get("meta", {}).get("ref") is not None
+                else m.get("parent", 0)
+            )
+        return v == ancestor
+
+    def fast_forward(self, dst: str, src: str) -> int:
+        """Advance ref ``dst`` to ``src``'s tip iff dst's tip is an
+        ancestor of src's branch chain — the merge that needs no merge.
+        Diverged refs raise (a real merge is commit_append_on +
+        reconciliation, deliberately explicit)."""
+        dgen, drec = self._ref_tip(dst)
+        if drec["kind"] != "branch":
+            raise CommitConflict(f"ref {dst} is a tag (immutable)")
+        sv = self.branch_head(src)
+        if sv == drec["version"]:
+            return sv
+        if not self._ref_chain_contains(sv, drec["version"]):
+            raise CommitConflict(
+                f"refs diverged: {dst}@{drec['version']} is not an "
+                f"ancestor of {src}@{sv}"
+            )
+        self._ref_set(dst, sv, expect_gen=dgen, kind="branch")
+        return sv
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Snapshot read at a ref's tip."""
+        return self.read(spark, version=self.branch_head(name))
+
     # ---- reads -----------------------------------------------------
 
     def read(

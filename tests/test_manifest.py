@@ -1208,3 +1208,84 @@ def test_bloom_bits_round_to_whole_bytes(spark, tmp_path):
     assert len(kept) == 1 and len(skipped) == 1
     with pytest.raises(ValueError, match="bloom_bits"):
         ManifestedTable(str(tmp_path / "t2"), bloom_bits=0)
+
+
+# ---- named refs: branches and tags ---------------------------------
+
+
+def test_branch_isolation_and_fast_forward(spark, mt):
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        CommitConflict,
+    )
+
+    mt.commit_append(spark.range(5))
+    v2 = mt.commit_append(spark.range(3))
+    mt.branch_create("main")          # ref at head (v2)
+    mt.branch_create("dev")           # forked at the same snapshot
+    mt.commit_append_on("dev", spark.range(10))
+    mt.commit_append_on("dev", spark.range(100, 102))
+    # isolation: dev sees its chain, main still sees only v2
+    assert mt.read_ref(spark, "dev").count() == 5 + 3 + 10 + 2
+    assert mt.read_ref(spark, "main").count() == 8
+    assert mt.read(spark, version=v2).count() == 8  # time travel intact
+    # fast-forward: main's tip is an ancestor of dev's chain
+    tip = mt.fast_forward("main", "dev")
+    assert mt.branch_head("main") == tip == mt.branch_head("dev")
+    assert mt.read_ref(spark, "main").count() == 20
+    # idempotent when equal
+    assert mt.fast_forward("main", "dev") == tip
+    # divergence: both advance independently → FF must refuse
+    mt.commit_append_on("main", spark.range(1))
+    mt.commit_append_on("dev", spark.range(1))
+    with pytest.raises(CommitConflict):
+        mt.fast_forward("main", "dev")
+
+
+def test_tag_immutable_and_ref_cas(spark, mt):
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        CommitConflict,
+    )
+
+    v1 = mt.commit_append(spark.range(4))
+    mt.branch_create("release-1", version=v1, kind="tag")
+    assert mt.refs() == {"release-1": v1}
+    with pytest.raises(CommitConflict):
+        mt.commit_append_on("release-1", spark.range(1))
+    mt.branch_create("b")
+    with pytest.raises(CommitConflict):
+        mt.fast_forward("release-1", "b")
+    # exclusive creation
+    with pytest.raises(CommitConflict):
+        mt.branch_create("b")
+    # a tag pins its snapshot through later overwrites of the head
+    mt.commit_overwrite(spark.range(99))
+    assert mt.read_ref(spark, "release-1").count() == 4
+
+
+def test_branch_concurrent_appends_lose_no_commit(spark, mt):
+    """Two writers race on ONE branch: the generation-file CAS makes
+    the loser re-merge against the winner's tip — both batches land,
+    like the linear-log equivalent test."""
+    import threading
+
+    mt.commit_append(spark.range(2))
+    mt.branch_create("dev")
+    errs = []
+
+    def w(lo):
+        try:
+            mt.commit_append_on("dev", spark.range(lo, lo + 5))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(lo,)) for lo in (10, 20)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert mt.read_ref(spark, "dev").count() == 2 + 5 + 5
+    # versionless read() is the LOG TAIL (audit view): the newest
+    # snapshot is the winning branch commit, so it sees both batches
+    # too — governed readers address a ref, never the bare head
+    assert mt.read(spark).count() == 12
