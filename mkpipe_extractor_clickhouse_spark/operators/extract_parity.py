@@ -2638,3 +2638,90 @@ def x48_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "x49_ttl_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                     <= DATE '2024-01-09'
+                THEN 1 ELSE COUNT(*) END AS n_rows,
+           CAST(SUM({_Q.format(x='value')}) AS BIGINT) AS val_q,
+           TRUE AS old_groups_collapsed,
+           TRUE AS sums_preserved
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-14'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("S7", "A2", "EXT", "manifest"),
+)
+def x49_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED ClickHouse ``TTL ... GROUP BY`` (rollup TTL, public
+    MergeTree docs): rows older than the cutoff COLLAPSE to one
+    aggregate row per (day, event_type) — value summed, identifying
+    columns taken deterministically (min/max) — while recent rows
+    keep full granularity and untouched batch dirs carry over by
+    name.  The builder asserts every expired group collapsed to
+    exactly one row and that per-group value sums survived the
+    rollup bit-exactly (sums quantize to longs before aggregating,
+    so re-quantizing the collapsed double reproduces the original
+    long).  The oracle restates the post-rollup table straight from
+    the source: 1 row per old group, raw counts for recent days,
+    identical quantized sums either way."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x49_ttlg_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    ).filter(F.col("day") <= F.lit("2024-01-14"))
+    mt = ManifestedTable(
+        os.path.join(workdir, "events"), stats_cols=("ts",)
+    )
+    mt.commit_overwrite(ev.filter(F.col("day") <= F.lit("2024-01-07")))
+    mt.commit_append(
+        ev.filter(F.col("day").between("2024-01-08", "2024-01-11"))
+    )
+    mt.commit_append(
+        ev.filter(F.col("day").between("2024-01-12", "2024-01-14"))
+    )
+    import datetime as _dt
+
+    cutoff = _dt.datetime(2024, 1, 10)
+
+    def rollup(expired: DataFrame) -> DataFrame:
+        return expired.groupBy("day", "event_type").agg(
+            F.min("event_id").alias("event_id"),
+            F.max("ts").alias("ts"),
+            F.min("user_id").alias("user_id"),
+            (F.sum(_quantize_local("value")) / 1_000_000.0)
+            .cast("double")
+            .alias("value"),
+            F.min("props").alias("props"),
+        )
+
+    summary = mt.apply_ttl_rollup(spark, "ts", cutoff, rollup)
+    if len(summary["kept"]) != 1 or summary["rolled_dir"] is None:
+        raise RuntimeError(f"unexpected classification: {summary}")
+    post = mt.read(spark)
+    bad = (
+        post.filter(F.col("day") <= F.lit("2024-01-09"))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") != 1)
+        .count()
+    )
+    if bad:
+        raise RuntimeError(f"{bad} expired groups did not collapse to 1 row")
+    return (
+        post.groupBy("day", "event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(True).alias("old_groups_collapsed"),
+            F.lit(True).alias("sums_preserved"),
+        )
+        .orderBy("day", "event_type")
+    )

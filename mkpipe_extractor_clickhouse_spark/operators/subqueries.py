@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
-from ..operators._determinism import DSUM, SPARK_DSUM, dsum
+from ..operators._determinism import _QS, DSUM, SPARK_DSUM, dsum
 from ..registry import register
 
 
@@ -376,5 +376,63 @@ def sq8_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                      {SPARK_DSUM.format(x='value')} AS sum_value
            GROUP BY cohort
         |> WHERE n >= 20
+        """
+    )
+
+
+@register(
+    "sq9_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, 0 AS depth, c_acctbal
+      FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, chain.depth + 1, c.c_acctbal
+      FROM customer c JOIN chain ON c.c_custkey // 2 = chain.node
+      WHERE c.c_custkey > 1
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_key,
+           CAST(MAX(node) AS BIGINT) AS max_key,
+           {DSUM.format(x='c_acctbal')} AS level_acctbal
+    FROM chain
+    GROUP BY depth
+    """,
+    tags=("SQ", "EXT", "dialect"),
+)
+def sq9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``WITH RECURSIVE`` — a true iterative-fixpoint query in
+    pure SQL: customers form an implicit referral tree (each key's
+    parent is ``key DIV 2``), and the recursion walks every level from
+    the root, aggregating headcount and balances per depth — the org
+    chart / bill-of-materials shape a non-recursive engine needs
+    application-side loops for (g7's unrolled BFS is exactly that
+    restatement; this is the engine-native form).  Recursion depth is
+    ⌈log₂(max key)⌉ (~14-17 at fixture scales), and each iteration is
+    ONE equi-join of the customer relation against the previous
+    frontier — the same bounded-iteration shape as the g-family, now
+    planned by Catalyst's UnionLoop.  Balance sums are quantized longs
+    (DuckDB runs the identical recursive SQL), so every level's
+    aggregate is bit-exact across engines."""
+    register_views(spark, sf_dir, ["customer"])
+    q = _QS.format(x="c_acctbal")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, 0 AS depth, c_acctbal
+          FROM customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, chain.depth + 1, c.c_acctbal
+          FROM customer c JOIN chain ON c.c_custkey DIV 2 = chain.node
+          WHERE c.c_custkey > 1
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(node) AS BIGINT) AS min_key,
+               CAST(MAX(node) AS BIGINT) AS max_key,
+               CAST(SUM({q}) / 1000000.0 AS DOUBLE) AS level_acctbal
+        FROM chain
+        GROUP BY depth
         """
     )

@@ -622,6 +622,84 @@ class ManifestedTable:
                 "kept": sorted(kept),
             }
 
+    def apply_ttl_rollup(
+        self, spark: SparkSession, col: str, cutoff, agg_builder
+    ) -> dict:
+        """ClickHouse ``TTL ... GROUP BY`` (rollup TTL): rows older
+        than the cutoff are not deleted but COLLAPSED — ``agg_builder``
+        maps the expired rows to their aggregate replacement (same
+        schema, e.g. one row per (day, type) with value summed), which
+        is staged as one batch alongside the surviving recent rows.
+        Zone maps classify dirs exactly like apply_ttl: dirs entirely
+        past the cutoff carry over by name; whole-expired and
+        straddling dirs contribute their old rows to ONE global
+        aggregation (stronger than ClickHouse's per-part rollup — no
+        partial groups survive).  Publish is parent-pinned with staged
+        work reused on conflict."""
+        from pyspark.sql import functions as F
+
+        cut_key = _json_safe(cutoff)
+        staged: dict[tuple[str, ...], tuple[str | None, list[str]]] = {}
+        while True:
+            m = self.manifest()
+            stats = m.get("stats", {})
+            old_side, kept = [], []
+            for d in m["dirs"]:
+                rng = stats.get(d, {}).get(col)
+                if rng is not None and rng[0] >= cut_key:
+                    kept.append(d)
+                else:
+                    old_side.append(d)  # expired or straddling or no stats
+            key = tuple(sorted(old_side))
+            if key not in staged:
+                new_dirs_for_old: list[str] = []
+                rolled_dir: str | None = None
+                if old_side:
+                    paths = [
+                        os.path.join(self.table_dir, d) for d in old_side
+                    ]
+                    src = spark.read.option("mergeSchema", "true").parquet(
+                        *paths
+                    )
+                    survivors = src.filter(F.col(col) >= F.lit(cutoff))
+                    if not survivors.isEmpty():
+                        new_dirs_for_old.append(self.stage_batch(survivors))
+                    rolled = agg_builder(
+                        src.filter(F.col(col) < F.lit(cutoff))
+                    )
+                    if not rolled.isEmpty():
+                        rolled_dir = self.stage_batch(rolled)
+                staged[key] = (rolled_dir, new_dirs_for_old)
+            rolled_dir, survivor_dirs = staged[key]
+            new_dirs = list(kept) + list(survivor_dirs)
+            if rolled_dir is not None:
+                new_dirs.append(rolled_dir)
+            new_stats = {d: stats[d] for d in kept if d in stats}
+            new_bloom = {
+                d: b for d, b in m.get("bloom", {}).items() if d in kept
+            }
+            for d in new_dirs:
+                if d not in new_stats and d not in kept:
+                    new_stats[d] = self._compute_stats(d)
+                    new_bloom[d] = self._compute_bloom(d)
+            try:
+                v = self._publish(
+                    new_dirs,
+                    "ttl_rollup",
+                    {"col": col, "cutoff": _json_safe(cutoff)},
+                    parent=m["version"],
+                    stats=new_stats,
+                    bloom=new_bloom,
+                )
+            except CommitConflict:
+                continue
+            return {
+                "version": v,
+                "collapsed_dirs": sorted(old_side),
+                "rolled_dir": rolled_dir,
+                "kept": sorted(kept),
+            }
+
     # ---- reads -----------------------------------------------------
 
     def read(

@@ -1314,3 +1314,33 @@ def test_ttl_three_way_classification(spark, tmp_path):
     s2 = t.apply_ttl(spark, "event_id", 1000)
     assert t.read(spark) is None or t.read(spark).count() == 0
     assert not s2["kept"] and not s2["rewritten"] or True
+
+
+def test_ttl_rollup_collapses_and_preserves_sums(spark, tmp_path):
+    """apply_ttl_rollup: expired rows collapse through the caller's
+    aggregate while survivors (including the straddler's recent half)
+    keep row granularity; group sums are preserved exactly."""
+    t = ManifestedTable(str(tmp_path / "ev"), stats_cols=("k",))
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    t.commit_overwrite(df.filter("k < 10"))
+    t.commit_append(df.filter("k >= 10 AND k < 20"))
+    t.commit_append(df.filter("k >= 20"))
+
+    def roll(old):
+        return old.groupBy("g").agg(
+            F.min("k").alias("k"), F.sum("v").alias("v")
+        )
+
+    s = t.apply_ttl_rollup(spark, "k", 15, roll)
+    assert len(s["kept"]) == 1 and s["rolled_dir"]
+    post = t.read(spark)
+    # 3 collapsed rows (one per g) + 15 surviving raw rows
+    assert post.count() == 3 + 15
+    # total v preserved: every original row contributed exactly once
+    assert post.agg(F.sum("v")).first()[0] == 30
+    collapsed = post.filter("k < 15")
+    assert collapsed.count() == 3
+    assert {r.g for r in collapsed.collect()} == {0, 1, 2}
