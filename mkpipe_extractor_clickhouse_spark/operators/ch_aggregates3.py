@@ -2232,3 +2232,111 @@ def dq11_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END"
         ).alias("kappa_ppm"),
     )
+
+
+@register(
+    "dq12_sequence_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, event_id,
+             LAG(event_id) OVER (
+               PARTITION BY event_type ORDER BY event_id) AS prev_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, event_id - prev_id - 1 AS gap
+      FROM seq WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_ids,
+           CAST(MIN(e.event_id) AS BIGINT) AS min_id,
+           CAST(MAX(e.event_id) AS BIGINT) AS max_id,
+           CAST(COALESCE(g.n_gaps, 0) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(g.missing_total, 0) AS BIGINT) AS missing_total,
+           CAST(COALESCE(g.max_gap, 0) AS BIGINT) AS max_gap
+    FROM events e
+    LEFT JOIN (
+      SELECT event_type, COUNT(*) AS n_gaps,
+             SUM(gap) AS missing_total, MAX(gap) AS max_gap
+      FROM gaps GROUP BY event_type
+    ) g USING (event_type)
+    GROUP BY e.event_type, g.n_gaps, g.missing_total, g.max_gap
+    """,
+    tags=("W3", "EXT", "dq"),
+)
+def dq12_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit of a keyed export feed: for each
+    event_type's id stream, how many gaps, how many ids missing in
+    total, and the largest hole — the reconciliation a consumer runs
+    against a producer's monotonically-assigned ids before trusting a
+    feed.  SCALE-FIRST restatement of the naive global LAG: ids
+    partition into 10k-wide buckets, so every within-bucket gap is
+    found by a window sorted INSIDE its (type, bucket) partition —
+    thousands of small parallel sorts, never one global order-by —
+    and cross-bucket holes fall out of a second lag over the tiny
+    per-bucket min/max relation (|buckets| ≈ n/10⁴ rows), which also
+    catches WHOLLY-MISSING buckets since consecutive bucket summaries
+    are adjacent in the lag.  Both gap families merge in one final
+    per-type aggregate; everything is exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id"
+    )
+    b = (F.col("event_id") / 10_000).cast("long").alias("b")
+    rows = ev.select("event_type", "event_id", b)
+    w_in = Window.partitionBy("event_type", "b").orderBy("event_id")
+    in_gaps = (
+        rows.withColumn("prev_id", F.lag("event_id").over(w_in))
+        .filter(
+            F.col("prev_id").isNotNull()
+            & (F.col("event_id") - F.col("prev_id") > 1)
+        )
+        .select(
+            "event_type",
+            (F.col("event_id") - F.col("prev_id") - 1).alias("gap"),
+        )
+    )
+    bounds = rows.groupBy("event_type", "b").agg(
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    w_b = Window.partitionBy("event_type").orderBy("b")
+    cross_gaps = (
+        bounds.withColumn("prev_hi", F.lag("hi").over(w_b))
+        .filter(
+            F.col("prev_hi").isNotNull()
+            & (F.col("lo") - F.col("prev_hi") > 1)
+        )
+        .select(
+            "event_type",
+            (F.col("lo") - F.col("prev_hi") - 1).alias("gap"),
+        )
+    )
+    gap_stats = (
+        in_gaps.unionByName(cross_gaps)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap").alias("missing_total"),
+            F.max("gap").alias("max_gap"),
+        )
+    )
+    totals = bounds.groupBy("event_type").agg(
+        F.sum("n").alias("n_ids"),
+        F.min("lo").alias("min_id"),
+        F.max("hi").alias("max_id"),
+    )
+    return (
+        totals.join(gap_stats, "event_type", "left")
+        .select(
+            "event_type",
+            "n_ids",
+            "min_id",
+            "max_id",
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            F.coalesce("missing_total", F.lit(0))
+            .cast("long")
+            .alias("missing_total"),
+            F.coalesce("max_gap", F.lit(0)).cast("long").alias("max_gap"),
+        )
+    )

@@ -2725,3 +2725,85 @@ def x49_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "x50_constraint_enforcement",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM({_Q.format(x='value')}) AS BIGINT) AS val_q,
+           TRUE AS bad_batch_refused,
+           TRUE AS staged_files_swept,
+           TRUE AS head_unchanged
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S7", "S8", "EXT", "manifest", "dq"),
+)
+def x50_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED write-side CHECK constraints (the Delta/Iceberg
+    table-constraint model, enforced at OUR manifest's staging choke
+    point): a clean events load commits, then a corrupted batch —
+    NULLed ids and out-of-domain values — must be REFUSED before any
+    manifest lists it, leaving the head version untouched and no
+    orphaned batch directory behind (reject-and-sweep, not
+    reject-and-leak).  NULL predicate results count as violations: a
+    constraint must prove itself per row, matching the SQL-standard
+    CHECK treatment Delta implements.  The surviving table must then
+    hash-match the source-derived oracle exactly — enforcement cost
+    is one validating scan of the staged files per commit, zero cost
+    at read time."""
+    from ..sources.manifest import ConstraintViolation, ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x50_check_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    mt = ManifestedTable(
+        os.path.join(workdir, "events"),
+        check_constraints=(
+            "event_id IS NOT NULL",
+            "value >= -1000000",
+            "event_type IS NOT NULL",
+        ),
+    )
+    mt.commit_overwrite(ev)
+    head = mt.head_version()
+    n_dirs = len(mt.manifest()["dirs"])
+    corrupted = ev.limit(100).withColumn(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("event_id")
+        ),
+    )
+    try:
+        mt.commit_append(corrupted)
+        raise RuntimeError("constraint violation was not refused")
+    except ConstraintViolation:
+        refused = True
+    head_unchanged = (
+        mt.head_version() == head and len(mt.manifest()["dirs"]) == n_dirs
+    )
+    if not head_unchanged:
+        raise RuntimeError("rejected batch still changed the table")
+    live = set(mt.manifest()["dirs"])
+    on_disk = {
+        d
+        for d in os.listdir(mt.table_dir)
+        if d.startswith("batch-")
+    }
+    swept = on_disk == live
+    if not swept:
+        raise RuntimeError(f"orphaned staged dirs leaked: {on_disk - live}")
+    return (
+        mt.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.lit(refused).alias("bad_batch_refused"),
+            F.lit(swept).alias("staged_files_swept"),
+            F.lit(head_unchanged).alias("head_unchanged"),
+        )
+        .orderBy("event_type")
+    )

@@ -57,6 +57,11 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first; retry from head."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A staged batch broke a table CHECK constraint; nothing was
+    published and the staged files were removed."""
+
+
 def _json_safe(v):
     """min/max values → JSON-storable, order-preserving encodings.
     Timestamps become ISO-8601 strings (lexicographic order == time
@@ -74,8 +79,14 @@ class ManifestedTable:
         bloom_cols: tuple[str, ...] = (),
         bloom_bits: int = 4096,
         bloom_hashes: int = 5,
+        check_constraints: tuple[str, ...] = (),
     ):
         self.table_dir = table_dir
+        # Delta-style CHECK constraints: SQL boolean expressions every
+        # row of every staged batch must satisfy (NULL counts as a
+        # violation — a constraint must PROVE itself). Enforced in
+        # stage_batch, the choke point all write paths share.
+        self.check_constraints = tuple(check_constraints)
         # Columns whose per-batch min/max land in the manifest (zone
         # maps): commits compute them once, reads prune whole batch
         # dirs whose range cannot match a predicate — the Iceberg
@@ -212,11 +223,27 @@ class ManifestedTable:
 
     def stage_batch(self, df: DataFrame) -> str:
         """Write one immutable batch directory; invisible until a
-        manifest lists it."""
+        manifest lists it.  With ``check_constraints`` declared, the
+        STAGED files are validated (read back, so post-write types are
+        what's checked — the Delta CHECK-constraint model) and a
+        violating batch is deleted and refused before any manifest can
+        list it: enforcement at the single staging choke point covers
+        every write path (append, overwrite, branch, merge, TTL)."""
         name = f"batch-{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.table_dir, name)
-        )
+        path = os.path.join(self.table_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        if self.check_constraints:
+            spark = df.sparkSession
+            staged = spark.read.parquet(path)
+            for expr in self.check_constraints:
+                bad = staged.filter(f"NOT ({expr}) OR ({expr}) IS NULL")
+                first = bad.first()
+                if first is not None:
+                    shutil.rmtree(path, ignore_errors=True)
+                    raise ConstraintViolation(
+                        f"CHECK ({expr}) violated by staged batch; "
+                        f"example row: {first.asDict()}"
+                    )
         return name
 
     def _compute_stats(self, name: str) -> dict:

@@ -1344,3 +1344,41 @@ def test_ttl_rollup_collapses_and_preserves_sums(spark, tmp_path):
     collapsed = post.filter("k < 15")
     assert collapsed.count() == 3
     assert {r.g for r in collapsed.collect()} == {0, 1, 2}
+
+
+def test_check_constraints_reject_and_sweep(spark, tmp_path):
+    """CHECK constraints: violating batches are refused at staging on
+    EVERY write path (append, overwrite, branch append), the staged
+    dir is deleted, NULL predicate results violate, and valid commits
+    flow through unchanged."""
+    from mkpipe_extractor_clickhouse_spark.sources.manifest import (
+        ConstraintViolation,
+    )
+
+    t = ManifestedTable(
+        str(tmp_path / "ev"),
+        check_constraints=("v > 0", "k IS NOT NULL"),
+    )
+    good = spark.range(1, 6).select(
+        F.col("id").alias("k"), F.col("id").cast("long").alias("v")
+    )
+    t.commit_append(good)
+    assert t.read(spark).count() == 5
+
+    bad_value = spark.createDataFrame([(9, 0)], "k long, v long")
+    with pytest.raises(ConstraintViolation):
+        t.commit_append(bad_value)
+    bad_null = spark.createDataFrame([(None, 3)], "k long, v long")
+    with pytest.raises(ConstraintViolation):
+        t.commit_overwrite(bad_null)
+    # NULL constraint result is a violation, not a pass
+    null_pred = spark.createDataFrame([(1, None)], "k long, v long")
+    with pytest.raises(ConstraintViolation):
+        t.commit_append(null_pred)
+    t.branch_create("dev")
+    with pytest.raises(ConstraintViolation):
+        t.commit_append_on("dev", bad_value)
+    # nothing changed, nothing leaked
+    assert t.read(spark).count() == 5
+    on_disk = {d for d in os.listdir(t.table_dir) if d.startswith("batch-")}
+    assert on_disk == set(t.manifest()["dirs"])
