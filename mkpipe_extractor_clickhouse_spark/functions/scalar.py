@@ -1008,7 +1008,15 @@ def f23_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     label = (
         F.when(
-            F.col("event_id") % 3 == 0, F.initcap("event_type")
+            F.col("event_id") % 3 == 0,
+            # UPPER(first char) || rest — NOT initcap: initcap also
+            # lowercases the tail and title-cases every word, which
+            # diverges from the oracle on mixed-case or multi-word
+            # values; this form matches the oracle's synthesis exactly
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substring(event_type, 2)"),
+            ),
         )
         .when(F.col("event_id") % 3 == 1, F.upper("event_type"))
         .otherwise(F.col("event_type"))

@@ -48,6 +48,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _VERSION_DIGITS = 8
@@ -235,15 +236,34 @@ class ManifestedTable:
         if self.check_constraints:
             spark = df.sparkSession
             staged = spark.read.parquet(path)
-            for expr in self.check_constraints:
-                bad = staged.filter(f"NOT ({expr}) OR ({expr}) IS NULL")
-                first = bad.first()
-                if first is not None:
-                    shutil.rmtree(path, ignore_errors=True)
-                    raise ConstraintViolation(
-                        f"CHECK ({expr}) violated by staged batch; "
-                        f"example row: {first.asDict()}"
-                    )
+            # ONE validating scan for all constraints: OR the violation
+            # predicates together, select a per-constraint violation
+            # flag alongside the row, and recover which constraint
+            # failed from the flags of the first bad row returned.
+            viol = [
+                f"(NOT ({e}) OR ({e}) IS NULL)"
+                for e in self.check_constraints
+            ]
+            flags = [
+                F.expr(v).alias(f"__viol_{i}") for i, v in enumerate(viol)
+            ]
+            first = (
+                staged.filter(" OR ".join(viol))
+                .select(*staged.columns, *flags)
+                .first()
+            )
+            if first is not None:
+                shutil.rmtree(path, ignore_errors=True)
+                row = first.asDict()
+                broken = [
+                    e
+                    for i, e in enumerate(self.check_constraints)
+                    if row.pop(f"__viol_{i}")
+                ]
+                raise ConstraintViolation(
+                    f"CHECK ({broken[0]}) violated by staged batch; "
+                    f"example row: {row}"
+                )
         return name
 
     def _compute_stats(self, name: str) -> dict:
@@ -509,12 +529,22 @@ class ManifestedTable:
         the table head), the new snapshot records its ref lineage, and
         the ref advances by CAS — losing either race retries with the
         staged batch reused, exactly like commit_append."""
+        # Reject tags BEFORE staging: stage_batch does a full parquet
+        # write + constraint scan, and a tag can never become a branch,
+        # so staging first would orphan the batch dir until vacuum.
+        if self._ref_tip(name)[1]["kind"] != "branch":
+            raise CommitConflict(f"ref {name} is a tag (immutable)")
         batch = self.stage_batch(df)
         new_stats = self._compute_stats(batch)
         new_bloom = self._compute_bloom(batch)
         while True:
             gen, rec = self._ref_tip(name)
             if rec["kind"] != "branch":
+                # ref was retargeted to a tag mid-race: don't leak the
+                # staged batch dir while refusing the append
+                shutil.rmtree(
+                    os.path.join(self.table_dir, batch), ignore_errors=True
+                )
                 raise CommitConflict(f"ref {name} is a tag (immutable)")
             base = self.manifest(rec["version"])
             dirs = base["dirs"] + [batch]

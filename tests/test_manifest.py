@@ -1313,7 +1313,7 @@ def test_ttl_three_way_classification(spark, tmp_path):
     assert t.read(spark, version=pre).count() == 30
     s2 = t.apply_ttl(spark, "event_id", 1000)
     assert t.read(spark) is None or t.read(spark).count() == 0
-    assert not s2["kept"] and not s2["rewritten"] or True
+    assert not s2["kept"] and not s2["rewritten"]
 
 
 def test_ttl_rollup_collapses_and_preserves_sums(spark, tmp_path):
