@@ -286,14 +286,32 @@ def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     then verified with the true signature agreement rate."""
     tok = _doc_tokens(spark, sf_dir)
     sig = minhash_signatures(tok)
-    # Bands carry ONLY (doc_id, band, bucket): the bucket self-join and
-    # the pair-dedup shuffle then move 24 bytes/row instead of hauling
-    # both 16-long signatures through every collision (on a
-    # high-collision corpus that was ~10× the shuffle volume; measured
-    # 46 s → ~13 s at sf0.1).  Signatures rejoin AFTER the distinct,
-    # keyed on doc id — corpus-partitionable, no broadcast needed.
-    bands = sig.select(
-        "doc_id",
+    # MEGA-BUCKET GUARD (r9): factor by IDENTICAL full signature before
+    # the bucket self-join.  A duplicate-heavy corpus (the re-crawl
+    # shape this fixture models — 5 k docs here produce 4.5 M output
+    # pairs) puts every copy of a document into the same (band, bucket),
+    # so the raw band self-join and the pair-distinct run over
+    # |clique|^2 intermediates per band.  Docs with equal signatures
+    # are interchangeable for BOTH stages (equal sigs → equal band
+    # buckets AND est_jaccard 1.0), so the join/distinct/verify runs on
+    # UNIQUE signatures only (quadratically smaller), and qualifying
+    # signature pairs expand back to doc pairs by two member joins —
+    # pure generation, no quadratic shuffle.  Output is provably
+    # identical to the unfactored join: intra-group pairs share every
+    # band (est 1.0 ≥ 0.75, always emitted via the sig self-pair), and
+    # cross-group pairs collide in a band iff their unique signatures
+    # do.  Residual skew — many DISTINCT signatures sharing one bucket
+    # — is inherent to LSH and left to AQE skew-join handling.
+    #
+    # The signature array itself is the group/join key: 16 longs = 128
+    # bytes, cheaper than risking a hash collision silently merging
+    # groups.  Bands still carry only (sig, band, bucket) rows for
+    # unique sigs; members are a (sig, doc_id) relation, never a
+    # collected list, so a 100 M-doc clique stays distributed.
+    members = sig.select(F.col("sig").alias("msig"), "doc_id")
+    usig = sig.select("sig").distinct()
+    bands = usig.select(
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -307,23 +325,22 @@ def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    cand_ids = (
+    ).select("sig", "bb.band", "bb.bucket")
+    # unique-sig candidate pairs: any band collision, deduped; the
+    # arbitrary-but-deterministic (hash, sig) order keeps each unordered
+    # pair once, like doc_a < doc_b did at doc level
+    cand_sig = (
         bands.alias("a")
         .join(bands.alias("b"), on=["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        .filter(
+            (F.xxhash64(F.col("a.sig")) < F.xxhash64(F.col("b.sig")))
+            | (
+                (F.xxhash64(F.col("a.sig")) == F.xxhash64(F.col("b.sig")))
+                & (F.col("a.sig") < F.col("b.sig"))
+            )
         )
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
         .distinct()
-    )
-    cand = cand_ids.join(
-        sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
-        "doc_a",
-    ).join(
-        sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
-        "doc_b",
     )
     agree = F.size(
         F.filter(
@@ -331,10 +348,43 @@ def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda v: v == 1,
         )
     )
-    return (
-        cand.withColumn("est_jaccard", F.round(agree / F.lit(N_HASHES), 6))
-        .filter(F.col("est_jaccard") >= 0.75)
-        .select("doc_a", "doc_b", "est_jaccard")
+    verified_sig = cand_sig.withColumn(
+        "est_jaccard", F.round(agree / F.lit(N_HASHES), 6)
+    ).filter(F.col("est_jaccard") >= 0.75)
+    # self-pairs: every signature group of size >= 2 emits its member
+    # combinations at est 1.0 (equal sigs always share every band)
+    self_sig = usig.select(
+        F.col("sig").alias("sig_a"),
+        F.col("sig").alias("sig_b"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit(True).alias("is_self"),
+    )
+    pairs_sig = verified_sig.withColumn("is_self", F.lit(False)).unionByName(
+        self_sig
+    )
+    expanded = (
+        pairs_sig.join(
+            members.select(
+                F.col("msig").alias("sig_a"), F.col("doc_id").alias("doc_a")
+            ),
+            "sig_a",
+        )
+        .join(
+            members.select(
+                F.col("msig").alias("sig_b"), F.col("doc_id").alias("doc_b")
+            ),
+            "sig_b",
+        )
+        # self-pairs expand A×A: keep each unordered member pair once
+        # (and drop (a, a)).  Cross-group pairs were already kept once
+        # per unordered sig pair, so EVERY member combination survives
+        # — its doc orientation is normalized below.
+        .filter((~F.col("is_self")) | (F.col("doc_a") < F.col("doc_b")))
+    )
+    return expanded.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "est_jaccard",
     )
 
 

@@ -412,6 +412,291 @@ def l4b_shard_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_scan_topk_cosine(spark, path, query, TOP_K)
 
 
+# ---------------------------------------------------------------------------
+# Packed vector layout + two-phase exact kernel (l4c) — the r9 closure
+# of the vector-kernel gap.
+#
+# The r6 decomposition pinned the mapInArrow kernel's floor on the JVM
+# row→Arrow bridge; r7's bridge-free shard scan (l4b) was REFUTED
+# because pyarrow's list<float> page decode (dictionary-encoded,
+# per-element assembly) costs more than the bridge it avoids.  Both
+# floors are artifacts of the STORAGE layout, not of Spark: a one-time
+# packed layout — each vector as one plain-encoded 256-byte binary
+# value plus its exact float64 norm — turns the page decode into a
+# memcpy (no per-element assembly, no dictionary) and the in-task read
+# into a zero-copy (n, dim) float32 view.  This is the "build a vector
+# index once, scan it at memory bandwidth per query" posture every
+# production ANN system (Faiss/Milvus/Vespa) takes; at 100 TB nobody
+# brute-forces list<float> parquet per query.
+#
+# The scoring is two-phase and EXACT:
+#   screen  - one float32 GEMM per row group (measured 20x cheaper than
+#             the float64 astype+GEMM path: 0.02 s vs 0.40 s per 2.4 M
+#             vectors single-threaded) selects candidates within
+#             _SCREEN_MARGIN of the row group's k-th best;
+#   refine  - candidates are re-scored in float64 with BIT-IDENTICAL
+#             formula and operation order to arrow_topk_cosine
+#             ((m @ q) / (norm * qn), norms precomputed at pack time by
+#             the same einsum), then quantized and cut exactly like the
+#             l4 kernel.
+# Screen soundness: storage float32 values are exact inputs, so the
+# float32 dot's forward error is bounded by gamma_64 * sum|x_i y_i|
+# <= 64*2^-24/(1-64*2^-24) * |v||q| ~= 3.9e-6 * |v||q| (Cauchy-Schwarz
+# on the absolute vectors); normalized, |cos32 - cos64| <= ~4e-6.  Any
+# row of the true local top-k under (quantize-1e-6 score, vec_id) has
+# raw score >= kth_raw - 1e-6, hence screen score >= kth_screen -
+# (2*4e-6 + 1e-6); _SCREEN_MARGIN = 1e-4 is ~10x that bound.  Every
+# candidate is refined in exact float64 before any cut, so ties (e.g.
+# the replicated-fixture duplicates) resolve on true (score, vec_id)
+# order — no approximation survives to the output.
+# ---------------------------------------------------------------------------
+
+_SCREEN_MARGIN = 1e-4
+_PACKED_SUBDIR = "embeddings_packed.parquet"
+
+
+def build_packed_vector_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str, dim: int = 64
+) -> str:
+    """One-time packed layout build: (vec_id long, vec binary, norm
+    double) with parquet dictionary encoding OFF.  ``vec`` is the
+    vector's float32 values as one little-endian byte string (dim*4
+    bytes); ``norm`` is its exact float64 L2 norm computed at pack
+    time (same einsum the query kernel uses, so refine bits match).
+    Ragged or null vectors are REJECTED here — the layout carries a
+    uniform-dim guarantee so the scan path never needs a fallback.
+    Idempotent via a _DONE marker; returns the layout directory."""
+    import os
+
+    out = os.path.join(out_dir, _PACKED_SUBDIR)
+    done = os.path.join(out_dir, "_PACKED_DONE")
+    if os.path.exists(done):
+        return out
+
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").alias("v"),
+    )
+
+    pack_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("vec", T.BinaryType()),
+            T.StructField("norm", T.DoubleType()),
+        ]
+    )
+
+    def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            col = rb.column(1)
+            mm = pa.compute.min_max(pa.compute.list_value_length(col))
+            if (
+                col.null_count
+                or mm["min"].as_py() != dim
+                or mm["max"].as_py() != dim
+            ):
+                raise ValueError(
+                    "packed layout requires null-free uniform "
+                    f"{dim}-dim vectors; got lengths "
+                    f"[{mm['min']}, {mm['max']}], "
+                    f"nulls={col.null_count}"
+                )
+            flat = col.flatten()
+            if flat.null_count:
+                raise ValueError("null elements inside vectors")
+            m = flat.to_numpy(zero_copy_only=False).reshape(n, dim)
+            m32 = np.ascontiguousarray(m, dtype=np.float32)
+            m64 = m32.astype(np.float64)  # exact
+            norms = np.sqrt(np.einsum("ij,ij->i", m64, m64))
+            offsets = pa.py_buffer(
+                (np.arange(n + 1, dtype=np.int32) * (dim * 4)).tobytes()
+            )
+            vec_arr = pa.Array.from_buffers(
+                pa.binary(), n, [None, offsets, pa.py_buffer(m32.tobytes())]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, vec_arr, pa.array(norms, type=pa.float64())],
+                ["vec_id", "vec", "norm"],
+            )
+
+    (
+        e.mapInArrow(pack, pack_schema)
+        .repartition(32)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(out)
+    )
+    with open(done, "w") as fh:
+        fh.write("")
+    return out
+
+
+def packed_topk_cosine(
+    spark: SparkSession,
+    layout_path: str,
+    query: list[float],
+    k: int = TOP_K,
+    exclude_id: int | None = QUERY_VEC_ID,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact top-k cosine over a packed vector layout: Spark schedules
+    (file, row_group) shards; each task memory-maps the binary column
+    into a zero-copy (n, dim) float32 view, screens with one float32
+    GEMM, refines candidates in float64 (bit-identical formula to
+    arrow_topk_cosine), quantizes, and ships <= k rows into one
+    TakeOrderedAndProject.  See the module comment above for the
+    screen-soundness bound."""
+    import numpy as np
+    import pyarrow as pa
+
+    shards = _embedding_shards(layout_path)
+    if not shards:
+        raise ValueError(f"no parquet shards under {layout_path}")
+    par = spark.sparkContext.defaultParallelism
+    bq = spark.sparkContext.broadcast([float(x) for x in query])
+    excl = exclude_id
+
+    def scan_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        q64 = np.asarray(bq.value, dtype=np.float64)
+        qn = np.sqrt(q64 @ q64)
+        q32 = q64.astype(np.float32)
+        best_ids = np.empty(0, dtype=np.int64)
+        best_sims = np.empty(0, dtype=np.float64)
+        pf_cache: dict[str, pq.ParquetFile] = {}
+        for rb in batches:
+            for path, rg in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
+                pf = pf_cache.get(path)
+                if pf is None:
+                    pf = pf_cache[path] = pq.ParquetFile(path)
+                t = pf.read_row_group(rg, columns=["vec_id", "vec", "norm"])
+                ids = t.column(0).to_numpy(zero_copy_only=False)
+                col = t.column(1).combine_chunks()
+                norms = t.column(2).to_numpy(zero_copy_only=False)
+                n = len(col)
+                if n == 0:
+                    continue
+                bufs = col.buffers()
+                offs = np.frombuffer(
+                    bufs[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+                )
+                if col.null_count or not (np.diff(offs) == dim * 4).all():
+                    raise ValueError(
+                        f"corrupt packed layout in {path} rg {rg}: "
+                        "non-uniform vec byte lengths"
+                    )
+                m32 = np.frombuffer(bufs[2], dtype=np.float32)[
+                    offs[0] // 4 : offs[0] // 4 + n * dim
+                ].reshape(n, dim)
+                if excl is not None:
+                    keep = ids != excl
+                    if not keep.all():
+                        ids, norms = ids[keep], norms[keep]
+                        m32 = m32[keep]
+                    if ids.size == 0:
+                        continue
+                # phase 1: float32 screen
+                s32 = (m32 @ q32).astype(np.float64) / (norms * qn)
+                if s32.size > k:
+                    kth = np.partition(s32, s32.size - k)[s32.size - k]
+                    cand = s32 >= kth - _SCREEN_MARGIN
+                else:
+                    cand = np.ones(s32.size, dtype=bool)
+                cids = ids[cand]
+                m64 = m32[cand].astype(np.float64)  # exact upcast
+                # phase 2: exact float64 refine — same op order as
+                # arrow_topk_cosine (norms are the pack-time einsum)
+                sims = (m64 @ q64) / (norms[cand] * qn)
+                sims = np.trunc(sims * 1e6 + np.copysign(0.5, sims)) / 1e6
+                best_ids = np.concatenate([best_ids, cids])
+                best_sims = np.concatenate([best_sims, sims])
+                if best_ids.size > k:
+                    order = np.lexsort((best_ids, -best_sims))[:k]
+                    best_ids, best_sims = best_ids[order], best_sims[order]
+        if best_ids.size:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(best_ids, type=pa.int64()),
+                    pa.array(best_sims, type=pa.float64()),
+                ],
+                ["vec_id", "cosine"],
+            )
+
+    rdd = spark.sparkContext.parallelize(shards, min(len(shards), par))
+    tasks = spark.createDataFrame(rdd, "path string, rg int")
+    local = tasks.mapInArrow(scan_topk, _TOPK_SCHEMA)
+    return local.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def _packed_layout_for(spark: SparkSession, sf_dir: str) -> str:
+    """Cached packed layout for an sf_dir's embeddings table, keyed by
+    the source files' (path, size, mtime) fingerprint — testdata is
+    read-only, so the layout builds once per fixture generation."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [os.path.abspath(src)]
+    if os.path.isdir(src):
+        for root, _dirs, names in os.walk(src):
+            for f in sorted(names):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    cache = os.path.join(
+        tempfile.gettempdir(), "spark_graft_packed_layouts", fp
+    )
+    os.makedirs(cache, exist_ok=True)
+    return build_packed_vector_layout(spark, sf_dir, cache)
+
+
+@register(
+    "l4c_packed_topk",
+    oracle=f"""
+    SELECT vec_id, cosine FROM ({_ORACLE_COSINE_TO_QUERY})
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+    tags=("L4", "O4", "D3", "EXT"),
+)
+def l4c_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l4's exact semantics on the packed-layout two-phase kernel:
+    one-time (cached) pack of embeddings into plain-encoded binary +
+    precomputed float64 norms, then float32-screen / float64-refine
+    per row group.  Same oracle, same quantize-then-cut determinism;
+    measured r9: the screen is ~20x cheaper than the all-float64 GEMM
+    and the packed read is a memcpy, removing both previously measured
+    floors (JVM Arrow bridge, pyarrow list<float> decode)."""
+    import pyarrow.parquet as pq
+    import os
+
+    layout = _packed_layout_for(spark, sf_dir)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(
+        path,
+        columns=["embedding"],
+        filters=[("vec_id", "==", QUERY_VEC_ID)],
+    )
+    if qt.num_rows == 0:
+        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found")
+    query = qt.column(0)[0].as_py()
+    return packed_topk_cosine(spark, layout, query, TOP_K)
+
+
 @register(
     "l9_label_centroids",
     oracle=f"""

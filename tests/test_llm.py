@@ -634,3 +634,102 @@ def test_embedding_shards_walk_nested_dirs(tmp_path):
         str(tmp_path / "top.parquet"),
         str(sub / "nested.parquet"),
     }
+
+
+def test_lsh_duplicate_clique_factoring(spark, tmp_path):
+    """Mega-bucket guard semantics: a corpus of G distinct texts, each
+    duplicated D times, must yield exactly G * D*(D-1)/2 intra-group
+    pairs at est_jaccard 1.0 plus any genuinely near-dup cross pairs —
+    and the factored pipeline must produce the pairs the unfactored
+    definition implies (each unordered pair once, doc_a < doc_b)."""
+    import itertools
+
+    G, D = 6, 7
+    texts = [
+        " ".join(f"w{g}t{i}" for i in range(12)) for g in range(G)
+    ]
+    rows = [
+        (g * D + c, texts[g]) for g in range(G) for c in range(D)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = _run("l2b_minhash_lsh", spark, str(sf)).collect()
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in out}
+    expected = {
+        pair
+        for g in range(G)
+        for pair in itertools.combinations(range(g * D, g * D + D), 2)
+    }
+    # every intra-clique pair present at exactly 1.0, each exactly once
+    assert expected <= set(got)
+    assert all(got[p] == 1.0 for p in expected)
+    assert len(out) == len(got)  # no duplicate emissions
+    # distinct token sets share no tokens → no cross-group pairs can
+    # reach 12/16 signature agreement
+    cross = set(got) - expected
+    assert not cross, f"unexpected cross-group pairs: {sorted(cross)[:5]}"
+
+
+def test_packed_topk_tie_exactness(spark, tmp_path):
+    """l4c two-phase screen soundness under ties: many IDENTICAL
+    vectors straddle the k-cut, so the true top-k is decided purely by
+    vec_id tiebreak among equal scores — a fixed-count f32 screen
+    would pick arbitrary copies; the margin screen + exact f64 refine
+    must return exactly the arrow kernel's rows."""
+    import random
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        arrow_topk_cosine,
+        build_packed_vector_layout,
+        packed_topk_cosine,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]
+    far = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(50)]
+    rows = [(0, base, "q")]
+    # 40 identical copies of `near` — more than k, all tied
+    rows += [(i + 1, near, "dup") for i in range(40)]
+    rows += [(100 + i, v, "far") for i, v in enumerate(far)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df = spark.createDataFrame(
+        [(i, [float(f"%.6f" % x) for x in v], lb) for i, v, lb in rows],
+        "vec_id long, embedding array<float>, label string",
+    )
+    df.write.parquet(str(sf / "embeddings.parquet"))
+    layout = build_packed_vector_layout(spark, str(sf), str(tmp_path / "lay"))
+    kern = arrow_topk_cosine(
+        spark.read.parquet(str(sf / "embeddings.parquet")).selectExpr(
+            "vec_id", "embedding as v"
+        ),
+        base,
+        10,
+    ).collect()
+    packed = packed_topk_cosine(spark, layout, base, 10).collect()
+    assert [tuple(r) for r in kern] == [tuple(r) for r in packed]
+    # the winners must be the 10 SMALLEST vec_ids of the tied copies
+    assert [r.vec_id for r in packed] == list(range(1, 11))
+
+
+def test_packed_layout_rejects_ragged(spark, tmp_path):
+    """The pack step must refuse ragged/null vectors — the layout
+    carries a uniform-dim guarantee the scan path relies on."""
+    import pytest as _pytest
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        build_packed_vector_layout,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 63)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(str(sf / "embeddings.parquet"))
+    with _pytest.raises(Exception, match="uniform|ragged|64"):
+        build_packed_vector_layout(spark, str(sf), str(tmp_path / "lay"))

@@ -685,3 +685,17 @@ def test_pipe_syntax_same_plan_as_nested(spark, sf_dir):
     assert "PushedFilters" in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 1
+
+
+def test_lsh_bucket_join_factored_by_signature(spark, sf_dir):
+    """l2b mega-bucket guard: the band-bucket self-join must run over
+    UNIQUE signatures (a HashAggregate/distinct sits below both join
+    inputs), so duplicate-heavy corpora collapse before the quadratic
+    stage; the member expansion joins stay plain hash joins with no
+    cartesian product."""
+    plan = plan_of("l2b_minhash_lsh", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    # the distinct over signatures appears below the band explode —
+    # at least one aggregate keyed on sig precedes the self-join
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in tree
