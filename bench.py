@@ -366,12 +366,19 @@ def main() -> None:
                     "duckdb_total": p["duckdb_total"],
                     "ratio": p["ratio"],
                     **(
+                        {"pack_sec": p["pack_sec"]}
+                        if "pack_sec" in p
+                        else {}
+                    ),
+                    **(
                         # per-kernel ratios vs DuckDB's native cosine,
                         # plus the explicit best-of: l4 is the
-                        # mapInArrow bridge kernel, l4b the pyarrow
-                        # shard-scan kernel.  Named best_* so nobody
-                        # reads the min as a single kernel's steady
-                        # ratio (ADVICE r7).
+                        # mapInArrow bridge kernel, l4c the two-phase
+                        # packed-layout kernel (l4b was retired from
+                        # the measured suite in r9 — refuted r7, kept
+                        # registered as documentation).  Named best_*
+                        # so nobody reads the min as a single kernel's
+                        # steady ratio (ADVICE r7).
                         {
                             "l4_kernel_ratio": round(
                                 p["spark"]["l4_distributed_topk"]
@@ -380,18 +387,18 @@ def main() -> None:
                             ),
                             **(
                                 {
-                                    "l4b_kernel_ratio": round(
-                                        p["spark"]["l4b_shard_scan_topk"]
+                                    "l4c_kernel_ratio": round(
+                                        p["spark"]["l4c_packed_topk"]
                                         / p["duckdb"]["l4_distributed_topk"],
                                         2,
                                     )
                                 }
-                                if "l4b_shard_scan_topk" in p["spark"]
+                                if "l4c_packed_topk" in p["spark"]
                                 else {}
                             ),
                             "best_vector_kernel_ratio": round(
                                 min(
-                                    p["spark"].get("l4b_shard_scan_topk", 1e9),
+                                    p["spark"].get("l4c_packed_topk", 1e9),
                                     p["spark"]["l4_distributed_topk"],
                                 )
                                 / p["duckdb"]["l4_distributed_topk"],

@@ -490,7 +490,15 @@ def build_packed_vector_layout(
     )
 
     def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
+        # DRAIN the input before yielding anything: pack's output is as
+        # large as its input, and yielding while the JVM writer thread
+        # is still streaming input batches was observed (r9, 9.6 M-row
+        # point) to deadlock the bidirectional socket pump — the python
+        # worker blocks in tcp_sendmsg on its output while the reader
+        # side stalls.  Buffering one partition (bounded by
+        # maxPartitionBytes) serializes the two directions; the cost is
+        # memory the one-time pack job can afford.
+        for rb in list(batches):
             n = rb.num_rows
             if n == 0:
                 continue

@@ -339,9 +339,18 @@ def time_point_interleaved(
     return r3(S), r3(B), r3(D)
 
 
+# l4b_shard_scan_topk was RETIRED from the measured suite in r9: the
+# r7 refutation stands (pyarrow list<float> decode costs more than the
+# JVM bridge it avoids — 11.87x at 9.6M vs l4's 5.29x); it stays
+# registered and strict-matched as documentation of the trade-off.
+# l4c_packed_topk replaces it: same shard-scan scheduling, but over a
+# one-time PACKED layout (plain-encoded binary f32 + precomputed f64
+# norms) whose decode is a memcpy, scored by an exact two-phase
+# f32-screen / f64-refine kernel.  Its one-time pack cost is reported
+# as pack_sec (the vector-index analogue of bucket_gen_sec).
 LLM_QUERIES = ("l1_exact_dedup", "l5_wordcount", "l12_token_count",
                "l3_topk_cosine", "l4_distributed_topk",
-               "l4b_shard_scan_topk")
+               "l4c_packed_topk")
 
 
 def build_llm_point(spark, rep: int) -> Path:
@@ -416,20 +425,40 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
                 checks["l3_fold_eq_kernel"] = fold == kern
         elif name == "l4_distributed_topk" and "l3_topk_cosine" in dfs:
             dfs[name] = dfs["l3_topk_cosine"]  # same kernel, one instance
-        else:
-            # l4b_shard_scan_topk builds here too: its builder derives
-            # the (file, row_group) shard list from sf_dir directly —
-            # the pyarrow-in-task scan path with NO JVM row→Arrow
-            # bridge (the r6-documented floor of the mapInArrow
-            # kernel).
-            dfs[name] = specs[name].builder(spark, sf_dir)
-            if name == "l4b_shard_scan_topk" and prove:
-                shard = sorted(tuple(r) for r in dfs[name].collect())
+        elif name == "l4c_packed_topk":
+            # packed-layout kernel: build the layout INTO the point dir
+            # (timed — the one-time index-build cost, reported as
+            # pack_sec alongside the per-query walls) and construct the
+            # query against it directly, so the /tmp builder cache
+            # never hides the pack cost.
+            from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (  # noqa: E501
+                QUERY_VEC_ID,
+                TOP_K,
+                build_packed_vector_layout,
+                packed_topk_cosine,
+            )
+            import pyarrow.parquet as _pq
+
+            t0 = time.perf_counter()
+            layout = build_packed_vector_layout(spark, sf_dir, sf_dir)
+            checks["pack_sec"] = round(time.perf_counter() - t0, 1)
+            qt = _pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["embedding"],
+                filters=[("vec_id", "==", QUERY_VEC_ID)],
+            )
+            dfs[name] = packed_topk_cosine(
+                spark, layout, qt.column(0)[0].as_py(), TOP_K
+            )
+            if prove:
+                packed = sorted(tuple(r) for r in dfs[name].collect())
                 kern = sorted(
                     tuple(r)
                     for r in dfs["l4_distributed_topk"].collect()
                 )
-                checks["l4b_shard_eq_kernel"] = shard == kern
+                checks["l4c_eq_kernel"] = packed == kern
+        else:
+            dfs[name] = specs[name].builder(spark, sf_dir)
     con = duckdb.connect()
     for t in ("documents", "embeddings"):
         con.execute(
@@ -443,7 +472,7 @@ def time_llm(spark, sf_dir: str, prove: bool = False) -> tuple[dict, dict, dict]
             in (
                 "l3_topk_cosine",
                 "l4_distributed_topk",
-                "l4b_shard_scan_topk",
+                "l4c_packed_topk",
             )
             else specs[name].oracle
         )
