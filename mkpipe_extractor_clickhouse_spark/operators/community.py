@@ -447,3 +447,127 @@ def g9_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("size"), "community")
     )
+
+
+PAGERANK_ITERS = 3
+PR_SCALE = 1_000_000_000  # parts-per-billion fixed point
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank round (DuckDB oracle) — integer fixed
+    point end to end: contrib = pr // outdeg, new pr = base +
+    85*Σcontrib // 100.  Integer ops are bit-identical across engines
+    (all values positive, so DuckDB's floor-div == Spark's DIV)."""
+    return f"""
+    {out} AS (
+      SELECT n.v,
+             b.base + {PR_DAMP_NUM} * COALESCE(s.s, 0) // {PR_DAMP_DEN}
+               AS pr
+      FROM nodes n CROSS JOIN basis b
+      LEFT JOIN (
+        SELECT e.v, SUM(p.pr // deg.d) AS s
+        FROM e0 e
+        JOIN {prev} p ON p.v = e.u
+        JOIN deg ON deg.v = e.u
+        GROUP BY e.v
+      ) s ON s.v = n.v
+    )"""
+
+
+@register(
+    "g10_pagerank",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT DISTINCT u AS v FROM e0),
+    deg AS (SELECT u AS v, COUNT(*) AS d FROM e0 GROUP BY u),
+    basis AS (
+      SELECT COUNT(*) AS n,
+             (CAST({PR_SCALE} AS BIGINT) * ({PR_DAMP_DEN} - {PR_DAMP_NUM})
+              // {PR_DAMP_DEN}) // COUNT(*) AS base,
+             CAST({PR_SCALE} AS BIGINT) // COUNT(*) AS pr0
+      FROM nodes
+    ),
+    p0 AS (SELECT v, b.pr0 AS pr FROM nodes CROSS JOIN basis b),
+    {_pr_iter_sql('p0', 'p1')},
+    {_pr_iter_sql('p1', 'p2')},
+    {_pr_iter_sql('p2', 'p3')}
+    SELECT v AS part, CAST(pr AS BIGINT) AS pagerank_ppb,
+           ROW_NUMBER() OVER (ORDER BY pr DESC, v) AS rank
+    FROM p3
+    ORDER BY pr DESC, v
+    """,
+    tags=("J1", "A2", "EXT", "graph"),
+)
+def g10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (Brin & Page 1998) over the part
+    co-purchase graph, in INTEGER fixed point so both engines agree
+    bit-for-bit: pr is parts-per-billion, contrib = pr DIV outdeg,
+    pr' = (1-d)·SCALE/N + d·Σcontrib with d = 85/100 — every operation
+    integer, all values positive (Spark DIV truncates, DuckDB //
+    floors; equal on non-negatives).  The directed-both-ways edge set
+    has no dangling nodes (in-set == out-set), so no leak term.
+
+    Shapes per round: contribs broadcast into the edge relation (one
+    row per node — always the small side), one shuffle on the target
+    node, one left join back onto the node set.  Fixed round count
+    keeps lineage bounded; the billion-edge posture is the graph.py
+    loop (pre-partitioned edges + periodic localCheckpoint)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("u").alias("v")).distinct()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    basis = nodes.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"(CAST({PR_SCALE} AS BIGINT) * ({PR_DAMP_DEN} - {PR_DAMP_NUM})"
+            f" DIV {PR_DAMP_DEN}) DIV COUNT(*)"
+        ).alias("base"),
+        F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV COUNT(*)").alias("pr0"),
+    )
+    pr = nodes.join(F.broadcast(basis)).select(
+        "v", F.col("pr0").alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = pr.join(
+            deg, pr.v == deg.u
+        ).select(
+            F.col("v").alias("cu"), F.expr("pr DIV d").alias("c")
+        )
+        inc = (
+            edges.join(F.broadcast(contrib), edges.u == F.col("cu"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(inc, "v", "left")
+            .join(F.broadcast(basis))
+            .select(
+                "v",
+                F.expr(
+                    f"base + {PR_DAMP_NUM} * coalesce(s, 0)"
+                    f" DIV {PR_DAMP_DEN}"
+                ).alias("pr"),
+            )
+        )
+    w = Window.orderBy(F.col("pr").desc(), "v")
+    return pr.select(
+        F.col("v").alias("part"),
+        F.col("pr").alias("pagerank_ppb"),
+        F.row_number().over(w).alias("rank"),
+    ).orderBy(F.col("pagerank_ppb").desc(), "part")

@@ -1107,7 +1107,7 @@ def main() -> None:
             "sink vs DuckDB Arrow materialization, same host, 32-way "
             "parquet layout for both engines; values_match at the "
             "largest point = per-query Spark-vs-DuckDB result equality "
-            "(rounded 1e-6) at 60 M rows. spark_bucketed = the same "
+            "(rounded 1e-6) at the largest point. spark_bucketed = the same "
             "q3/q10/j11 with lineitem/orders bucketed by order key "
             "(32 buckets, murmur3) so the fact join is co-located and "
             "exchange-free; the one-time layout cost is bucket_gen_sec "
