@@ -2340,3 +2340,4 @@ def dq12_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_gap", F.lit(0)).cast("long").alias("max_gap"),
         )
     )
+

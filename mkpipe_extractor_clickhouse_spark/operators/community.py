@@ -517,7 +517,12 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 )
 def g10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (Brin & Page 1998) over the part
-    co-purchase graph, in INTEGER fixed point so both engines agree
+    co-purchase graph — the NODE-scale companion to g2 (which iterates
+    the O(types^2) event-type transition matrix through a broadcast
+    join; here the graph has thousands of nodes, so each round is a
+    per-node degree division + one shuffle on the target node, the
+    shape that scales to billion-edge graphs).  INTEGER fixed point
+    end to end so both engines agree
     bit-for-bit: pr is parts-per-billion, contrib = pr DIV outdeg,
     pr' = (1-d)·SCALE/N + d·Σcontrib with d = 85/100 — every operation
     integer, all values positive (Spark DIV truncates, DuckDB //
@@ -571,3 +576,126 @@ def g10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").alias("pagerank_ppb"),
         F.row_number().over(w).alias("rank"),
     ).orderBy(F.col("pagerank_ppb").desc(), "part")
+
+
+WALK_LEN = 4
+
+
+def _walk_hash_spark(step: int) -> str:
+    """Engine-portable pseudo-random neighbor choice: md5 of
+    'walk:step:cur' → 60-bit int (the l58 portable-hash idiom), mod
+    outdeg.  Deterministic, identical in Spark and DuckDB."""
+    return (
+        f"CAST(conv(substring(md5(concat_ws(':', walk, {step}, cur)),"
+        f" 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _walk_iter_sql(prev: str, out: str, step: int) -> str:
+    return f"""
+    {out} AS (
+      SELECT w.walk, {step} AS step, a.v AS cur
+      FROM {prev} w
+      JOIN adj a
+        ON a.u = w.cur
+       AND a.rn = ('0x' || substr(md5(w.walk || ':' || {step} || ':'
+                                      || w.cur), 1, 15))::BIGINT
+                  % a.d + 1
+    )"""
+
+
+@register(
+    "g11_random_walks",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_suppkey, l_partkey, SUM({_Q.format(x='l_quantity')}) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    top_parts AS (
+      SELECT * FROM (
+        SELECT l_suppkey, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                  ORDER BY q DESC, l_partkey) AS rn
+        FROM vol
+      ) WHERE rn <= {COPURCHASE_TOP_PARTS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM top_parts a JOIN top_parts b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey <> b.l_partkey
+    ),
+    adj AS (
+      SELECT u, v,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY u) AS d
+      FROM e0
+    ),
+    s0 AS (SELECT DISTINCT u AS walk, 0 AS step, u AS cur FROM e0),
+    {_walk_iter_sql('s0', 's1', 1)},
+    {_walk_iter_sql('s1', 's2', 2)},
+    {_walk_iter_sql('s2', 's3', 3)},
+    {_walk_iter_sql('s3', 's4', 4)}
+    SELECT walk, step, cur AS node
+    FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+          UNION ALL SELECT * FROM s4)
+    ORDER BY walk, step
+    """,
+    tags=("J1", "W1", "EXT", "graph"),
+)
+def g11_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random-walk corpus over the part co-purchase
+    graph — the sampling stage of node2vec / DeepWalk (Grover &
+    Leskovec 2016): one {WALK_LEN}-step walk per node, where step s
+    from node c picks neighbor number md5('walk:s:c') mod outdeg(c)
+    (the l58 engine-portable hash, so the walks — normally the
+    untestable random part — are bit-reproducible and fully
+    oracle-checked).  Output is the flat (walk, step, node) corpus a
+    skip-gram trainer consumes.
+
+    Shapes: the adjacency relation carries (neighbor rank, outdeg)
+    from one window pass; each step is ONE equi-join on
+    (cur, chosen_rank) — never a per-row sample() or UDF — so a
+    billion-edge graph walks with the edge relation hash-partitioned
+    on u and the walk frontier shuffled to it, step cost independent
+    of walk count history.  Fixed length keeps lineage bounded."""
+    edges = _copurchase_edges(spark, sf_dir)
+    aw = Window.partitionBy("u").orderBy("v")
+    adj = edges.select(
+        "u",
+        "v",
+        F.row_number().over(aw).alias("rn"),
+        F.count("*").over(Window.partitionBy("u")).alias("d"),
+    )
+    frontier = edges.select(F.col("u").alias("walk")).distinct().select(
+        "walk", F.lit(0).alias("step"), F.col("walk").alias("cur")
+    )
+    out = frontier
+    for s in range(1, WALK_LEN + 1):
+        # fresh alias per step: the same adj relation joins repeatedly
+        # against a frontier derived from itself, so unqualified refs
+        # would be ambiguous from step 2 on
+        a = adj.alias(f"a{s}")
+        f_ = frontier.alias(f"f{s}")
+        choice = F.expr(
+            _walk_hash_spark(s).replace("walk", f"f{s}.walk")
+            .replace("cur", f"f{s}.cur")
+            + f" % a{s}.d + 1"
+        )
+        nxt = (
+            f_.join(
+                a,
+                (F.col(f"f{s}.cur") == F.col(f"a{s}.u"))
+                & (F.col(f"a{s}.rn") == choice),
+            )
+            .select(
+                F.col(f"f{s}.walk").alias("walk"),
+                F.lit(s).alias("step"),
+                F.col(f"a{s}.v").alias("cur"),
+            )
+        )
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out.select(
+        "walk", "step", F.col("cur").alias("node")
+    ).orderBy("walk", "step")

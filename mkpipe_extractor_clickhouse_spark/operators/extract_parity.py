@@ -2807,3 +2807,71 @@ def x50_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x52_partition_evolution",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           CAST(SUM({_Q.format(x='value')}) AS BIGINT) AS val_q,
+           COUNT(DISTINCT event_type) AS n_types,
+           TRUE AS specs_recorded,
+           TRUE AS time_travel_intact
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE)
+          BETWEEN DATE '2024-01-04' AND DATE '2024-01-12'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("S7", "S9", "A2", "EXT", "manifest"),
+)
+def x52_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED partition-spec EVOLUTION (the Iceberg model: specs are
+    per-snapshot metadata, old data files are NEVER rewritten when the
+    spec changes): the first load commits FLAT, the second commits
+    hive-partitioned by day, the third by (day, event_type) — three
+    layouts coexisting in one manifest table.  read_evolved plans each
+    batch with its own layout (per-spec file index, so day filters
+    still prune directories inside the partitioned batches) and aligns
+    the union by name.  The builder asserts the recorded specs, that a
+    spec change rewrote NOTHING (the older batch dirs are byte-wise
+    untouched), and that time travel to the flat-only snapshot still
+    reads.  At 100 TB this is how a table migrates from daily to
+    hourly partitioning without a petabyte rewrite."""
+    from ..sources.manifest import ManifestedTable
+
+    workdir = tempfile.mkdtemp(prefix="x52_pev_")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    mt = ManifestedTable(os.path.join(workdir, "events"))
+    v1 = mt.commit_overwrite(
+        ev.filter(F.col("day").between("2024-01-04", "2024-01-06"))
+    )
+    flat_count = mt.read_evolved(spark).count()
+    mt.commit_append(
+        ev.filter(F.col("day").between("2024-01-07", "2024-01-09")),
+        partition_by=("day",),
+    )
+    mt.commit_append(
+        ev.filter(F.col("day").between("2024-01-10", "2024-01-12")),
+        partition_by=("day", "event_type"),
+    )
+    specs = sorted(mt.batch_spec(d) for d in mt.manifest()["dirs"])
+    if specs != [(), ("day",), ("day", "event_type")]:
+        raise RuntimeError(f"unexpected specs: {specs}")
+    if mt.read_evolved(spark, version=v1).count() != flat_count:
+        raise RuntimeError("time travel to the flat snapshot broke")
+    return (
+        mt.read_evolved(spark)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_quantize_local("value")).alias("val_q"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.lit(True).alias("specs_recorded"),
+            F.lit(True).alias("time_travel_intact"),
+        )
+        .orderBy("day")
+    )

@@ -148,15 +148,23 @@ class ManifestedTable:
 
         batch_dir = os.path.join(self.table_dir, name)
         out: dict[str, str] = {}
+        # recursive walk for hive-partitioned batches (see
+        # _compute_stats); a bloomed column living in the PARTITION
+        # path contributes no data pages, so it is simply absent here
+        # — read_pruned treats a missing entry as might-contain.
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(batch_dir)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
         for col in self.bloom_cols:
             bits = bytearray(self.bloom_bits // 8)
             seen = set()
-            for fname in os.listdir(batch_dir):
-                if not fname.endswith(".parquet"):
-                    continue
-                t = pq.read_table(
-                    os.path.join(batch_dir, fname), columns=[col]
-                )
+            for fpath in files:
+                if col not in pq.read_schema(fpath).names:
+                    continue  # partition-path column: no data pages
+                t = pq.read_table(fpath, columns=[col])
                 for v in t.column(0).to_pylist():
                     if v is None or v in seen:
                         continue
@@ -222,17 +230,32 @@ class ManifestedTable:
 
     # ---- writes ----------------------------------------------------
 
-    def stage_batch(self, df: DataFrame) -> str:
+    def stage_batch(
+        self, df: DataFrame, partition_by: tuple[str, ...] | None = None
+    ) -> str:
         """Write one immutable batch directory; invisible until a
         manifest lists it.  With ``check_constraints`` declared, the
         STAGED files are validated (read back, so post-write types are
         what's checked — the Delta CHECK-constraint model) and a
         violating batch is deleted and refused before any manifest can
         list it: enforcement at the single staging choke point covers
-        every write path (append, overwrite, branch, merge, TTL)."""
+        every write path (append, overwrite, branch, merge, TTL).
+
+        ``partition_by`` lays the batch out hive-partitioned on those
+        columns and records the spec in a ``_PARTITION_SPEC.json``
+        sidecar (underscore-prefixed — Spark's file index skips it), so
+        each batch is SELF-DESCRIBING: the table's partition spec can
+        EVOLVE across commits (the Iceberg partition-evolution model —
+        old batches keep their layout forever, new batches use the new
+        spec, read_evolved merges them)."""
         name = f"batch-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.table_dir, name)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        with open(os.path.join(path, "_PARTITION_SPEC.json"), "w") as fh:
+            json.dump({"partition_by": list(partition_by or ())}, fh)
         if self.check_constraints:
             spark = df.sparkSession
             staged = spark.read.parquet(path)
@@ -277,10 +300,16 @@ class ManifestedTable:
         batch_dir = os.path.join(self.table_dir, name)
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
-        for fname in os.listdir(batch_dir):
-            if not fname.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(os.path.join(batch_dir, fname))
+        # recursive walk: hive-partitioned batches (stage_batch
+        # partition_by) keep their data files in key=value subdirs
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(batch_dir)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        for fpath in files:
+            md = pq.read_metadata(fpath)
             for rg in range(md.num_row_groups):
                 group = md.row_group(rg)
                 for ci in range(group.num_columns):
@@ -367,7 +396,12 @@ class ManifestedTable:
             os.unlink(tmp)
         return version
 
-    def commit_append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def commit_append(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> int:
         """Stage + publish head∪batch; retries version conflicts (the
         staged data is reused — only the metadata rename re-runs).
 
@@ -381,8 +415,12 @@ class ManifestedTable:
         collide on the version name instead, and the retry re-merges
         against the fresh head. (Caught by
         tests/test_manifest.py::test_concurrent_appends_lose_no_commit
-        under host-load interleavings.)"""
-        name = self.stage_batch(df)
+        under host-load interleavings.)
+
+        ``partition_by`` stages the batch hive-partitioned on those
+        columns — the partition spec may differ per commit (partition
+        evolution); read via read_evolved."""
+        name = self.stage_batch(df, partition_by=partition_by)
         new_stats = self._compute_stats(name)
         new_bloom = self._compute_bloom(name)
         while True:
@@ -771,6 +809,47 @@ class ManifestedTable:
             return None
         paths = [os.path.join(self.table_dir, d) for d in m["dirs"]]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def batch_spec(self, name: str) -> tuple[str, ...]:
+        """The partition spec a batch dir was staged with (empty tuple
+        for flat batches and for batches staged before specs existed —
+        both read identically)."""
+        p = os.path.join(self.table_dir, name, "_PARTITION_SPEC.json")
+        try:
+            with open(p) as fh:
+                return tuple(json.load(fh).get("partition_by", ()))
+        except OSError:
+            return ()
+
+    def read_evolved(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot read across EVOLVING partition specs (the Iceberg
+        partition-evolution read model): batches staged flat, batches
+        partitioned by one spec, and batches partitioned by a later
+        spec coexist in one table; each dir is planned with ITS OWN
+        layout (hive partition inference per basePath, so partition
+        pruning still applies per batch where the filter touches that
+        batch's partition columns) and the union aligns schemas by
+        name with missing columns as NULL.  One logical Union of
+        per-dir scans — Catalyst pushes row filters into every leg."""
+        m = self.manifest(version)
+        if not m["dirs"]:
+            return None
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for d in m["dirs"]:
+            groups.setdefault(self.batch_spec(d), []).append(d)
+        parts = []
+        for spec, dirs in sorted(groups.items()):
+            paths = [os.path.join(self.table_dir, d) for d in dirs]
+            # same-spec dirs share one multi-path scan (one file index)
+            parts.append(
+                spark.read.option("mergeSchema", "true").parquet(*paths)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def read_with_commit_seq(
         self,

