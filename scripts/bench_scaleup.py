@@ -1034,7 +1034,21 @@ def main() -> None:
                 "vs DuckDB's in-engine SIMD kernel 0.136 s — a native "
                 "vector primitive Spark lacks; per-core throughput "
                 "(~3 M vec/s/node) parallelizes embarrassingly on a "
-                "cluster."
+                "cluster. ROUND 9: l4c_packed_topk removes BOTH "
+                "previously-measured floors by owning the layout — a "
+                "one-time pack (pack_sec, the vector-index analogue of "
+                "bucket_gen_sec) stores vectors as plain-encoded "
+                "256-byte binary + exact float64 norms, so the page "
+                "decode is a memcpy; scoring is an exact two-phase "
+                "f32-GEMM screen / f64 refine (l4c_eq_kernel asserts "
+                "row equality with the l4 kernel at the smallest "
+                "point). l4b (r7's bridge-free pyarrow shard scan over "
+                "the ORIGINAL list<float> layout) stays registered and "
+                "strict-matched but is RETIRED from these totals — its "
+                "refutation stands: pyarrow's dictionary-encoded "
+                "list<float> page decode costs more than the bridge it "
+                "avoids (0.88 vs 0.51 s at 0.8M; 5.6 vs 2.5 s at "
+                "9.6M, r7 measurement)."
             ),
             "queries": list(LLM_QUERIES),
             "points": llm_points,
