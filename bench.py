@@ -208,6 +208,7 @@ def main() -> None:
         "l2b_minhash_lsh",
         "l12_token_count",
         "l3_topk_cosine",
+        "l4c_packed_topk",
         "l14_ivf_topk",
     )
     llm: dict[str, float] = {}

@@ -1080,9 +1080,9 @@ def test_loader_auto_compact_races_append_tick(spark, sf_dir):
             .limit(7)
         )
 
-        def hooked_stage(self, df):
+        def hooked_stage(self, df, partition_by=None):
             state["stages"] += 1
-            name = orig_stage(self, df)
+            name = orig_stage(self, df, partition_by=partition_by)
             if state["stages"] == 2 and not state["injected"]:
                 # this is the compaction's staging write → race it
                 state["injected"] = True
