@@ -972,3 +972,135 @@ def l92_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id", "bm25")
         .orderBy("qid", "rank")
     )
+
+
+BPE_ROUNDS = 5
+BPE_MAX_WORD = 32  # bound for the oracle's constant position range
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """One unrolled BPE merge round (DuckDB oracle): weighted adjacent-
+    pair counts over the symbol sequences, deterministic argmax
+    (count DESC, pair lexicographic), then a three-pass leftmost-
+    non-overlapping replace of ' a b ' -> ' ab ' (see docstring for why
+    three passes pin the variant)."""
+    return f"""
+    p{r} AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b, SUM(freq) AS cnt
+      FROM (SELECT freq, string_split(trim(sym), ' ') AS arr FROM {prev})
+      CROSS JOIN range(1, {BPE_MAX_WORD}) t(i)
+      WHERE i + 1 <= len(arr)
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v{r} AS (
+      SELECT word, freq,
+             replace(replace(replace(sym,
+               ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+               ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+               ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+      FROM {prev} CROSS JOIN b{r}
+    )"""
+
+
+@register(
+    "l101_bpe_merges",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+      SELECT word, freq,
+             ' ' || array_to_string(string_split_regex(word, ''), ' ')
+                 || ' ' AS sym
+      FROM vocab
+    ),
+    {",".join(_bpe_round_sql(f"v{r - 1}", r) for r in range(1, BPE_ROUNDS + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS round, a || '+' || b AS pair,"
+        f" CAST(cnt AS BIGINT) AS weighted_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+      )}
+    ) ORDER BY round
+    """,
+    tags=("L5", "A2", "EXT"),
+)
+def l101_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the merge loop itself (Sennrich et al.
+    2016), not just token counting: {BPE_ROUNDS} rounds of
+    most-frequent-adjacent-symbol-pair merging over the corpus
+    word-frequency table, exactly the computation behind every
+    BPE/WordPiece vocab build.  The pinned deterministic variant:
+    symbols are space-joined with sentinel spaces, the argmax
+    tiebreaks (count DESC, pair lexicographic), and each merge applies
+    THREE passes of leftmost-non-overlapping ' a b ' -> ' ab '
+    replacement (one pass misses alternating runs like 'a b a b';
+    three converge at any realistic symbol run — and because BOTH
+    engines execute the identical passes, equality is pinned by
+    construction, not by hoping replace semantics match reference
+    BPE's scan order).
+
+    Scale shape: the corpus-sized work per round is ONE weighted
+    adjacent-pair aggregate over the vocab relation (pairs explode via
+    index transform — no UDF); the argmax is a 1-row collect to the
+    driver, which is where the merge table lives in every real BPE
+    trainer (HuggingFace tokenizers does exactly this loop in RAM —
+    here the count aggregate distributes and only the winning pair
+    travels).  Round count is fixed; at a billion-word corpus the
+    vocab relation is the distinct-word table, orders of magnitude
+    smaller than the corpus, re-symbolized incrementally per round."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = F.concat(
+        F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+    )
+    v = vocab.select("word", "freq", sym.alias("sym")).cache()
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("sym")), " ")
+        pairs = (
+            # guard single-symbol words: Spark's sequence(1, 0) is the
+            # DESCENDING [1, 0], which would index past the array
+            v.filter(F.size(F.split(F.trim(F.col("sym")), " ")) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(sym), ' ')) - 1),"
+                        " i -> struct(element_at(split(trim(sym), ' '), i) AS a,"
+                        " element_at(split(trim(sym), ' '), i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), "a", "b"
+        ).limit(1).collect()[0]
+        merges.append((r, f"{best['a']}+{best['b']}", int(best["cnt"])))
+        pat = F.concat(
+            F.lit(" "), F.lit(best["a"]), F.lit(" "), F.lit(best["b"]),
+            F.lit(" "),
+        )
+        rep = F.concat(
+            F.lit(" "), F.lit(best["a"]), F.lit(best["b"]), F.lit(" ")
+        )
+        new_sym = F.col("sym")
+        for _ in range(3):
+            new_sym = F.replace(new_sym, pat, rep)
+        v = v.select("word", "freq", new_sym.alias("sym"))
+    return spark.createDataFrame(
+        merges, "round int, pair string, weighted_count long"
+    ).orderBy("round")
