@@ -659,6 +659,7 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold) cut as before, so the output is unchanged.
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute  # noqa: F401 — pa.compute in the worker closure
 
     out_schema = T.StructType(
         [
@@ -670,6 +671,8 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
 
     def verify_pairs(batches):
+        import pyarrow.compute  # noqa: F401 — runs IN the worker
+
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -931,24 +934,81 @@ def l32_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(
+    joined = a.join(
         b,
         (F.col("label") == F.col("label_b"))
         & (F.col("keep_id") < F.col("vec_id")),
-    ).select(
-        "vec_id",
-        "label",
-        (qdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "cosine"
-        ),
+    ).select("vec_id", "va", "vb", "na", "nb")
+    # Pair verify as a zero-copy Arrow kernel (r9, same move as l2d):
+    # the interpreted per-element fold dominated this query's 6.3 s at
+    # sf0.1.  The kernel replicates the quantize-each-addend contract
+    # BIT-FOR-BIT: q_i = trunc(x_i*y_i*1e12 ± 0.5) as int64 (same IEEE
+    # multiply order as the JVM expression; trunc(±0.5) → 0 makes the
+    # -0.0 copysign corner identical), int64 sum is order-free, then
+    # one double divide — so the ≥ t cut agrees with the oracle's
+    # integer fold exactly, as before.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute  # noqa: F401 — pa.compute in the worker closure
+
+    # numeric-only kernel I/O: strings through the Arrow output hit
+    # Spark's ArrowColumnVector getUTF8String gap; the label rejoins
+    # AFTER the aggregate on vec_id (one row per vec, tiny)
+    pair_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    return (
-        pairs.filter(F.col("cosine") >= SEMDEDUP_T)
-        .groupBy("vec_id", "label")
-        .agg(
-            F.count("*").alias("n_dup_smaller"),
-            F.round(F.max("cosine"), 6).alias("max_cosine"),
-        )
+    dim = 64
+    thr = SEMDEDUP_T
+
+    def verify_pairs(batches):
+        import pyarrow.compute  # noqa: F401 — runs IN the worker
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+
+            def mat(col):
+                mm = pa.compute.min_max(pa.compute.list_value_length(col))
+                if (
+                    col.null_count
+                    or mm["min"].as_py() != dim
+                    or mm["max"].as_py() != dim
+                ):
+                    raise ValueError("ragged/null vector in verify")
+                m = col.flatten().to_numpy(zero_copy_only=True).reshape(
+                    n, dim
+                )
+                return m if m.dtype == np.float64 else m.astype(np.float64)
+
+            p = mat(rb.column(1)) * mat(rb.column(2))
+            q = np.trunc(p * 1e12 + np.copysign(0.5, p))
+            dots = q.astype(np.int64).sum(axis=1) / 1e12
+            na_v = rb.column(3).to_numpy(zero_copy_only=False)
+            nb_v = rb.column(4).to_numpy(zero_copy_only=False)
+            cos = dots / (na_v * nb_v)
+            keep = cos >= thr
+            if not keep.any():
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], type=pa.int64()),
+                    pa.array(cos[keep], type=pa.float64()),
+                ],
+                ["vec_id", "cosine"],
+            )
+
+    pairs = joined.mapInArrow(verify_pairs, pair_schema)
+    agg = pairs.groupBy("vec_id").agg(
+        F.count("*").alias("n_dup_smaller"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+    return agg.join(vecs.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label", "n_dup_smaller", "max_cosine"
     )
 
 
