@@ -803,10 +803,15 @@ class ManifestedTable:
         """Snapshot read (head, or time travel to ``version``).
 
         Returns None for an empty table. mergeSchema for the same
-        schema-evolution tolerance as ParquetLoader.read."""
+        schema-evolution tolerance as ParquetLoader.read.  A snapshot
+        containing hive-partitioned batches (partition evolution)
+        delegates to read_evolved — a flat multi-path scan would
+        misplan mixed layouts."""
         m = self.manifest(version)
         if not m["dirs"]:
             return None
+        if any(self.batch_spec(d) for d in m["dirs"]):
+            return self.read_evolved(spark, version)
         paths = [os.path.join(self.table_dir, d) for d in m["dirs"]]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 

@@ -699,3 +699,21 @@ def test_lsh_bucket_join_factored_by_signature(spark, sf_dir):
     # at least one aggregate keyed on sig precedes the self-join
     tree = plan.split("\n\n")[0]
     assert "HashAggregate" in tree
+
+
+def test_pagerank_broadcasts_contribs_no_product(spark, sf_dir):
+    """g10: every round broadcasts the per-node contrib relation into
+    the edge list (one row per node — always the small side) and no
+    join degrades to a product; the final rank is one window."""
+    plan = plan_of("g10_pagerank", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_walks_equijoin_per_step(spark, sf_dir):
+    """g11: each walk step must be an equi-join keyed on the current
+    node (hash join with the rank-choice as residual condition) —
+    never a per-row sampler or a nested-loop product."""
+    plan = plan_of("g11_random_walks", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
