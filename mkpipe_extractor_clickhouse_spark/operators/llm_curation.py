@@ -623,3 +623,108 @@ def l90_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- l105: hashed linear quality classifier (fasttext-style apply) ---
+
+CLF_BUCKETS = 64  # hashing-trick feature space
+CLF_BIAS_Q = -250_000  # bias, quantized at 1e-6 (score units)
+
+
+# Deterministic stand-in for trained weights: a Knuth-hash spread of
+# the bucket id into [-0.5, 0.5), quantized at 1e-6.  Both engines
+# derive it from the same integer arithmetic, so the "model" is
+# bit-identical without shipping a weights file.
+def _clf_weight_q_sql(bucket: str) -> str:
+    return f"(({bucket} * 2654435761) % 1000000) - 500000"
+
+
+_CLF_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % {CLF_BUCKETS}"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "l105_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, w AS word
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    feat AS (
+      SELECT doc_id, source, {_CLF_BUCKET_SQL} AS bucket
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             {CLF_BIAS_Q} + SUM({_clf_weight_q_sql("bucket")}) AS score_q
+      FROM feat GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score_q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           CAST(SUM(score_q) // COUNT(*) AS BIGINT) AS mean_score_q,
+           CAST(MIN(score_q) AS BIGINT) AS min_score_q,
+           CAST(MAX(score_q) AS BIGINT) AS max_score_q
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("L8", "A2", "EXT", "quality"),
+)
+def l105_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fasttext-style keep/drop model every modern curation pipeline runs
+    (CCNet, FineWeb-Edu, Llama's quality filters): hashing-trick
+    featurization (token -> md5-derived bucket in a {CLF_BUCKETS}-wide
+    feature space), a sparse dot product against the weight vector,
+    bias, and a sign-threshold keep decision, rolled up per source.
+
+    The weight vector is a deterministic integer spread of the bucket
+    id standing in for trained parameters — the COMPUTATION under
+    test is the featurize/score/threshold pipeline, which is identical
+    whatever the weights.  Scores stay in 1e-6-quantized integer units
+    end-to-end (the classifier margin is what matters, and sigmoid is
+    monotone, so thresholding the raw margin avoids cross-engine
+    exp() drift entirely).
+
+    Scale shape: tokenize-explode is row-local and codegen'd; the
+    bucket weight is computed INLINE (no join — the model lives in the
+    expression, the way a broadcast weight array would at 100 TB);
+    one partial-agg shuffle per doc, one per source."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    feat = toks.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+            % CLF_BUCKETS
+        ).alias("bucket"),
+    )
+    scored = feat.groupBy("doc_id", "source").agg(
+        (
+            F.lit(CLF_BIAS_Q)
+            + F.sum(F.expr(_clf_weight_q_sql("bucket")))
+        ).alias("score_q")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score_q") > 0, 1).otherwise(0)).alias(
+                "n_keep"
+            ),
+            F.expr("sum(score_q) div count(*)").alias("mean_score_q"),
+            F.min("score_q").alias("min_score_q"),
+            F.max("score_q").alias("max_score_q"),
+        )
+        .orderBy("source")
+    )

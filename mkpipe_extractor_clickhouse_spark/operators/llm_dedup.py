@@ -1229,11 +1229,9 @@ MHP_P = 1_000_000_007
 MHP_HASHES = 16
 MHP_BAND_ROWS = 8
 
-
-@register(
-    "l58_minhash_portable",
-    oracle=f"""
-    WITH parts AS (
+# l58's portable MinHash pipeline as oracle CTEs, shared with l103.
+_MHP_ORACLE_CTES = f"""
+    parts AS (
       SELECT doc_id, string_split(text, ' ') AS p FROM documents
     ),
     toks AS (
@@ -1256,6 +1254,13 @@ MHP_BAND_ROWS = 8
              STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
       FROM sigs GROUP BY doc_id, i // {MHP_BAND_ROWS}
     )
+"""
+
+
+@register(
+    "l58_minhash_portable",
+    oracle=f"""
+    WITH {_MHP_ORACLE_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1278,6 +1283,14 @@ def l58_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     side), per-(doc, slot) min, band-signature equi-join — never
     all-pairs. md5-per-token costs ~2× xxhash64; at 100 TB keep l2b
     for production and this for cross-engine verification."""
+    sigs = _mhp_sigs(spark, sf_dir)
+    return _mhp_band_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+def _mhp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures (doc_id, slot i, min-hash mh)
+    over 3-gram shingles — the md5-derived hash family shared by l58
+    and l103 (see l58's docstring for why md5, not xxhash64)."""
     d = load_table(spark, sf_dir, "documents")
     p = F.split("text", " ")
     shingles = F.expr(
@@ -1302,7 +1315,12 @@ def l58_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             % MHP_P
         ).alias("h"),
     )
-    sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+
+
+def _mhp_band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (doc_a < doc_b) from portable
+    MinHash signatures — l58's band join, factored for reuse."""
     bands = (
         sigs.withColumn("band", (F.col("i") / MHP_BAND_ROWS).cast("long"))
         .groupBy("doc_id", "band")
@@ -2054,4 +2072,157 @@ def l2e_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HD)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- l103: LSH parameter tuning against the corpus ------------------
+
+# Candidate (bands, rows-per-band) factorizations of the 16-hash
+# signature, the knob every MinHash-LSH deployment has to pick.
+LSH_TUNE_CONFIGS: list[tuple[int, int]] = [
+    (16, 1), (8, 2), (4, 4), (2, 8), (1, 16)
+]
+LSH_TUNE_DUP_M = 12  # pairs with >= 12/16 agreeing slots count as dups
+
+
+def _pow_tree(x: str, n: int) -> str:
+    """x**n as an explicit binary-exponentiation multiplication tree.
+
+    The SAME expression text runs in Spark SQL and DuckDB, so both
+    engines execute the identical sequence of IEEE-754 multiplies —
+    bit-equal results by construction, where each engine's native
+    pow() is only correct to ~1 ulp and could disagree."""
+    if n == 1:
+        return x
+    h = _pow_tree(x, n // 2)
+    sq = f"({h} * {h})"
+    return sq if n % 2 == 0 else f"({sq} * {x})"
+
+
+def _scurve_pq_sql(r: int, b: int) -> str:
+    """The LSH S-curve P[candidate | m agreeing slots] = 1-(1-s^r)^b
+    with s = m/16, quantized to integer parts-per-billion.  FLOOR(x+.5)
+    instead of round(): identical in both engines (p is always >= 0)."""
+    s = f"(CAST(m AS DOUBLE) / {MHP_HASHES}.0)"
+    q = f"(1.0 - {_pow_tree(s, r)})"
+    p = f"(1.0 - {_pow_tree(q, b)})"
+    return f"CAST(FLOOR({p} * 1000000000.0 + 0.5) AS BIGINT)"
+
+
+def _lsh_cfg_sql(b: int, r: int) -> str:
+    pq = _scurve_pq_sql(r, b)
+    return f"""
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             CAST(SUM(cnt * {pq}) AS BIGINT) AS exp_candidates_e9,
+             CAST(SUM(CASE WHEN m < {LSH_TUNE_DUP_M}
+                           THEN cnt * {pq} ELSE 0 END) AS BIGINT)
+               AS fp_mass_e9,
+             CAST(SUM(CASE WHEN m >= {LSH_TUNE_DUP_M}
+                           THEN cnt * (1000000000 - {pq}) ELSE 0 END)
+                  AS BIGINT) AS fn_mass_e9
+      FROM hist
+    """
+
+
+@register(
+    "l103_lsh_param_tuning",
+    oracle=f"""
+    WITH {_MHP_ORACLE_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    hist AS (SELECT m, COUNT(*) AS cnt FROM agree GROUP BY m),
+    cfg AS ({" UNION ALL ".join(
+        _lsh_cfg_sql(b, r) for b, r in LSH_TUNE_CONFIGS)})
+    SELECT bands, rows_per_band, exp_candidates_e9, fp_mass_e9,
+           fn_mass_e9, fp_mass_e9 + fn_mass_e9 AS total_err_e9,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY fp_mass_e9 + fn_mass_e9, bands) AS BIGINT)
+             AS err_rank
+    FROM cfg ORDER BY err_rank
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l103_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter tuning ON THE CORPUS: pick (bands, rows-per-band)
+    for the 16-slot MinHash signature by evaluating the S-curve
+    P[candidate] = 1-(1-s^r)^b against the EMPIRICAL slot-agreement
+    histogram of this corpus' LSH candidate pairs — the standard
+    pre-deploy step (Leskovec/Rajaraman/Ullman MMDS ch.3) run as a
+    query instead of a notebook guess.  For each factorization the
+    output scores expected candidate volume, false-positive mass
+    (pairs below the 12/16-slot dup line that would still collide) and
+    false-negative mass (dup pairs the banding would miss); err_rank 1
+    is the config to deploy.
+
+    Determinism: the S-curve is evaluated as an explicit binary-
+    exponentiation multiplication tree (same expression text in both
+    engines — bit-equal, where native pow() is only ~1-ulp correct)
+    and quantized to integer ppb before the sums, so every output
+    column is an exact integer.  Scale shape: signatures and the band
+    join are l58's (never all-pairs); the agreement join multiplies
+    only CANDIDATE pairs by 16 slots; the histogram is <= 17 rows and
+    the config scoring is constant work on the driver-side plan."""
+    sigs = _mhp_sigs(spark, sf_dir).cache()
+    pairs = _mhp_band_pairs(sigs)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.i") == F.col("sa.i")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)
+            ).alias("m")
+        )
+    )
+    # <=17 rows; cached so the 5 config aggregates don't re-run the
+    # signature/band/agreement pipeline once each
+    hist = agree.groupBy("m").agg(F.count("*").alias("cnt")).cache()
+    cfg = None
+    for b, r in LSH_TUNE_CONFIGS:
+        pq = _scurve_pq_sql(r, b)
+        part = hist.agg(
+            F.expr(f"CAST(SUM(cnt * {pq}) AS BIGINT)").alias(
+                "exp_candidates_e9"
+            ),
+            F.expr(
+                f"CAST(SUM(CASE WHEN m < {LSH_TUNE_DUP_M}"
+                f" THEN cnt * {pq} ELSE 0 END) AS BIGINT)"
+            ).alias("fp_mass_e9"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN m >= {LSH_TUNE_DUP_M}"
+                f" THEN cnt * (1000000000 - {pq}) ELSE 0 END) AS BIGINT)"
+            ).alias("fn_mass_e9"),
+        ).select(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "exp_candidates_e9",
+            "fp_mass_e9",
+            "fn_mass_e9",
+        )
+        cfg = part if cfg is None else cfg.unionAll(part)
+    w = Window.orderBy(F.col("fp_mass_e9") + F.col("fn_mass_e9"), "bands")
+    return (
+        cfg.select(
+            "*",
+            (F.col("fp_mass_e9") + F.col("fn_mass_e9")).alias("total_err_e9"),
+            F.row_number().over(w).cast("long").alias("err_rank"),
+        )
+        .orderBy("err_rank")
     )

@@ -1054,6 +1054,19 @@ def l101_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     travels).  Round count is fixed; at a billion-word corpus the
     vocab relation is the distinct-word table, orders of magnitude
     smaller than the corpus, re-symbolized incrementally per round."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, pair string, weighted_count long"
+    ).orderBy("round")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Run the {BPE_ROUNDS}-round merge loop (see l101 docstring for the
+    pinned variant) and return (merge table, final vocab relation with
+    the merged symbol sequences).  Shared by l101 (reports the merges)
+    and l102 (applies the final symbolization to measure fertility)."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1101,6 +1114,103 @@ def l101_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(3):
             new_sym = F.replace(new_sym, pat, rep)
         v = v.select("word", "freq", new_sym.alias("sym"))
-    return spark.createDataFrame(
-        merges, "round int, pair string, weighted_count long"
-    ).orderBy("round")
+    return merges, v
+
+
+_BPE_ORACLE_CTES = f"""
+    vocab AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+      SELECT word, freq,
+             ' ' || array_to_string(string_split_regex(word, ''), ' ')
+                 || ' ' AS sym
+      FROM vocab
+    ),
+    {",".join(_bpe_round_sql(f"v{r - 1}", r) for r in range(1, BPE_ROUNDS + 1))}
+"""
+
+
+@register(
+    "l102_bpe_fertility",
+    oracle=f"""
+    WITH {_BPE_ORACLE_CTES},
+    tok AS (
+      SELECT word,
+             len(string_split(trim(sym), ' ')) AS n_tokens,
+             length(word) AS n_chars
+      FROM v{BPE_ROUNDS}
+    ),
+    words AS (
+      SELECT source, w AS word, COUNT(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS total_words,
+           CAST(SUM(cnt * n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(cnt * n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(cnt * n_tokens) * 1000000 // SUM(cnt) AS BIGINT)
+             AS fertility_ppm,
+           CAST(SUM(cnt * n_chars) * 1000000 // SUM(cnt * n_tokens)
+             AS BIGINT) AS chars_per_token_ppm
+    FROM words JOIN tok USING (word)
+    GROUP BY source ORDER BY source
+    """,
+    tags=("L5", "A2", "EXT"),
+)
+def l102_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — encode the corpus with the vocab
+    l101 just trained and report per-source fertility (tokens per
+    word) and compression (chars per token), the metrics every
+    tokenizer eval publishes (e.g. the multilingual-fertility tables
+    in the XLM-R / BLOOM tokenizer papers).  A source whose fertility
+    stays near the character count is under-served by the merge table
+    — the exact signal used to rebalance tokenizer training mixes.
+
+    Encoding rides the TRAINED VOCAB, not the corpus: the final
+    symbolization lives on the distinct-word relation (already merged
+    by the training loop), so applying the tokenizer is a dictionary
+    join — per-source word counts ⋈ broadcast(word → token count) —
+    never a per-document re-merge.  At 100 TB the corpus-side work is
+    one word-count aggregate (map-side combined) plus a broadcast
+    join; all ratios are exact integer ppm (trunc division), so the
+    oracle parity is pinned with zero float drift."""
+    merges, v = _bpe_train(spark, sf_dir)
+    tok = v.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_tokens"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        words.join(F.broadcast(tok), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("total_words"),
+            F.sum(F.col("cnt") * F.col("n_tokens")).alias("total_tokens"),
+            F.sum(F.col("cnt") * F.col("n_chars")).alias("total_chars"),
+        )
+        .select(
+            "source",
+            "total_words",
+            "total_tokens",
+            "total_chars",
+            F.expr("total_tokens * 1000000 div total_words").alias(
+                "fertility_ppm"
+            ),
+            F.expr("total_chars * 1000000 div total_tokens").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1187,3 +1187,188 @@ def l100_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("saving_ppm"),
         )
     )
+
+
+# ---- l104: graded contamination report -------------------------------
+
+CONTAM_PARTIAL_PPM = 200_000  # <20% dirty shingles = "partial"
+
+
+@register(
+    "l104_contamination_report",
+    oracle=f"""
+    WITH sh AS ({_gram_sql(DECON_N)}),
+    eval_sh AS (
+      SELECT DISTINCT gram FROM sh WHERE source IN {EVAL_SOURCES!r}
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS dirty
+      FROM sh s LEFT JOIN eval_sh e USING (gram)
+      WHERE s.source NOT IN {EVAL_SOURCES!r}
+      GROUP BY s.doc_id
+    ),
+    graded AS (
+      SELECT d.source,
+             COALESCE(p.dirty * 1000000 // p.n_grams, 0) AS dirty_ppm
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      WHERE d.source NOT IN {EVAL_SOURCES!r}
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dirty_ppm = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN dirty_ppm > 0
+                     AND dirty_ppm < {CONTAM_PARTIAL_PPM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(SUM(CASE WHEN dirty_ppm >= {CONTAM_PARTIAL_PPM}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+           CAST(SUM(dirty_ppm) // COUNT(*) AS BIGINT) AS mean_dirty_ppm
+    FROM graded GROUP BY source ORDER BY source
+    """,
+    tags=("L1", "J6", "decontamination", "EXT"),
+)
+def l104_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark-contamination report (the GPT-3 appendix-C
+    methodology): where l24 makes the binary keep/drop call, this
+    measures HOW contaminated each training document is — the fraction
+    of its word 5-grams that appear in the held-out sources — and
+    rolls severity counts up per source (clean / partial < 20% /
+    dirty >= 20%), the artifact a data audit actually publishes before
+    deciding drop thresholds.
+
+    Plan shape is l24's with the semi-join upgraded to a counting left
+    join: the eval-source gram dictionary is small by nature so it
+    BROADCASTS; training grams probe it map-side and collapse to one
+    row per doc; docs too short to have any 5-gram join back as clean.
+    Everything integer (trunc-division ppm), so parity is exact. At
+    100 TB: one broadcast probe + two partial-agg shuffles (doc, then
+    source) — the corpus text never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(~F.col("source").isin(*EVAL_SOURCES))
+    sh = _grams(d, DECON_N)
+    eval_grams = (
+        sh.filter(F.col("source").isin(*EVAL_SOURCES)).select("gram").distinct()
+    )
+    per_doc = (
+        sh.filter(~F.col("source").isin(*EVAL_SOURCES))
+        .join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("dirty"),
+        )
+    )
+    graded = train.join(per_doc, "doc_id", "left").select(
+        "source",
+        F.coalesce(
+            F.expr("dirty * 1000000 div n_grams"), F.lit(0)
+        ).alias("dirty_ppm"),
+    )
+    return (
+        graded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dirty_ppm") == 0, 1).otherwise(0)).alias(
+                "n_clean"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("dirty_ppm") > 0)
+                    & (F.col("dirty_ppm") < CONTAM_PARTIAL_PPM),
+                    1,
+                ).otherwise(0)
+            ).alias("n_partial"),
+            F.sum(
+                F.when(F.col("dirty_ppm") >= CONTAM_PARTIAL_PPM, 1).otherwise(0)
+            ).alias("n_dirty"),
+            F.expr("sum(dirty_ppm) div count(*)").alias("mean_dirty_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- l106: SoftDeDup — reweight duplicates instead of dropping -------
+
+
+@register(
+    "l106_softdedup_weights",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_words
+      FROM documents
+    ),
+    mult AS (SELECT fp, COUNT(*) AS n FROM docs GROUP BY fp),
+    weighted AS (
+      SELECT d.source, d.n_words, 1000000 // m.n AS weight_ppm
+      FROM docs d JOIN mult m USING (fp)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS raw_tokens,
+           CAST(SUM(n_words * weight_ppm) AS BIGINT)
+             AS effective_tokens_e6,
+           CAST(1000000 - SUM(n_words * weight_ppm) // SUM(n_words)
+                AS BIGINT) AS discount_ppm
+    FROM weighted GROUP BY source ORDER BY source
+    """,
+    tags=("L1", "A2", "EXT", "training-prep"),
+)
+def l106_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup — reweight duplicates instead of deleting them: each
+    document in an exact-duplicate cluster of size n keeps sampling
+    weight 1/n, so the cluster contributes exactly one document's
+    worth of gradient signal while every copy stays available (the
+    soft deduplication studied as an alternative to hard dedup, e.g.
+    SlimPajama ablations / "softdedup" loss reweighting).  The output
+    is the per-source token budget ledger: raw tokens, EFFECTIVE
+    tokens after 1/n weighting (1e-6 units, exact integers), and the
+    dedup discount in ppm — the number a mixture planner (l31/l88)
+    consumes instead of a post-hard-dedup recount.
+
+    Scale shape: fingerprint groupBy on a 16-byte md5 key (l1's
+    shuffle), multiplicity joins back on the same key — two narrow
+    shuffles and a per-source rollup; no text ever moves twice."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("n_words"),
+    )
+    mult = docs.groupBy("fp").agg(F.count("*").alias("n"))
+    weighted = docs.join(mult, "fp").select(
+        "source",
+        "n_words",
+        F.expr("1000000 div n").alias("weight_ppm"),
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("raw_tokens"),
+            F.sum(F.col("n_words") * F.col("weight_ppm")).alias(
+                "effective_tokens_e6"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "effective_tokens_e6",
+            (
+                F.lit(1000000)
+                - F.expr("effective_tokens_e6 div raw_tokens")
+            ).cast("long").alias("discount_ppm"),
+        )
+        .orderBy("source")
+    )

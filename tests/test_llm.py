@@ -733,3 +733,67 @@ def test_packed_layout_rejects_ragged(spark, tmp_path):
     ).write.parquet(str(sf / "embeddings.parquet"))
     with _pytest.raises(Exception, match="uniform|ragged|64"):
         build_packed_vector_layout(spark, str(sf), str(tmp_path / "lay"))
+
+
+def test_bpe_fertility_invariants(spark, sf_dir):
+    """l102: every word is >= 1 token, every token >= 1 char, and the
+    merge table can only shrink token counts vs characters."""
+    rows = _run("l102_bpe_fertility", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.total_tokens <= r.total_chars
+        assert r.fertility_ppm >= 1_000_000  # >= 1 token per word
+        assert r.chars_per_token_ppm >= 1_000_000  # >= 1 char per token
+
+
+def test_lsh_param_tuning_invariants(spark, sf_dir):
+    """l103: one row per (bands, rows) factorization of the 16-slot
+    signature; more-bands/fewer-rows must be the more permissive
+    banding (its expected candidate mass dominates the transpose)."""
+    rows = _run("l103_lsh_param_tuning", spark, sf_dir).collect()
+    assert sorted((r.bands, r.rows_per_band) for r in rows) == sorted(
+        [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    )
+    assert sorted(r.err_rank for r in rows) == [1, 2, 3, 4, 5]
+    by_cfg = {(r.bands, r.rows_per_band): r for r in rows}
+    assert (
+        by_cfg[(16, 1)].exp_candidates_e9
+        >= by_cfg[(1, 16)].exp_candidates_e9
+    )
+    for r in rows:
+        assert r.fp_mass_e9 >= 0 and r.fn_mass_e9 >= 0
+        assert r.total_err_e9 == r.fp_mass_e9 + r.fn_mass_e9
+
+
+def test_contamination_report_partitions_docs(spark, sf_dir):
+    """l104: severity buckets partition each source's doc count, and
+    eval sources never appear in their own report."""
+    rows = _run("l104_contamination_report", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.source not in ("src18", "src19")
+        assert r.n_clean + r.n_partial + r.n_dirty == r.n_docs
+        assert 0 <= r.mean_dirty_ppm <= 1_000_000
+
+
+def test_quality_classifier_margins(spark, sf_dir):
+    """l105: keep count bounded by docs; min <= mean <= max margins."""
+    rows = _run("l105_quality_classifier", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_keep <= r.n_docs
+        assert r.min_score_q <= r.mean_score_q <= r.max_score_q
+
+
+def test_softdedup_conserves_unique_mass(spark, sf_dir):
+    """l106: 1/n weights mean every duplicate CLUSTER contributes ~one
+    doc of effective tokens: effective <= raw, discount in [0, 1e6),
+    and a fully-unique source has zero discount."""
+    rows = _run("l106_softdedup_weights", spark, sf_dir).collect()
+    assert rows
+    total_raw = sum(r.raw_tokens for r in rows)
+    total_eff = sum(r.effective_tokens_e6 for r in rows)
+    assert total_eff <= total_raw * 1_000_000
+    for r in rows:
+        assert 0 <= r.discount_ppm < 1_000_000
+        assert r.effective_tokens_e6 <= r.raw_tokens * 1_000_000

@@ -717,3 +717,46 @@ def test_random_walks_equijoin_per_step(spark, sf_dir):
     plan = plan_of("g11_random_walks", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_fertility_dictionary_broadcast(spark, sf_dir):
+    """l102: applying the trained vocab is a DICTIONARY join — the
+    word->token-count relation must broadcast into the corpus word
+    counts, never sort-merge or product them."""
+    plan = plan_of("l102_bpe_fertility", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_param_tuning_no_allpairs(spark, sf_dir):
+    """l103: the empirical histogram comes from LSH CANDIDATE pairs
+    (band equi-join) — no all-pairs product may appear anywhere in the
+    tuning pipeline."""
+    plan = plan_of("l103_lsh_param_tuning", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_report_broadcasts_eval_grams(spark, sf_dir):
+    """l104: the eval-source gram dictionary broadcasts; the corpus
+    gram relation is probed map-side, never shuffled on gram."""
+    plan = plan_of("l104_contamination_report", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_joinless(spark, sf_dir):
+    """l105: the model lives IN the expression (hashing trick + inline
+    weight formula) — the scoring pipeline must contain no join at
+    all, just the two aggregation exchanges plus the output sort."""
+    plan = plan_of("l105_quality_classifier", spark, sf_dir)
+    for op in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert op not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 3
+
+
+def test_softdedup_single_fingerprint_shuffle_key(spark, sf_dir):
+    """l106: multiplicity attaches via an equi join on the 16-byte
+    fingerprint — no product, no text-keyed shuffle."""
+    plan = plan_of("l106_softdedup_weights", spark, sf_dir)
+    assert "CartesianProduct" not in plan
