@@ -2175,3 +2175,129 @@ def l94_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "vec_id", "fdot_e9", "pdot_e9", "recall_ppm")
         .orderBy("rank")
     )
+
+
+# ---- l107: power-iteration PCA (top principal direction) -------------
+
+PI_ROUNDS = 3
+
+
+def _pi_tdiv(a: str, b: str) -> str:
+    """Truncate-toward-zero integer division, identical in Spark
+    (`div` truncates) and DuckDB (`//` floors for integers) by
+    routing the sign around a non-negative division."""
+    return (
+        f"(CASE WHEN {a} >= 0 THEN ({a}) {{div}} ({b})"
+        f" ELSE -((-({a})) {{div}} ({b})) END)"
+    )
+
+
+def _pi_round_sql(r: int) -> str:
+    """One unrolled power-iteration round in pure integer arithmetic:
+    s = E v (rescaled), w = E^T s, v' = w normalized to +-1e6 by the
+    max component.  `{div}` is substituted per engine."""
+    tdiv = _pi_tdiv("w", "GREATEST(m {div} 1000000, 1)")
+    return f"""
+    s{r} AS (
+      SELECT e.vec_id,
+             {_pi_tdiv("SUM(e.e * v.v)", "1000000")} AS s
+      FROM eq e JOIN v{r - 1} v USING (j)
+      GROUP BY e.vec_id
+    ),
+    w{r} AS (
+      SELECT e.j, SUM(s.s * e.e) AS w
+      FROM eq e JOIN s{r} s USING (vec_id)
+      GROUP BY e.j
+    ),
+    m{r} AS (SELECT MAX(ABS(w)) AS m FROM w{r}),
+    v{r} AS (
+      SELECT j, CAST({tdiv} AS BIGINT) AS v
+      FROM w{r} CROSS JOIN m{r}
+    )"""
+
+
+_PI_SQL_BODY = f"""
+    WITH eq AS (
+      SELECT vec_id, j, {{q}} AS e
+      FROM ({{unnest}})
+    ),
+    v0 AS (
+      SELECT j, CAST(1000000 AS BIGINT) AS v
+      FROM (SELECT DISTINCT j FROM eq)
+    ),
+    {",".join(_pi_round_sql(r) for r in range(1, PI_ROUNDS + 1))}
+    SELECT v{PI_ROUNDS}.j AS dim, v{PI_ROUNDS}.v AS component_e6,
+           CAST(w{PI_ROUNDS}.w AS BIGINT) AS gain_raw
+    FROM v{PI_ROUNDS} JOIN w{PI_ROUNDS} USING (j)
+    ORDER BY dim
+"""
+
+_PI_DUCK_UNNEST = """
+      SELECT vec_id, i AS j, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(GENERATE_SERIES(1, len(embedding))) g(i)
+"""
+
+
+@register(
+    "l107_power_iteration",
+    oracle=_PI_SQL_BODY.format(
+        div="//", q=_Q.format(x="x"), unnest=_PI_DUCK_UNNEST
+    ),
+    tags=("L9", "A2", "EXT", "embeddings"),
+)
+def l107_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal DIRECTION of the embedding matrix by {PI_ROUNDS}
+    unrolled power-iteration rounds (v' ∝ EᵀE v) — the first step of
+    every PCA/whitening/spectral pass over an embedding corpus, kept
+    matrix-free: each round is two aggregations (scores s = Ev, then
+    loadings w = Eᵀs), never a materialized d×d covariance.
+
+    Deterministic across engines because NO float ever flows between
+    steps: embeddings quantize once to 1e-6 longs, the score rescale
+    and the per-round max-normalization are truncating integer
+    divisions (sign routed around a non-negative divide, since Spark
+    `div` truncates while DuckDB `//` floors), and every sum is a
+    64-bit integer sum — order-independent by construction.  The
+    rescales keep all magnitudes inside int64 at any corpus size
+    (|e|≤2e6, |v|≤1e6 ⇒ per-row dot ≤ 1.3e14, rescaled to ≤1.3e8
+    before the loading sum).
+
+    Scale shape: rounds are FIXED (3); the Spark side keeps the dot
+    products ROW-LOCAL — v rides to each round as a d-long literal
+    array (the same bounded driver roundtrip as l101's argmax: d
+    longs, never corpus data), so each round is one codegen'd
+    map stage + one d-group partial aggregation.  Nothing corpus-sized
+    ever shuffles; at 100 TB each round moves d longs per partition.
+    The oracle's relational form (explode + keyed joins) computes the
+    identical integers — THAT equivalence is what the driver checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: _quantize(x.cast("double"))
+        ).alias("earr"),
+    ).cache()  # quantize once; re-read per round
+    d = int(eq.select(F.size("earr")).first()[0])
+    v = [1000000] * d
+    for r in range(1, PI_ROUNDS + 1):
+        v_lit = f"array({', '.join(f'{x}L' for x in v)})"
+        dot = f"aggregate(zip_with(earr, {v_lit}, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+        s_expr = _pi_tdiv(dot, "1000000").format(div="div")
+        w_rows = (
+            eq.select(F.expr(s_expr).alias("s"), F.posexplode("earr"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("col")).alias("w"))
+            .orderBy("pos")
+            .collect()
+        )
+        w = [row["w"] for row in w_rows]
+        m = max(abs(x) for x in w)
+        scale = max(m // 1000000, 1)
+        # truncate-toward-zero, matching the SQL tdiv
+        v = [x // scale if x >= 0 else -((-x) // scale) for x in w]
+    rows = [
+        (j + 1, int(v[j]), int(w[j])) for j in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, component_e6 long, gain_raw long"
+    ).orderBy("dim")

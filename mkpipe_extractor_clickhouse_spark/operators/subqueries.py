@@ -436,3 +436,46 @@ def sq9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY depth
         """
     )
+
+
+@register(
+    "sq10_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    ORDER BY c.c_custkey, t.o_orderkey
+    """,
+    tags=("SQ", "J1", "W8", "EXT", "dialect"),
+)
+def sq10_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table — 'top 2 orders per customer'
+    written as a per-row subquery, the form ClickHouse users reach for
+    via ARRAY JOIN over grouped arrays and Postgres users via LATERAL.
+    Spark DECORRELATES it (SPARK-35551): the per-customer ORDER BY ..
+    LIMIT 2 compiles to a rank-limited window (WindowGroupLimit cuts
+    to 2 rows per key BELOW the exchange) joined back to the outer
+    relation — never a per-row re-execution, so a 100 TB fact side
+    shuffles once on the join key.  Both engines agree because LATERAL
+    has ANSI semantics: the subquery sees exactly one outer row's
+    bindings (customers with no orders drop, inner-join semantics).
+
+    The identical SQL text runs in both engines — this query checks
+    the PARSER surface as much as the semantics."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )

@@ -797,3 +797,36 @@ def test_softdedup_conserves_unique_mass(spark, sf_dir):
     for r in rows:
         assert 0 <= r.discount_ppm < 1_000_000
         assert r.effective_tokens_e6 <= r.raw_tokens * 1_000_000
+
+
+def test_power_iteration_contract(spark, sf_dir):
+    """l107: the returned direction is max-normalized to exactly 1e6,
+    component signs align with the final loadings, and — power
+    iteration's defining property on a PSD Gram matrix — its Rayleigh
+    quotient dominates the all-ones start vector's."""
+    import numpy as np
+
+    rows = sorted(
+        _run("l107_power_iteration", spark, sf_dir).collect(),
+        key=lambda r: r.dim,
+    )
+    v = np.array([r.component_e6 for r in rows], dtype=float)
+    assert int(max(abs(x) for x in v)) == 1_000_000
+    for r in rows:
+        if r.component_e6 != 0:
+            assert (r.component_e6 > 0) == (r.gain_raw > 0)
+    emb = np.array(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=float,
+    )
+    C = emb.T @ emb
+    ones = np.ones(len(v))
+
+    def rq(x):
+        return float(x @ C @ x) / float(x @ x)
+
+    # monotone in exact arithmetic; 0.99 absorbs integer truncation
+    assert rq(v) >= 0.99 * rq(ones)

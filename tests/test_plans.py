@@ -760,3 +760,23 @@ def test_softdedup_single_fingerprint_shuffle_key(spark, sf_dir):
     fingerprint — no product, no text-keyed shuffle."""
     plan = plan_of("l106_softdedup_weights", spark, sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    """sq10: the LATERAL per-customer top-2 must decorrelate to a
+    rank-limited window (WindowGroupLimit below the exchange) joined
+    back hash-wise — never a per-outer-row re-execution or a product."""
+    plan = plan_of("sq10_lateral_join", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_power_iteration_no_corpus_shuffle(spark, sf_dir):
+    """l107: the returned relation is a driver-built d-row literal —
+    the corpus work happened in bounded per-round jobs (map-local dot
+    products + d-group aggregates), so the final plan must be a plain
+    local scan with no join or corpus exchange."""
+    plan = plan_of("l107_power_iteration", spark, sf_dir)
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan
