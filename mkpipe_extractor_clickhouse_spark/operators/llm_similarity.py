@@ -2301,3 +2301,157 @@ def l107_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, component_e6 long, gain_raw long"
     ).orderBy("dim")
+
+
+# ---- l108: ANN tuning curve — recall@k vs nprobe ---------------------
+
+ANN_NPROBES = (1, 2, 3, 5, 8, 10)
+
+
+def _ann_np_sql(np_: int) -> str:
+    return f"""
+    a{np_} AS (
+      SELECT vec_id FROM sims WHERE c_rank <= {np_}
+      ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    r{np_} AS (
+      SELECT {np_} AS nprobe,
+             (SELECT COUNT(*) FROM sims WHERE c_rank <= {np_})
+               AS n_candidates,
+             (SELECT CAST(COUNT(*) * 1000000 / {TOP_K} AS BIGINT)
+              FROM a{np_} JOIN exact USING (vec_id)) AS recall_ppm
+    )"""
+
+
+@register(
+    "l108_ann_recall_curve",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    q AS (SELECT i, x AS qx FROM v WHERE vec_id = {QUERY_VEC_ID}),
+    cent AS (
+      SELECT label, i, {DAVG9.format(x="x")} AS c
+      FROM v GROUP BY label, i
+    ),
+    csim AS (
+      SELECT c.label,
+             ROUND(SUM(c.c * q.qx)
+                   / (SQRT(SUM(c.c * c.c)) * SQRT(SUM(q.qx * q.qx))),
+                   6) AS c_sim
+      FROM cent c JOIN q USING (i) GROUP BY c.label
+    ),
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY c_sim DESC, label) AS c_rank
+      FROM csim
+    ),
+    scored AS (
+      SELECT v.vec_id, MAX(v.label) AS label,
+             ROUND(SUM(v.x * q.qx)
+                   / (SQRT(SUM(v.x * v.x)) * SQRT(SUM(q.qx * q.qx))),
+                   6) AS cosine
+      FROM v JOIN q USING (i)
+      WHERE v.vec_id <> {QUERY_VEC_ID}
+      GROUP BY v.vec_id
+    ),
+    sims AS (
+      SELECT s.vec_id, s.cosine, r.c_rank
+      FROM scored s JOIN ranked r ON s.label = r.label
+    ),
+    exact AS (
+      SELECT vec_id FROM sims ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    ),
+    {",".join(_ann_np_sql(np_) for np_ in ANN_NPROBES)}
+    SELECT * FROM (
+      {" UNION ALL ".join(f"SELECT * FROM r{np_}" for np_ in ANN_NPROBES)}
+    ) ORDER BY nprobe
+    """,
+    tags=("L3", "L4", "EXT"),
+)
+def l108_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN deployment curve: recall@{TOP_K} and candidate-scan cost
+    as nprobe sweeps the IVF probe budget — the plot every vector-store
+    rollout is tuned from (l83 is this for LSH; this is the IVF twin).
+    One centroid ranking and ONE full scored relation (cosine +
+    owning-list rank per vector, cached) serve every sweep point: a
+    probe budget of np is just `c_rank <= np`, so the sweep adds six
+    top-k cuts over the same cached relation, not six scans.  Exact
+    arm and determinism discipline are l14's (davg9-quantized
+    centroids, 1e-6-rounded cosines, vec_id tiebreaks).
+
+    At 100 TB the scored relation is materialized once per evaluation
+    panel — the marginal cost per extra sweep point is a filtered
+    top-k, which is why recall curves are cheap to keep fresh in
+    production while full re-benchmarks are not."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(davg9(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    csim = cent.join(F.broadcast(q)).select(
+        "c_label",
+        F.round(_dot("cv", "qv") / (_norm("cv") * _norm("qv")), 6).alias(
+            "c_sim"
+        ),
+    )
+    ranked = csim.select(
+        "c_label",
+        F.row_number()
+        .over(Window.orderBy(F.col("c_sim").desc(), "c_label"))
+        .alias("c_rank"),
+    )
+    sims = (
+        vecs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 6).alias(
+                "cosine"
+            ),
+        )
+        .join(F.broadcast(ranked), F.col("label") == F.col("c_label"))
+        .select("vec_id", "cosine", "c_rank")
+        .cache()
+    )
+    exact = (
+        sims.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+        .agg(F.collect_set("vec_id").alias("e"))
+    )
+    out = None
+    for np_ in ANN_NPROBES:
+        cand = sims.filter(F.col("c_rank") <= np_)
+        approx = cand.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+        row = (
+            approx.agg(F.collect_set("vec_id").alias("a"))
+            .join(F.broadcast(exact))
+            .join(
+                F.broadcast(cand.agg(F.count("*").alias("n_candidates")))
+            )
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "n_candidates",
+                (
+                    F.size(F.array_intersect("a", "e"))
+                    * F.lit(1_000_000)
+                    / F.lit(TOP_K)
+                )
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")

@@ -183,3 +183,80 @@ def test_partitioning_independence_sampled(spark, sf_dir, oracle):
             assert a == b, f"{name}: rows differ across partition counts"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_pow_tree_bit_identical_across_engines(spark):
+    """The binary-exponentiation multiplication trees behind l103's
+    S-curve and l107's power iteration must produce BIT-identical
+    doubles in Spark and DuckDB for every exponent used — unlike
+    native pow(), which is only ~1-ulp correct and may disagree."""
+    from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import (
+        _pow_tree,
+        _scurve_pq_sql,
+        LSH_TUNE_CONFIGS,
+    )
+
+    rng = random.Random(7)
+    xs = [rng.random() for _ in range(200)] + [0.0, 1.0, 0.5, 1 / 3]
+    con = duckdb.connect()
+    sdf = spark.createDataFrame([(x,) for x in xs], ["x"])
+    for n in sorted({r for _, r in LSH_TUNE_CONFIGS}
+                    | {b for b, _ in LSH_TUNE_CONFIGS}):
+        expr = _pow_tree("x", n)
+        got_spark = [
+            struct.pack("<d", r[0])
+            for r in sdf.select(F.expr(expr)).collect()
+        ]
+        got_duck = [
+            struct.pack("<d", v)
+            for (v,) in con.execute(
+                f"SELECT {expr} FROM (SELECT UNNEST(?) AS x)", [xs]
+            ).fetchall()
+        ]
+        assert got_spark == got_duck, f"pow tree n={n} diverged"
+    # the full quantized S-curve, m in 0..16, every (b, r) config
+    mdf = spark.createDataFrame([(m,) for m in range(17)], ["m"])
+    for b, r in LSH_TUNE_CONFIGS:
+        pq = _scurve_pq_sql(r, b)
+        got_spark = [x[0] for x in mdf.select(F.expr(pq)).collect()]
+        got_duck = [
+            v
+            for (v,) in con.execute(
+                f"SELECT {pq} FROM (SELECT UNNEST(range(0, 17)) AS m)"
+            ).fetchall()
+        ]
+        assert got_spark == got_duck, f"s-curve (b={b}, r={r}) diverged"
+
+
+def test_trunc_div_sign_routing_across_engines(spark):
+    """l107's sign-routed integer division must equal Python's
+    truncate-toward-zero semantics in BOTH engines (Spark `div`
+    truncates; DuckDB `//` floors — the CASE routes both through a
+    non-negative divide)."""
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        _pi_tdiv,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        (rng.randint(-10**15, 10**15), rng.randint(1, 10**9))
+        for _ in range(200)
+    ] + [(7, 2), (-7, 2), (0, 5), (-1, 10**9)]
+    want = [a // b if a >= 0 else -((-a) // b) for a, b in cases]
+    sdf = spark.createDataFrame(cases, ["a", "b"])
+    got_spark = [
+        r[0]
+        for r in sdf.select(
+            F.expr(_pi_tdiv("a", "b").format(div="div"))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        v
+        for (v,) in con.execute(
+            f"SELECT {_pi_tdiv('a', 'b').format(div='//')} FROM "
+            "(SELECT UNNEST(?) AS a, UNNEST(?) AS b)",
+            [[a for a, _ in cases], [b for _, b in cases]],
+        ).fetchall()
+    ]
+    assert got_spark == want == got_duck

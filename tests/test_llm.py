@@ -830,3 +830,17 @@ def test_power_iteration_contract(spark, sf_dir):
 
     # monotone in exact arithmetic; 0.99 absorbs integer truncation
     assert rq(v) >= 0.99 * rq(ones)
+
+
+def test_ann_recall_curve_monotone(spark, sf_dir):
+    """l108: more probes can only add candidates and recall; probing
+    every list must recover the exact top-k (recall = 1e6)."""
+    rows = sorted(
+        _run("l108_ann_recall_curve", spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 5, 8, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.recall_ppm >= a.recall_ppm
+    assert rows[-1].recall_ppm == 1_000_000

@@ -780,3 +780,10 @@ def test_power_iteration_no_corpus_shuffle(spark, sf_dir):
     plan = plan_of("l107_power_iteration", spark, sf_dir)
     for op in ("Join", "CartesianProduct"):
         assert op not in plan
+
+
+def test_ann_recall_curve_single_scored_relation(spark, sf_dir):
+    """l108: the sweep points cut a shared scored relation — no
+    product joins; the per-point joins are 1-row broadcasts."""
+    plan = plan_of("l108_ann_recall_curve", spark, sf_dir)
+    assert "CartesianProduct" not in plan
