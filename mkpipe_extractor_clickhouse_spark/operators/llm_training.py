@@ -1372,3 +1372,105 @@ def l106_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- l109: DoReMi-style domain reweighting ---------------------------
+
+DOREMI_ROUNDS = 3
+
+
+def _doremi_round_sql(r: int) -> str:
+    """One unrolled multiplicative-weights round: excess = loss minus
+    the current weighted mean, multiplier (1e6 + excess)/1e6, then
+    re-normalize to a 1e6 total.  All integer (trunc division on
+    non-negative values, so DuckDB // == Spark div)."""
+    return f"""
+    m{r} AS (
+      SELECT SUM(w * loss_ppm) // SUM(w) AS mean_loss FROM w{r - 1}
+    ),
+    u{r} AS (
+      SELECT source, loss_ppm,
+             w * (1000000 + (loss_ppm - mean_loss)) // 1000000 AS w
+      FROM w{r - 1} CROSS JOIN m{r}
+    ),
+    t{r} AS (SELECT SUM(w) AS tot FROM u{r}),
+    w{r} AS (
+      SELECT source, loss_ppm, w * 1000000 // tot AS w
+      FROM u{r} CROSS JOIN t{r}
+    )"""
+
+
+@register(
+    "l109_doremi_mixture",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, w AS word
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    loss AS (
+      SELECT source,
+             COUNT(DISTINCT word) * 1000000 // COUNT(*) AS loss_ppm
+      FROM toks GROUP BY source
+    ),
+    w0 AS (
+      SELECT source, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM loss
+    ),
+    {",".join(_doremi_round_sql(r) for r in range(1, DOREMI_ROUNDS + 1))}
+    SELECT source, CAST(loss_ppm AS BIGINT) AS loss_ppm,
+           CAST(w AS BIGINT) AS weight_ppm
+    FROM w{DOREMI_ROUNDS} ORDER BY source
+    """,
+    tags=("L7", "A2", "EXT", "training-prep"),
+)
+def l109_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting by multiplicative updates — the DoReMi
+    (Xie et al. 2023) training-mixture loop re-expressed as a query:
+    domains whose proxy loss exceeds the mixture-weighted mean gain
+    sampling weight each round, below-mean domains lose it, and the
+    weights re-normalize — {DOREMI_ROUNDS} unrolled rounds of
+    exponentiated-gradient ascent in its linearized (integer) form.
+    The loss proxy here is lexical diversity (type/token ratio, the
+    predictability signal available without a reference model); a
+    per-domain LM loss column slots into the same recurrence.
+
+    Scale shape: ONE corpus-sized aggregation produces the per-domain
+    loss table; every update round then runs on the domain relation
+    (tens of rows — the 1-row mean and total broadcast back, the
+    pattern real mixture planners use).  All arithmetic is trunc-
+    division integer ppm, so the oracle unrolls to the bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    loss = toks.groupBy("source").agg(
+        F.expr(
+            "count(distinct word) * 1000000 div count(*)"
+        ).alias("loss_ppm")
+    ).cache()  # domain relation (tens of rows): the update rounds'
+    # 1-row aggregates must reuse it, not re-scan the corpus per round
+    w = loss.select(
+        "source", "loss_ppm", F.lit(1000000).cast("long").alias("w")
+    )
+    for _ in range(DOREMI_ROUNDS):
+        m = w.agg(
+            F.expr("sum(w * loss_ppm) div sum(w)").alias("mean_loss")
+        )
+        u = w.crossJoin(F.broadcast(m)).select(
+            "source",
+            "loss_ppm",
+            F.expr(
+                "w * (1000000 + (loss_ppm - mean_loss)) div 1000000"
+            ).alias("w"),
+        )
+        t = u.agg(F.sum("w").alias("tot"))
+        w = u.crossJoin(F.broadcast(t)).select(
+            "source",
+            "loss_ppm",
+            F.expr("w * 1000000 div tot").alias("w"),
+        )
+    return w.select(
+        "source", "loss_ppm", F.col("w").alias("weight_ppm")
+    ).orderBy("source")

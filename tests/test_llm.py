@@ -844,3 +844,17 @@ def test_ann_recall_curve_monotone(spark, sf_dir):
         assert b.n_candidates >= a.n_candidates
         assert b.recall_ppm >= a.recall_ppm
     assert rows[-1].recall_ppm == 1_000_000
+
+
+def test_doremi_mixture_monotone_in_loss(spark, sf_dir):
+    """l109: multiplicative updates preserve order — a domain with
+    higher proxy loss can never end with a lower weight — and the
+    normalized weights total ~1e6 (trunc-division slop < one ppm per
+    domain)."""
+    rows = _run("l109_doremi_mixture", spark, sf_dir).collect()
+    assert rows
+    by_loss = sorted(rows, key=lambda r: (r.loss_ppm, r.source))
+    for a, b in zip(by_loss, by_loss[1:]):
+        assert b.weight_ppm >= a.weight_ppm
+    total = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000

@@ -787,3 +787,15 @@ def test_ann_recall_curve_single_scored_relation(spark, sf_dir):
     product joins; the per-point joins are 1-row broadcasts."""
     plan = plan_of("l108_ann_recall_curve", spark, sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_doremi_single_corpus_aggregation(spark, sf_dir):
+    """l109: the corpus-sized loss aggregation sits behind a cache
+    boundary (InMemoryTableScan), so every unrolled update round reads
+    the tens-of-rows domain relation — the parquet scan executes once,
+    at cache fill, regardless of round count.  (The explain string
+    still PRINTS the cached lineage per branch, so counting 'Scan
+    parquet' text would mislead — the cache marker is the contract.)"""
+    plan = plan_of("l109_doremi_mixture", spark, sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
