@@ -1214,3 +1214,89 @@ def l102_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- l110: vocab-size coverage curve ---------------------------------
+
+VOCAB_SIZES = (100, 500, 1000, 2000, 5000)
+
+
+@register(
+    "l110_vocab_coverage_curve",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM wc
+    ),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_types FROM ranked)
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {n} AS vocab_size,
+               CAST((SELECT COALESCE(SUM(cnt), 0) FROM ranked
+                     WHERE rnk <= {n}) AS BIGINT) AS covered_tokens,
+               CAST((SELECT COALESCE(SUM(cnt), 0) FROM ranked
+                     WHERE rnk <= {n}) * 1000000 // total AS BIGINT)
+                 AS coverage_ppm,
+               CAST(n_types AS BIGINT) AS n_types
+        FROM tot''' for n in VOCAB_SIZES)}
+    ) ORDER BY vocab_size
+    """,
+    tags=("L5", "W1", "EXT"),
+)
+def l110_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size planning curve: what fraction of corpus tokens
+    the top-N word types cover, for the candidate vocab sizes — the
+    first decision of every tokenizer build (coverage vs table size;
+    the elbow of this curve, not taste, picks the vocab budget) and
+    the Zipf companion to l47's exponent fit.
+
+    One corpus word-count, one vocab-sized rank (the window sorts the
+    TYPE relation, orders of magnitude smaller than the corpus), then
+    every sweep point is a conditional sum over the same ranked
+    relation, computed in a single aggregation pass and unpivoted —
+    the curve costs one extra reduction regardless of how many sizes
+    it sweeps.  Integer ppm (trunc division), exact in both engines.
+    Ties pinned by (count DESC, word)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = wc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "word"))
+        .alias("rnk"),
+    )
+    aggs = [F.sum("cnt").alias("total"), F.count("*").alias("n_types")]
+    for n in VOCAB_SIZES:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("rnk") <= n, F.col("cnt"))), F.lit(0)
+            ).alias(f"c{n}")
+        )
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"{n}, c{n}" for n in VOCAB_SIZES)
+    return (
+        one.selectExpr(
+            f"stack({len(VOCAB_SIZES)}, {stack}) AS (vocab_size, covered_tokens)",
+            "total",
+            "n_types",
+        )
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.expr("covered_tokens * 1000000 div total").alias(
+                "coverage_ppm"
+            ),
+            "n_types",
+        )
+        .orderBy("vocab_size")
+    )

@@ -858,3 +858,20 @@ def test_doremi_mixture_monotone_in_loss(spark, sf_dir):
         assert b.weight_ppm >= a.weight_ppm
     total = sum(r.weight_ppm for r in rows)
     assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """l110: coverage grows with vocab size; a vocab >= the type count
+    covers everything (1e6 ppm)."""
+    rows = sorted(
+        _run("l110_vocab_coverage_curve", spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert [r.vocab_size for r in rows] == [100, 500, 1000, 2000, 5000]
+    for a, b in zip(rows, rows[1:]):
+        assert b.covered_tokens >= a.covered_tokens
+        assert b.coverage_ppm >= a.coverage_ppm
+    n_types = rows[0].n_types
+    for r in rows:
+        if r.vocab_size >= n_types:
+            assert r.coverage_ppm == 1_000_000
