@@ -2226,3 +2226,140 @@ def l103_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_rank")
     )
+
+
+# ---- l111: transitivity audit of the near-dup pair relation ----------
+
+L111_CAP = 10  # per-node neighbor cap for the deterministic wedge sample
+
+
+@register(
+    "l111_dedup_transitivity_audit",
+    oracle=f"""
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    tok AS (
+      SELECT d.doc_id,
+             UNNEST(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS token
+      FROM documents d JOIN reps USING (doc_id)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= {JACCARD_T}
+    ),
+    adj AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    capped AS (
+      SELECT u, v FROM (
+        SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+        FROM adj
+      ) WHERE rn <= {L111_CAP}
+    ),
+    wedges AS (
+      SELECT LEAST(e1.v, e2.v) AS x, GREATEST(e1.v, e2.v) AS y
+      FROM capped e1 JOIN capped e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    closed AS (
+      SELECT CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_closed
+      FROM wedges w
+      LEFT JOIN pairs p ON p.doc_a = w.x AND p.doc_b = w.y
+    )
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+           COUNT(*) AS n_wedges_sampled,
+           CAST(SUM(is_closed) AS BIGINT) AS n_closed,
+           CAST(SUM(is_closed) * 1000000
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS closure_ppm
+    FROM closed
+    """,
+    tags=("L2", "EXT", "dedup"),
+)
+def l111_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How TRANSITIVE is the near-dup relation at the current
+    threshold?  Near-duplicate similarity is not transitive (a~b and
+    b~c do not force a~c), but cluster-based dedup (l18\'s connected
+    components) TREATS it as if it were — so the wedge-closure rate of
+    the pair graph is the calibration number: low closure means
+    components chain together documents that never matched each other
+    (keep-one-per-cluster is over-deleting), high closure means the
+    clusters are genuine cliques.
+
+    Two scale guards, both semantic: (1) exact duplicates collapse to
+    their min-doc_id representative first — they are transitive by
+    construction (jaccard exactly 1) and their cliques are the
+    deg-squared wedge bombs (a k-copy text contributes O(k**3) wedges
+    of zero information); (2) wedges come from a DETERMINISTIC
+    degree-capped sample — each center contributes only its
+    {L111_CAP} lowest-id neighbors (C({L111_CAP},2) wedges max), the
+    per-node fanout cap every production triangle/closure estimator
+    uses, because boilerplate hubs make the full wedge set quadratic
+    in hub degree (measured here: the sf0.1 corpus has a ~1.9k-node
+    near-clique — ~5e9 uncapped wedges).  The closing-edge probe runs
+    against the FULL pair relation, so closure is exact over the
+    sampled wedges and reproducible in both engines (id-ordered
+    ranks, integer outputs)."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    rep_tokens = _doc_tokens(spark, sf_dir).join(
+        reps.select("doc_id"), "doc_id"
+    )
+    pairs = (
+        ppjoin_pairs(rep_tokens, JACCARD_T)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    adj = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    capped = (
+        adj.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("u").orderBy("v")),
+        )
+        .filter(F.col("rn") <= L111_CAP)
+        .drop("rn")
+    )
+    e1 = capped.alias("e1")
+    e2 = capped.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.least("e1.v", "e2.v").alias("x"),
+        F.greatest("e1.v", "e2.v").alias("y"),
+    )
+    closed = wedges.join(
+        pairs.withColumn("hit", F.lit(1)),
+        (F.col("x") == F.col("doc_a")) & (F.col("y") == F.col("doc_b")),
+        "left",
+    ).select(F.coalesce(F.col("hit"), F.lit(0)).alias("is_closed"))
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        closed.agg(
+            F.count("*").alias("n_wedges_sampled"),
+            F.sum("is_closed").alias("n_closed"),
+        )
+        .join(F.broadcast(n_edges))
+        .select(
+            "n_edges",
+            "n_wedges_sampled",
+            "n_closed",
+            F.expr(
+                "n_closed * 1000000 div greatest(n_wedges_sampled, 1)"
+            ).alias("closure_ppm"),
+        )
+    )

@@ -1315,8 +1315,8 @@ def l104_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_words) AS BIGINT) AS raw_tokens,
            CAST(SUM(n_words * weight_ppm) AS BIGINT)
              AS effective_tokens_e6,
-           CAST(1000000 - SUM(n_words * weight_ppm) // SUM(n_words)
-                AS BIGINT) AS discount_ppm
+           CAST(1000000 - SUM(n_words * weight_ppm)
+                // GREATEST(SUM(n_words), 1) AS BIGINT) AS discount_ppm
     FROM weighted GROUP BY source ORDER BY source
     """,
     tags=("L1", "A2", "EXT", "training-prep"),
@@ -1367,7 +1367,9 @@ def l106_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_tokens_e6",
             (
                 F.lit(1000000)
-                - F.expr("effective_tokens_e6 div raw_tokens")
+                - F.expr(
+                    "effective_tokens_e6 div greatest(raw_tokens, 1)"
+                )
             ).cast("long").alias("discount_ppm"),
         )
         .orderBy("source")

@@ -71,6 +71,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e)[:200]
             traceback.print_exc(limit=1)
+        finally:
+            # isolate queries: several builders cache small relations
+            # (LSH histograms, loss tables, quantized embeddings);
+            # across 440+ queries in ONE session the accumulation
+            # pressures the JVM heap until broadcast builds fail
+            # (observed: z2_salted_join 'Not enough memory to build
+            # and broadcast' only at sweep position ~430)
+            spark.catalog.clearCache()
     ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
     payload = {
         "sf_dir": args.sf_dir,

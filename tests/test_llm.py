@@ -875,3 +875,18 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     for r in rows:
         if r.vocab_size >= n_types:
             assert r.coverage_ppm == 1_000_000
+
+
+def test_transitivity_audit_bounds(spark, sf_dir):
+    """l111: sampled closure is a ppm in [0, 1e6]; closed wedges never
+    exceed sampled wedges; the capped sample is bounded by
+    C(cap, 2) * nodes (cap=10 -> 45 per center)."""
+    from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import (
+        L111_CAP,
+    )
+
+    r = _run("l111_dedup_transitivity_audit", spark, sf_dir).collect()[0]
+    assert 0 <= r.n_closed <= r.n_wedges_sampled
+    assert 0 <= r.closure_ppm <= 1_000_000
+    max_per_center = L111_CAP * (L111_CAP - 1) // 2
+    assert r.n_wedges_sampled <= 2 * r.n_edges * max_per_center

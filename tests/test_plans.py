@@ -799,3 +799,13 @@ def test_doremi_single_corpus_aggregation(spark, sf_dir):
     plan = plan_of("l109_doremi_mixture", spark, sf_dir)
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_transitivity_audit_capped_fanout(spark, sf_dir):
+    """l111: the wedge join must read the degree-CAPPED adjacency
+    (WindowGroupLimit pushes the per-center cut below the exchange) —
+    the uncapped wedge set is quadratic in hub degree and OOMs on the
+    sf0.1 near-clique; no product joins anywhere."""
+    plan = plan_of("l111_dedup_transitivity_audit", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
