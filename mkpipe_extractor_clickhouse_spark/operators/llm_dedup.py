@@ -2363,3 +2363,145 @@ def l111_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("closure_ppm"),
         )
     )
+
+
+# ---- l112: MinHash Jaccard-estimator calibration ---------------------
+
+
+@register(
+    "l112_minhash_estimator_error",
+    oracle=f"""
+    WITH {_MHP_ORACLE_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(DISTINCT t) AS n FROM toks GROUP BY doc_id),
+    overlap AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS o
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.doc_a
+      JOIN toks tb ON tb.doc_id = p.doc_b AND tb.t = ta.t
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    calib AS (
+      SELECT a.m * 1000000 // {MHP_HASHES} AS est_ppm,
+             COALESCE(o.o, 0) * 1000000
+               // (sa.n + sb.n - COALESCE(o.o, 0)) AS exact_ppm
+      FROM agree a
+      LEFT JOIN overlap o
+        ON o.doc_a = a.doc_a AND o.doc_b = a.doc_b
+      JOIN sizes sa ON sa.doc_id = a.doc_a
+      JOIN sizes sb ON sb.doc_id = a.doc_b
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(est_ppm) // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS mean_est_ppm,
+           CAST(SUM(exact_ppm) // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS mean_exact_ppm,
+           CAST((SUM(est_ppm) - SUM(exact_ppm)) // GREATEST(COUNT(*), 1)
+                AS BIGINT) AS bias_ppm,
+           CAST(SUM(ABS(est_ppm - exact_ppm)) // GREATEST(COUNT(*), 1)
+                AS BIGINT) AS mae_ppm
+    FROM calib
+    """,
+    tags=("L2", "A4", "EXT", "dedup"),
+)
+def l112_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the MinHash ESTIMATOR itself calibrated on this corpus?
+    l83 scores the candidate SET (precision/recall); this scores the
+    NUMBER — matching-slots/16 as an estimate of true shingle Jaccard
+    — with mean bias and MAE in exact integer ppm over the LSH
+    candidate pairs.  A 16-slot signature has binomial std ~ 12% at
+    J=0.5, so a pipeline promoting the sketch value into a THRESHOLD
+    decision (common shortcut: drop when m/16 >= tau without exact
+    verify) needs exactly this table to know the error it signs up
+    for.
+
+    Shapes: signatures/bands are l58's (never all-pairs); the exact
+    arm joins shingle sets only for CANDIDATE pairs (the verify join
+    every LSH dedup runs anyway); one final 1-row reduction.  The
+    estimator-vs-truth divergence is real signal, not noise — both
+    engines compute both columns exactly, and the bias they agree on
+    is the corpus' actual sketch error."""
+    sigs = _mhp_sigs(spark, sf_dir).cache()
+    pairs = _mhp_band_pairs(sigs)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.i") == F.col("sa.i")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)
+            ).alias("m")
+        )
+    )
+    d = load_table(spark, sf_dir, "documents")
+    p = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(p) - 2), i -> concat("
+        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
+        " element_at(p, i + 2)))"
+    )
+    toks = (
+        d.select("doc_id", p.alias("p"))
+        .filter(F.size("p") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
+        .cache()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count_distinct("t").alias("n"))
+    ta = toks.alias("ta")
+    tb = toks.alias("tb")
+    overlap = (
+        agree.select("doc_a", "doc_b")
+        .join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("tb.t") == F.col("ta.t")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("o"))
+    )
+    calib = (
+        agree.join(overlap, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            F.expr(f"m * 1000000 div {MHP_HASHES}").alias("est_ppm"),
+            F.expr(
+                "coalesce(o, 0) * 1000000"
+                " div (na + nb - coalesce(o, 0))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return calib.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("sum(est_ppm) div greatest(count(*), 1)").alias(
+            "mean_est_ppm"
+        ),
+        F.expr("sum(exact_ppm) div greatest(count(*), 1)").alias(
+            "mean_exact_ppm"
+        ),
+        F.expr(
+            "(sum(est_ppm) - sum(exact_ppm)) div greatest(count(*), 1)"
+        ).alias("bias_ppm"),
+        F.expr(
+            "sum(abs(est_ppm - exact_ppm)) div greatest(count(*), 1)"
+        ).alias("mae_ppm"),
+    )

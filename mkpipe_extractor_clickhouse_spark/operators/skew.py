@@ -87,7 +87,16 @@ def salted_join(
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )
-    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+    # Pin the shuffle regime: salting exists for joins that CANNOT
+    # broadcast — letting the optimizer auto-broadcast the ×n_salts
+    # replica defeats the point and builds an n_salts-times-larger
+    # broadcast (measured 315 MiB at sf0.1; the build failed outright
+    # under a long-session heap). The hint keeps the (key, _salt)
+    # shuffled-hash distribution the whole pattern is about.
+    return (
+        salted_fact.join(replicated_dim.hint("shuffle_hash"), [key, "_salt"])
+        .drop("_salt")
+    )
 
 
 @register(

@@ -890,3 +890,13 @@ def test_transitivity_audit_bounds(spark, sf_dir):
     assert 0 <= r.closure_ppm <= 1_000_000
     max_per_center = L111_CAP * (L111_CAP - 1) // 2
     assert r.n_wedges_sampled <= 2 * r.n_edges * max_per_center
+
+
+def test_minhash_estimator_calibration_bounds(spark, sf_dir):
+    """l112: ppm quantities bounded; MAE dominates |bias| (triangle
+    inequality over the per-pair errors)."""
+    r = _run("l112_minhash_estimator_error", spark, sf_dir).collect()[0]
+    assert r.n_pairs > 0
+    assert 0 <= r.mean_est_ppm <= 1_000_000
+    assert 0 <= r.mean_exact_ppm <= 1_000_000
+    assert r.mae_ppm >= abs(r.bias_ppm) - 1  # trunc-division slop
