@@ -1179,7 +1179,7 @@ def l102_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     one word-count aggregate (map-side combined) plus a broadcast
     join; all ratios are exact integer ppm (trunc division), so the
     oracle parity is pinned with zero float drift."""
-    merges, v = _bpe_train(spark, sf_dir)
+    _, v = _bpe_train(spark, sf_dir)
     tok = v.select(
         "word",
         F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_tokens"),

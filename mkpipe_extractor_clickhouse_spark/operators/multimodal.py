@@ -702,3 +702,157 @@ def m8_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared_format", "sniffed_format")
     )
+
+
+# ---- m9: content-defined chunking dedup (storage-level) --------------
+
+CDC_B = 257
+CDC_P = 1_000_000_007
+CDC_WIN = 8  # rolling window bytes
+CDC_DIV = 64  # boundary when h % CDC_DIV == 0 → ~64-byte avg chunks
+_CDC_BK = [pow(CDC_B, k, CDC_P) for k in range(CDC_WIN)]
+
+_M9_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_start", T.IntegerType()),
+        T.StructField("chunk_len", T.IntegerType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+
+def cdc_chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: content-defined chunk boundaries over raw
+    payload bytes — the casync/restic/LBFS split. The rolling hash is
+    a {CDC_WIN}-byte polynomial mod {CDC_P}, computed for the WHOLE
+    Arrow batch as {CDC_WIN} shifted vector multiplies (no per-byte
+    Python); a boundary closes a chunk after byte i when
+    h(i) % {CDC_DIV} == 0. Chunk digests come from hashlib per chunk —
+    the same per-chunk hash a real CDC store pays."""
+    import hashlib
+
+    for pdf in batches:
+        blobs = list(pdf["blob"])
+        doc_ids = pdf["doc_id"].to_numpy()
+        lengths = np.fromiter((len(b) for b in blobs), dtype=np.int64)
+        cat = np.frombuffer(b"".join(blobs), dtype=np.uint8).astype(np.int64)
+        h = np.zeros(len(cat), dtype=np.int64)
+        for k, bk in enumerate(_CDC_BK):
+            if k == 0:
+                h += cat * bk
+            else:
+                h[k:] += cat[:-k] * bk
+        h %= CDC_P
+        starts_of_blob = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos1 = np.arange(len(cat)) - np.repeat(starts_of_blob, lengths) + 1
+        is_boundary = (pos1 >= CDC_WIN) & (h % CDC_DIV == 0)
+        out = {"doc_id": [], "chunk_start": [], "chunk_len": [],
+               "chunk_md5": []}
+        offset = 0
+        for row, blob in enumerate(blobs):
+            n = lengths[row]
+            ends = (
+                np.flatnonzero(is_boundary[offset:offset + n]) + 1
+            ).tolist()
+            if not ends or ends[-1] != n:
+                ends.append(int(n))
+            prev = 0
+            for e in ends:
+                chunk = blob[prev:e]
+                out["doc_id"].append(int(doc_ids[row]))
+                out["chunk_start"].append(prev + 1)
+                out["chunk_len"].append(e - prev)
+                out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+                prev = e
+            offset += n
+        yield pd.DataFrame(out)
+
+
+_M9_LAGS = " + ".join(
+    f"COALESCE(LAG(c, {k}) OVER w, 0) * {bk}" if k else f"c * {bk}"
+    for k, bk in enumerate(_CDC_BK)
+)
+
+
+@register(
+    "m9_cdc_chunk_dedup",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, i,
+             CAST(ascii(substr(text, i, 1)) AS BIGINT) AS c
+      FROM pos
+    ),
+    h AS (
+      SELECT doc_id, i, ({_M9_LAGS}) % {CDC_P} AS h
+      FROM codes WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    ends AS (
+      SELECT doc_id, i AS e FROM h
+      WHERE i >= {CDC_WIN} AND h % {CDC_DIV} = 0
+      UNION
+      SELECT doc_id, length(text) AS e FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+               AS s,
+             e
+      FROM ends
+    ),
+    hashed AS (
+      SELECT md5(substr(d.text, c.s, (c.e - c.s + 1)::INT)) AS ch,
+             c.e - c.s + 1 AS len
+      FROM chunks c JOIN documents d USING (doc_id)
+    ),
+    g AS (SELECT ch, COUNT(*) AS cnt, MIN(len) AS len FROM hashed GROUP BY ch)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_unique_chunks,
+           CAST(SUM(cnt * len) AS BIGINT) AS total_bytes,
+           CAST(SUM(len) AS BIGINT) AS unique_bytes,
+           CAST((SUM(cnt * len) - SUM(len)) * 1000000 // SUM(cnt * len)
+                AS BIGINT) AS savings_ppm,
+           CAST(SUM(cnt * len) // SUM(cnt) AS BIGINT) AS avg_chunk_bytes
+    FROM g
+    """,
+    tags=("EXT", "D3", "multimodal", "dedup"),
+)
+def m9_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the STORAGE-level dedup every
+    large binary corpus runs under the analytics layer (LBFS/rsync →
+    casync/restic/borg): split each opaque payload at rolling-hash
+    boundaries so shared byte runs chunk identically regardless of
+    offset shifts, hash the chunks, and measure how many bytes a
+    content-addressed chunk store would keep vs raw storage.  This is
+    the pure content-defined variant (no min/max clamp), which keeps
+    the boundary rule order-free: boundary after byte i whenever the
+    {CDC_WIN}-byte polynomial hash ≡ 0 mod {CDC_DIV} (≈{CDC_DIV}-byte
+    average chunks), plus a forced end-of-payload boundary.
+
+    The Spark side chunks BYTES in a vectorized mapInPandas kernel
+    (the m-family pattern: {CDC_WIN} shifted vector multiplies per
+    Arrow batch, hashlib per chunk — what a real chunk store pays);
+    the oracle re-derives the identical boundaries RELATIONALLY from
+    the text the fixture blobs encode (LAG-window polynomial), so the
+    hash-match proves the kernel against an independent formulation.
+    At 100 TB: chunking rides the scan; only (digest, len) pairs — a
+    few % of payload volume — shuffle to the chunk-store ledger."""
+    blobs = synthesize_blobs(spark, sf_dir).select("doc_id", "blob")
+    chunks = blobs.mapInPandas(cdc_chunker, schema=_M9_SCHEMA)
+    g = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("cnt"), F.min("chunk_len").alias("len")
+    )
+    return g.agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.col("cnt") * F.col("len")).alias("total_bytes"),
+        F.sum("len").alias("unique_bytes"),
+        F.expr(
+            "(sum(cnt * len) - sum(len)) * 1000000 div sum(cnt * len)"
+        ).alias("savings_ppm"),
+        F.expr("sum(cnt * len) div sum(cnt)").alias("avg_chunk_bytes"),
+    )

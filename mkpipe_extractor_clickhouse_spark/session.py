@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # local mode runs every executor thread inside the driver JVM;
+        # the 1g default heap starves 32 concurrent tasks (observed:
+        # broadcast builds and sort-spill reads OOMing a long session
+        # at ~10k tasks). A 32-core executor in the scaled-up posture
+        # carries tens of GB — 16g is that, scaled down. Only effective
+        # when this builder launches the JVM (not on getOrCreate reuse).
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"))
         # 16 MB split targets: keeps small-corpus scans parallel across
         # local cores (the fixture files are 1-11 MB); at cluster scale
         # this is a common tuning point (16-64 MB) that trades task

@@ -900,3 +900,40 @@ def test_minhash_estimator_calibration_bounds(spark, sf_dir):
     assert 0 <= r.mean_est_ppm <= 1_000_000
     assert 0 <= r.mean_exact_ppm <= 1_000_000
     assert r.mae_ppm >= abs(r.bias_ppm) - 1  # trunc-division slop
+
+
+def test_cdc_chunk_dedup_bounds(spark, sf_dir):
+    """m9: unique bytes can't exceed stored bytes; savings in [0,1e6);
+    every chunk averages at least one byte."""
+    r = _run("m9_cdc_chunk_dedup", spark, sf_dir).collect()[0]
+    assert 0 < r.n_unique_chunks <= r.n_chunks
+    assert 0 < r.unique_bytes <= r.total_bytes
+    assert 0 <= r.savings_ppm < 1_000_000
+    assert r.avg_chunk_bytes >= 1
+
+
+def test_cdc_chunking_shift_invariant():
+    """The defining CDC property: inserting a prefix must NOT re-chunk
+    the whole payload — boundaries re-synchronize within one window,
+    so almost all of the original chunks reappear byte-identical (a
+    fixed-size splitter would lose every chunk after the insertion)."""
+    import pandas as pd
+
+    from mkpipe_extractor_clickhouse_spark.operators.multimodal import (
+        cdc_chunker,
+    )
+
+    import random
+
+    # entropy-rich payload: a periodic text repeats its handful of
+    # window hashes and may legitimately never hit a boundary
+    base = random.Random(5).randbytes(4096)
+    shifted = b"INSERTED-PREFIX-BYTES/" + base
+    pdf = pd.DataFrame({"doc_id": [1, 2], "blob": [base, shifted]})
+    out = pd.concat(list(cdc_chunker(iter([pdf]))))
+    a = set(out[out.doc_id == 1]["chunk_md5"])
+    b = set(out[out.doc_id == 2]["chunk_md5"])
+    assert len(a & b) >= max(1, int(0.7 * len(a)))
+    # chunk lengths tile each payload exactly
+    assert out[out.doc_id == 1]["chunk_len"].sum() == len(base)
+    assert out[out.doc_id == 2]["chunk_len"].sum() == len(shifted)
