@@ -312,3 +312,112 @@ def l70_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV count(*)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---- l113: novelty decay across the ingestion order ------------------
+
+NOVELTY_DECILES = 10
+
+
+@register(
+    "l113_novelty_decay",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(p) - 1),
+                    i -> p[i] || ' ' || p[i+1] || ' ' || p[i+2])) AS s
+      FROM parts WHERE len(p) >= 3
+    ),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_sh,
+             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS novel
+      FROM sh JOIN firsts f ON sh.s = f.s
+      GROUP BY sh.doc_id
+    ),
+    bucketed AS (
+      SELECT LEAST((p.doc_id - b.lo) * {NOVELTY_DECILES}
+                   // (b.hi - b.lo), {NOVELTY_DECILES - 1}) AS decile,
+             p.n_sh, p.novel
+      FROM per_doc p CROSS JOIN bounds b
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS novel_shingles,
+           CAST(SUM(novel) * 1000000 // SUM(n_sh) AS BIGINT)
+             AS novelty_ppm
+    FROM bucketed GROUP BY decile ORDER BY decile
+    """,
+    tags=("L2", "EXT", "dedup", "quality"),
+)
+def l113_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diminishing-returns curve of MORE DATA: bucket the corpus
+    into ingestion-order deciles and measure what fraction of each
+    decile's 3-gram shingles is genuinely NEW (first seen there) —
+    the corpus-level decay behind data-scaling decisions ('the last
+    30% of the crawl contributed 4% new content — dedup harder or
+    crawl elsewhere').  l70 scores the same first-seen signal per
+    document; this rolls it up into the planning curve.
+
+    One global first-seen dictionary (min doc_id per shingle — the
+    same 16-byte-hash shuffle l23/l58 build), one join back, one
+    decile rollup; decile = integer position scaling, so every output
+    is an exact integer in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") + 1).alias("hi"),
+    )
+    p = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(p) - 2), i -> concat("
+        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
+        " element_at(p, i + 2)))"
+    )
+    sh = (
+        d.select("doc_id", p.alias("p"))
+        .filter(F.size("p") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    bucketed = per_doc.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr(
+                f"(doc_id - lo) * {NOVELTY_DECILES} div (hi - lo)"
+            ),
+            F.lit(NOVELTY_DECILES - 1),
+        ).alias("decile"),
+        "n_sh",
+        "novel",
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sh").alias("n_shingles"),
+            F.sum("novel").alias("novel_shingles"),
+            F.expr(
+                "sum(novel) * 1000000 div sum(n_sh)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -937,3 +937,20 @@ def test_cdc_chunking_shift_invariant():
     # chunk lengths tile each payload exactly
     assert out[out.doc_id == 1]["chunk_len"].sum() == len(base)
     assert out[out.doc_id == 2]["chunk_len"].sum() == len(shifted)
+
+
+def test_novelty_decay_shape(spark, sf_dir):
+    """l113: ten deciles partition the corpus; the first decile sees
+    the freshest content (its novelty beats the tail's mean), and
+    every decile's novel count is bounded by its shingle count."""
+    rows = sorted(
+        _run("l113_novelty_decay", spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    for r in rows:
+        assert 0 <= r.novel_shingles <= r.n_shingles
+        assert 0 <= r.novelty_ppm <= 1_000_000
+    tail = rows[1:]
+    tail_mean = sum(r.novelty_ppm for r in tail) / len(tail)
+    assert rows[0].novelty_ppm >= tail_mean
