@@ -238,10 +238,59 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").alias("v"),
     )
-    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
-    if q_row is None:
-        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found in corpus")
-    return arrow_topk_cosine(e, q_row["v"], TOP_K)
+    import os
+
+    query = _fetch_query_vector(
+        os.path.join(sf_dir, "embeddings.parquet"), QUERY_VEC_ID
+    )
+    return arrow_topk_cosine(e, query, TOP_K)
+
+
+def _fetch_query_vector(path: str, vec_id: int) -> list[float]:
+    """Driver-side POINT LOOKUP of one vector by id: per row group,
+    prune on vec_id statistics, read only the 8-byte id column to
+    locate the row, then decode the single owning row group's
+    embedding column.  The naive ``filters=`` read looks like a point
+    lookup but decodes every unpruned row group's embedding column —
+    measured 2.6 s of a 3.6 s l4c query at the 48 M-vector point; this
+    helper does it in ~0.2 s, and at 100 TB a serving layer hands the
+    query vector over directly."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = []
+        for root, _dirs, names in os.walk(path):
+            files.extend(
+                os.path.join(root, f)
+                for f in sorted(names)
+                if f.endswith(".parquet")
+            )
+    else:
+        files = [path]
+    for f in files:
+        pf = pq.ParquetFile(f, memory_map=True)
+        id_idx = pf.schema_arrow.names.index("vec_id")
+        for rg in range(pf.num_row_groups):
+            st = pf.metadata.row_group(rg).column(id_idx).statistics
+            if (
+                st is not None
+                and st.has_min_max
+                and not (st.min <= vec_id <= st.max)
+            ):
+                continue
+            ids = (
+                pf.read_row_group(rg, columns=["vec_id"])
+                .column(0)
+                .to_numpy(zero_copy_only=False)
+            )
+            pos = np.flatnonzero(ids == vec_id)
+            if pos.size:
+                emb = pf.read_row_group(rg, columns=["embedding"]).column(0)
+                return [float(x) for x in emb[int(pos[0])].as_py()]
+    raise ValueError(f"query vector vec_id={vec_id} not found")
 
 
 def _embedding_shards(path: str) -> list[tuple[str, int]]:
@@ -330,7 +379,11 @@ def shard_scan_topk_cosine(
             for path, rg in zip(paths, rgs):
                 pf = pf_cache.get(path)
                 if pf is None:
-                    pf = pf_cache[path] = pq.ParquetFile(path)
+                    # memory_map: with the uncompressed plain layout the
+                    # row-group read is a zero-copy view of page cache
+                    pf = pf_cache[path] = pq.ParquetFile(
+                        path, memory_map=True
+                    )
                 t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
                 n = t.num_rows
                 if n == 0:
@@ -401,14 +454,7 @@ def l4b_shard_scan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(
-        path,
-        columns=["embedding"],
-        filters=[("vec_id", "==", QUERY_VEC_ID)],
-    )
-    if qt.num_rows == 0:
-        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found")
-    query = qt.column(0)[0].as_py()
+    query = _fetch_query_vector(path, QUERY_VEC_ID)
     return shard_scan_topk_cosine(spark, path, query, TOP_K)
 
 
@@ -539,6 +585,11 @@ def build_packed_vector_layout(
         .repartition(32)
         .write.mode("overwrite")
         .option("parquet.enable.dictionary", "false")
+        # random floats are incompressible: snappy saved <1% here but
+        # cost a full decompress pass per query (measured: the 48 M
+        # point spent its wall in the read path). Uncompressed +
+        # plain-encoded means a query scan is a page-cache memcpy.
+        .option("compression", "uncompressed")
         .parquet(out)
     )
     with open(done, "w") as fh:
@@ -586,7 +637,11 @@ def packed_topk_cosine(
             ):
                 pf = pf_cache.get(path)
                 if pf is None:
-                    pf = pf_cache[path] = pq.ParquetFile(path)
+                    # memory_map: with the uncompressed plain layout the
+                    # row-group read is a zero-copy view of page cache
+                    pf = pf_cache[path] = pq.ParquetFile(
+                        path, memory_map=True
+                    )
                 t = pf.read_row_group(rg, columns=["vec_id", "vec", "norm"])
                 ids = t.column(0).to_numpy(zero_copy_only=False)
                 col = t.column(1).combine_chunks()
@@ -665,6 +720,7 @@ def _packed_layout_for(spark: SparkSession, sf_dir: str) -> str:
     else:
         st = os.stat(src)
         parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    parts.append("layout-v2")  # uncompressed+mmap format (r9 wave 3)
     fp = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
     cache = os.path.join(
         tempfile.gettempdir(), "spark_graft_packed_layouts", fp
@@ -694,14 +750,7 @@ def l4c_packed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     layout = _packed_layout_for(spark, sf_dir)
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(
-        path,
-        columns=["embedding"],
-        filters=[("vec_id", "==", QUERY_VEC_ID)],
-    )
-    if qt.num_rows == 0:
-        raise ValueError(f"query vector vec_id={QUERY_VEC_ID} not found")
-    query = qt.column(0)[0].as_py()
+    query = _fetch_query_vector(path, QUERY_VEC_ID)
     return packed_topk_cosine(spark, layout, query, TOP_K)
 
 
