@@ -2505,3 +2505,84 @@ def l112_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(abs(est_ppm - exact_ppm)) div greatest(count(*), 1)"
         ).alias("mae_ppm"),
     )
+
+
+# ---- l114: near-dup cluster-size histogram ---------------------------
+
+
+@register(
+    "l114_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) * 1.0 /
+             ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+              + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*))
+             >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_id, doc_id FROM documents
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    csize AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removed
+    FROM csize GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    tags=("L1", "L2", "EXT", "dedup"),
+)
+def l114_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT every pipeline run publishes: the component-
+    size histogram of the near-dup graph — how many singletons, how
+    many pairs, how big is the largest boilerplate cluster, and the
+    doc count keep-one-per-cluster will delete at each size (the
+    docs_removed column sums to the corpus shrinkage).  l69 histograms
+    exact-dup multiplicity; this histograms the CONNECTED-COMPONENT
+    near-dup clusters (l18's relation), which is what the keep/drop
+    decision actually acts on.
+
+    Spark side reuses l18's large-star/small-star components (O(log²n)
+    rounds, diameter-free) and adds two tiny aggregations; the oracle
+    re-derives components by recursive reachability, so the iterative
+    algorithm's sizes are verified exactly."""
+    clusters = l18_dedup_clusters(spark, sf_dir)
+    csize = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        csize.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("docs_removed"),
+        )
+        .orderBy("cluster_size")
+    )

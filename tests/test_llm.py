@@ -954,3 +954,17 @@ def test_novelty_decay_shape(spark, sf_dir):
     tail = rows[1:]
     tail_mean = sum(r.novelty_ppm for r in tail) / len(tail)
     assert rows[0].novelty_ppm >= tail_mean
+
+
+def test_cluster_size_histogram_conserves_docs(spark, sf_dir):
+    """l114: the histogram partitions the corpus (sum of n_docs equals
+    the doc count) and docs_removed is exactly n_docs - n_clusters per
+    bucket."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+
+    rows = _run("l114_dedup_cluster_sizes", spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.docs_removed == r.n_docs - r.n_clusters
+        assert r.cluster_size >= 1
