@@ -569,3 +569,96 @@ def j19b_edjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams."""
     part = load_table(spark, sf_dir, "part")
     return edjoin_fuzzy_pairs(part, "p_name").orderBy("name_a", "name_b")
+
+
+# ---- er2: blocking-scheme quality audit -------------------------------
+
+
+@register(
+    "er2_blocking_quality",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    truth AS (
+      SELECT a.p_name AS u, b.p_name AS v
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_T}
+        AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_T}
+    ),
+    blk AS (
+      SELECT p_name, string_split(p_name, ' ')[1] AS b FROM names
+    ),
+    cand AS (
+      SELECT x.p_name AS u, y.p_name AS v
+      FROM blk x JOIN blk y ON x.b = y.b AND x.p_name < y.p_name
+    ),
+    hit AS (
+      SELECT COUNT(*) AS h
+      FROM truth t JOIN cand c ON t.u = c.u AND t.v = c.v
+    ),
+    n AS (SELECT COUNT(*) AS n FROM names),
+    tc AS (SELECT COUNT(*) AS t FROM truth),
+    cc AS (SELECT COUNT(*) AS c FROM cand)
+    SELECT n.n AS n_names,
+           CAST(tc.t AS BIGINT) AS n_true_pairs,
+           CAST(cc.c AS BIGINT) AS n_candidates,
+           CAST(hit.h * 1000000 // GREATEST(tc.t, 1) AS BIGINT)
+             AS pairs_completeness_ppm,
+           CAST(1000000 - cc.c * 1000000 // (n.n * (n.n - 1) // 2)
+                AS BIGINT) AS reduction_ratio_ppm
+    FROM n, tc, cc, hit
+    """,
+    tags=("L2", "EXT", "fuzzy"),
+)
+def er2_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme AUDIT (Christen's pairs-completeness /
+    reduction-ratio, the two numbers every entity-resolution blocking
+    choice is judged by): score the naive first-token blocking — the
+    lazy default every quick ER script starts with — against exact
+    ground truth.  Ground truth is the full edit-distance-≤{FUZZY_T}
+    pair set, which the engine computes WITHOUT an all-pairs scan via
+    the provably-complete q-gram blocking (qgram_fuzzy_pairs: the
+    count lower bound + bounded-domain short-string branch make the
+    candidate set a superset of truth, and the verify is exact) — the
+    oracle recomputes truth by brute force, so completeness of the
+    engine's own blocking is re-proven here too.
+
+    Reading: completeness < 1e6 means first-token blocking MISSES true
+    matches (typos in the first word move a record to another block —
+    the classic failure); the reduction ratio is what it buys.  At
+    100 TB both metrics come from block-local joins and three 1-row
+    aggregates — the audit costs one ER candidate pass, not n²."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    truth = qgram_fuzzy_pairs(part, "p_name").select(
+        F.col("name_a").alias("u"), F.col("name_b").alias("v")
+    )
+    blk = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), 1).alias("b")
+    )
+    x, y = blk.alias("x"), blk.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.b") == F.col("y.b"))
+        & (F.col("x.p_name") < F.col("y.p_name")),
+    ).select(F.col("x.p_name").alias("u"), F.col("y.p_name").alias("v"))
+    hit = truth.join(cand, ["u", "v"]).agg(F.count("*").alias("h"))
+    n = names.agg(F.count("*").alias("n"))
+    tc = truth.agg(F.count("*").alias("t"))
+    cc = cand.agg(F.count("*").alias("c"))
+    return (
+        n.join(F.broadcast(tc))
+        .join(F.broadcast(cc))
+        .join(F.broadcast(hit))
+        .select(
+            "n",
+            F.col("t").cast("long").alias("n_true_pairs"),
+            F.col("c").cast("long").alias("n_candidates"),
+            F.expr("h * 1000000 div greatest(t, 1)").alias(
+                "pairs_completeness_ppm"
+            ),
+            F.expr(
+                "1000000 - c * 1000000 div (n * (n - 1) div 2)"
+            ).alias("reduction_ratio_ppm"),
+        )
+        .withColumnRenamed("n", "n_names")
+    )

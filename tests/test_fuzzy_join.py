@@ -209,3 +209,18 @@ def test_short_strings_sharing_zero_grams(spark):
         got = [(r.name_a, r.name_b, r.dist) for r in rows]
         assert len(got) == len(set(got)), f"{fn.__name__} emitted duplicates"
         assert set(got) == want, f"{fn.__name__}: {set(got) ^ want}"
+
+
+def test_blocking_quality_bounds(spark, sf_dir):
+    """er2: both Christen metrics are valid ppm; candidates can't
+    exceed all-pairs; hits can't exceed truth."""
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+
+    r = (
+        all_specs()["er2_blocking_quality"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    assert 0 <= r.pairs_completeness_ppm <= 1_000_000
+    assert 0 <= r.reduction_ratio_ppm <= 1_000_000
+    assert r.n_candidates <= r.n_names * (r.n_names - 1) // 2
