@@ -1381,24 +1381,26 @@ def l106_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOREMI_ROUNDS = 3
 
 
-def _doremi_round_sql(r: int) -> str:
+def _doremi_round_sql(r: int, p: str = "") -> str:
     """One unrolled multiplicative-weights round: excess = loss minus
     the current weighted mean, multiplier (1e6 + excess)/1e6, then
     re-normalize to a 1e6 total.  All integer (trunc division on
-    non-negative values, so DuckDB // == Spark div)."""
+    non-negative values, so DuckDB // == Spark div).  ``p`` prefixes
+    the CTE names so two chains can coexist (l115 runs the recurrence
+    on the full corpus AND the deduped corpus in one query)."""
     return f"""
-    m{r} AS (
-      SELECT SUM(w * loss_ppm) // SUM(w) AS mean_loss FROM w{r - 1}
+    {p}m{r} AS (
+      SELECT SUM(w * loss_ppm) // SUM(w) AS mean_loss FROM {p}w{r - 1}
     ),
-    u{r} AS (
+    {p}u{r} AS (
       SELECT source, loss_ppm,
              w * (1000000 + (loss_ppm - mean_loss)) // 1000000 AS w
-      FROM w{r - 1} CROSS JOIN m{r}
+      FROM {p}w{r - 1} CROSS JOIN {p}m{r}
     ),
-    t{r} AS (SELECT SUM(w) AS tot FROM u{r}),
-    w{r} AS (
+    {p}t{r} AS (SELECT SUM(w) AS tot FROM {p}u{r}),
+    {p}w{r} AS (
       SELECT source, loss_ppm, w * 1000000 // tot AS w
-      FROM u{r} CROSS JOIN t{r}
+      FROM {p}u{r} CROSS JOIN {p}t{r}
     )"""
 
 
@@ -1443,6 +1445,16 @@ def l109_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern real mixture planners use).  All arithmetic is trunc-
     division integer ppm, so the oracle unrolls to the bit."""
     d = load_table(spark, sf_dir, "documents")
+    w = _doremi_weights(d)
+    return w.select(
+        "source", "loss_ppm", F.col("w").alias("weight_ppm")
+    ).orderBy("source")
+
+
+def _doremi_weights(d: DataFrame) -> DataFrame:
+    """The l109 recurrence over an arbitrary documents relation:
+    per-source TTR loss proxy, then DOREMI_ROUNDS integer
+    multiplicative-weight updates.  Returns (source, loss_ppm, w)."""
     toks = (
         d.select("source", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1473,6 +1485,77 @@ def l109_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loss_ppm",
             F.expr("w * 1000000 div tot").alias("w"),
         )
-    return w.select(
-        "source", "loss_ppm", F.col("w").alias("weight_ppm")
-    ).orderBy("source")
+    return w
+
+
+# ---- l115: how dedup shifts the training mixture ----------------------
+
+_L115_LOSS = """
+      SELECT source,
+             COUNT(DISTINCT word) * 1000000 // COUNT(*) AS loss_ppm
+      FROM (
+        SELECT d.source, w AS word
+        FROM ({docs}) d, UNNEST(string_split(d.text, ' ')) AS t(w)
+        WHERE w <> ''
+      ) GROUP BY source
+"""
+
+
+@register(
+    "l115_dedup_mixture_shift",
+    oracle=f"""
+    WITH floss AS ({_L115_LOSS.format(docs="SELECT * FROM documents")}),
+    fw0 AS (
+      SELECT source, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM floss
+    ),
+    {",".join(_doremi_round_sql(r, "f") for r in range(1, DOREMI_ROUNDS + 1))},
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    dloss AS ({_L115_LOSS.format(
+        docs="SELECT d.* FROM documents d JOIN survivors USING (doc_id)")}),
+    dw0 AS (
+      SELECT source, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM dloss
+    ),
+    {",".join(_doremi_round_sql(r, "d") for r in range(1, DOREMI_ROUNDS + 1))}
+    SELECT f.source,
+           CAST(f.w AS BIGINT) AS weight_full_ppm,
+           CAST(d.w AS BIGINT) AS weight_dedup_ppm,
+           CAST(d.w - f.w AS BIGINT) AS shift_ppm
+    FROM fw{DOREMI_ROUNDS} f JOIN dw{DOREMI_ROUNDS} d USING (source)
+    ORDER BY f.source
+    """,
+    tags=("L1", "L7", "EXT", "training-prep"),
+)
+def l115_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup × mixture INTERACTION every pipeline has to audit:
+    exact dedup changes per-source token statistics (duplicate-heavy
+    sources lose mass and lexical-diversity proxies move), so mixture
+    weights computed BEFORE dedup are stale AFTER it.  This runs the
+    l109 multiplicative-weights recurrence twice — once on the full
+    corpus, once on the exact-dedup survivors (keep-min per md5, l1's
+    rule) — and reports the per-source weight shift, the number that
+    tells a planner whether dedup silently re-weighted its mixture.
+
+    Two corpus-sized aggregations (one per arm — the survivor arm's
+    join is l1's 16-byte-hash shuffle), then two domain-relation
+    recurrences; everything integer, both unrolled chains
+    prefix-named so one oracle query verifies both arms and the
+    join of their outputs."""
+    d = load_table(spark, sf_dir, "documents")
+    full = _doremi_weights(d)
+    survivors = d.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dedup = _doremi_weights(d.join(survivors.select("doc_id"), "doc_id"))
+    f, g = full.alias("f"), dedup.alias("g")
+    return (
+        f.join(g, F.col("f.source") == F.col("g.source"))
+        .select(
+            F.col("f.source").alias("source"),
+            F.col("f.w").cast("long").alias("weight_full_ppm"),
+            F.col("g.w").cast("long").alias("weight_dedup_ppm"),
+            (F.col("g.w") - F.col("f.w")).cast("long").alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )

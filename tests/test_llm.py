@@ -968,3 +968,18 @@ def test_cluster_size_histogram_conserves_docs(spark, sf_dir):
     for r in rows:
         assert r.docs_removed == r.n_docs - r.n_clusters
         assert r.cluster_size >= 1
+
+
+def test_dedup_mixture_shift_conserves(spark, sf_dir):
+    """l115: both arms are normalized mixtures (each sums to ~1e6), so
+    the shifts sum to ~0; every source appears in both arms."""
+    rows = _run("l115_dedup_mixture_shift", spark, sf_dir).collect()
+    assert rows
+    full = sum(r.weight_full_ppm for r in rows)
+    dedup = sum(r.weight_dedup_ppm for r in rows)
+    n = len(rows)
+    assert 1_000_000 - n <= full <= 1_000_000
+    assert 1_000_000 - n <= dedup <= 1_000_000
+    assert abs(sum(r.shift_ppm for r in rows)) <= n
+    for r in rows:
+        assert r.shift_ppm == r.weight_dedup_ppm - r.weight_full_ppm
