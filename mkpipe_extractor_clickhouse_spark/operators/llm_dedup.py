@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 from .graph import connected_components
 
 JACCARD_T = 0.9
@@ -2173,7 +2174,7 @@ def l103_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     join are l58's (never all-pairs); the agreement join multiplies
     only CANDIDATE pairs by 16 slots; the histogram is <= 17 rows and
     the config scoring is constant work on the driver-side plan."""
-    sigs = _mhp_sigs(spark, sf_dir).cache()
+    sigs = ephemeral_cache(_mhp_sigs(spark, sf_dir))
     pairs = _mhp_band_pairs(sigs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -2193,7 +2194,9 @@ def l103_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # <=17 rows; cached so the 5 config aggregates don't re-run the
     # signature/band/agreement pipeline once each
-    hist = agree.groupBy("m").agg(F.count("*").alias("cnt")).cache()
+    hist = ephemeral_cache(
+        agree.groupBy("m").agg(F.count("*").alias("cnt"))
+    )
     cfg = None
     for b, r in LSH_TUNE_CONFIGS:
         pq = _scurve_pq_sql(r, b)
@@ -2315,10 +2318,8 @@ def l111_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     rep_tokens = _doc_tokens(spark, sf_dir).join(
         reps.select("doc_id"), "doc_id"
     )
-    pairs = (
-        ppjoin_pairs(rep_tokens, JACCARD_T)
-        .select("doc_a", "doc_b")
-        .cache()
+    pairs = ephemeral_cache(
+        ppjoin_pairs(rep_tokens, JACCARD_T).select("doc_a", "doc_b")
     )
     adj = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -2433,7 +2434,7 @@ def l112_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator-vs-truth divergence is real signal, not noise — both
     engines compute both columns exactly, and the bias they agree on
     is the corpus' actual sketch error."""
-    sigs = _mhp_sigs(spark, sf_dir).cache()
+    sigs = ephemeral_cache(_mhp_sigs(spark, sf_dir))
     pairs = _mhp_band_pairs(sigs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -2462,8 +2463,8 @@ def l112_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", p.alias("p"))
         .filter(F.size("p") >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
-        .cache()
     )
+    toks = ephemeral_cache(toks)
     sizes = toks.groupBy("doc_id").agg(F.count_distinct("t").alias("n"))
     ta = toks.alias("ta")
     tb = toks.alias("tb")

@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 from ._determinism import DAVG9, DSUM, _Q, _Q9, _quantize, _quantize9, davg9
 
 TOP_K = 10
@@ -2232,9 +2233,12 @@ PI_ROUNDS = 3
 
 
 def _pi_tdiv(a: str, b: str) -> str:
-    """Truncate-toward-zero integer division, identical in Spark
-    (`div` truncates) and DuckDB (`//` floors for integers) by
-    routing the sign around a non-negative division."""
+    """Truncate-toward-zero integer division. Spark's `div` and
+    DuckDB's integer `//` BOTH truncate toward zero (verified:
+    -7 // 2 = -3 in DuckDB — it does NOT floor; see
+    tests/test_determinism.py), so the sign routing below is
+    belt-and-suspenders, kept because it makes the intended
+    semantics explicit and costs one folded CASE."""
     return (
         f"(CASE WHEN {a} >= 0 THEN ({a}) {{div}} ({b})"
         f" ELSE -((-({a})) {{div}} ({b})) END)"
@@ -2325,7 +2329,8 @@ def l107_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             "embedding", lambda x: _quantize(x.cast("double"))
         ).alias("earr"),
-    ).cache()  # quantize once; re-read per round
+    )
+    eq = ephemeral_cache(eq)  # quantize once; re-read per round
     d = int(eq.select(F.size("earr")).first()[0])
     v = [1000000] * d
     for r in range(1, PI_ROUNDS + 1):
@@ -2473,8 +2478,8 @@ def l108_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(ranked), F.col("label") == F.col("c_label"))
         .select("vec_id", "cosine", "c_rank")
-        .cache()
     )
+    sims = ephemeral_cache(sims)
     exact = (
         sims.orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 from ._determinism import DAVG, DSUM, davg, dsum
 
 # Tiny sentiment-style lexicon over the fixture vocabulary (SURVEY L8,
@@ -1077,7 +1078,7 @@ def _bpe_train(
     sym = F.concat(
         F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
     )
-    v = vocab.select("word", "freq", sym.alias("sym")).cache()
+    v = ephemeral_cache(vocab.select("word", "freq", sym.alias("sym")))
     merges = []
     for r in range(1, BPE_ROUNDS + 1):
         arr = F.split(F.trim(F.col("sym")), " ")

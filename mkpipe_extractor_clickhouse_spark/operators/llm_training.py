@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 
 # Benchmark decontamination: any training document sharing a word
 # n-gram with the held-out set is dropped. 5-grams calibrated on this
@@ -1463,8 +1464,10 @@ def _doremi_weights(d: DataFrame) -> DataFrame:
         F.expr(
             "count(distinct word) * 1000000 div count(*)"
         ).alias("loss_ppm")
-    ).cache()  # domain relation (tens of rows): the update rounds'
-    # 1-row aggregates must reuse it, not re-scan the corpus per round
+    )
+    loss = ephemeral_cache(loss)  # domain relation (tens of rows): the
+    # update rounds' 1-row aggregates must reuse it, not re-scan the
+    # corpus per round
     w = loss.select(
         "source", "loss_ppm", F.lit(1000000).cast("long").alias("w")
     )

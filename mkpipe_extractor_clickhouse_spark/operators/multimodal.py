@@ -778,13 +778,24 @@ _M9_LAGS = " + ".join(
 @register(
     "m9_cdc_chunk_dedup",
     oracle=f"""
-    WITH pos AS (
-      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+    -- Byte-wise oracle (ADVICE r9): the Spark kernel chunks the UTF-8
+    -- BYTES of text, so the oracle walks hex(encode(text)) — byte i is
+    -- hex digits [2i-1, 2i] — rather than CHARACTERS; any multi-byte
+    -- character now chunks identically across engines. The chunk key
+    -- is md5 over the chunk's hex digits (DuckDB lacks md5(BLOB));
+    -- digests never surface in the output — only chunk IDENTITY
+    -- matters, and hex is injective on byte strings.
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
       FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, hx, unnest(range(1, nb + 1)) AS i FROM hx
     ),
     codes AS (
       SELECT doc_id, i,
-             CAST(ascii(substr(text, i, 1)) AS BIGINT) AS c
+             CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS c
       FROM pos
     ),
     h AS (
@@ -795,7 +806,7 @@ _M9_LAGS = " + ".join(
       SELECT doc_id, i AS e FROM h
       WHERE i >= {CDC_WIN} AND h % {CDC_DIV} = 0
       UNION
-      SELECT doc_id, length(text) AS e FROM documents
+      SELECT doc_id, nb AS e FROM hx
     ),
     chunks AS (
       SELECT doc_id,
@@ -805,9 +816,10 @@ _M9_LAGS = " + ".join(
       FROM ends
     ),
     hashed AS (
-      SELECT md5(substr(d.text, c.s, (c.e - c.s + 1)::INT)) AS ch,
+      SELECT md5(substr(x.hx, 2 * c.s - 1, (2 * (c.e - c.s + 1))::INT))
+               AS ch,
              c.e - c.s + 1 AS len
-      FROM chunks c JOIN documents d USING (doc_id)
+      FROM chunks c JOIN hx x USING (doc_id)
     ),
     g AS (SELECT ch, COUNT(*) AS cnt, MIN(len) AS len FROM hashed GROUP BY ch)
     SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,

@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver heap sized from host RAM: ~1/8, clamped to [1, 16] GiB."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page_size = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page_size / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "2g"
+    return f"{max(1, min(16, int(total_gib / 8)))}g"
+
+
 def get_spark(
     app_name: str = "mkpipe_spark_engine",
     master: str | None = None,
@@ -43,11 +54,13 @@ def get_spark(
         # local mode runs every executor thread inside the driver JVM;
         # the 1g default heap starves 32 concurrent tasks (observed:
         # broadcast builds and sort-spill reads OOMing a long session
-        # at ~10k tasks). A 32-core executor in the scaled-up posture
-        # carries tens of GB — 16g is that, scaled down. Only effective
-        # when this builder launches the JVM (not on getOrCreate reuse).
+        # at ~10k tasks). Sized from the HOST, not hard-coded (ADVICE
+        # r9): ~1/8 of physical RAM, clamped to [1g, 16g] — 16g on the
+        # 128 GiB build host, safe on small CI/dev machines where a
+        # hard 16g -Xmx can fail JVM startup. Only effective when this
+        # builder launches the JVM (not on getOrCreate reuse).
         .config("spark.driver.memory", os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", "16g"))
+            "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         # 16 MB split targets: keeps small-corpus scans parallel across
         # local cores (the fixture files are 1-11 MB); at cluster scale
         # this is a common tuning point (16-64 MB) that trades task

@@ -1,0 +1,92 @@
+"""Bench-regression gate (VERDICT r9 item 8).
+
+Compares the working-tree BENCH_FULL.json against the committed one
+(`git show HEAD:BENCH_FULL.json`) and FAILS when the new run regresses
+more than the allowed drift:
+
+  * ratio_headline   > +5 %  (primary — host-noise-cancelling)
+  * headline wall    > +10 % (secondary — raw, host-sensitive)
+
+Rationale (PERF.md "Round 10" section): raw walls drift with host state
+— r8's exact code re-run on the r10 host was 27 % slower than its
+committed number while DuckDB drifted proportionally — so the ratio is
+the metric a silent regression actually shows up in; the wall bound is
+a coarse backstop.
+
+An intentional regression is recorded, not sneaked: set
+`BENCH_GATE_NOTE="why"` in the environment (the note is echoed and the
+gate passes with an explicit acknowledgement the committer must write).
+
+Wire-up: `.git/hooks/pre-commit` (installed by `scripts/install_hooks.sh`,
+re-run after fresh clones — hooks are not cloned) runs this whenever
+BENCH_FULL.json is staged. It can also be run by hand:
+
+    python scripts/bench_gate.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RATIO_DRIFT = 0.05
+WALL_DRIFT = 0.10
+
+
+def main() -> int:
+    new_path = REPO / "BENCH_FULL.json"
+    if not new_path.exists():
+        print("bench_gate: no BENCH_FULL.json in working tree — skip")
+        return 0
+    new = json.loads(new_path.read_text())
+    try:
+        old_raw = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout
+        old = json.loads(old_raw)
+    except (subprocess.CalledProcessError, json.JSONDecodeError):
+        print("bench_gate: no committed BENCH_FULL.json baseline — pass")
+        return 0
+
+    problems: list[str] = []
+    ratio_old, ratio_new = old.get("ratio_headline"), new.get("ratio_headline")
+    if ratio_old and ratio_new:
+        drift = ratio_new / ratio_old - 1.0
+        line = f"ratio_headline {ratio_old} -> {ratio_new} ({drift:+.1%})"
+        if drift > RATIO_DRIFT:
+            problems.append(line + f" exceeds +{RATIO_DRIFT:.0%}")
+        else:
+            print(f"bench_gate: {line} ok")
+    wall_old, wall_new = old.get("value"), new.get("value")
+    if wall_old and wall_new:
+        drift = wall_new / wall_old - 1.0
+        line = f"headline wall {wall_old}s -> {wall_new}s ({drift:+.1%})"
+        if drift > WALL_DRIFT:
+            problems.append(line + f" exceeds +{WALL_DRIFT:.0%}")
+        else:
+            print(f"bench_gate: {line} ok")
+
+    if not problems:
+        return 0
+    note = os.environ.get("BENCH_GATE_NOTE", "").strip()
+    for p in problems:
+        print(f"bench_gate: REGRESSION — {p}", file=sys.stderr)
+    if note:
+        print(f"bench_gate: acknowledged via BENCH_GATE_NOTE: {note}")
+        return 0
+    print(
+        "bench_gate: FAIL — fix the regression, or acknowledge it with\n"
+        '  BENCH_GATE_NOTE="reason (e.g. host drift proven by A/B)" git commit ...',
+        file=sys.stderr,
+    )
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

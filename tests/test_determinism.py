@@ -230,9 +230,11 @@ def test_pow_tree_bit_identical_across_engines(spark):
 
 def test_trunc_div_sign_routing_across_engines(spark):
     """l107's sign-routed integer division must equal Python's
-    truncate-toward-zero semantics in BOTH engines (Spark `div`
-    truncates; DuckDB `//` floors — the CASE routes both through a
-    non-negative divide)."""
+    truncate-toward-zero semantics in BOTH engines. Spark `div` and
+    DuckDB integer `//` both truncate toward zero (-7 // 2 = -3 in
+    DuckDB — it does not floor), so the CASE routing is redundant by
+    engine semantics; this battery pins the composite expression
+    either way so a future engine/version change is caught here."""
     from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
         _pi_tdiv,
     )

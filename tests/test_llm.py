@@ -939,6 +939,59 @@ def test_cdc_chunking_shift_invariant():
     assert out[out.doc_id == 2]["chunk_len"].sum() == len(shifted)
 
 
+def test_cdc_oracle_multibyte_parity():
+    """ADVICE r9: the m9 oracle used to chunk CHARACTERS while the
+    kernel chunks UTF-8 BYTES — parity held only because fixtures are
+    ASCII. The byte-wise oracle must agree with the kernel on text
+    containing multi-byte characters (where char- and byte-indexed
+    boundaries genuinely diverge)."""
+    import hashlib
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from mkpipe_extractor_clickhouse_spark.operators.multimodal import (
+        cdc_chunker,
+    )
+
+    rng = random.Random(17)
+    alphabet = "abc déé 漢字 🚀 ñß\n"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(200, 800)))
+        for _ in range(6)
+    ]
+    # a shared multi-byte run so cross-doc chunk dedup actually fires
+    texts[3] = texts[0][:300] + texts[3]
+    docs = pd.DataFrame({"doc_id": range(1, 7), "text": texts})
+
+    # kernel side: chunk the UTF-8 bytes, aggregate like the query
+    pdf = pd.DataFrame(
+        {"doc_id": docs.doc_id, "blob": [t.encode() for t in texts]}
+    )
+    out = pd.concat(list(cdc_chunker(iter([pdf]))))
+    # the kernel hashes raw bytes; re-key on content for the compare
+    g = out.groupby("chunk_md5")["chunk_len"]
+    want = {
+        "n_chunks": len(out),
+        "n_unique_chunks": g.size().shape[0],
+        "total_bytes": int(out["chunk_len"].sum()),
+        "unique_bytes": int(g.min().sum()),
+    }
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    spec = all_specs()["m9_cdc_chunk_dedup"]
+    got = con.sql(spec.oracle).df().iloc[0]
+    for k, v in want.items():
+        assert int(got[k]) == v, f"{k}: oracle {got[k]} != kernel {v}"
+    # hashlib sanity: the kernel's digests are over BYTES
+    one = out.iloc[0]
+    blob = texts[one.doc_id - 1].encode()
+    chunk = blob[one.chunk_start - 1 : one.chunk_start - 1 + one.chunk_len]
+    assert hashlib.md5(chunk).hexdigest() == one.chunk_md5
+
+
 def test_novelty_decay_shape(spark, sf_dir):
     """l113: ten deciles partition the corpus; the first decile sees
     the freshest content (its novelty beats the tail's mean), and
