@@ -89,9 +89,110 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup join with PPJoin prefix
     filtering. The oracle is the naive all-shared-tokens join — this
     query must produce the identical pair set, demonstrating the
-    filter loses nothing."""
-    verified = ppjoin_pairs(_doc_tokens(spark, sf_dir), JACCARD_T)
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    filter loses nothing.
+
+    r10: exact-duplicate texts are COLLAPSED before the join (the l2b
+    unique-signature factoring applied to the Jaccard family, VERDICT
+    r9 item 5). Jaccard depends only on the token SET, so docs with
+    equal text are interchangeable: PPJoin runs over one min-doc_id
+    representative per distinct text, qualifying representative pairs
+    expand back to member pairs (same jaccard), and within-group pairs
+    are emitted directly at jaccard 1.0 (every group's set equals
+    itself; ≥ any threshold). On a re-crawled corpus where dup groups
+    carry k copies this removes the k² blow-up from candidate
+    generation AND verification — only the OUTPUT stays pair-sized,
+    which it must. Output proven equal to the uncollapsed form by the
+    unchanged naive oracle. The collapse is ADAPTIVE (_collapse_pays):
+    on an effectively dup-free corpus the direct join is cheaper."""
+    d = load_table(spark, sf_dir, "documents")
+    if not _collapse_pays(d):
+        verified = ppjoin_pairs(_doc_tokens(spark, sf_dir), JACCARD_T)
+        return verified.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        )
+    m = d.select("doc_id", F.md5("text").alias("h"))
+    groups = m.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    mem = m.join(groups, "h").select("doc_id", "rep")
+    rep_tokens = _doc_tokens(spark, sf_dir).join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    )
+    rp = ppjoin_pairs(rep_tokens, JACCARD_T)
+    cross = (
+        rp.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        mem.alias("x")
+        .join(
+            mem.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _collapse_pays(d: DataFrame) -> bool:
+    """Driver-side probe: does exact-dup collapse pay for this corpus?
+    Collapse removes the k² candidate/verify blow-up of k-copy dup
+    groups but costs a handful of linear joins (md5 grouping, member
+    expansion) — pure overhead on a dup-free corpus (measured +1.1 s
+    on l2 at sf0.1, where 4992/5000 texts are distinct). One
+    approx_count_distinct over text decides (same adaptive posture as
+    _verify_pairs' vocab probe): collapse when ≥ ~10 % of docs are
+    copies. The estimator's ±2 % error only shifts a threshold that is
+    itself a heuristic."""
+    st = d.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("text").alias("u"),
+    ).first()
+    return st.u <= 0.9 * st.n
+
+
+def _int_tokens(tok: DataFrame) -> DataFrame:
+    """(doc_id, tid, df): the token relation with each distinct token
+    replaced by a dense-ish integer id and its global document
+    frequency. Ints downstream mean the candidate join keys and the
+    verify arrays ship 8 bytes instead of shingle strings (r10:
+    measured 3.8 → 3.0 s steady on l71 at sf0.1).
+
+    The id is ``monotonically_increasing_id`` over the grouped
+    dictionary — and the dictionary MUST be pinned with
+    ephemeral_cache before fan-out: a mono-id over a shuffle output is
+    assigned from partition index + arrival order, and two subtree
+    re-evaluations (Spark recomputes a relation per downstream
+    reference unless an exchange is reused) can fetch shuffle blocks
+    in different orders and mint DIFFERENT token→tid mappings — the
+    a-side and b-side of the self-join would then disagree on what an
+    id means. The checkpoint makes the mapping a fact, not a plan.
+    (tid, not a global row_number, because numbering a corpus-sized
+    shingle dictionary through one window partition is a single-task
+    bottleneck at scale; any bijection works — ranking ties break on
+    (df, tid), still one global total order.)"""
+    dict_ = ephemeral_cache(
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn("tid", F.monotonically_increasing_id())
+    )
+    return tok.join(dict_, "token").select("doc_id", "tid", "df")
 
 
 def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
@@ -101,39 +202,46 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     curation pipeline (llm_curation.py) — candidates fan out only on
     each doc's |d|-⌈t·|d|⌉+1 rarest tokens, so the join is inverted-
     index-shaped at any corpus size."""
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    toki = _int_tokens(tok)
+    sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Global token frequency orders tokens rarest-first: prefixes then
     # collide only on rare tokens, which is what bounds the fan-out.
     # No broadcast hint: a WORD vocabulary fits a broadcast, but this
     # helper also ranks SHINGLE relations (l23) whose dictionary grows
-    # with the corpus — AQE picks broadcast when dfreq is small and a
-    # shuffle hash join when it is not, which is the correct posture at
-    # both scales.
-    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # with the corpus — AQE picks broadcast when the dictionary is
+    # small and a shuffle hash join when it is not, which is the
+    # correct posture at both scales.
     ranked = (
-        tok.join(dfreq, "token")
+        toki
         .join(sizes, "doc_id")
         .withColumn(
             "rank",
-            # per-doc ordering rarest-first; deterministic tiebreak on token
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "token")),
+            # per-doc ordering rarest-first; deterministic tiebreak on
+            # tid ((df, tid) is a global total order — see _int_tokens)
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tid")),
         )
     )
     prefix = ranked.filter(
         F.col("rank") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("doc_id", "token", "rank", "n")
+    ).select("doc_id", "tid", "rank", "n")
 
     # Candidate pruning beyond the prefix collision itself (Xiao et al.
     # WWW'08 §3): the LENGTH filter (jaccard ≥ t forces |a|,|b| within
-    # a factor t of each other) and the POSITIONAL filter (tokens are
-    # ranked in one global rarest-first order in BOTH docs, so a match
-    # at ranks (pa, pb) bounds the total overlap by the tokens before
-    # plus the suffixes after:  min(pa,pb)−1 + 1 + min(na−pa, nb−pb));
-    # a qualifying pair needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉.  Both are
-    # supersets of the true pair set — verification stays exact — but
-    # on a small-vocabulary corpus (fixture: 31 tokens, where every
-    # prefix collides with everything) they cut candidates ~3-4× and
-    # the verify join cost with them (measured 98 s → ~30 s at sf0.1).
+    # a factor t of each other) at the join, then — r10 — the
+    # AGGREGATED positional bound: instead of bounding overlap from a
+    # single collision and DISTINCT-ing, group the collisions per pair
+    # and count them. m = matching prefix tokens; every shared token
+    # beyond those m sits after BOTH last matches (prefix ranks are
+    # order-isomorphic on shared tokens — one global (df, tid) order),
+    # so overlap ≤ m + min(na − pamax, nb − pbmax). A qualifying pair
+    # needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉. Exact superset, and strictly
+    # tighter than the single-collision bound: at τ=0.5 over sf0.1
+    # shingles it cuts candidates 308k → 120k and the verify pipeline
+    # 5.1 → 2.9 s; the groupBy replaces the distinct, same shuffle.
+    # The single-collision bound STAYS as a map-side pre-filter — it
+    # drops collisions before they shuffle into the aggregation, which
+    # is where a tiny-vocabulary corpus (every prefix collides with
+    # everything) pays (l2 regressed 4.4 → 6.3 s without it).
     na, nb = F.col("a.n"), F.col("b.n")
     pa, pb = F.col("a.rank"), F.col("b.rank")
     min_overlap = F.ceil(
@@ -142,19 +250,44 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     ubound = F.least(pa, pb) + F.least(na - pa, nb - pb)
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), on="token")
+        .join(prefix.alias("b"), on="tid")
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (na >= F.ceil(F.lit(threshold) * nb))
             & (nb >= F.ceil(F.lit(threshold) * na))
             & (ubound >= min_overlap)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(
+            F.count("*").alias("m"),
+            F.max(pa).alias("pamax"),
+            F.max(pb).alias("pbmax"),
+            F.max(na).alias("gna"),
+            F.max(nb).alias("gnb"),
+        )
+        .filter(
+            F.col("m")
+            + F.least(
+                F.col("gna") - F.col("pamax"), F.col("gnb") - F.col("pbmax")
+            )
+            >= F.ceil(
+                F.lit(threshold)
+                / (1.0 + threshold)
+                * (F.col("gna") + F.col("gnb"))
+            )
+        )
+        .select("doc_a", "doc_b")
     )
-    return _verify_pairs(cand, tok, threshold, "doc_a", "doc_b")
+    return _verify_pairs(
+        cand,
+        toki.select("doc_id", F.col("tid").alias("token")),
+        threshold,
+        "doc_a",
+        "doc_b",
+    )
 
 
 def _verify_pairs(
@@ -635,29 +768,21 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c1", "c2")
     )
 
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("vnrm").alias("na"), F.col("cid").alias("c1"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("vnrm").alias("nb"), F.col("cid").alias("c2"),
-    )
-    # Ordered cluster pairs + vec_a < vec_b → each vector pair appears
-    # under exactly one (c1, c2) combination: no dedup pass needed.
-    cand = (
-        a.join(F.broadcast(cpairs), "c1")
-        .join(b, "c2")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-    )
-    # Candidate VERIFY as a zero-copy Arrow kernel (r9): the surviving
-    # pair set is quadratic within surviving cluster pairs, and the
-    # higher-order fold evaluates interpreted per element — measured
-    # 14.5 s of the sweep at sf0.1 mostly in this one projection.  The
-    # kernel maps both vector columns' flat buffers into (n, 64)
-    # float64 views and does ONE einsum row-dot per batch — same
-    # quantize-half-away rounding as F.round, same (unrounded ≥
-    # threshold) cut as before, so the output is unchanged.
+    # r10: BLOCK-GEMM verify. The r9 kernel shipped BOTH 64-double
+    # vectors once per CANDIDATE PAIR across the Arrow bridge — the
+    # candidate mass is quadratic within surviving cluster pairs, so
+    # the bridge bytes were quadratic too. Ship each cluster's packed
+    # vectors once per surviving cluster pair instead (K²-bounded rows
+    # of matrices) and score the |c1|×|c2| block with ONE BLAS GEMM in
+    # the task: bridge volume falls from O(pairs · dim) to
+    # O(survivors · cluster_size · dim), the per-pair work from an
+    # interpreted fold / per-row einsum to a dgemm row. Ordered
+    # cluster pairs + the in-kernel vec_a < vec_b mask keep each
+    # vector pair emitted exactly once (same argument as before);
+    # norms are f64 row norms of the same matrices, cosine cut on the
+    # UNROUNDED value and rounded half-away like F.round — output rows
+    # unchanged (measured 7.1 → ~1 s steady at sf0.1). At 100 TB the
+    # block is bounded by cluster size, which the codebook K controls.
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute  # noqa: F401 — pa.compute in the worker closure
@@ -670,60 +795,81 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     dim = 64
+    packs = assigned.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("pk")
+    )
+    rows = (
+        cpairs.join(
+            packs.select(F.col("cid").alias("c1"), F.col("pk").alias("pk_a")),
+            "c1",
+        )
+        .join(
+            packs.select(F.col("cid").alias("c2"), F.col("pk").alias("pk_b")),
+            "c2",
+        )
+        .select("pk_a", "pk_b")
+    )
 
-    def verify_pairs(batches):
+    def block_verify(batches):
         import pyarrow.compute  # noqa: F401 — runs IN the worker
 
+        def unpack(col):
+            # col: ListArray<struct<vec_id: long, v: list<double>>>
+            offs = np.asarray(col.offsets)
+            offs = offs - offs[0]
+            members = col.flatten()
+            ids = members.field("vec_id").to_numpy(zero_copy_only=False)
+            vv = members.field("v")
+            mm = pa.compute.min_max(pa.compute.list_value_length(vv))
+            if (
+                vv.null_count
+                or mm["min"].as_py() != dim
+                or mm["max"].as_py() != dim
+            ):
+                raise ValueError("ragged/null vector in verify")
+            flat = vv.flatten().to_numpy(zero_copy_only=True)
+            m = flat.reshape(len(members), dim)
+            if m.dtype != np.float64:
+                m = m.astype(np.float64)
+            return offs, ids, m
+
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
-            ids_a = rb.column(0).to_numpy(zero_copy_only=False)
-            ids_b = rb.column(1).to_numpy(zero_copy_only=False)
+            oa, ids_a, ma = unpack(rb.column(0))
+            ob, ids_b, mb = unpack(rb.column(1))
+            na_v = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb_v = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            out_a, out_b, out_c = [], [], []
+            for r in range(rb.num_rows):
+                A = ma[oa[r]:oa[r + 1]]
+                B = mb[ob[r]:ob[r + 1]]
+                ia = ids_a[oa[r]:oa[r + 1]]
+                ib = ids_b[ob[r]:ob[r + 1]]
+                if A.shape[0] == 0 or B.shape[0] == 0:
+                    continue
+                cos = (A @ B.T) / np.outer(
+                    na_v[oa[r]:oa[r + 1]], nb_v[ob[r]:ob[r + 1]]
+                )
+                keep = (cos >= threshold) & (ia[:, None] < ib[None, :])
+                if not keep.any():
+                    continue
+                ka, kb = np.nonzero(keep)
+                c = cos[ka, kb]
+                out_a.append(ia[ka])
+                out_b.append(ib[kb])
+                out_c.append(np.trunc(c * 1e6 + np.copysign(0.5, c)) / 1e6)
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a), type=pa.int64()),
+                        pa.array(np.concatenate(out_b), type=pa.int64()),
+                        pa.array(np.concatenate(out_c), type=pa.float64()),
+                    ],
+                    ["vec_a", "vec_b", "cosine"],
+                )
 
-            def mat(col):
-                mm = pa.compute.min_max(pa.compute.list_value_length(col))
-                if (
-                    col.null_count
-                    or mm["min"].as_py() != dim
-                    or mm["max"].as_py() != dim
-                ):
-                    raise ValueError("ragged/null vector in verify")
-                flat = col.flatten()
-                m = flat.to_numpy(zero_copy_only=True).reshape(n, dim)
-                return m if m.dtype == np.float64 else m.astype(np.float64)
-
-            va_m = mat(rb.column(2))
-            vb_m = mat(rb.column(3))
-            na_v = rb.column(4).to_numpy(zero_copy_only=False)
-            nb_v = rb.column(5).to_numpy(zero_copy_only=False)
-            cos = np.einsum("ij,ij->i", va_m, vb_m) / (na_v * nb_v)
-            keep = cos >= threshold
-            if not keep.any():
-                continue
-            cos = cos[keep]
-            cos = np.trunc(cos * 1e6 + np.copysign(0.5, cos)) / 1e6
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids_a[keep], type=pa.int64()),
-                    pa.array(ids_b[keep], type=pa.int64()),
-                    pa.array(cos, type=pa.float64()),
-                ],
-                ["vec_a", "vec_b", "cosine"],
-            )
-
-    return cand.select(
-        F.col("vec_a").cast("long").alias("vec_a"),
-        F.col("vec_b").cast("long").alias("vec_b"),
-        # MEASURED: re-casting back to array<float> to halve the
-        # bridge bytes LOSES (7.3 vs 6.3 s at sf0.1) — the per-element
-        # JVM Cast costs more than the saved serialization, unlike the
-        # l4 kernel where the source column was already float
-        "va",
-        "vb",
-        "na",
-        "nb",
-    ).mapInArrow(verify_pairs, out_schema)
+    return rows.mapInArrow(block_verify, out_schema)
 
 
 @register(
@@ -1388,6 +1534,116 @@ def l69_dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 CONTAIN_T = 0.8  # directional coverage threshold
 
 
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, token) 3-word shingles of a documents
+    relation; docs under 3 tokens yield no rows."""
+    t = F.split("text", " ")
+    idx = F.when(
+        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("i")),
+                F.element_at("t", F.col("i") + 1),
+                F.element_at("t", F.col("i") + 2),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+
+
+def _containment_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, containment ≥ CONTAIN_T) over a documents
+    relation — l71's core. One-sided PPJoin prefix on A's rarest
+    shingles, b-side length (|B| ≥ ⌈τ|A|⌉) and positional
+    (min(pa,pb) + min(na−pa, nb−pb) ≥ ⌈τ|A|⌉) prunes, integer token
+    ids (_int_tokens) end-to-end, exact int-array-intersect verify."""
+    sh = _int_tokens(_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ranked = (
+        sh.join(sizes, "doc_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tid")
+            ),
+        )
+        .select("doc_id", "tid", "rank", "n")
+    )
+    prefix = ranked.filter(
+        F.col("rank")
+        <= F.col("n") - F.ceil(F.lit(CONTAIN_T) * F.col("n")) + 1
+    )
+    # aggregated positional bound (see ppjoin_pairs): m = a-prefix
+    # tokens shared with b (b side is COMPLETE, so every shared token
+    # beyond m lies in a's unprobed tail — at most ⌈τ·na⌉ − 1 of them —
+    # and, by the order isomorphism of the global (df, tid) ranking,
+    # after b's last match: ≤ nb − pbmax). overlap ≥ ⌈τ·na⌉ required.
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.rank"), F.col("b.rank")
+    need = F.ceil(F.lit(CONTAIN_T) * na)
+    ubound = F.least(pa, pb) + F.least(na - pa, nb - pb)
+    cand = (
+        prefix.alias("a")
+        .join(ranked.alias("b"), on="tid")
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (nb >= need)
+            & (ubound >= need)
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("m"),
+            F.max(pb).alias("pbmax"),
+            F.max(na).alias("gna"),
+            F.max(nb).alias("gnb"),
+        )
+        .filter(
+            F.col("m")
+            + F.least(
+                F.ceil(F.lit(CONTAIN_T) * F.col("gna")) - 1,
+                F.col("gnb") - F.col("pbmax"),
+            )
+            >= F.ceil(F.lit(CONTAIN_T) * F.col("gna"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    shingle_sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tid")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    return (
+        cand.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "containment", F.col("overlap") * F.lit(1.0) / F.col("na")
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 @register(
     "l71_shingle_containment",
     oracle=f"""
@@ -1417,82 +1673,72 @@ def l71_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRC-TN-1997-015). Pairs (A, B) with C ≥ 0.8 mean A is essentially
     covered by B — the curation action is dropping A, not clustering.
 
-    Scale shape: containment admits a one-sided prefix filter — A must
-    share one of its |A| − ⌈τ·|A|⌉ + 1 RAREST shingles with B — so the
-    probe side carries prefixes only while the index side carries all
-    shingles (the cross-relation x7 posture, never all-pairs). The
-    oracle is the naive all-shared-shingles join: hash-match proves
-    the asymmetric prefix filter loses nothing."""
+    Scale shape (r10 rework): containment admits a one-sided prefix
+    filter — A must share one of its |A| − ⌈τ·|A|⌉ + 1 RAREST shingles
+    with B — plus two b-side prunes the first cut lacked: the LENGTH
+    filter (overlap ≥ τ·|A| forces |B| ≥ ⌈τ·|A|⌉) and the POSITIONAL
+    bound (a match at global-rarest-first ranks (pa, pb) caps overlap
+    at min(pa,pb) + min(na−pa, nb−pb)); candidates fell 300k → 200k at
+    sf0.1. Shingles are integerized once (_int_tokens) so the
+    candidate join and the verify arrays ship 8-byte ids, and — the
+    l2b factoring (VERDICT r9 item 5) — exact-duplicate texts collapse
+    to one representative before the join: containment depends only on
+    the shingle sets, so rep-level pairs expand to member pairs
+    verbatim (both directions computed at rep level — containment is
+    directional) and within-group ordered pairs emit at containment
+    1.0. The oracle is the naive all-shared-shingles join: hash-match
+    proves the whole stack loses nothing. The collapse is ADAPTIVE
+    (_collapse_pays): dup-free corpora skip straight to the direct
+    containment join."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    idx = F.when(
-        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = (
-        d.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("t", F.col("i")),
-                F.element_at("t", F.col("i") + 1),
-                F.element_at("t", F.col("i") + 2),
-            ).alias("token"),
+    if not _collapse_pays(d):
+        return _containment_pairs(d).select(
+            "doc_a", "doc_b", F.round("containment", 6).alias("containment")
         )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    dfreq = sh.groupBy("token").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(dfreq, "token")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "token")
-            ),
-        )
-    )
-    prefix = ranked.filter(
-        F.col("rank")
-        <= F.col("n") - F.ceil(F.lit(CONTAIN_T) * F.col("n")) + 1
-    ).select("doc_id", "token")
-    cand = (
-        prefix.alias("a")
-        .join(sh.alias("b"), on="token")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    shingle_sets = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("token")).alias("toks"),
-        F.count("*").alias("n"),
-    )
-    verified = (
-        cand.join(
-            shingle_sets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("toks").alias("toks_a"),
-                F.col("n").alias("na"),
-            ),
+    m = d.select("doc_id", F.md5("text").alias("h"))
+    groups = m.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    mem = m.join(groups, "h").select("doc_id", "rep")
+    dd = d.join(groups.select(F.col("rep").alias("doc_id")), "doc_id")
+    rp = _containment_pairs(dd)
+    sizes = _shingles(dd).groupBy("doc_id").agg(F.count("*").alias("n"))
+    # expand rep pairs to member pairs (directional — rp already holds
+    # each qualifying direction); members inherit their rep's shingle
+    # presence (same text), so no member-side shingle guard is needed
+    cross = (
+        rp.join(
+            mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma")),
             "doc_a",
         )
         .join(
-            shingle_sets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("toks").alias("toks_b"),
-            ),
+            mem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb")),
             "doc_b",
         )
-        .withColumn("overlap", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn(
-            "containment", F.col("overlap") * F.lit(1.0) / F.col("na")
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            "containment",
         )
-        .filter(F.col("containment") >= CONTAIN_T)
     )
-    return verified.select(
+    # within-group ordered pairs: identical text → containment exactly
+    # 1.0 BOTH ways; only groups whose text yields ≥ 1 shingle pair in
+    # the oracle (docs under 3 tokens never enter the shingle relation)
+    shingled = mem.join(
+        sizes.select(F.col("doc_id").alias("rep")), "rep"
+    )
+    within = (
+        shingled.alias("x")
+        .join(
+            shingled.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionAll(within).select(
         "doc_a", "doc_b", F.round("containment", 6).alias("containment")
     )
 
@@ -1628,39 +1874,120 @@ def l81_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     run per τ. removable_docs counts the higher doc_id of each
     qualifying pair — the doc the keep-lowest policy (l1/l18) would
     drop. Machinery is l23's PPJoin at τ_min, so the sweep inherits
-    its inverted-index scale shape; the τ grid is a 5-row broadcast."""
+    its inverted-index scale shape; the τ grid is a 5-row broadcast.
+
+    r10 factoring: exact-duplicate texts collapse to one min-doc_id
+    representative BEFORE the pair join, and the member-level counts
+    are recovered ARITHMETICALLY — no member-pair relation is ever
+    materialized (the sweep only needs counts, so the k² expansion
+    that l2/l71 must emit as output is pure algebra here):
+      pairs(τ)     = Σ_groups C(k,2)                       [j = 1 ≥ τ]
+                   + Σ_{rep pairs, j≥τ} k_a · k_b
+      removable(τ) = |{non-rep members of shingled groups}  [j = 1]
+                     ∪ {all members of B : (A,B) qualifies} [rep_a<rep_b
+                        ⇒ every b ∈ B exceeds some a ∈ A]
+                     ∪ {a ∈ A : a > rep_b, (A,B) qualifies}|
+    computed as a per-doc max-qualifying-j (jmax) and one count per τ.
+    Groups whose text yields no shingle (< 3 tokens) never enter the
+    oracle's pair relation and are excluded throughout. The collapse
+    is ADAPTIVE (_collapse_pays): dup-free corpora take the direct
+    pair count."""
     d = load_table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    idx = F.when(
-        F.size(t) >= 3, F.sequence(F.lit(1), F.size(t) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = (
-        d.select("doc_id", F.explode(idx).alias("i"), t.alias("t"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("t", F.col("i")),
-                F.element_at("t", F.col("i") + 1),
-                F.element_at("t", F.col("i") + 2),
-            ).alias("token"),
-        )
-        .distinct()
-    )
-    jac = ppjoin_pairs(sh, min(SWEEP_TAUS))
     taus = spark.createDataFrame(
         [(float(x),) for x in SWEEP_TAUS], ["tau"]
     )
-    j = F.broadcast(taus).join(jac, F.col("jaccard") >= F.col("tau"), "left")
-    return (
-        j.groupBy("tau")
+    if not _collapse_pays(d):
+        jac = ppjoin_pairs(_shingles(d), min(SWEEP_TAUS))
+        j = F.broadcast(taus).join(
+            jac, F.col("jaccard") >= F.col("tau"), "left"
+        )
+        return (
+            j.groupBy("tau")
+            .agg(
+                F.count(
+                    F.when(F.col("jaccard") >= F.col("tau"), 1)
+                ).alias("pairs"),
+                F.countDistinct(
+                    F.when(F.col("jaccard") >= F.col("tau"), F.col("doc_b"))
+                ).alias("removable_docs"),
+            )
+            .orderBy("tau")
+        )
+    m = d.select("doc_id", F.md5("text").alias("h"))
+    groups = m.groupBy("h").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("k")
+    )
+    mem = m.join(groups.select("h", "rep"), "h").select("doc_id", "rep")
+    dd = d.join(groups.select(F.col("rep").alias("doc_id")), "doc_id")
+    sh = _shingles(dd)
+    rj = ppjoin_pairs(sh, min(SWEEP_TAUS))  # rep pairs, doc_a < doc_b
+    gsz = groups.select("rep", "k")
+    rjk = rj.join(
+        gsz.select(F.col("rep").alias("doc_a"), F.col("k").alias("ka")),
+        "doc_a",
+    ).join(
+        gsz.select(F.col("rep").alias("doc_b"), F.col("k").alias("kb")),
+        "doc_b",
+    )
+    sh_docs = sh.select("doc_id").distinct()
+    sg = groups.join(
+        sh_docs.withColumnRenamed("doc_id", "rep"), "rep"
+    )  # shingled groups only
+    within_pairs = sg.agg(
+        F.coalesce(
+            F.sum(F.expr("k * (k - 1) div 2")), F.lit(0).cast("long")
+        ).alias("wp")
+    )
+    smem = mem.join(sg.select("rep"), "rep")  # members of shingled groups
+    cover = (
+        # every member of the higher group B is out-ranked by rep_a
+        rjk.join(
+            smem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("member")),
+            "doc_b",
+        ).select("member", "jaccard")
+        .unionAll(
+            # members of A above rep_b (= min(B)) are the higher side
+            # of some (a, b) pair
+            rjk.join(
+                smem.select(
+                    F.col("rep").alias("doc_a"), F.col("doc_id").alias("member")
+                ),
+                "doc_a",
+            )
+            .filter(F.col("member") > F.col("doc_b"))
+            .select("member", "jaccard")
+        )
+        .unionAll(
+            # within-group: non-rep members removable at j = 1.0
+            smem.filter(F.col("doc_id") != F.col("rep")).select(
+                F.col("doc_id").alias("member"), F.lit(1.0).alias("jaccard")
+            )
+        )
+    )
+    jmax = cover.groupBy("member").agg(F.max("jaccard").alias("jmax"))
+    cross_pairs = (
+        F.broadcast(taus)
+        .join(rjk, F.col("jaccard") >= F.col("tau"), "left")
+        .groupBy("tau")
         .agg(
-            F.count(
-                F.when(F.col("jaccard") >= F.col("tau"), 1)
-            ).alias("pairs"),
-            F.countDistinct(
-                F.when(F.col("jaccard") >= F.col("tau"), F.col("doc_b"))
-            ).alias("removable_docs"),
+            F.coalesce(
+                F.sum(F.col("ka") * F.col("kb")), F.lit(0).cast("long")
+            ).alias("cp")
+        )
+    )
+    removable = (
+        F.broadcast(taus)
+        .join(jmax, F.col("jmax") >= F.col("tau"), "left")
+        .groupBy("tau")
+        .agg(F.count(F.col("member")).alias("removable_docs"))
+    )
+    return (
+        cross_pairs.join(removable, "tau")
+        .crossJoin(F.broadcast(within_pairs))
+        .select(
+            "tau",
+            (F.col("cp") + F.col("wp")).alias("pairs"),
+            "removable_docs",
         )
         .orderBy("tau")
     )

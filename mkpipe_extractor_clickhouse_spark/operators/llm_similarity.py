@@ -99,9 +99,22 @@ def cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def l3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-k cosine to a query vector. Ordered by the
-    *rounded* score (+ vec_id tiebreak) so both engines select the same
-    k rows despite ulp-level float differences."""
+    """Exact top-k cosine to a query vector. When the packed vector
+    layout is already built for this corpus (warm — see
+    _packed_layout_if_warm), the query runs on the two-phase packed
+    kernel (the 1.55-2x-of-DuckDB path, r9); cold, it falls back to
+    the JVM brute force over list<float>. Both paths produce the SAME
+    rows: scores quantize to 1e-6 half-away-from-zero (= F.round) with
+    vec_id tiebreak, so ulp-level float differences never change the
+    selected k."""
+    import os
+
+    layout = _packed_layout_if_warm(sf_dir)
+    if layout is not None:
+        query = _fetch_query_vector(
+            os.path.join(sf_dir, "embeddings.parquet"), QUERY_VEC_ID
+        )
+        return packed_topk_cosine(spark, layout, query, TOP_K)
     sim = cosine_to_query(spark, sf_dir).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
@@ -234,15 +247,20 @@ def l4_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, with the r5→r6 kernel upgrade from mapInPandas (per-row
     list boxing) to mapInArrow (flat-buffer matvec). The vectors ship
     in their STORAGE dtype (float32) and upcast exactly in NumPy —
-    see arrow_topk_cosine."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("embedding").alias("v"),
-    )
+    see arrow_topk_cosine. When the packed layout is warm for this
+    corpus, the same exact semantics run on the two-phase packed
+    kernel instead (see l3/l4c)."""
     import os
 
     query = _fetch_query_vector(
         os.path.join(sf_dir, "embeddings.parquet"), QUERY_VEC_ID
+    )
+    layout = _packed_layout_if_warm(sf_dir)
+    if layout is not None:
+        return packed_topk_cosine(spark, layout, query, TOP_K)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").alias("v"),
     )
     return arrow_topk_cosine(e, query, TOP_K)
 
@@ -702,10 +720,10 @@ def packed_topk_cosine(
     return local.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
-def _packed_layout_for(spark: SparkSession, sf_dir: str) -> str:
-    """Cached packed layout for an sf_dir's embeddings table, keyed by
-    the source files' (path, size, mtime) fingerprint — testdata is
-    read-only, so the layout builds once per fixture generation."""
+def _packed_cache_dir(sf_dir: str) -> str:
+    """Cache directory for an sf_dir's packed layout, keyed by the
+    source files' (path, size, mtime) fingerprint — testdata is
+    read-only, so the key changes only on fixture regeneration."""
     import hashlib
     import os
     import tempfile
@@ -727,7 +745,28 @@ def _packed_layout_for(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "spark_graft_packed_layouts", fp
     )
     os.makedirs(cache, exist_ok=True)
-    return build_packed_vector_layout(spark, sf_dir, cache)
+    return cache
+
+
+def _packed_layout_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the packed layout for an sf_dir (see
+    _packed_cache_dir for the fingerprint key)."""
+    return build_packed_vector_layout(spark, sf_dir, _packed_cache_dir(sf_dir))
+
+
+def _packed_layout_if_warm(sf_dir: str) -> str | None:
+    """Return the packed layout path when it is ALREADY BUILT for the
+    current fixture fingerprint, else None — the warm/cold dispatch
+    the registered l3/l4 use (VERDICT r9): a warm pack serves queries
+    at memory bandwidth; a cold call must not pay the one-time pack
+    build inside an interactive query, so it falls back to the
+    list<float> brute-force kernel."""
+    import os
+
+    cache = _packed_cache_dir(sf_dir)
+    if os.path.exists(os.path.join(cache, "_PACKED_DONE")):
+        return os.path.join(cache, _PACKED_SUBDIR)
+    return None
 
 
 @register(

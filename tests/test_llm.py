@@ -939,6 +939,63 @@ def test_cdc_chunking_shift_invariant():
     assert out[out.doc_id == 2]["chunk_len"].sum() == len(shifted)
 
 
+def test_jaccard_family_collapse_path_on_duplicated_corpus(spark, sf_dir, tmp_path):
+    """r10 rep-collapse: the fixtures are ~dup-free, so the adaptive
+    collapse path (_collapse_pays) never fires in the registry runs.
+    Exercise it against a corpus where 3 of 4 docs are exact copies:
+    l2/l71/l81 must hash-match their (unchanged, naive) oracles with
+    the collapse ACTIVE — pair expansion, within-group emission, and
+    l81's arithmetic count recovery are all on the line here."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import (
+        _collapse_pays,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stride = d.agg(F.max("doc_id")).first()[0] + 1
+    reps_df = spark.range(4).select(F.col("id").alias("__rep"))
+    dup = d.crossJoin(F.broadcast(reps_df)).select(
+        (F.col("doc_id") + F.col("__rep") * F.lit(stride))
+        .cast("long")
+        .alias("doc_id"),
+        *[c for c in d.columns if c != "doc_id"],
+    )
+    out = tmp_path / "documents.parquet"
+    dup.repartition(4).write.mode("overwrite").parquet(str(out))
+
+    dd = load_table(spark, str(tmp_path), "documents")
+    assert _collapse_pays(dd), "4x-replicated corpus must trigger collapse"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    specs = all_specs()
+    for name in (
+        "l2_jaccard_neardup",
+        "l71_shingle_containment",
+        "l81_dedup_threshold_sweep",
+    ):
+        got = sorted(
+            tuple(r) for r in specs[name].builder(spark, str(tmp_path)).collect()
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(specs[name].oracle).fetchall()
+        )
+        # compare with per-cell rounding slop for the float ratio column
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        for g, w in zip(got, want):
+            for gv, wv in zip(g, w):
+                if isinstance(gv, float):
+                    assert abs(gv - float(wv)) < 1e-9, (name, g, w)
+                else:
+                    assert gv == wv, (name, g, w)
+    con.close()
+
+
 def test_cdc_oracle_multibyte_parity():
     """ADVICE r9: the m9 oracle used to chunk CHARACTERS while the
     kernel chunks UTF-8 BYTES — parity held only because fixtures are
