@@ -127,6 +127,25 @@ def _load_modules() -> None:
 # as early as possible.  Self-maintaining: round N+1 re-reads the
 # artifacts and bubbles up whatever is still unverified.
 _DRIVER_PRIORITY = (
+    # Round-10 window closure (VERDICT r9 item 4): the 15 queries never
+    # yet driver-windowed across r1-r9 — pinned at the absolute front
+    # so the r10 window drains the residue to 450/450 even as new
+    # round-10 queries compete for the never-covered slots.
+    "a18_rolling_distinct_users",
+    "a19_cumulative_users",
+    "ch_cohort_matrix",
+    "ch_funnel_conversion",
+    "ch_funnel_time_to_convert",
+    "ch_sequence_count",
+    "ch_sequence_match",
+    "ch_sequence_match_timed",
+    "ch_window_funnel_strict",
+    "t9_interval_join",
+    "t10_stream_static_enrich",
+    "t11_stream_stream_outer",
+    "t15_exactly_once_sink",
+    "t16_checkpoint_resume",
+    "t17_multisource_watermark",
     # Round-5 flagships: the rows-only→oracle upgrades (portable-hash
     # LSH/SimHash twins) and the stateful-runtime batch forms earn
     # driver rows first.
