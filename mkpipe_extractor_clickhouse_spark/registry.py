@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "mkpipe_extractor_clickhouse_spark.operators.llm_retrieval",
     "mkpipe_extractor_clickhouse_spark.operators.quality_gate",
     "mkpipe_extractor_clickhouse_spark.operators.llm_training",
+    "mkpipe_extractor_clickhouse_spark.operators.llm_corpus2",
     "mkpipe_extractor_clickhouse_spark.operators.multimodal",
     "mkpipe_extractor_clickhouse_spark.operators.extract_parity",
     "mkpipe_extractor_clickhouse_spark.operators.skew",

@@ -1018,17 +1018,21 @@ def main() -> None:
                 "embeddings (text and vectors unchanged; exact-dup "
                 "groups scale by R). l3's DuckDB side uses the native "
                 "list_cosine_similarity kernel, not the row-exploded "
-                "oracle, to avoid strawmanning DuckDB; l3's SPARK bench "
-                "path correspondingly runs the zero-copy Arrow kernel "
-                "(arrow_topk_cosine) rather than the scalar fold — "
-                "l3_fold_eq_kernel at the smallest point asserts both "
-                "produce identical rows. l3 and l4 time ONE shared "
-                "kernel instance in adjacent slots: the second slot "
-                "(l4) is the warm steady-state; the first slot's extra "
-                "~1 s at the 2.4M point is Python-worker/page re-warm "
-                "after the preceding queries (two identical instances "
-                "show the same first/second asymmetry), not kernel "
-                "work. Residual l3/l4 gap is the "
+                "oracle, to avoid strawmanning DuckDB. ROUND 10: the "
+                "REGISTERED l3/l4 builders dispatch to the packed "
+                "two-phase kernel whenever the layout is warm, so this "
+                "harness builds the layout FIRST (pack_sec, the "
+                "vector-index analogue of bucket_gen_sec; pack_cached "
+                "flags reuse) and measures the registered builders "
+                "themselves — the numbers are what registry users get. "
+                "l3_fold_eq_packed at the smallest point asserts the "
+                "declarative fold and the packed kernel produce "
+                "identical rows. l3/l4/l4c time ONE shared kernel "
+                "instance in adjacent slots: later slots are the warm "
+                "steady state; the first slot carries Python-worker/"
+                "page re-warm after the preceding queries. "
+                "Historical r6 decomposition of the retired "
+                "list<float> bridge path: "
                 "JVM row→Arrow serialization itself, measured by "
                 "decomposition at 2.4M×64: JVM scan alone 0.16 s, "
                 "scan+bridge passthrough 0.72 s, +NumPy math 0.91 s, "
