@@ -561,25 +561,36 @@ SIMHASH_MAX_HD = 3  # pair if Hamming distance <= 3 of 64 bits
 
 
 def _simhash_fingerprints(spark: SparkSession, sf_dir: str):
-    """Shared 64-bit SimHash relation (the l2c construction)."""
+    """Shared 64-bit SimHash relation (the l2c construction).
+
+    r10 shape: the per-bit sign sums come from 64 AGGREGATE COLUMNS in
+    ONE groupBy pass over the (doc, token-hash) relation instead of
+    exploding 64 bit-rows per token (a 64× row blowup through two
+    aggregations). The per-bit sign is s = Σ±1 = 2·cnt_b − n, so
+    "s > 0" becomes "2·cnt_b > n" — identical fingerprints, and the
+    narrow int sums stay inside whole-stage codegen (measured: the
+    explode form dominated l2c/l2e's wall)."""
     tok = _doc_tokens(spark, sf_dir)
-    bits = tok.selectExpr(
-        "doc_id",
-        "explode(transform(sequence(0, 63), b -> named_struct("
-        "  'bit', b,"
-        "  'v', CASE WHEN (shiftright(xxhash64(token), b) & 1) = 1 THEN 1 ELSE -1 END"
-        "))) AS bv",
-    ).select("doc_id", "bv.bit", "bv.v")
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")
-            ).alias("simhash")
-        )
+    return _pack_signhash(
+        tok.selectExpr("doc_id", "xxhash64(token) AS hx"), 64
     )
+
+
+def _pack_signhash(h: DataFrame, nbits: int) -> DataFrame:
+    """(doc_id, simhash): majority-sign pack of ``nbits`` bit counts of
+    the hx column, one aggregation pass (see _simhash_fingerprints)."""
+    aggs = [
+        F.sum(F.expr(f"shiftright(hx, {b}) & 1")).alias(f"c{b}")
+        for b in range(nbits)
+    ]
+    cnts = h.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    packed = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(nbits)
+    )
+    return cnts.select("doc_id", F.expr(packed).alias("simhash"))
 
 
 @register(
@@ -2347,28 +2358,14 @@ def l2e_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
     )
-    bits = tok.selectExpr(
-        "doc_id",
-        "conv(substring(md5(t), 1, 15), 16, 10) AS hx",
-    ).selectExpr(
-        "doc_id",
-        f"explode(transform(sequence(0, {SHP_BITS - 1}), b -> named_struct("
-        "  'bit', b,"
-        "  'v', CASE WHEN (shiftright(CAST(hx AS BIGINT), b) & 1) = 1"
-        "       THEN 1 ELSE -1 END))) AS bv",
-    ).select("doc_id", "bv.bit", "bv.v")
-    fp = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
-                    " ELSE 0 END"
-                )
-            ).alias("simhash")
-        )
+    # one-pass sign pack (see _simhash_fingerprints — no 60× bit-row
+    # explode); conv() returns STRING, hence the cast
+    fp = _pack_signhash(
+        tok.selectExpr(
+            "doc_id",
+            "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS hx",
+        ),
+        SHP_BITS,
     )
     blocks = fp.select(
         "doc_id",
