@@ -1043,3 +1043,157 @@ def q30_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_revenue"),
     )
+
+
+@register(
+    "q31_purchase_streaks",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT)
+               AS mi
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, mi,
+             mi - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mi)
+               AS g
+      FROM months
+    ),
+    streaks AS (
+      SELECT o_custkey, COUNT(*) AS len
+      FROM grp GROUP BY o_custkey, g
+    ),
+    best AS (
+      SELECT o_custkey, MAX(len) AS best FROM streaks GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(MAX(best) AS BIGINT) AS max_streak_months,
+           CAST(SUM(CASE WHEN best >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_streak3plus,
+           CAST(SUM(best) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_best_streak_micro
+    FROM best JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("W3", "A2", "EXT"),
+)
+def q31_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over purchase activity: a customer's streak is
+    a run of CONSECUTIVE calendar months with ≥ 1 order, found with
+    the classic month_index − row_number grouping key (no recursion,
+    no self-join — constant-difference runs share a key). Reported per
+    market segment: longest streak anywhere, customers sustaining ≥ 3
+    months, and the mean best streak — the retention-adjacent shape
+    (engagement streaks) every activity warehouse computes.
+
+    Scale shape: one distinct + two windows partitioned by customer
+    (orders already cluster by o_custkey after the distinct's
+    shuffle), a broadcast-sized segment join, 5-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).distinct()
+    grp = months.withColumn(
+        "g",
+        F.col("mi")
+        - F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("mi")
+        ),
+    )
+    streaks = grp.groupBy("o_custkey", "g").agg(F.count("*").alias("len"))
+    best = streaks.groupBy("o_custkey").agg(F.max("len").alias("best"))
+    return (
+        best.join(c, best.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max("best").cast("long").alias("max_streak_months"),
+            F.sum((F.col("best") >= 3).cast("long"))
+            .cast("long")
+            .alias("n_streak3plus"),
+            F.expr("sum(best) * 1000000 div count(*)")
+            .cast("long")
+            .alias("mean_best_streak_micro"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+COMPACT_TARGET_ROWS = 20_000
+
+
+@register(
+    "x54_compaction_plan",
+    oracle=f"""
+    WITH segs AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, n_rows,
+             SUM(n_rows) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM segs
+    ),
+    plan AS (
+      SELECT day, n_rows,
+             CAST((cum - n_rows) // {COMPACT_TARGET_ROWS} AS BIGINT)
+               AS group_id
+      FROM cum
+    )
+    SELECT group_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(day) AS min_day,
+           MAX(day) AS max_day
+    FROM plan GROUP BY group_id ORDER BY group_id
+    """,
+    tags=("S7", "S9", "EXT"),
+)
+def x54_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-segment compaction PLANNER: pack per-day event segments
+    into rewrite groups of ~{COMPACT_TARGET_ROWS} rows by bucketing
+    the running row count (group = floor(cum_before / target)) — the
+    deterministic next-fit plan every lakehouse compactor (Iceberg
+    binpack, Delta OPTIMIZE) derives before touching a file, keeping
+    time-adjacent segments together so time-range pruning survives the
+    rewrite. Output is the work manifest: segments, rows, and the
+    day span per rewrite group.
+
+    Scale shape: one count per segment, one running sum over the
+    (tiny) segment relation, group-id is pure arithmetic — the plan
+    costs seconds even when the table is 100 TB because it reads
+    metadata-scale rows, never data."""
+    e = load_table(spark, sf_dir, "events")
+    segs = (
+        e.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    cum = segs.withColumn(
+        "cum",
+        F.sum("n_rows").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    plan = cum.withColumn(
+        "group_id",
+        ((F.col("cum") - F.col("n_rows")) / COMPACT_TARGET_ROWS)
+        .cast("long"),
+    )
+    return (
+        plan.groupBy("group_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("group_id")
+    )

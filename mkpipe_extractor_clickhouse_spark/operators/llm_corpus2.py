@@ -780,3 +780,147 @@ def er3_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("m_ppm") + 1.0) / (F.col("u_ppm") + 1.0))
         ).alias("weight_micro"),
     ).orderBy("feature")
+
+
+# ---- l129: source-pair unigram cosine ---------------------------------
+
+
+@register(
+    "l129_source_cosine",
+    oracle="""
+    WITH sw AS (
+      SELECT source, w, COUNT(*) AS c
+      FROM (SELECT source, unnest(STRING_SPLIT(text, ' ')) AS w
+            FROM documents)
+      GROUP BY source, w
+    ),
+    nrm AS (
+      SELECT source, SQRT(CAST(SUM(c * c) AS DOUBLE)) AS n FROM sw
+      GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           ROUND(CAST(dot AS DOUBLE) / (na.n * nb.n), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON source_a = na.source
+    JOIN nrm nb ON source_b = nb.source
+    ORDER BY source_a, source_b
+    """,
+    tags=("L7", "A2", "EXT"),
+)
+def l129_source_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-source unigram count
+    vectors — the symmetric companion to l120's KL: KL ranks how much
+    NEW mass a source adds, cosine clusters sources into redundancy
+    groups (two crawls of the same site cosine ≈ 1; merging them
+    before mixture design avoids double-weighting). Deterministic to
+    the bit: dot products and squared norms are exact integer sums,
+    sqrt is IEEE-correctly-rounded on both engines, so the rounded
+    double agrees without quantization machinery.
+
+    Scale shape: the source×source matrix is K² (tiny); the dot join
+    is inverted-index shaped on the word key — sparse vectors never
+    densify, nothing quadratic in the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    nrm = sw.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("n")
+    )
+    a, b = sw.alias("a"), sw.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(nrm.withColumnRenamed("source", "source_a").withColumnRenamed("n", "na"), "source_a")
+        .join(nrm.withColumnRenamed("source", "source_b").withColumnRenamed("n", "nb"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---- dq14: column completeness matrix ---------------------------------
+
+DQ14_COLS = (
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+    ("documents", "text"),
+    ("documents", "lang"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+)
+
+
+@register(
+    "dq14_completeness_matrix",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blank,
+           CAST(SUM(CASE WHEN {c} IS NOT NULL AND {c} <> ''
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS complete_ppm
+    FROM {t}"""
+        for t, c in DQ14_COLS
+    )
+    + " ORDER BY table_name, column_name",
+    tags=("EXT", "quality", "A2"),
+)
+def dq14_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness matrix over the catalog's string columns:
+    null count, blank count, and completeness ppm per (table, column)
+    — the first screen every data-quality framework (Deequ/GE
+    'completeness') runs before anything semantic, and the baseline
+    the ingest contract asserts against (a column that is 100 %
+    complete today and 97 % tomorrow is an upstream regression even
+    though every individual row is 'valid'). One aggregate per table,
+    outputs unioned — each table is scanned once with only the audited
+    columns read (column pruning does the rest)."""
+    out = None
+    for t, c in DQ14_COLS:
+        df = load_table(spark, sf_dir, t)
+        part = df.agg(
+            F.lit(t).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long"))
+            .cast("long")
+            .alias("n_null"),
+            F.sum((F.col(c) == "").cast("long")).cast("long").alias("n_blank"),
+            F.expr(
+                f"sum(case when {c} is not null and {c} <> ''"
+                " then 1 else 0 end) * 1000000 div count(*)"
+            ).alias("complete_ppm"),
+        ).select(
+            "table_name", "column_name", "n_rows", "n_null", "n_blank",
+            "complete_ppm",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("table_name", "column_name")

@@ -71,12 +71,39 @@ def test_asof_join_no_pair_blowup(spark, sf_dir):
 
 
 def test_similarity_broadcast_only(spark, sf_dir):
-    """Brute-force cosine must broadcast the 1-row query vector; the
-    corpus side must not shuffle."""
+    """Top-k cosine must never shuffle the corpus: whichever path the
+    warm/cold dispatch picks (r10 — packed kernel when the layout is
+    warm, declarative fold cold), the plan ends in one
+    TakeOrderedAndProject over ≤ k rows per task and contains no
+    sort-merge join. The COLD fold path must additionally broadcast
+    the 1-row query vector."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_similarity import (
+        TOP_K,
+        cosine_to_query,
+    )
+
     plan = plan_of("l3_topk_cosine", spark, sf_dir)
-    assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+    # warm → packed mapInArrow shards; cold → broadcast fold. Either
+    # way the corpus side never exchanges before the local cut.
+    assert "MapInArrow" in plan or "BroadcastExchange" in plan
+    fold = (
+        cosine_to_query(spark, sf_dir)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+    fplan = fold._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastExchange" in fplan
+    assert "TakeOrderedAndProject" in fplan
+    assert "SortMergeJoin" not in fplan
 
 
 def test_embedding_neardup_bucketed(spark, sf_dir):
@@ -790,14 +817,17 @@ def test_ann_recall_curve_single_scored_relation(spark, sf_dir):
 
 
 def test_doremi_single_corpus_aggregation(spark, sf_dir):
-    """l109: the corpus-sized loss aggregation sits behind a cache
-    boundary (InMemoryTableScan), so every unrolled update round reads
-    the tens-of-rows domain relation — the parquet scan executes once,
-    at cache fill, regardless of round count.  (The explain string
-    still PRINTS the cached lineage per branch, so counting 'Scan
-    parquet' text would mislead — the cache marker is the contract.)"""
+    """l109: the corpus-sized loss aggregation sits behind a
+    materialization boundary, so every unrolled update round reads the
+    tens-of-rows domain relation — the parquet scan executes once,
+    regardless of round count. r10: the boundary is an eager
+    localCheckpoint (ephemeral_cache — freed by GC, unlike the
+    CacheManager-pinned .cache() it replaced), which truncates the
+    lineage entirely: the contract marker is 'Scan ExistingRDD' with
+    ZERO parquet scans left in the plan."""
     plan = plan_of("l109_doremi_mixture", spark, sf_dir)
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
 
 
