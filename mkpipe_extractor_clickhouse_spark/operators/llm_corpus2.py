@@ -311,8 +311,12 @@ SPAN_LEN = 3
       FROM documents
     ),
     marked AS (
+      -- both factors reduced mod 2^31-range BEFORE the multiply so the
+      -- product stays under 2^63 at any doc_id (found by running at
+      -- sf0.1: the unreduced form overflows BIGINT)
       SELECT doc_id, source, pos,
-             CAST(((doc_id * 1000003 + pos) * {SPLIT_HASH}) % {M32}
+             CAST((((doc_id * 1000003 + pos) % 2147483647)
+                   * ({SPLIT_HASH} % 2147483647)) % {M32}
                   % 1000 < {SPAN_RATE} AS BIGINT) AS is_start
       FROM toks
     ),
@@ -355,8 +359,14 @@ def l123_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.posexplode(F.split("text", " ")).alias("pos0", "w"),
     ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"))
+    # reduce both factors below 2^31 before multiplying: the product
+    # must fit a long at ANY doc_id (the unreduced form overflowed at
+    # sf0.1 — caught by the full sweep, not the sf0.01 driver sim)
     is_start = (
-        ((F.col("doc_id") * 1000003 + F.col("pos")) * SPLIT_HASH)
+        (
+            ((F.col("doc_id") * 1000003 + F.col("pos")) % 2147483647)
+            * (SPLIT_HASH % 2147483647)
+        )
         % M32
         % 1000
         < SPAN_RATE
@@ -725,8 +735,16 @@ def er3_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.element_at(F.split("text", " "), 1).alias("ft"),
     )
-    truth = ppjoin_pairs(_doc_tokens(spark, sf_dir), 0.7).select(
-        "doc_a", "doc_b", F.lit(1).alias("ism0")
+    from ._cache import ephemeral_cache
+
+    # truth is a few-k-row relation behind a full PPJoin pipeline —
+    # materialize it once (sweep-measured: recomputing it per run made
+    # er3 the registry's slowest query at 27 s; pinned, the steady
+    # path is just the blocked-pair join + one aggregate)
+    truth = ephemeral_cache(
+        ppjoin_pairs(_doc_tokens(spark, sf_dir), 0.7).select(
+            "doc_a", "doc_b", F.lit(1).alias("ism0")
+        )
     )
     a, b = recs.alias("a"), recs.alias("b")
     pairs = (

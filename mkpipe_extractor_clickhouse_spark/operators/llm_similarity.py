@@ -754,19 +754,42 @@ def _packed_layout_for(spark: SparkSession, sf_dir: str) -> str:
     return build_packed_vector_layout(spark, sf_dir, _packed_cache_dir(sf_dir))
 
 
+_PACKED_MIN_BYTES = 8 << 20  # ~100k 64-dim vectors
+
+
 def _packed_layout_if_warm(sf_dir: str) -> str | None:
     """Return the packed layout path when it is ALREADY BUILT for the
-    current fixture fingerprint, else None — the warm/cold dispatch
-    the registered l3/l4 use (VERDICT r9): a warm pack serves queries
-    at memory bandwidth; a cold call must not pay the one-time pack
-    build inside an interactive query, so it falls back to the
-    list<float> brute-force kernel."""
+    current fixture fingerprint AND the corpus is big enough for the
+    shard-scan kernel to win, else None — the warm/cold dispatch the
+    registered l3/l4 use (VERDICT r9): a warm pack serves queries at
+    memory bandwidth; a cold call must not pay the one-time pack build
+    inside an interactive query, so it falls back to the list<float>
+    brute-force kernel. The size gate exists because the packed kernel
+    carries a fixed floor (shard task scheduling + Python worker
+    spin-up, ~0.5 s) that dwarfs the whole brute-force wall on a small
+    corpus — measured 0.50 vs 0.15 s on the 4 k-vector sf0.1 fixture,
+    while at ≥0.8 M vectors the two kernels cross and the pack wins
+    outright (SCALEUP llm points). The probe is one os.stat sum over
+    the source files — no Spark action."""
     import os
 
     cache = _packed_cache_dir(sf_dir)
-    if os.path.exists(os.path.join(cache, "_PACKED_DONE")):
-        return os.path.join(cache, _PACKED_SUBDIR)
-    return None
+    if not os.path.exists(os.path.join(cache, "_PACKED_DONE")):
+        return None
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    total = 0
+    if os.path.isdir(src):
+        for root, _dirs, names in os.walk(src):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in names
+                if f.endswith(".parquet")
+            )
+    elif os.path.exists(src):
+        total = os.path.getsize(src)
+    if total < _PACKED_MIN_BYTES:
+        return None
+    return os.path.join(cache, _PACKED_SUBDIR)
 
 
 @register(
