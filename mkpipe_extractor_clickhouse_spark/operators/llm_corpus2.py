@@ -20,6 +20,7 @@ from ..catalog import load_table
 from ..registry import register
 from ._determinism import _quantize
 from .llm_training import M32, SPLIT_HASH
+from .llm_dedup import CONTAIN_T, JACCARD_T
 
 # ---- l117: Heaps'-law vocabulary growth ------------------------------
 
@@ -942,3 +943,114 @@ def dq14_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out.orderBy("table_name", "column_name")
+
+
+# ---- l130: dedup-method Venn audit ------------------------------------
+
+
+@register(
+    "l130_dedup_method_venn",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id,
+             CAST(doc_id > MIN(doc_id) OVER (PARTITION BY MD5(text))
+                  AS BIGINT) AS f_exact
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS o
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jd AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM ov JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE o * 1.0 / (sa.n + sb.n - o) >= {JACCARD_T}
+    ),
+    toks3 AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks3, UNNEST(GENERATE_SERIES(1, LEN(t) - 2)) AS s(i)
+    ),
+    shs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cd AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      JOIN shs sa ON a.doc_id = sa.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n
+      HAVING COUNT(*) * 1.0 / sa.n >= {CONTAIN_T}
+    )
+    SELECT ex.f_exact,
+           CAST(jd.doc_id IS NOT NULL AS BIGINT) AS f_jaccard,
+           CAST(cd.doc_id IS NOT NULL AS BIGINT) AS f_contain,
+           COUNT(*) AS n_docs
+    FROM ex
+    LEFT JOIN jd USING (doc_id)
+    LEFT JOIN cd USING (doc_id)
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("L1", "L2", "EXT", "dedup"),
+)
+def l130_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement Venn: every document flagged by each of
+    three removal policies — exact (non-canonical copy of an identical
+    text), token-Jaccard ≥ JACCARD_T (the higher id of a near-dup pair,
+    keep-lowest), shingle containment ≥ CONTAIN_T (a doc essentially covered
+    by ANOTHER doc) — and the count of docs in each of the 2³ regions.
+    This is the audit that decides a dedup STACK: a region where
+    containment fires alone is quote-inclusion mass Jaccard misses; a
+    near-empty jaccard-only region says the cheaper exact+containment
+    pair suffices for this corpus. Flags ride the engine's own
+    relations (l1's md5 grouping, ppjoin_pairs, _containment_pairs) —
+    the oracle recomputes all three naively.
+
+    Scale shape: three flag relations (each already inverted-index or
+    hash-group shaped), two left joins on doc_id, an 8-row output."""
+    from ._cache import ephemeral_cache
+    from .llm_dedup import (
+        JACCARD_T,
+        _containment_pairs,
+        _doc_tokens,
+        ppjoin_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            > F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .cast("long")
+        .alias("f_exact"),
+    )
+    jd = ephemeral_cache(
+        ppjoin_pairs(_doc_tokens(spark, sf_dir), JACCARD_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("fj", F.lit(1))
+    )
+    cd = ephemeral_cache(
+        _containment_pairs(d)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("fc", F.lit(1))
+    )
+    return (
+        ex.join(jd, "doc_id", "left")
+        .join(cd, "doc_id", "left")
+        .groupBy(
+            "f_exact",
+            F.coalesce("fj", F.lit(0)).cast("long").alias("f_jaccard"),
+            F.coalesce("fc", F.lit(0)).cast("long").alias("f_contain"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("f_exact", "f_jaccard", "f_contain")
+    )
