@@ -22,6 +22,7 @@ Scale posture (the whole point of these operators at 100 TB):
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -105,7 +106,7 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged naive oracle. The collapse is ADAPTIVE (_collapse_pays):
     on an effectively dup-free corpus the direct join is cheaper."""
     d = load_table(spark, sf_dir, "documents")
-    if not _collapse_pays(d):
+    if not _collapse_pays(d, sf_dir):
         verified = ppjoin_pairs(_doc_tokens(spark, sf_dir), JACCARD_T)
         return verified.select(
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -150,7 +151,25 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _collapse_pays(d: DataFrame) -> bool:
+_COLLAPSE_PROBE_CACHE: dict[tuple, bool] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """Cheap identity of the documents table: (path, size, mtime) per
+    parquet part file — no Spark job. Changes whenever the data does."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    try:
+        for entry in sorted(os.scandir(root), key=lambda e: e.name):
+            if entry.name.endswith(".parquet"):
+                st = entry.stat()
+                parts.append((entry.name, st.st_size, st.st_mtime_ns))
+    except OSError:
+        return (sf_dir, None)  # non-directory source: no stable key, still cached per sf_dir
+    return (os.path.abspath(sf_dir), tuple(parts))
+
+
+def _collapse_pays(d: DataFrame, sf_dir: str | None = None) -> bool:
     """Driver-side probe: does exact-dup collapse pay for this corpus?
     Collapse removes the k² candidate/verify blow-up of k-copy dup
     groups but costs a handful of linear joins (md5 grouping, member
@@ -159,12 +178,24 @@ def _collapse_pays(d: DataFrame) -> bool:
     approx_count_distinct over text decides (same adaptive posture as
     _verify_pairs' vocab probe): collapse when ≥ ~10 % of docs are
     copies. The estimator's ±2 % error only shifts a threshold that is
-    itself a heuristic."""
+    itself a heuristic.
+
+    MEMOIZED per (sf_dir, file fingerprint) when sf_dir is given
+    (ADVICE r10): the probe is an eager corpus scan, and builders run
+    at plan-construction time — EXPLAIN-only consumers and plan tests
+    shouldn't pay a full text scan per builder call, and timing
+    harnesses shouldn't attribute it to 'build' more than once."""
+    key = _documents_fingerprint(sf_dir) if sf_dir else None
+    if key is not None and key in _COLLAPSE_PROBE_CACHE:
+        return _COLLAPSE_PROBE_CACHE[key]
     st = d.agg(
         F.count("*").alias("n"),
         F.approx_count_distinct("text").alias("u"),
     ).first()
-    return st.u <= 0.9 * st.n
+    pays = st.u <= 0.9 * st.n
+    if key is not None:
+        _COLLAPSE_PROBE_CACHE[key] = pays
+    return pays
 
 
 def _int_tokens(tok: DataFrame) -> DataFrame:
@@ -1702,7 +1733,7 @@ def l71_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_collapse_pays): dup-free corpora skip straight to the direct
     containment join."""
     d = load_table(spark, sf_dir, "documents")
-    if not _collapse_pays(d):
+    if not _collapse_pays(d, sf_dir):
         return _containment_pairs(d).select(
             "doc_a", "doc_b", F.round("containment", 6).alias("containment")
         )
@@ -1907,7 +1938,7 @@ def l81_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     taus = spark.createDataFrame(
         [(float(x),) for x in SWEEP_TAUS], ["tau"]
     )
-    if not _collapse_pays(d):
+    if not _collapse_pays(d, sf_dir):
         jac = ppjoin_pairs(_shingles(d), min(SWEEP_TAUS))
         j = F.broadcast(taus).join(
             jac, F.col("jaccard") >= F.col("tau"), "left"

@@ -55,22 +55,49 @@ def main() -> int:
         return 0
 
     problems: list[str] = []
+    checked = 0
+    # `is not None` (not truthiness): a literal 0 or 0.0 is a broken artifact
+    # we want to hear about, not a silent skip (ADVICE r10).
     ratio_old, ratio_new = old.get("ratio_headline"), new.get("ratio_headline")
-    if ratio_old and ratio_new:
+    if ratio_old is not None and ratio_new is not None and ratio_old > 0:
+        checked += 1
         drift = ratio_new / ratio_old - 1.0
         line = f"ratio_headline {ratio_old} -> {ratio_new} ({drift:+.1%})"
         if drift > RATIO_DRIFT:
             problems.append(line + f" exceeds +{RATIO_DRIFT:.0%}")
         else:
             print(f"bench_gate: {line} ok")
+    else:
+        print(
+            "bench_gate: ratio_headline bound SKIPPED "
+            f"(old={ratio_old!r} new={ratio_new!r} — key absent or zero)",
+            file=sys.stderr,
+        )
     wall_old, wall_new = old.get("value"), new.get("value")
-    if wall_old and wall_new:
+    if wall_old is not None and wall_new is not None and wall_old > 0:
+        checked += 1
         drift = wall_new / wall_old - 1.0
         line = f"headline wall {wall_old}s -> {wall_new}s ({drift:+.1%})"
         if drift > WALL_DRIFT:
             problems.append(line + f" exceeds +{WALL_DRIFT:.0%}")
         else:
             print(f"bench_gate: {line} ok")
+    else:
+        print(
+            "bench_gate: headline-wall bound SKIPPED "
+            f"(old={wall_old!r} new={wall_new!r} — key absent or zero)",
+            file=sys.stderr,
+        )
+    if checked == 0:
+        print(
+            "bench_gate: WARNING — no bound was checked at all; the gate "
+            "passed vacuously, not because the bench is clean",
+            file=sys.stderr,
+        )
+    # Amend/rebase caveat (documented, not detectable here): the baseline is
+    # HEAD, so if a regressed BENCH_FULL.json is already in HEAD the gate
+    # compares regressed-vs-regressed.  `git commit --amend` flows should run
+    # `git stash && python scripts/bench_gate.py` against the pre-amend HEAD.
 
     if not problems:
         return 0
