@@ -92,26 +92,36 @@ def l2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query must produce the identical pair set, demonstrating the
     filter loses nothing.
 
-    r10: exact-duplicate texts are COLLAPSED before the join (the l2b
-    unique-signature factoring applied to the Jaccard family, VERDICT
-    r9 item 5). Jaccard depends only on the token SET, so docs with
-    equal text are interchangeable: PPJoin runs over one min-doc_id
-    representative per distinct text, qualifying representative pairs
-    expand back to member pairs (same jaccard), and within-group pairs
-    are emitted directly at jaccard 1.0 (every group's set equals
-    itself; ≥ any threshold). On a re-crawled corpus where dup groups
-    carry k copies this removes the k² blow-up from candidate
-    generation AND verification — only the OUTPUT stays pair-sized,
-    which it must. Output proven equal to the uncollapsed form by the
-    unchanged naive oracle. The collapse is ADAPTIVE (_collapse_pays):
-    on an effectively dup-free corpus the direct join is cheaper."""
+    r10 introduced the collapse on exact-duplicate TEXTS (the l2b
+    unique-signature factoring, VERDICT r9 item 5); r11 generalizes the
+    collapse key to the CANONICAL TOKEN SET (sorted distinct tokens
+    joined by the split delimiter — a bijective rendering, so md5 of it
+    is an exact set identity). Jaccard depends only on the token SET,
+    so docs with equal sets — even with different texts: reordered or
+    repeated tokens — are interchangeable: PPJoin runs over one
+    min-doc_id representative per distinct set, qualifying
+    representative pairs expand back to member pairs (same jaccard),
+    and within-group pairs are emitted directly at jaccard 1.0 (every
+    set equals itself). On a re-crawled corpus where dup groups carry
+    k copies this removes the k² blow-up from candidate generation AND
+    verification — only the OUTPUT stays pair-sized, which it must —
+    and on a small-vocabulary corpus it additionally collapses the
+    coincidentally-equal sets the text key missed (sf0.1 fixture:
+    4992/5000 distinct texts but 3935 distinct sets, largest set-group
+    248 docs ⇒ one rep instead of 248² verify pairs). Output proven
+    equal to the uncollapsed form by the unchanged naive oracle. The
+    collapse is ADAPTIVE (_collapse_pays on the set key): on an
+    effectively set-distinct corpus the direct join is cheaper."""
     d = load_table(spark, sf_dir, "documents")
-    if not _collapse_pays(d, sf_dir):
+    set_key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    if not _collapse_pays(d, sf_dir, key=set_key, tag="tokenset"):
         verified = ppjoin_pairs(_doc_tokens(spark, sf_dir), JACCARD_T)
         return verified.select(
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
         )
-    m = d.select("doc_id", F.md5("text").alias("h"))
+    m = d.select("doc_id", set_key.alias("h"))
     groups = m.groupBy("h").agg(F.min("doc_id").alias("rep"))
     mem = m.join(groups, "h").select("doc_id", "rep")
     rep_tokens = _doc_tokens(spark, sf_dir).join(
@@ -169,7 +179,12 @@ def _documents_fingerprint(sf_dir: str) -> tuple:
     return (os.path.abspath(sf_dir), tuple(parts))
 
 
-def _collapse_pays(d: DataFrame, sf_dir: str | None = None) -> bool:
+def _collapse_pays(
+    d: DataFrame,
+    sf_dir: str | None = None,
+    key=None,
+    tag: str = "text",
+) -> bool:
     """Driver-side probe: does exact-dup collapse pay for this corpus?
     Collapse removes the k² candidate/verify blow-up of k-copy dup
     groups but costs a handful of linear joins (md5 grouping, member
@@ -180,21 +195,29 @@ def _collapse_pays(d: DataFrame, sf_dir: str | None = None) -> bool:
     copies. The estimator's ±2 % error only shifts a threshold that is
     itself a heuristic.
 
-    MEMOIZED per (sf_dir, file fingerprint) when sf_dir is given
+    ``key`` is the collapse-identity expression (default: the raw text).
+    r11: the Jaccard family collapses on the CANONICAL TOKEN SET — the
+    exact object jaccard is computed over — so distinct texts with equal
+    token sets still collapse; pass the same key the builder groups by,
+    with a ``tag`` naming it for the memo.
+
+    MEMOIZED per (sf_dir, file fingerprint, tag) when sf_dir is given
     (ADVICE r10): the probe is an eager corpus scan, and builders run
     at plan-construction time — EXPLAIN-only consumers and plan tests
     shouldn't pay a full text scan per builder call, and timing
     harnesses shouldn't attribute it to 'build' more than once."""
-    key = _documents_fingerprint(sf_dir) if sf_dir else None
-    if key is not None and key in _COLLAPSE_PROBE_CACHE:
-        return _COLLAPSE_PROBE_CACHE[key]
+    memo_key = (_documents_fingerprint(sf_dir), tag) if sf_dir else None
+    if memo_key is not None and memo_key in _COLLAPSE_PROBE_CACHE:
+        return _COLLAPSE_PROBE_CACHE[memo_key]
     st = d.agg(
         F.count("*").alias("n"),
-        F.approx_count_distinct("text").alias("u"),
+        F.approx_count_distinct(
+            key if key is not None else F.col("text")
+        ).alias("u"),
     ).first()
     pays = st.u <= 0.9 * st.n
-    if key is not None:
-        _COLLAPSE_PROBE_CACHE[key] = pays
+    if memo_key is not None:
+        _COLLAPSE_PROBE_CACHE[memo_key] = pays
     return pays
 
 
@@ -232,8 +255,18 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     ≥ threshold) pairs with raw jaccard. Reused by l2 and the composed
     curation pipeline (llm_curation.py) — candidates fan out only on
     each doc's |d|-⌈t·|d|⌉+1 rarest tokens, so the join is inverted-
-    index-shaped at any corpus size."""
+    index-shaped at any corpus size.
+
+    r11: when the dictionary fits 64 bits the whole verify INLINES into
+    the candidate join (_ppjoin_bitset_pairs) — each prefix row carries
+    its doc's bitset, overlap is one popcount at the join output, and
+    qualifying pairs just DISTINCT — dropping the aggregated-positional
+    groupBy (1.7 M groups at sf0.1) and both verify joins that
+    dominated the tiny-vocabulary wall (candidate stage 3.2 → inline)."""
     toki = _int_tokens(tok)
+    vocab = toki.select("tid").distinct().count()
+    if vocab <= 64:
+        return _ppjoin_bitset_pairs(toki, threshold)
     sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Global token frequency orders tokens rarest-first: prefixes then
     # collide only on rare tokens, which is what bounds the fan-out.
@@ -318,6 +351,58 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
         threshold,
         "doc_a",
         "doc_b",
+        vocab=vocab,
+    )
+
+
+def _ppjoin_bitset_pairs(toki: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin with the exact verify fused into the candidate join, for
+    dictionaries that fit one BIGINT bitset (≤ 64 distinct tokens).
+
+    The prefix relation carries (mask, n) alongside the prefix token, so
+    the self-join on tid evaluates popcount(ma & mb) and the jaccard
+    threshold MAP-SIDE on each collision — nothing shuffles after the
+    join except the qualifying pairs (≈ output-sized), deduped because a
+    pair can collide on several prefix tokens. Identical duplicate rows
+    carry bit-identical jaccard doubles (same popcount inputs), so the
+    DISTINCT is exact. Candidate-bound semantics match the general path:
+    prefix filter + length filter; the aggregated positional bound is
+    unnecessary when verification itself is this cheap."""
+    bit_dict = (
+        toki.select("tid").distinct()
+        # ≤ 64 rows — the single-task window is fine
+        .select("tid", (F.row_number().over(Window.orderBy("tid")) - 1).alias("bit"))
+    )
+    tokb = toki.join(F.broadcast(bit_dict), "tid")
+    masks = tokb.groupBy("doc_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("mask"),
+        F.count("*").alias("n"),
+    )
+    ranked = tokb.join(masks, "doc_id").withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tid")),
+    )
+    prefix = ranked.filter(
+        F.col("rank") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "tid", "mask", "n")
+    na, nb = F.col("a.n"), F.col("b.n")
+    overlap = F.expr("bit_count(a.mask & b.mask)")
+    jaccard = overlap * F.lit(1.0) / (na + nb - overlap)
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="tid")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (na >= F.ceil(F.lit(threshold) * nb))
+            & (nb >= F.ceil(F.lit(threshold) * na))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -327,6 +412,7 @@ def _verify_pairs(
     threshold: float,
     a_col: str,
     b_col: str,
+    vocab: int | None = None,
 ) -> DataFrame:
     """Dictionary-width-adaptive EXACT Jaccard verification of a
     candidate pair relation (columns a_col, b_col) against the distinct
@@ -343,8 +429,10 @@ def _verify_pairs(
         l23/l71 live here; their dictionaries grow with the corpus).
 
     The driver-side vocab probe is one COUNT over the dictionary the
-    plan already builds.  Returns (a_col, b_col, jaccard)."""
-    vocab = tok.select("token").distinct().count()
+    plan already builds (skipped when the caller already knows it).
+    Returns (a_col, b_col, jaccard)."""
+    if vocab is None:
+        vocab = tok.select("token").distinct().count()
     if vocab <= 64:
         dict_df = tok.select("token").distinct()
         w_dict = Window.orderBy("token")  # <= 64 rows — single task is fine
