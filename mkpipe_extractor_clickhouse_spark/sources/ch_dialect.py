@@ -1479,33 +1479,51 @@ def _translate_functions(sql: str) -> str:
             f"greatest({ln}, 0)), i -> substring({s}, i, 4))"
         )
 
+    # r11 perf: the measures reference each gram array several times, and
+    # TWICE inside the per-distinct-gram lambda — higher-order functions
+    # evaluate interpreted (no codegen), so every lambda invocation used
+    # to re-run the whole transform/substring gram construction, an
+    # O(grams³) wall (f20: 6.1 s for 15 k short rows at sf0.1). The fix
+    # is an expression-local LET: binding each gram array as the lambda
+    # variable of a single-element transform makes every later mention an
+    # O(1) variable read while staying a pure scalar rewrite (no query
+    # restructuring, works in any clause). Measured 5.3 → 1.1 s steady;
+    # values bit-identical.
+    def _let2(va: str, ea: str, vb: str, eb: str, body: str) -> str:
+        return (
+            f"transform(array({ea}), {va} -> "
+            f"transform(array({eb}), {vb} -> {body})[0])[0]"
+        )
+
     def _ngram_distance(a: list[str], lowered: bool = False) -> str:
-        ga, gb = _gram4(a[0], lowered), _gram4(a[1], lowered)
+        ga, gb = "ng_ga_", "ng_gb_"
         sym = (
             f"aggregate(array_distinct(concat({ga}, {gb})), 0, (acc, t) -> "
             f"acc + abs(size(filter({ga}, u -> u = t)) - "
             f"size(filter({gb}, u -> u = t))))"
         )
         tot = f"(size({ga}) + size({gb}))"
-        return (
+        body = (
             f"(CASE WHEN {tot} = 0 THEN CAST(0 AS DOUBLE) "
             f"ELSE CAST({sym} AS DOUBLE) / CAST({tot} AS DOUBLE) END)"
         )
+        return _let2(ga, _gram4(a[0], lowered), gb, _gram4(a[1], lowered), body)
 
     def _ngram_search(a: list[str], lowered: bool = False) -> str:
         # ngramSearch(haystack, needle): fraction of the needle's gram
         # multiset present in the haystack (1 = fully covered). Empty
         # needle → vacuous full match (1.0) by this engine's convention.
-        gh, gn = _gram4(a[0], lowered), _gram4(a[1], lowered)
+        gh, gn = "ng_gh_", "ng_gn_"
         common = (
             f"aggregate(array_distinct({gn}), 0, (acc, t) -> acc + "
             f"least(size(filter({gh}, u -> u = t)), "
             f"size(filter({gn}, u -> u = t))))"
         )
-        return (
+        body = (
             f"(CASE WHEN size({gn}) = 0 THEN CAST(1 AS DOUBLE) "
             f"ELSE CAST({common} AS DOUBLE) / CAST(size({gn}) AS DOUBLE) END)"
         )
+        return _let2(gh, _gram4(a[0], lowered), gn, _gram4(a[1], lowered), body)
 
     out = _rewrite_calls(
         out,
