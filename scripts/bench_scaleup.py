@@ -70,6 +70,31 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DATA_ROOT = Path(REPO) / ".scaleup"
 
 
+def _measured_on() -> dict:
+    """Provenance stamp for every merged SCALEUP section (VERDICT r10
+    item 1): the git SHA the numbers were measured on plus a timestamp,
+    so prose tables citing the artifact can never drift silently — a
+    section whose stamp predates the commit it ships in is stale by
+    inspection, and tests can compare stamps mechanically."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip())
+    except (OSError, subprocess.CalledProcessError):
+        sha, dirty = "unknown", False
+    return {
+        "git_sha": sha + ("-dirty" if dirty else ""),
+        "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+
 def build_point(spark, rep: int) -> Path:
     """Materialize R FK-consistent offset copies of the sf0.1 tables."""
     out = DATA_ROOT / f"x{rep}"
@@ -925,6 +950,7 @@ def main() -> None:
             ),
             "queries": list(SPATIAL_QUERIES),
             "points": spatial_points,
+            "measured_on": _measured_on(),
         }
         (Path(REPO) / "SCALEUP.json").write_text(
             json.dumps(payload, indent=1) + "\n"
@@ -970,6 +996,7 @@ def main() -> None:
                 "equality at every point."
             ),
             "points": fuzzy_points,
+            "measured_on": _measured_on(),
         }
     if fuzzy_section and not reps and not args.llm_reps:
         try:
@@ -1070,6 +1097,7 @@ def main() -> None:
             ),
             "queries": list(LLM_QUERIES),
             "points": llm_points,
+            "measured_on": _measured_on(),
         }
         (Path(REPO) / "SCALEUP.json").write_text(
             json.dumps(payload, indent=1) + "\n"
@@ -1152,6 +1180,7 @@ def main() -> None:
         "queries": list(QUERIES),
         "points": points,
         "generated_by": "scripts/bench_scaleup.py",
+        "measured_on": _measured_on(),
         **({"llm": prev["llm"]} if "llm" in prev else {}),
         **({"spatial": prev["spatial"]} if "spatial" in prev else {}),
         **(
