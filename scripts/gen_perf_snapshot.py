@@ -1,0 +1,210 @@
+"""Render the generated artifact snapshot in PERF.md (VERDICT r10 item 2).
+
+Round 10 shipped a PERF.md parity table whose numbers were transcribed
+from a measurement run that never made it into the committed artifact —
+the code was right but the evidence chain was broken. This script makes
+that class of drift impossible the same way COVERAGE.md/QUERIES.md are
+protected: the headline numbers PERF.md presents are RENDERED FROM the
+committed artifacts (BENCH_FULL.json, SCALEUP.json), each table carries
+the artifact's own measured_on stamp, and tests/test_perf_snapshot.py
+fails whenever the committed block differs from a fresh render.
+
+Usage:
+    python scripts/gen_perf_snapshot.py            # print the block
+    python scripts/gen_perf_snapshot.py --write    # splice into PERF.md
+
+PERF.md must contain the marker pair:
+    <!-- BEGIN GENERATED ARTIFACT SNAPSHOT (scripts/gen_perf_snapshot.py) -->
+    <!-- END GENERATED ARTIFACT SNAPSHOT -->
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+BEGIN = "<!-- BEGIN GENERATED ARTIFACT SNAPSHOT (scripts/gen_perf_snapshot.py) -->"
+END = "<!-- END GENERATED ARTIFACT SNAPSHOT -->"
+
+
+def _load(name: str) -> dict:
+    try:
+        return json.loads((REPO / name).read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _stamp(section: dict) -> str:
+    m = section.get("measured_on") or {}
+    if not m:
+        return "_no measured_on stamp (pre-r11 artifact)_"
+    return f"measured on `{m.get('git_sha', '?')}` at {m.get('at', '?')}"
+
+
+def _fmt(x, nd=2):
+    if x is None:
+        return "—"
+    if isinstance(x, bool):
+        return "yes" if x else "no"
+    if isinstance(x, dict):  # per-query equality maps at the proof point
+        n_true = sum(1 for v in x.values() if v)
+        return f"{n_true}/{len(x)} queries" if x else "—"
+    if isinstance(x, float):
+        return f"{x:.{nd}f}"
+    return str(x)
+
+
+def render() -> str:
+    bench = _load("BENCH_FULL.json")
+    scaleup = _load("SCALEUP.json")
+    out: list[str] = [BEGIN, ""]
+    out.append(
+        "_Everything in this section is rendered from the committed "
+        "artifacts by `scripts/gen_perf_snapshot.py` and staleness-gated "
+        "by `tests/test_perf_snapshot.py` — the numbers cannot drift from "
+        "`BENCH_FULL.json` / `SCALEUP.json` without a test failure. "
+        "Raw walls are host-sensitive (see the host-drift decomposition "
+        "below); the DuckDB-normalized ratios are the stable metric._"
+    )
+    out.append("")
+
+    if bench:
+        out.append("#### Headline bench (BENCH_FULL.json)")
+        out.append("")
+        out.append(
+            f"- headline total: **{_fmt(bench.get('value'))} "
+            f"{bench.get('unit', 's')}** at sf "
+            f"{bench.get('sf', '?')}; ratio vs DuckDB "
+            f"**{_fmt(bench.get('ratio_headline'))}**"
+        )
+        qs = bench.get("queries") or {}
+        if qs:
+            out.append(
+                "- per-query sec: "
+                + ", ".join(f"{k} {_fmt(v)}" for k, v in sorted(qs.items()))
+            )
+        llm = bench.get("llm_suite") or {}
+        if isinstance(llm, dict) and llm.get("ratio") is not None:
+            out.append(f"- llm suite ratio: **{_fmt(llm.get('ratio'))}**")
+        out.append("")
+
+    pts = scaleup.get("points") or []
+    if pts:
+        out.append(
+            f"#### Relational scale-up (SCALEUP.json, {_stamp(scaleup)})"
+        )
+        out.append("")
+        out.append(
+            "| lineitem rows | plain ratio | bucketed ratio | "
+            "bucket_gen_sec | values_match |"
+        )
+        out.append("|---|---|---|---|---|")
+        for p in pts:
+            out.append(
+                f"| {p.get('lineitem_rows', '?'):,} "
+                f"| {_fmt(p.get('ratio'))} | {_fmt(p.get('ratio_bucketed'))} "
+                f"| {_fmt(p.get('bucket_gen_sec'), 1)} "
+                f"| {_fmt(p.get('values_match', p.get('bucketed_matches_plain')))} |"
+            )
+        out.append("")
+
+    llm = scaleup.get("llm") or {}
+    lpts = llm.get("points") or []
+    if lpts:
+        out.append(f"#### LLM vector kernels (SCALEUP.json llm, {_stamp(llm)})")
+        out.append("")
+        out.append(
+            "| vectors | l3 ratio | l4 ratio | l4c ratio | suite ratio "
+            "| pack_sec | fold==packed |"
+        )
+        out.append("|---|---|---|---|---|---|---|")
+        for p in lpts:
+            du = p.get("duckdb") or {}
+            sp = p.get("spark") or {}
+
+            def r(q, sp=sp, du=du):
+                s, d = sp.get(q), du.get(q)
+                return s / d if s and d else None
+
+            out.append(
+                f"| {p.get('vectors', '?'):,} "
+                f"| {_fmt(r('l3_topk_cosine'))} "
+                f"| {_fmt(r('l4_distributed_topk'))} "
+                f"| {_fmt(r('l4c_packed_topk'))} "
+                f"| {_fmt(p.get('ratio'))} "
+                f"| {_fmt(p.get('pack_sec'), 1)} "
+                f"| {_fmt(p.get('l3_fold_eq_packed', p.get('l3_fold_eq_kernel')))} |"
+            )
+        out.append("")
+
+    fuzzy = scaleup.get("fuzzy") or {}
+    fpts = fuzzy.get("points") or []
+    if fpts:
+        out.append(f"#### Fuzzy join (SCALEUP.json fuzzy, {_stamp(fuzzy)})")
+        out.append("")
+        rows = ", ".join(
+            f"{p.get('n_names', '?'):,} names → {_fmt(p.get('ratio'))}×"
+            for p in fpts
+        )
+        out.append(f"- ratio vs DuckDB (same blocked algorithm): {rows}")
+        out.append("")
+
+    spatial = scaleup.get("spatial") or {}
+    spts = spatial.get("points") or []
+    if spts:
+        out.append(f"#### Spatial joins (SCALEUP.json spatial, {_stamp(spatial)})")
+        out.append("")
+        rows = ", ".join(
+            f"{p.get('events', '?'):,} events → {_fmt(p.get('ratio'))}×"
+            for p in spts
+        )
+        out.append(f"- ratio vs DuckDB: {rows}")
+        out.append("")
+
+    streaming = scaleup.get("streaming") or {}
+    tpts = streaming.get("points") or []
+    if tpts:
+        out.append(
+            f"#### Streaming batch-equivalents (SCALEUP.json streaming, "
+            f"{_stamp(streaming)})"
+        )
+        out.append("")
+        out.append("| events | spark_total | duckdb_total | ratio | values_match |")
+        out.append("|---|---|---|---|---|")
+        for p in tpts:
+            out.append(
+                f"| {p.get('events', '?'):,} "
+                f"| {_fmt(p.get('spark_total'))} "
+                f"| {_fmt(p.get('duckdb_total'))} "
+                f"| {_fmt(p.get('ratio'))} "
+                f"| {_fmt(p.get('values_match'))} |"
+            )
+        out.append("")
+
+    out.append(END)
+    return "\n".join(out)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="splice the block into PERF.md between the markers")
+    args = ap.parse_args()
+    block = render()
+    if not args.write:
+        print(block)
+        return 0
+    perf = (REPO / "PERF.md").read_text()
+    b, e = perf.find(BEGIN), perf.find(END)
+    if b == -1 or e == -1:
+        raise SystemExit("PERF.md is missing the snapshot markers")
+    new = perf[:b] + block + perf[e + len(END):]
+    (REPO / "PERF.md").write_text(new)
+    print("PERF.md snapshot updated")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
