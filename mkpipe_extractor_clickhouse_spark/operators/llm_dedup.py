@@ -650,30 +650,17 @@ def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token hash bits —
     near-dup docs land within small Hamming distance. Computed with
-    array built-ins over the token list (no UDF): bit b of the
-    fingerprint is the sign of Σ_tokens (bit b ? +1 : -1)."""
-    tok = _doc_tokens(spark, sf_dir)
-    # Per (doc, bit): sum of ±1 across tokens, then pack the signs.
-    # SQL expressions because shiftright/shiftleft take column shift
-    # amounts only in SQL form.
-    bits = tok.selectExpr(
-        "doc_id",
-        "explode(transform(sequence(0, 63), b -> named_struct("
-        "  'bit', b,"
-        "  'v', CASE WHEN (shiftright(xxhash64(token), b) & 1) = 1 THEN 1 ELSE -1 END"
-        "))) AS bv",
-    ).select("doc_id", "bv.bit", "bv.v")
-    packed = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE 0 END")
-            ).alias("simhash")
-        )
-    )
-    return packed.select("doc_id", "simhash")
+    built-ins only (no UDF): bit b of the fingerprint is the sign of
+    Σ_tokens (bit b ? +1 : -1).
+
+    r11: the registered query now shares _simhash_fingerprints — the
+    r10 one-pass sign pack (64 narrow int sums in ONE groupBy, sign
+    via 2·cnt_b > n) that l2e already used — instead of the original
+    explode-64-bit-rows-per-token form (a 64× row blowup through two
+    aggregations; 4.1 → measured below at sf0.1). Fingerprints are
+    identical by construction (s = Σ±1 = 2·cnt_b − n > 0 ⇔
+    2·cnt_b > n)."""
+    return _simhash_fingerprints(spark, sf_dir).select("doc_id", "simhash")
 
 
 SIMHASH_MAX_HD = 3  # pair if Hamming distance <= 3 of 64 bits
@@ -1580,19 +1567,34 @@ def _mhp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("p") >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
     )
-    hashed = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(MHP_HASHES - 1))).alias("i"),
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("ht"),
-    ).select(
-        "doc_id",
-        "i",
-        (
-            ((2 * F.col("i") + 1) * (F.col("ht") % MHP_P) + 1000003 * F.col("i"))
-            % MHP_P
-        ).alias("h"),
+    # r11: all 16 slot-mins aggregate in ONE pass over the shingle
+    # relation — min((2i+1)·h + Ci mod P) per slot as 16 agg columns
+    # with partial (map-side) combine, instead of exploding ×16 before
+    # the shuffle (shuffle rows 4.2 M → 260 k at sf0.1, groups
+    # 80 k → 5 k; l58 steady 4.6 → measured below). The md5 is hashed
+    # once per shingle either way; the explode was pure shuffle
+    # inflation. The (doc_id, i, mh) row interface is preserved by a
+    # driver-free unpivot of the 16 columns (the DuckDB oracle keeps
+    # its relational CROSS JOIN form — the hash-match proves the
+    # wide-agg refactor equivalent).
+    hm = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % MHP_P
+    ).alias("hm")
+    mins = [
+        F.min((F.lit(2 * i + 1) * F.col("hm") + F.lit(1000003 * i)) % MHP_P)
+        .alias(f"m{i}")
+        for i in range(MHP_HASHES)
+    ]
+    wide = toks.select("doc_id", hm).groupBy("doc_id").agg(*mins)
+    slots = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("i"), F.col(f"m{i}").alias("mh")
+        )
+        for i in range(MHP_HASHES)
+    ])
+    return wide.select("doc_id", F.explode(slots).alias("s")).select(
+        "doc_id", F.col("s.i").alias("i"), F.col("s.mh").alias("mh")
     )
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
 
 
 def _mhp_band_pairs(sigs: DataFrame) -> DataFrame:
