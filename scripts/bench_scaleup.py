@@ -878,6 +878,220 @@ def time_spatial(spark, sf_dir: str, prove: bool) -> dict:
         _a3.J21_MAX_ID = old_cap
 
 
+STREAMING_QUERIES = ("t2_tumbling_window", "t4_session_window",
+                     "t13_stateful_profile")
+
+_CKSUM_P = 2147483647  # mod for overflow-proof checksums (both engines
+# use C-style % with the dividend's sign, so negatives agree too)
+
+
+def build_streaming_point(spark, rep: int) -> Path:
+    """R offset copies of events for the streaming section: ts shifts
+    31 days per replica (events-per-hour stays constant — the window
+    COUNT grows, the realistic shape of a longer stream history),
+    user_id strides per replica (distinct users per replica, so
+    per-user session structure and state size per key are preserved
+    while the keyspace grows — the dimension streaming state actually
+    scales in), event_id strides for uniqueness."""
+    out = DATA_ROOT / f"st{rep}"
+    if (out / "_DONE").exists():
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+    ev = load_table(spark, BASE_SF, "events")
+    estride = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ustride = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    reps = spark.range(rep).select(F.col("id").cast("int").alias("__rep"))
+    df = ev.crossJoin(F.broadcast(reps))
+    cols = [
+        (F.col("event_id") + F.col("__rep") * F.lit(estride))
+        .cast("long").alias("event_id"),
+        F.expr("ts + make_interval(0, 0, 0, __rep * 31, 0, 0, 0)")
+        .cast(dict(df.dtypes)["ts"]).alias("ts"),
+        (F.col("user_id") + F.col("__rep") * F.lit(ustride))
+        .cast("long").alias("user_id"),
+        F.col("event_type"), F.col("value"), F.col("props"),
+    ]
+    (df.select(cols).repartition(32)
+       .write.mode("overwrite").parquet(str(out / "events.parquet")))
+    (out / "_DONE").touch()
+    return out
+
+
+def _stream_checksum_spark(df) -> dict:
+    """Order-insensitive per-column checksum of a result DataFrame:
+    count(*), plus per column by type — mod-P sums for integers (t4's
+    session_start micros × 100 M rows overflows int64 unmodded),
+    round(x*1e6) mod-P sums for the quantized doubles, epoch-micros
+    mod-P sums for timestamps, distinct counts for strings. Any value
+    discrepancy perturbs a sum with overwhelming probability; both
+    engines compute the identical formula (_stream_checksum_duck)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, dt in df.dtypes:
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            aggs.append(F.sum(F.col(name) % _CKSUM_P).alias(f"s_{name}"))
+        elif dt == "double":
+            aggs.append(
+                F.sum(F.round(F.col(name) * 1e6).cast("long") % _CKSUM_P)
+                .alias(f"s_{name}")
+            )
+        elif dt.startswith("timestamp"):
+            aggs.append(
+                F.sum(F.unix_micros(F.col(name).cast("timestamp")) % _CKSUM_P)
+                .alias(f"s_{name}")
+            )
+        elif dt == "string":
+            aggs.append(F.countDistinct(name).alias(f"s_{name}"))
+    row = df.agg(*aggs).first()
+    return {k: int(v) for k, v in row.asDict().items()}
+
+
+def _stream_checksum_duck(con, sql: str, dtypes: list) -> dict:
+    parts = ["COUNT(*) AS n_rows"]
+    for name, dt in dtypes:
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            parts.append(f"SUM({name} % {_CKSUM_P}) AS s_{name}")
+        elif dt == "double":
+            parts.append(
+                f"SUM(CAST(ROUND({name} * 1e6) AS BIGINT) % {_CKSUM_P}) "
+                f"AS s_{name}"
+            )
+        elif dt.startswith("timestamp"):
+            parts.append(
+                f"SUM(epoch_us(CAST({name} AS TIMESTAMP)) % {_CKSUM_P}) "
+                f"AS s_{name}"
+            )
+        elif dt == "string":
+            parts.append(f"COUNT(DISTINCT {name}) AS s_{name}")
+    res = con.sql(f"SELECT {', '.join(parts)} FROM ({sql})")
+    row = res.fetchone()
+    return {c: int(v) for c, v in zip(res.columns, row)}
+
+
+def time_streaming(spark, sf_dir: str, prove: bool, n_reps: int = 5) -> dict:
+    """One streaming scale point: the T-family batch-equivalents
+    (tumbling window agg, session windows, the applyInPandas stateful
+    profile kernel) Spark vs the registered DuckDB oracles, interleaved
+    min-of-N (the relational protocol — host noise cancels in ratios).
+    values_match at EVERY point is the engine-vs-engine per-column
+    checksum compare (collecting t4's ~rep-scaled session rows from
+    both engines would dominate the harness at 100 M events); at the
+    smallest point `prove` additionally does the full sorted-row
+    compare, the same exactness bar as the sf0.01 driver gate."""
+    import duckdb
+
+    specs = all_specs()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    dfs = {n: specs[n].builder(spark, sf_dir) for n in STREAMING_QUERIES}
+    for n in STREAMING_QUERIES:  # warm both engines
+        _noop(dfs[n])
+        con.sql(specs[n].oracle).arrow()
+    S: dict[str, list] = {n: [] for n in STREAMING_QUERIES}
+    D: dict[str, list] = {n: [] for n in STREAMING_QUERIES}
+    for r in range(n_reps):
+        order = (list(STREAMING_QUERIES[r % len(STREAMING_QUERIES):])
+                 + list(STREAMING_QUERIES[:r % len(STREAMING_QUERIES)]))
+        for n in order:
+            t0 = time.perf_counter()
+            _noop(dfs[n])
+            S[n].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            con.sql(specs[n].oracle).arrow()
+            D[n].append(time.perf_counter() - t0)
+    sp = {n: round(min(v), 3) for n, v in S.items()}
+    du = {n: round(min(v), 3) for n, v in D.items()}
+
+    checks: dict = {}
+    values_match = {}
+    for n in STREAMING_QUERIES:
+        s_ck = _stream_checksum_spark(dfs[n])
+        d_ck = _stream_checksum_duck(con, specs[n].oracle, dfs[n].dtypes)
+        values_match[n] = s_ck == d_ck
+    checks["values_match"] = values_match
+    if prove:
+        eq = {}
+        for n in STREAMING_QUERIES:
+            srows = sorted(
+                (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                 for r in dfs[n].collect()),
+                key=repr,
+            )
+            drows = sorted(
+                (tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                 for r in con.sql(specs[n].oracle).fetchall()),
+                key=repr,
+            )
+            eq[n] = srows == drows
+        checks["spark_eq_duckdb"] = eq
+    con.close()
+
+    # The incremental-replay loop end-to-end (the reference's own
+    # lifecycle, __init__.py:71-115): 4 chunked extract→load→commit
+    # runs over the point's events with quartile cutoffs, then the
+    # idempotency check (destination rows == source rows after
+    # boundary dedup). Throughput, not a DuckDB ratio — it's a
+    # pipeline (scan + full parquet rewrite + state commits), not a
+    # query.
+    import tempfile
+
+    from mkpipe_extractor_clickhouse_spark.sources.extract import (
+        IncrementalRunner,
+        ParquetExtractor,
+        ParquetLoader,
+        TableConfig,
+    )
+    from mkpipe_extractor_clickhouse_spark.sources.state import WatermarkStore
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo + (hi - lo) * q for q in (0.25, 0.5, 0.75)] + [None]
+    workdir = tempfile.mkdtemp(prefix="st_x1_")
+    try:
+        table = TableConfig(
+            name="events",
+            replication_method="incremental",
+            iterate_column="ts",
+            iterate_column_type="datetime",
+            dedup_keys=("event_id",),
+        )
+        runner = IncrementalRunner(
+            extractor=ParquetExtractor(sf_dir),
+            loader=ParquetLoader(workdir),
+            store=WatermarkStore(os.path.join(workdir, "state.json")),
+        )
+        t0 = time.perf_counter()
+        for cutoff in cuts:
+            source_filter = (
+                F.col("ts") < F.lit(cutoff).cast("timestamp_ntz")
+                if cutoff is not None
+                else None
+            )
+            runner.run_once(spark, table, source_filter=source_filter)
+        loop_sec = round(time.perf_counter() - t0, 3)
+        dest_rows = spark.read.parquet(
+            os.path.join(workdir, "events.parquet")
+        ).count()
+        src_rows = ev.count()
+        checks["x1_loop_sec"] = loop_sec
+        checks["x1_rows_per_sec"] = int(src_rows / loop_sec) if loop_sec else None
+        checks["x1_dest_eq_source_rows"] = dest_rows == src_rows
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    st, dt = round(sum(sp.values()), 3), round(sum(du.values()), 3)
+    pt = {
+        "spark": sp, "duckdb": du,
+        "spark_total": st, "duckdb_total": dt,
+        "ratio": round(st / dt, 2) if dt else None,
+    }
+    pt.update(checks)
+    return pt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", default="5,20,50,100")
@@ -893,6 +1107,13 @@ def main() -> None:
                          "joins (j20/j21), e.g. 10,100; appends a "
                          "'spatial' section (Spark-vs-DuckDB equality "
                          "proof runs at the smallest point)")
+    ap.add_argument("--streaming-reps", default="",
+                    help="events replication factors for the T-family "
+                         "batch-equivalents (t2/t4/t13) + the x1 "
+                         "incremental-replay loop, e.g. 100,1000; "
+                         "appends a 'streaming' section (full sorted-"
+                         "row equality proof at the smallest point, "
+                         "checksum values_match at every point)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated parquet between points")
     args = ap.parse_args()
@@ -916,6 +1137,58 @@ def main() -> None:
             "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         },
     )
+
+    streaming_reps = sorted(int(x) for x in args.streaming_reps.split(",") if x)
+    streaming_points = []
+    for i, rep in enumerate(streaming_reps):
+        t0 = time.perf_counter()
+        d = build_streaming_point(spark, rep)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        _settle()
+        nev = spark.read.parquet(str(d / "events.parquet")).count()
+        pt = time_streaming(spark, str(d), prove=(i == 0))
+        pt.update({"rep": rep, "events": nev, "gen_sec": gen_sec})
+        streaming_points.append(pt)
+        print(json.dumps(pt))
+        if not args.keep:
+            shutil.rmtree(d, ignore_errors=True)
+    if streaming_points and not reps and not args.llm_reps \
+            and not args.fuzzy_ns and not args.spatial_reps:
+        try:
+            payload = json.loads((Path(REPO) / "SCALEUP.json").read_text())
+        except (OSError, ValueError):
+            payload = {}
+        payload["streaming"] = {
+            "note": (
+                "T-family batch-equivalents (t2 tumbling-window agg, t4 "
+                "session windows, t13 applyInPandas stateful profile — "
+                "the reference's incremental heart, __init__.py:71-115) "
+                "on offset-replicated events: ts shifts 31 d/replica "
+                "(constant events-per-hour, window count grows), "
+                "user_id strides per replica (keyspace grows, per-key "
+                "state constant — the dimension streaming state scales "
+                "in). Interleaved min-of-5 vs the registered DuckDB "
+                "oracles. values_match at EVERY point = per-column "
+                "mod-P checksum equality engine-vs-engine (full "
+                "sorted-row compare additionally proves the smallest "
+                "point: spark_eq_duckdb). x1_* = the 4-chunk "
+                "incremental extract→load→commit replay loop end-to-"
+                "end with quartile cutoffs (a pipeline, so throughput "
+                "not a DuckDB ratio) with the idempotency assert "
+                "dest_rows == source_rows."
+            ),
+            "queries": list(STREAMING_QUERIES),
+            "points": streaming_points,
+            "measured_on": _measured_on(),
+        }
+        (Path(REPO) / "SCALEUP.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+        print("merged streaming section into SCALEUP.json")
+        spark.stop()
+        if not args.keep:
+            shutil.rmtree(DATA_ROOT, ignore_errors=True)
+        return
 
     spatial_reps = sorted(int(x) for x in args.spatial_reps.split(",") if x)
     spatial_points = []
