@@ -424,6 +424,30 @@ def main() -> None:
                 }
                 for p in su.get("fuzzy", {}).get("points", [])
             ],
+            "streaming_points": [
+                {
+                    "events": p["events"],
+                    "spark_total": p["spark_total"],
+                    "duckdb_total": p["duckdb_total"],
+                    "ratio": p["ratio"],
+                    "values_match": p.get("values_match"),
+                    "x1_rows_per_sec": p.get("x1_rows_per_sec"),
+                    "x1_dest_eq_source_rows": p.get("x1_dest_eq_source_rows"),
+                }
+                for p in su.get("streaming", {}).get("points", [])
+            ],
+            # provenance stamps (r11): which run each section came from
+            "measured_on": {
+                k: v["measured_on"]
+                for k, v in (
+                    ("relational", su),
+                    ("llm", su.get("llm", {})),
+                    ("fuzzy", su.get("fuzzy", {})),
+                    ("spatial", su.get("spatial", {})),
+                    ("streaming", su.get("streaming", {})),
+                )
+                if isinstance(v, dict) and "measured_on" in v
+            },
         }
     except (OSError, ValueError):
         pass
