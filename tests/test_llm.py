@@ -1093,3 +1093,62 @@ def test_dedup_mixture_shift_conserves(spark, sf_dir):
     assert abs(sum(r.shift_ppm for r in rows)) <= n
     for r in rows:
         assert r.shift_ppm == r.weight_dedup_ppm - r.weight_full_ppm
+
+
+def test_ppjoin_bitset_path_equals_general_path(spark, sf_dir):
+    """r11 fused bitset verify: on a <=64-token dictionary ppjoin_pairs
+    dispatches _ppjoin_bitset_pairs (popcount verify inlined into the
+    candidate join). Pin it to the GENERAL candidate+verify machinery on
+    the same relation — same pairs, same jaccard to the bit — and pin
+    the dispatch itself on both sides of the vocab gate."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import (
+        JACCARD_T,
+        _doc_tokens,
+        _int_tokens,
+        _ppjoin_bitset_pairs,
+        _verify_pairs,
+        ppjoin_pairs,
+    )
+
+    tok = _doc_tokens(spark, sf_dir)
+    vocab = tok.select("token").distinct().count()
+    assert vocab <= 64, "fixture word vocabulary is the bitset regime"
+
+    toki = _int_tokens(tok)
+    fast = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _ppjoin_bitset_pairs(toki, JACCARD_T).collect()
+    )
+    # general path: all candidate pairs (doc_a < doc_b, length filter
+    # only — a superset of the pruned candidate set) through the
+    # array-intersect verify, forced past the bitset branch by lying
+    # about the vocab
+    sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= F.ceil(F.lit(JACCARD_T) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(JACCARD_T) * F.col("na")))
+        )
+        .select("doc_a", "doc_b")
+    )
+    slow = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _verify_pairs(
+            cand,
+            toki.select("doc_id", F.col("tid").alias("token")),
+            JACCARD_T,
+            "doc_a",
+            "doc_b",
+            vocab=65,  # force the sorted-array-intersect branch
+        ).collect()
+    )
+    assert fast == slow
+    # and the registered entrypoint dispatches the bitset plan here
+    plan = ppjoin_pairs(tok, JACCARD_T)._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" in plan
