@@ -92,9 +92,22 @@ def salted_join(
     # replica defeats the point and builds an n_salts-times-larger
     # broadcast (measured 315 MiB at sf0.1; the build failed outright
     # under a long-session heap). The hint keeps the (key, _salt)
-    # shuffled-hash distribution the whole pattern is about.
+    # shuffled distribution the whole pattern is about.
+    #
+    # MERGE, not SHUFFLE_HASH (r11): both hints equally forbid the
+    # broadcast, but a shuffled-hash join builds its per-task hash map
+    # in memory and CANNOT SPILL — the r11 sf0.1 canary run under the
+    # driver's default-config 1g session died with "not enough memory
+    # to build hash map" exactly there, and at 100 TB a pinned SHJ is
+    # the same landmine whenever build-side-per-partition outgrows an
+    # executor. Sort-merge spills both sides gracefully; the salt
+    # still spreads hot keys across n_salts sort streams, which is the
+    # point of the pattern. (SHJ's no-sort edge over SMJ is real when
+    # memory is plentiful — a cluster that KNOWS its build fits can
+    # re-hint; the registered pattern defaults to the one that cannot
+    # OOM.)
     return (
-        salted_fact.join(replicated_dim.hint("shuffle_hash"), [key, "_salt"])
+        salted_fact.join(replicated_dim.hint("merge"), [key, "_salt"])
         .drop("_salt")
     )
 

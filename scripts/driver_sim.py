@@ -224,6 +224,21 @@ def main() -> int:
                     f"pandas sort crashes on list cells; serialize to a "
                     f"string (a8_collect_list pattern)"
                 )
+            if name not in osql:
+                # Rows-only contract (no oracle): the real driver's check
+                # is row count + stable schema — materializing the full
+                # result to the 1g default-config driver is NOT part of
+                # the contract and dies on inherently pair-sized outputs
+                # (r11 sf0.1 canary: l2b's documented 4.5 M-pair clique
+                # expansion hit TaskResultLost in toArrow while its
+                # bounded twin l2b_portable MATCHed). Count distributes;
+                # the schema asserts above already ran.
+                assert len(sdf.columns) == len(set(sdf.columns))
+                n_rows_only += 1
+                status = f"rows-only ({sdf.count()} rows)"
+                passed.append(name)
+                print(f"   {name}: {status} [{time.time() - t0:.1f}s]")
+                continue
             if args.strict:
                 stab = sdf.toArrow()
                 scols = list(stab.column_names)
@@ -232,24 +247,19 @@ def main() -> int:
             else:
                 srows = [tuple(r) for r in sdf.collect()]
                 scols = list(sdf.columns)
-            if name in osql:
-                res = con.sql(osql[name])
-                if args.strict:
-                    otab = res.fetch_arrow_table()
-                    ocols = list(otab.column_names)
-                    ocells = [c.to_pylist() for c in otab.columns]
-                    orows = list(zip(*ocells)) if ocells else []
-                    compare_results(scols, srows, ocols, orows, strict=True)
-                else:
-                    compare_results(
-                        scols, srows, list(res.columns), res.fetchall()
-                    )
-                n_pass += 1
-                status = "MATCH"
+            res = con.sql(osql[name])
+            if args.strict:
+                otab = res.fetch_arrow_table()
+                ocols = list(otab.column_names)
+                ocells = [c.to_pylist() for c in otab.columns]
+                orows = list(zip(*ocells)) if ocells else []
+                compare_results(scols, srows, ocols, orows, strict=True)
             else:
-                assert len(scols) == len(set(scols))
-                n_rows_only += 1
-                status = f"rows-only ({len(srows)} rows)"
+                compare_results(
+                    scols, srows, list(res.columns), res.fetchall()
+                )
+            n_pass += 1
+            status = "MATCH"
             passed.append(name)
             print(f"   {name}: {status} [{time.time() - t0:.1f}s]")
         except Exception as ex:
