@@ -58,9 +58,16 @@ def main() -> int:
         try:
             df = specs[name].builder(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()  # cold+warm
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            # min-of-2 steady runs: a single-shot sweep conflates the
+            # plan with whatever GC/JIT episode the 463-query session
+            # is in (r11: one shot showed l98 37.6 s in-session vs
+            # 3.9 s isolated — 10× pure noise)
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - t0)
+            times[name] = round(min(reps), 3)
             if N_OUT_TAGS & set(specs[name].tags or ()):
                 n_out[name] = df.count()
             print(
@@ -79,8 +86,33 @@ def main() -> int:
             # (observed: z2_salted_join 'Not enough memory to build
             # and broadcast' only at sweep position ~430)
             spark.catalog.clearCache()
+    # retime pass: anything still > 3 s gets one more warm+timed run at
+    # the END of the session — if the tail number was a transient
+    # pressure episode the retime beats it; if it is the plan, it
+    # reproduces. steady_sec keeps the min; retimed_tail records both.
+    retimed_tail: dict[str, list[float]] = {}
+    for name in [n for n, v in sorted(times.items(), key=lambda kv: -kv[1])
+                 if v > 3.0]:
+        try:
+            df = specs[name].builder(spark, args.sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            rt = round(time.perf_counter() - t0, 3)
+        except Exception:  # noqa: BLE001
+            continue
+        finally:
+            spark.catalog.clearCache()
+        retimed_tail[name] = [times[name], rt]
+        if rt < times[name]:
+            times[name] = rt
+        print(f"retime {name}: {retimed_tail[name]}", flush=True)
+
     ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+    from bench_scaleup import _measured_on  # same provenance stamp as SCALEUP
+
     payload = {
+        "measured_on": _measured_on(),
         "sf_dir": args.sf_dir,
         "steady_sec": ranked,
         "n_out": dict(sorted(n_out.items(), key=lambda kv: -kv[1])),
@@ -91,6 +123,12 @@ def main() -> int:
         ),
         "total": round(sum(times.values()), 1),
         "errors": errors,
+        "protocol": (
+            "min-of-2 steady noop runs per query; >3 s tail retimed "
+            "once at session end (retimed_tail: [in-run, retime]) — "
+            "in-session single shots showed 10x transient GC/JIT noise"
+        ),
+        "retimed_tail": retimed_tail,
     }
     Path(args.out).write_text(json.dumps(payload, indent=1))
     print(f"-- {len(times)} timed, {len(errors)} errors → {args.out}")

@@ -201,6 +201,47 @@ def render() -> str:
         )
         out.append("")
 
+    dedup = scaleup.get("dedup") or {}
+    dpts = dedup.get("points") or []
+    if dpts:
+        out.append(
+            f"#### Dedup kernels at constant dup rate (SCALEUP.json "
+            f"dedup, {_stamp(dedup)})"
+        )
+        out.append("")
+        out.append(
+            "| documents | l1 ratio | l58 ratio | l2 PPJoin sec (pairs) "
+            "| l2b LSH sec (pairs) | values_match |"
+        )
+        out.append("|---|---|---|---|---|---|")
+        for p in dpts:
+            sp, du = p.get("spark") or {}, p.get("duckdb") or {}
+            cn = p.get("counts") or {}
+
+            def r(q, sp=sp, du=du):
+                s, d = sp.get(q), du.get(q)
+                return s / d if s and d else None
+
+            out.append(
+                f"| {p.get('documents', '?'):,} "
+                f"| {_fmt(r('l1_exact_dedup'))} "
+                f"| {_fmt(r('l58_minhash_portable'))} "
+                f"| {_fmt(sp.get('l2_jaccard_neardup'))} "
+                f"({cn.get('l2_jaccard_neardup', 0):,}) "
+                f"| {_fmt(sp.get('l2b_minhash_lsh'))} "
+                f"({cn.get('l2b_minhash_lsh', 0):,}) "
+                f"| {_fmt(p.get('values_match'))} |"
+            )
+        lin = dedup.get("linear_exact") or {}
+        if lin:
+            out.append("")
+            out.append(
+                "- linearity invariant (per-replica output identical at "
+                "every point): "
+                + ", ".join(f"{k} {_fmt(v)}" for k, v in sorted(lin.items()))
+            )
+        out.append("")
+
     out.append(END)
     return "\n".join(out)
 
