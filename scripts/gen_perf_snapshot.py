@@ -242,6 +242,26 @@ def render() -> str:
             )
         out.append("")
 
+    sweep = _load("PERF_SWEEP.json")
+    ssec = sweep.get("steady_sec") or {}
+    if ssec:
+        out.append(
+            f"#### Full-registry sweep tail (PERF_SWEEP.json, "
+            f"{_stamp(sweep)})"
+        )
+        out.append("")
+        out.append(
+            f"- {len(ssec)} queries timed at {sweep.get('sf_dir', '?')}, "
+            f"total {_fmt(sweep.get('total'), 1)} s, "
+            f"{len(sweep.get('errors') or {})} errors"
+        )
+        tail = list(ssec.items())[:5]
+        out.append(
+            "- slowest 5: "
+            + ", ".join(f"{k} {_fmt(v)} s" for k, v in tail)
+        )
+        out.append("")
+
     out.append(END)
     return "\n".join(out)
 
