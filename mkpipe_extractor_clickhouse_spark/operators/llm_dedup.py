@@ -262,11 +262,18 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     its doc's bitset, overlap is one popcount at the join output, and
     qualifying pairs just DISTINCT — dropping the aggregated-positional
     groupBy (1.7 M groups at sf0.1) and both verify joins that
-    dominated the tiny-vocabulary wall (candidate stage 3.2 → inline)."""
+    dominated the tiny-vocabulary wall (candidate stage 3.2 → inline).
+    Mid-width dictionaries (64 < vocab ≤ PPJOIN_MASK_MAX_VOCAB) get the
+    same fusion over ⌈vocab/64⌉ mask words (_ppjoin_maskarray_pairs —
+    the dedup scale-up's dense-corpus regime); only wide dictionaries
+    (shingles — collisions rare by construction) take the aggregated
+    candidate-bound + verify-join machinery below."""
     toki = _int_tokens(tok)
     vocab = toki.select("tid").distinct().count()
     if vocab <= 64:
         return _ppjoin_bitset_pairs(toki, threshold)
+    if vocab <= PPJOIN_MASK_MAX_VOCAB:
+        return _ppjoin_maskarray_pairs(toki, vocab, threshold)
     sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Global token frequency orders tokens rarest-first: prefixes then
     # collide only on rare tokens, which is what bounds the fan-out.
@@ -401,6 +408,94 @@ def _ppjoin_bitset_pairs(toki: DataFrame, threshold: float) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             jaccard.alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
+PPJOIN_MASK_MAX_VOCAB = 1024
+
+
+def _ppjoin_maskarray_pairs(
+    toki: DataFrame, vocab: int, threshold: float
+) -> DataFrame:
+    """PPJoin with the exact verify fused into the candidate join for
+    MID-WIDTH dictionaries (64 < vocab ≤ PPJOIN_MASK_MAX_VOCAB): the
+    single-long bitset generalizes to ⌈vocab/64⌉ SEPARATE long columns
+    (w0..wk — scalar columns, not an array, so the per-collision
+    popcount sum stays inside whole-stage codegen; HOF zip_with/
+    aggregate evaluate interpreted, the f20 lesson) and overlap to
+    Σ bit_count(aw & bw), evaluated MAP-SIDE on each prefix collision —
+    nothing shuffles after the candidate join except qualifying pairs.
+
+    Why this exists (r11 dedup scale-up finding): the general path
+    bounds the verify through a groupBy over ALL prefix collisions,
+    which on a dense mid-width corpus IS the dominant shuffle — at
+    160 k salted docs (vocab 992) the collision aggregation alone ran
+    92 s cutting 127 M collisions to 54 M candidates that the verify
+    joins then still had to pay for. Here the same 127 M collisions
+    cost 16 ANDed-long popcounts each, map-side. The r10 multi-word-
+    bitmap refutation (10.3 vs 5.1 s) was measured in the SINGLE-long
+    regime (vocab 31), where the ≤64 scalar branch wins the dispatch
+    first — this path never runs there. Above the cap, masks stop
+    fitting comfortably in a shuffle row, and wide dictionaries
+    (shingles) make prefix collisions rare anyway, so the general
+    candidate+verify machinery stays the right shape.
+
+    Identical duplicate collision rows carry bit-identical jaccard
+    doubles (same integer popcount inputs), so the DISTINCT is exact —
+    the same argument as the single-long path."""
+    nwords = (vocab + 63) // 64
+    bit_dict = (
+        toki.select("tid").distinct()
+        # ≤ PPJOIN_MASK_MAX_VOCAB rows — the single-task window is fine
+        .select(
+            "tid", (F.row_number().over(Window.orderBy("tid")) - 1).alias("bit")
+        )
+    )
+    tokb = toki.join(F.broadcast(bit_dict), "tid")
+    # each (doc_id, tid) is distinct upstream, so per-word SUM == OR
+    word_sums = [
+        F.sum(
+            F.when(
+                (F.col("bit") / 64).cast("int") == w,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit % 64)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias(f"w{w}")
+        for w in range(nwords)
+    ]
+    masks = tokb.groupBy("doc_id").agg(*word_sums, F.count("*").alias("n"))
+    ranked = tokb.select("doc_id", "tid", "df").join(masks, "doc_id").withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tid")),
+    )
+    prefix = ranked.filter(
+        F.col("rank") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "tid",
+        F.col("n").alias("na"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)],
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "tid",
+        F.col("n").alias("nb"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)],
+    )
+    overlap = F.expr(
+        " + ".join(f"bit_count(a{w} & b{w})" for w in range(nwords))
+    )
+    jaccard = overlap * F.lit(1.0) / (F.col("na") + F.col("nb") - overlap)
+    return (
+        pa.join(pb, on="tid")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+        )
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .distinct()
     )

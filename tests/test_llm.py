@@ -1152,3 +1152,75 @@ def test_ppjoin_bitset_path_equals_general_path(spark, sf_dir):
     # and the registered entrypoint dispatches the bitset plan here
     plan = ppjoin_pairs(tok, JACCARD_T)._jdf.queryExecution().optimizedPlan().toString()
     assert "bit_count" in plan
+
+
+def test_ppjoin_maskarray_path_equals_general_path(spark, sf_dir):
+    """r11 mid-width fused verify: on a 64 < vocab <= 1024 dictionary
+    ppjoin_pairs dispatches _ppjoin_maskarray_pairs (multi-word popcount
+    verify inlined into the candidate join — the dedup scale-up's dense
+    salted-corpus regime). Build that regime from the fixture by
+    unioning three token-salted replicas (replicas are token-disjoint,
+    so expected pairs are exactly 3x the base corpus's), and pin the
+    fused path to the general array-intersect verify over the
+    length-filtered all-pairs superset — same pairs, same jaccard to
+    the bit."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.operators.llm_dedup import (
+        JACCARD_T,
+        _doc_tokens,
+        _int_tokens,
+        _ppjoin_maskarray_pairs,
+        _verify_pairs,
+        ppjoin_pairs,
+    )
+
+    tok = _doc_tokens(spark, sf_dir)
+    stride = tok.agg(F.max("doc_id")).collect()[0][0] + 1
+    salted = None
+    for r in range(3):
+        part = tok.select(
+            (F.col("doc_id") + r * stride).alias("doc_id"),
+            F.concat(F.lit(f"s{r}_"), F.col("token")).alias("token"),
+        )
+        salted = part if salted is None else salted.unionAll(part)
+    vocab = salted.select("token").distinct().count()
+    assert 64 < vocab <= 1024, "three salted replicas are the mask-array regime"
+
+    toki = _int_tokens(salted)
+    fast = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _ppjoin_maskarray_pairs(toki, vocab, JACCARD_T).collect()
+    )
+    base_pairs = ppjoin_pairs(tok, JACCARD_T).count()
+    assert len(fast) == 3 * base_pairs  # salting preserves per-replica structure
+    sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= F.ceil(F.lit(JACCARD_T) * F.col("nb")))
+            & (F.col("nb") >= F.ceil(F.lit(JACCARD_T) * F.col("na")))
+        )
+        .select("doc_a", "doc_b")
+    )
+    slow = sorted(
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in _verify_pairs(
+            cand,
+            toki.select("doc_id", F.col("tid").alias("token")),
+            JACCARD_T,
+            "doc_a",
+            "doc_b",
+            vocab=2048,  # force the sorted-array-intersect branch
+        ).collect()
+    )
+    assert fast == slow
+    # and the registered entrypoint dispatches the mask-array plan here
+    plan = (
+        ppjoin_pairs(salted, JACCARD_T)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "bit_count" in plan  # vocab > 64, so this is the mask path
