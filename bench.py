@@ -436,6 +436,19 @@ def main() -> None:
                 }
                 for p in su.get("streaming", {}).get("points", [])
             ],
+            "dedup_points": [
+                {
+                    "documents": p["documents"],
+                    "spark_total": p["spark_total"],
+                    "duckdb_portable_total": p.get("duckdb_portable_total"),
+                    "ratio_portable": p.get("ratio_portable"),
+                    "l2_pairs": (p.get("counts") or {}).get(
+                        "l2_jaccard_neardup"
+                    ),
+                    "values_match": p.get("values_match"),
+                }
+                for p in su.get("dedup", {}).get("points", [])
+            ],
             # provenance stamps (r11): which run each section came from
             "measured_on": {
                 k: v["measured_on"]
@@ -445,6 +458,7 @@ def main() -> None:
                     ("fuzzy", su.get("fuzzy", {})),
                     ("spatial", su.get("spatial", {})),
                     ("streaming", su.get("streaming", {})),
+                    ("dedup", su.get("dedup", {})),
                 )
                 if isinstance(v, dict) and "measured_on" in v
             },
