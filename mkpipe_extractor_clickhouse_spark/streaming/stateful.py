@@ -40,19 +40,28 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _quantize_scaled(values) -> "pd.Series":
+    """The per-row arithmetic of the profile state: value × 1e6,
+    half-away-from-zero to int64 (np.round is banker's, so trunc +
+    copysign; matches operators/_determinism).  One definition shared
+    by the sequential fold below and the batch two-phase fold in
+    batch_equiv.t13, so every execution path runs identical
+    quantization."""
+    import numpy as np
+
+    y = values * 1_000_000
+    return np.trunc(y + np.copysign(0.5, y)).astype("int64")
+
+
 def _fold_profile(
     acc: tuple[int, int, int], pdfs: Iterable[pd.DataFrame]
 ) -> tuple[int, int, int]:
     """Shared accumulation for both stateful APIs — one definition of
     the quantized arithmetic keeps the two operators in lockstep."""
-    import numpy as np
-
     n, scaled_sum, last_id = acc
     for pdf in pdfs:
         n += len(pdf)
-        y = pdf["value"].to_numpy() * 1_000_000
-        # half-away-from-zero, matching _determinism (np.round is banker's)
-        scaled_sum += int(np.trunc(y + np.copysign(0.5, y)).astype("int64").sum())
+        scaled_sum += int(_quantize_scaled(pdf["value"].to_numpy()).sum())
         last_id = max(last_id, int(pdf["event_id"].max()))
     return n, scaled_sum, last_id
 

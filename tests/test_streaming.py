@@ -565,3 +565,35 @@ def test_multisource_min_watermark_governs(spark, tmp_path):
     assert "2024-01-01 12:00:00" not in got
     assert "2024-01-01 23:00:00" not in got
     assert set(got) == {"2024-01-01 10:00:00"}
+
+
+def test_t13_two_phase_fold_equals_sequential_fold(spark, sf_dir):
+    """The registered t13 two-phase fold (vectorized mapInPandas
+    partial + native exact integer merge) must be bit-identical to the
+    sequential per-group _fold_profile the stateful operators run —
+    same _quantize_scaled kernel, associative int merge."""
+    from mkpipe_extractor_clickhouse_spark.registry import all_specs
+    from mkpipe_extractor_clickhouse_spark.streaming.stateful import (
+        PROFILE_SCHEMA,
+        _emit_profile,
+        _fold_profile,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_event_id)
+        for r in all_specs()["t13_stateful_profile"].builder(spark, sf_dir).collect()
+    }
+
+    def seq_profile(pdf):
+        uid = int(pdf["user_id"].iloc[0])
+        return _emit_profile((uid,), _fold_profile((0, 0, -1), [pdf]))
+
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long").alias("user_id"), "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(seq_profile, PROFILE_SCHEMA)
+        .collect()
+    )
+    want = {r.user_id: (r.n_events, r.total_value, r.last_event_id) for r in ref}
+    assert got == want
