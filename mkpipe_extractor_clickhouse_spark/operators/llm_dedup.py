@@ -1642,14 +1642,25 @@ def l58_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     side), per-(doc, slot) min, band-signature equi-join — never
     all-pairs. md5-per-token costs ~2× xxhash64; at 100 TB keep l2b
     for production and this for cross-engine verification."""
-    sigs = _mhp_sigs(spark, sf_dir)
-    return _mhp_band_pairs(sigs).orderBy("doc_a", "doc_b")
+    return _mhp_band_pairs(_mhp_wide(spark, sf_dir)).orderBy("doc_a", "doc_b")
 
 
-def _mhp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-portable MinHash signatures (doc_id, slot i, min-hash mh)
-    over 3-gram shingles — the md5-derived hash family shared by l58
-    and l103 (see l58's docstring for why md5, not xxhash64)."""
+def _mhp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash signatures in WIDE form (doc_id,
+    m0..m15) over 3-gram shingles — the md5-derived hash family shared
+    by l58/l2b_portable/l103/l112 (see l58's docstring for why md5,
+    not xxhash64).
+
+    r11: all 16 slot-mins aggregate in ONE pass over the shingle
+    relation — min((2i+1)·h + Ci mod P) per slot as 16 agg columns
+    with partial (map-side) combine, instead of exploding ×16 before
+    the shuffle (shuffle rows 4.2 M → 260 k at sf0.1, groups
+    80 k → 5 k; l58 steady 4.6 → 1.6 s). The md5 is hashed once per
+    shingle either way; the explode was pure shuffle inflation. Every
+    downstream shape (band rows, slot agreement) now derives map-side
+    from the 16 columns — the DuckDB oracles keep their relational
+    CROSS JOIN form, so the hash-match proves the wide refactor
+    equivalent."""
     d = load_table(spark, sf_dir, "documents")
     p = F.split("text", " ")
     shingles = F.expr(
@@ -1662,16 +1673,6 @@ def _mhp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("p") >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
     )
-    # r11: all 16 slot-mins aggregate in ONE pass over the shingle
-    # relation — min((2i+1)·h + Ci mod P) per slot as 16 agg columns
-    # with partial (map-side) combine, instead of exploding ×16 before
-    # the shuffle (shuffle rows 4.2 M → 260 k at sf0.1, groups
-    # 80 k → 5 k; l58 steady 4.6 → measured below). The md5 is hashed
-    # once per shingle either way; the explode was pure shuffle
-    # inflation. The (doc_id, i, mh) row interface is preserved by a
-    # driver-free unpivot of the 16 columns (the DuckDB oracle keeps
-    # its relational CROSS JOIN form — the hash-match proves the
-    # wide-agg refactor equivalent).
     hm = (
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % MHP_P
     ).alias("hm")
@@ -1680,33 +1681,34 @@ def _mhp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"m{i}")
         for i in range(MHP_HASHES)
     ]
-    wide = toks.select("doc_id", hm).groupBy("doc_id").agg(*mins)
-    slots = F.array(*[
+    return toks.select("doc_id", hm).groupBy("doc_id").agg(*mins)
+
+
+def _mhp_band_pairs(wide: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (doc_a < doc_b) from wide
+    portable MinHash signatures — l58's band join, factored for reuse.
+
+    Band rows (doc_id, band, sig) are a map-side projection of the
+    wide signature (sig = comma-joined slot values in slot order,
+    byte-identical to the oracle's STRING_AGG … ORDER BY i) — the
+    earlier (doc_id, i, mh) unpivot + collect_list re-aggregation was
+    a second shuffle re-deriving columns the wide agg already held."""
+    n_bands = MHP_HASHES // MHP_BAND_ROWS
+    band_arr = F.array(*[
         F.struct(
-            F.lit(i).cast("int").alias("i"), F.col(f"m{i}").alias("mh")
-        )
-        for i in range(MHP_HASHES)
-    ])
-    return wide.select("doc_id", F.explode(slots).alias("s")).select(
-        "doc_id", F.col("s.i").alias("i"), F.col("s.mh").alias("mh")
-    )
-
-
-def _mhp_band_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH band-bucket candidate pairs (doc_a < doc_b) from portable
-    MinHash signatures — l58's band join, factored for reuse."""
-    bands = (
-        sigs.withColumn("band", (F.col("i") / MHP_BAND_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
+            F.lit(bi).cast("long").alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("sig")
+                *[
+                    F.col(f"m{i}").cast("string")
+                    for i in range(bi * MHP_BAND_ROWS, (bi + 1) * MHP_BAND_ROWS)
+                ],
+            ).alias("sig"),
         )
+        for bi in range(n_bands)
+    ])
+    bands = wide.select("doc_id", F.explode(band_arr).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1721,6 +1723,31 @@ def _mhp_band_pairs(sigs: DataFrame) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def _mhp_slot_agreement(pairs: DataFrame, wide: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, m) — matching-slot count per candidate pair,
+    computed as a 16-term map-side expression after two equi-joins of
+    the pair relation to the wide signatures.  Replaces the
+    pair × 16-slot join + groupBy re-aggregation: candidate rows never
+    multiply."""
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"__a{i}") for i in range(MHP_HASHES)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"__b{i}") for i in range(MHP_HASHES)],
+    )
+    m = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("long")
+        for i in range(MHP_HASHES)
+    )
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", m.alias("m"))
     )
 
 
@@ -2436,80 +2463,23 @@ def l2b_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join moves (doc_id, band, sig) only, signatures rejoin by doc
     id after the pair-distinct — corpus-partitionable end to end.
     Production keeps xxhash64 (l2b); this twin exists so every stage of
-    the LSH semantics is differentially tested against DuckDB."""
-    d = load_table(spark, sf_dir, "documents")
-    p = F.split("text", " ")
-    shingles = F.expr(
-        "transform(sequence(1, size(p) - 2), i -> concat("
-        "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
-        " element_at(p, i + 2)))"
-    )
-    toks = (
-        d.select("doc_id", p.alias("p"))
-        .filter(F.size("p") >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("t"))
-    )
-    hashed = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(MHP_HASHES - 1))).alias("i"),
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("ht"),
-    ).select(
-        "doc_id",
-        "i",
-        (
-            ((2 * F.col("i") + 1) * (F.col("ht") % MHP_P) + 1000003 * F.col("i"))
-            % MHP_P
-        ).alias("h"),
-    )
-    sigs = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    bands = (
-        sigs.withColumn("band", (F.col("i") / MHP_BAND_ROWS).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
-        )
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    slot_sigs = sigs.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("sv")
-    )
-    joined = cand.join(
-        slot_sigs.select(F.col("doc_id").alias("doc_a"), F.col("sv").alias("sv_a")),
-        "doc_a",
-    ).join(
-        slot_sigs.select(F.col("doc_id").alias("doc_b"), F.col("sv").alias("sv_b")),
-        "doc_b",
-    )
-    n_agree = F.size(
-        F.filter(
-            F.zip_with(
-                "sv_a", "sv_b", lambda x, y: (x["mh"] == y["mh"]).cast("int")
-            ),
-            lambda v: v == 1,
-        )
-    )
+    the LSH semantics is differentially tested against DuckDB.
+
+    r11: signatures come from the one-pass wide agg (_mhp_wide), band
+    rows and the slot-agreement verify are map-side projections of the
+    16 signature columns (_mhp_band_pairs/_mhp_slot_agreement) — the
+    earlier explode-×16 + three shuffled re-aggregations were pure
+    shuffle inflation (steady 3.0 → 0.9 s at sf0.1, oracle
+    hash-match unchanged)."""
+    wide = ephemeral_cache(_mhp_wide(spark, sf_dir))
+    cand = _mhp_band_pairs(wide)
     return (
-        joined.withColumn("n_agree", n_agree)
-        .filter(F.col("n_agree") >= MHP_HASHES * 0.75)
+        _mhp_slot_agreement(cand, wide)
+        .filter(F.col("m") >= MHP_HASHES * 0.75)
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_agree") / F.lit(float(MHP_HASHES)), 6).alias(
+            F.round(F.col("m") / F.lit(float(MHP_HASHES)), 6).alias(
                 "est_jaccard"
             ),
         )
@@ -2714,24 +2684,8 @@ def l103_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     join are l58's (never all-pairs); the agreement join multiplies
     only CANDIDATE pairs by 16 slots; the histogram is <= 17 rows and
     the config scoring is constant work on the driver-side plan."""
-    sigs = ephemeral_cache(_mhp_sigs(spark, sf_dir))
-    pairs = _mhp_band_pairs(sigs)
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    agree = (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.i") == F.col("sa.i")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)
-            ).alias("m")
-        )
-    )
+    wide = ephemeral_cache(_mhp_wide(spark, sf_dir))
+    agree = _mhp_slot_agreement(_mhp_band_pairs(wide), wide)
     # <=17 rows; cached so the 5 config aggregates don't re-run the
     # signature/band/agreement pipeline once each
     hist = ephemeral_cache(
@@ -2974,24 +2928,8 @@ def l112_minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator-vs-truth divergence is real signal, not noise — both
     engines compute both columns exactly, and the bias they agree on
     is the corpus' actual sketch error."""
-    sigs = ephemeral_cache(_mhp_sigs(spark, sf_dir))
-    pairs = _mhp_band_pairs(sigs)
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    agree = (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.i") == F.col("sa.i")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)
-            ).alias("m")
-        )
-    )
+    wide = ephemeral_cache(_mhp_wide(spark, sf_dir))
+    agree = _mhp_slot_agreement(_mhp_band_pairs(wide), wide)
     d = load_table(spark, sf_dir, "documents")
     p = F.split("text", " ")
     shingles = F.expr(
