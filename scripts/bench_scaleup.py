@@ -1079,6 +1079,20 @@ def time_streaming(spark, sf_dir: str, prove: bool, n_reps: int = 5) -> dict:
         checks["x1_loop_sec"] = loop_sec
         checks["x1_rows_per_sec"] = int(src_rows / loop_sec) if loop_sec else None
         checks["x1_dest_eq_source_rows"] = dest_rows == src_rows
+        # Steady-state tick: one more run with the watermark already at
+        # max(ts) — the nightly no-new-data cost of the reference's loop
+        # at this corpus size.  Extract window is ts >= watermark (the
+        # boundary re-read), so the scan should be row-group-pruned by
+        # the pushed ts predicate: tick cost must track the BOUNDARY
+        # rows + min/max footer stats, not the corpus.
+        t0 = time.perf_counter()
+        tick = runner.run_once(spark, table)
+        checks["x1_tick_sec"] = round(time.perf_counter() - t0, 3)
+        checks["x1_tick_rows"] = int(tick.df.count()) if tick.df is not None else 0
+        checks["x1_tick_idempotent"] = (
+            spark.read.parquet(os.path.join(workdir, "events.parquet")).count()
+            == src_rows
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -1279,6 +1293,18 @@ def main() -> None:
                     help="keep the generated parquet between points")
     args = ap.parse_args()
     reps = [int(r) for r in args.reps.split(",") if r]
+    # A section-specific run (--llm-reps/--fuzzy-ns/--spatial-reps/
+    # --dedup-reps/--streaming-reps) must NOT silently also run the
+    # relational ladder and overwrite its section (pre-r11 this
+    # required remembering --reps "" — forgetting it clobbered
+    # SCALEUP.json's relational points with a default-ladder rerun and
+    # skipped the requested section's merge, since every merge guard
+    # tests `not reps`).  The relational default now applies only when
+    # no section was requested.
+    section_args = (args.llm_reps or args.fuzzy_ns or args.spatial_reps
+                    or args.dedup_reps or args.streaming_reps)
+    if args.reps == ap.get_default("reps") and section_args:
+        reps = []
 
     spark = get_spark(
         app_name="mkpipe_spark_scaleup",
