@@ -326,9 +326,14 @@ def ch_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
     )
+    # One percentile(array(...)) buffer, not two: each separate
+    # percentile() aggregate builds its own value-count map over all
+    # ~583k distinct cents (measured 4.5 s vs 2.2 s at sf0.1).
     q = cents.agg(
-        F.expr("CAST(percentile(c, 0.25) * 8 AS BIGINT)").alias("q1_8"),
-        F.expr("CAST(percentile(c, 0.75) * 8 AS BIGINT)").alias("q3_8"),
+        F.expr("percentile(c, array(0.25, 0.75))").alias("qq")
+    ).selectExpr(
+        "CAST(qq[0] * 8 AS BIGINT) AS q1_8",
+        "CAST(qq[1] * 8 AS BIGINT) AS q3_8",
     )
     f = q.selectExpr(
         "q1_8",
