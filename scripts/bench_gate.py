@@ -6,6 +6,11 @@ more than the allowed drift:
 
   * ratio_headline   > +5 %  (primary — host-noise-cancelling)
   * headline wall    > +10 % (secondary — raw, host-sensitive)
+  * ratio_headline   > +10 % vs the latest driver round anchor
+    (BENCH_r{N}.json) — catches RATCHETING: the HEAD baseline moves
+    with every refresh, so N successive <5% drifts compound silently
+    (that is exactly how r11's +20% ratio landed without a failure;
+    VERDICT r11 item 1)
 
 Rationale (PERF.md "Round 10" section): raw walls drift with host state
 — r8's exact code re-run on the r10 host was 27 % slower than its
@@ -36,6 +41,28 @@ REPO = Path(__file__).resolve().parent.parent
 
 RATIO_DRIFT = 0.05
 WALL_DRIFT = 0.10
+ANCHOR_RATIO_DRIFT = 0.10
+
+
+def _round_anchor() -> tuple[str, float] | None:
+    """ratio_headline from the newest driver-committed BENCH_r{N}.json
+    (its `parsed` summary), or None when no round artifact exists."""
+    best = None
+    for p in REPO.glob("BENCH_r*.json"):
+        try:
+            n = int(p.stem.split("r")[-1])
+        except ValueError:
+            continue
+        if best is None or n > best[0]:
+            best = (n, p)
+    if best is None:
+        return None
+    try:
+        parsed = json.loads(best[1].read_text()).get("parsed") or {}
+        ratio = parsed.get("ratio_headline")
+    except (OSError, json.JSONDecodeError):
+        return None
+    return (best[1].name, float(ratio)) if ratio else None
 
 
 def main() -> int:
@@ -88,6 +115,16 @@ def main() -> int:
             f"(old={wall_old!r} new={wall_new!r} — key absent or zero)",
             file=sys.stderr,
         )
+    anchor = _round_anchor()
+    if anchor is not None and ratio_new is not None:
+        checked += 1
+        aname, aratio = anchor
+        drift = ratio_new / aratio - 1.0
+        line = f"ratio_headline vs round anchor {aname} {aratio} -> {ratio_new} ({drift:+.1%})"
+        if drift > ANCHOR_RATIO_DRIFT:
+            problems.append(line + f" exceeds +{ANCHOR_RATIO_DRIFT:.0%}")
+        else:
+            print(f"bench_gate: {line} ok")
     if checked == 0:
         print(
             "bench_gate: WARNING — no bound was checked at all; the gate "
