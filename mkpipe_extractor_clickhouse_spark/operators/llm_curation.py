@@ -131,11 +131,60 @@ def a14_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (ClickHouse quantileTDigest analogue):
     percentile_approx's mergeable sketch — the 100 TB path where exact
     percentiles would need a full sort; accuracy vs a9 asserted in
-    tests/test_llm.py."""
+    tests/test_llm.py.  Full-oracle portable twin:
+    a14b_quantile_deterministic below."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_approx"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+    )
+
+
+QDET_MOD = 16  # deterministic-sample modulus (~6.25% of rows kept)
+
+
+@register(
+    "a14b_quantile_deterministic",
+    oracle=f"""
+    WITH samp AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem
+      WHERE ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                     AS VARCHAR)), 1, 15))::BIGINT
+            % {QDET_MOD} = 0
+    )
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 6) AS p90_det,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 6) AS p50_det,
+           COUNT(*) AS n_sample
+    FROM samp GROUP BY l_returnflag
+    """,
+    tags=("A9", "A4", "EXT", "sketch"),
+)
+def a14b_quantile_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle portable twin of a14 (the a16b/l2b pattern):
+    ClickHouse ``quantileDeterministic(value, determinator)`` —
+    approximate percentiles from a hash-DETERMINED row sample instead
+    of an implementation-defined sketch.  The determinator is the
+    unique row key (l_orderkey·10 + l_linenumber); rows whose portable
+    md5 hash ≡ 0 (mod {QDET_MOD}) survive, and the exact interpolated
+    percentile runs over that ~1/{QDET_MOD} subset.  Same map-side
+    shape as percentile_approx at 100 TB — the sample filter is
+    pushed to the scan and the sort is over n/{QDET_MOD} rows — but
+    every engine computing the same hash keeps the SAME rows, so the
+    estimate hash-matches DuckDB instead of settling for rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    samp = li.filter(h % QDET_MOD == 0)
+    return samp.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 6).alias(
+            "p90_det"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias(
+            "p50_det"
+        ),
+        F.count("*").alias("n_sample"),
     )
 
 

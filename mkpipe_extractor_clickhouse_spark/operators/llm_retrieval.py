@@ -329,9 +329,13 @@ def l98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked (λ=0.7).  The corpus-sized work is exactly the l3/l4 top-k
     (distributed, bounded output); the greedy selection then runs over
     a BOUNDED payload — the P·(P−1) ordered pool pairs with their
-    quantized cosines and the a-side relevance (every pool member
-    appears as `a`, so nodes are recoverable from edges) — inside ONE
-    single-group applyInPandas task.  r11: this replaces k unrolled
+    quantized cosines and the a-side relevance, plus one node row per
+    pool member — inside ONE
+    single-group applyInPandas task.  Pool NODES ship as explicit
+    rows (null b/sim_q) alongside the pair edges, so a degenerate
+    pool of one candidate — which has zero a≠b edges — still yields
+    its single pick exactly like the oracle's sel1 CTE (ADVICE r11).
+    r11: this replaces k unrolled
     orderBy().limit(1) DataFrame steps whose lineage re-derived every
     previous pick per step — O(k²) tiny jobs whose scheduling overhead
     dominated (7–14 s in-sweep vs ~0.5 s now) — and drops the two
@@ -353,6 +357,13 @@ def l98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("va"),
     )
     b = pv.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    nodes = pv.select(
+        F.col("vec_id").alias("a"),
+        F.col("rel_q").alias("rel_a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("long").alias("sim_q"),
+        F.lit(0).alias("g"),
+    )
     edges = (
         a.join(F.broadcast(b), F.col("a") != F.col("b"))
         .select(
@@ -364,6 +375,7 @@ def l98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim_q"),
             F.lit(0).alias("g"),
         )
+        .unionByName(nodes)
     )
 
     def greedy(pdf):
@@ -372,9 +384,11 @@ def l98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         relq: dict[int, int] = {}
         sim: dict[tuple[int, int], int] = {}
         for r in pdf.itertuples(index=False):
-            va, vb = int(r.a), int(r.b)
+            va = int(r.a)
             relq[va] = int(r.rel_a)
-            sim[(va, vb)] = int(r.sim_q)
+            if pd.isna(r.b):  # node row: registers the candidate only
+                continue
+            sim[(va, int(r.b))] = int(r.sim_q)
         remaining = sorted(relq, key=lambda v: (-relq[v], v))
         picked = [remaining.pop(0)] if remaining else []
         while remaining and len(picked) < MMR_K:

@@ -536,7 +536,8 @@ def a23_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate sibling of the exact a15_topk_frequent. Rows-only for
     the driver (sketch contents depend on partition layout); the
     count/containment guarantees are asserted against exact counts in
-    tests/test_llm.py."""
+    tests/test_llm.py.  Full-oracle portable twin: a23b_cms_topk
+    (layout-independent CMS estimates) below."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("t"))
     return spacesaving_heavy_hitters(tok)
@@ -647,6 +648,80 @@ def a24_countmin_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "true_c")
         .agg(F.min("c").alias("cms_estimate"))
         .orderBy(F.col("true_c").desc(), "t")
+    )
+
+
+CMS_TOPK = 20
+
+
+@register(
+    "a23b_cms_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hb AS (
+      SELECT t, i AS rw, {_CMS_BUCKET_SQL.format(t='t')} AS bucket
+      FROM tok CROSS JOIN range(0, {CMS_DEPTH}) r(i)
+    ),
+    cms AS (
+      SELECT rw, bucket, COUNT(*) AS c FROM hb GROUP BY rw, bucket
+    ),
+    probes AS (
+      SELECT DISTINCT t, i AS rw, {_CMS_BUCKET_SQL.format(t='t')} AS bucket
+      FROM tok CROSS JOIN range(0, {CMS_DEPTH}) r(i)
+    )
+    SELECT p.t, MIN(c.c) AS cms_estimate
+    FROM probes p JOIN cms c ON p.rw = c.rw AND p.bucket = c.bucket
+    GROUP BY p.t
+    ORDER BY cms_estimate DESC, p.t LIMIT {CMS_TOPK}
+    """,
+    tags=("A4", "A15", "EXT", "sketch"),
+)
+def a23b_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-oracle portable twin of a23 (the a16b/l2b pattern): heavy
+    hitters ranked BY the sketch itself.  Every distinct token's count
+    is estimated from the portable count-min sketch (min over the
+    {CMS_DEPTH} md5-affine rows — a24's machinery), and the top
+    {CMS_TOPK} by (estimate desc, token) is the answer; unlike a23's
+    SpaceSaving sketch the estimate is independent of partition
+    layout, so the result hash-matches DuckDB.  Scale shape: the
+    sketch is DEPTH×WIDTH counters merged by addition, the probe side
+    is the distinct vocabulary (bounded), and the top-k is a
+    TakeOrdered over |vocab| estimate rows — no per-token exact count
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    cms = (
+        tok.select(_cms_token_hash(F.col("t")).alias("ht"))
+        .select(
+            "ht",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
+                "rw"
+            ),
+        )
+        .select("rw", _cms_bucket(F.col("ht")).alias("bucket"))
+        .groupBy("rw", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        tok.distinct()
+        .select("t", _cms_token_hash(F.col("t")).alias("ht"))
+        .select(
+            "t",
+            "ht",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias(
+                "rw"
+            ),
+        )
+        .select("t", "rw", _cms_bucket(F.col("ht")).alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(cms), ["rw", "bucket"])
+        .groupBy("t")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.col("cms_estimate").desc(), "t")
+        .limit(CMS_TOPK)
     )
 
 

@@ -446,18 +446,30 @@ def t13_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator's arithmetic — not a lookalike re-derivation.
 
     Two-phase fold, the at-scale shape of the state merge itself:
-    phase 1 runs the kernel vectorized in mapInPandas over the scan
+    phase 1 runs the kernel vectorized in mapInArrow over the scan
     partitions as read (no pre-shuffle, one Python call per Arrow
-    batch) and emits one partial state row per user per partition;
-    phase 2 merges partials with native exact integer sum/max — the
+    batch, zero-copy column views — r12: the pandas groupby partial
+    was the remaining Python premium, 16.5× vs the plain-GROUP-BY
+    oracle at 100 M events; argsort+reduceat over the raw Arrow
+    buffers does the same exact int64 partial with no pandas frame,
+    no per-group dispatch) and emits one partial state row per user
+    per partition; phase 2 merges partials with native exact integer
+    sum/max — the
     same associative merge the state store applies across
     micro-batches, so the result is bit-identical to the sequential
     per-group fold (asserted in tests/test_streaming.py).  The
     earlier per-group applyInPandas form shuffled every event row to
     Python and paid one Python call per user (~|users| tiny groups):
     121 s at 100 M events / 10 M users vs native merge of
-    |users per partition| partials."""
-    import pandas as pd
+    |users per partition| partials.
+
+    Overflow bound (ADVICE r11): the pandas partials and the native
+    F.sum merge both accumulate scaled_sum in int64 and wrap silently,
+    while the sequential _fold_profile uses unbounded Python ints —
+    exact equivalence therefore requires Σ|value| per user
+    < 2^63/1e6 ≈ 9.2e12 (fixture max ≈ 1e9).  The partial fold
+    asserts a headroomed per-partial bound so a corpus approaching
+    the wrap fails loudly instead of diverging."""
     from pyspark.sql import types as T
 
     from .stateful import _quantize_scaled
@@ -472,35 +484,60 @@ def t13_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partial_fold(batches):
-        parts = []
-        for pdf in batches:
-            g = pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"].to_numpy(),
-                    "scaled_sum": _quantize_scaled(pdf["value"].to_numpy()),
-                    "last_event_id": pdf["event_id"].to_numpy(),
-                }
-            ).groupby("user_id", sort=False)
+        import numpy as np
+        import pyarrow as pa
+
+        def reduce_by_user(uid, n, ssum, last):
+            """Exact int64 (user → Σn, Σssum, max last): one stable
+            sort + reduceat — order-free, no per-group dispatch."""
+            order = np.argsort(uid, kind="stable")
+            su = uid[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], su[1:] != su[:-1]))
+            )
+            return (
+                su[starts],
+                np.add.reduceat(n[order], starts),
+                np.add.reduceat(ssum[order], starts),
+                np.maximum.reduceat(last[order], starts),
+            )
+
+        parts = []  # per-batch partials: O(users per batch), not rows
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            uid = rb.column(0).to_numpy(zero_copy_only=False)
+            eid = rb.column(1).to_numpy(zero_copy_only=False)
+            q = _quantize_scaled(rb.column(2).to_numpy(zero_copy_only=False))
             parts.append(
-                g.agg(
-                    n=("scaled_sum", "size"),
-                    scaled_sum=("scaled_sum", "sum"),
-                    last_event_id=("last_event_id", "max"),
-                )
+                reduce_by_user(uid, np.ones_like(uid), q, eid)
             )
         if parts:
-            merged = (
-                pd.concat(parts)
-                .groupby(level=0, sort=False)
-                .agg({"n": "sum", "scaled_sum": "sum", "last_event_id": "max"})
-                .reset_index()
+            uid, n, ssum, last = (
+                np.concatenate([p[i] for p in parts]) for i in range(4)
             )
-            yield merged[["user_id", "n", "scaled_sum", "last_event_id"]]
+            uid, n, ssum, last = reduce_by_user(uid, n, ssum, last)
+            # Cheap wrap guard: leave the downstream native F.sum
+            # ~2^10 partials of headroom before int64 overflow.
+            assert int(np.abs(ssum).max()) < (1 << 53), (
+                "t13 partial scaled_sum near int64 range; the numpy/"
+                "native int64 fold would wrap while the sequential "
+                "Python-int fold does not (see docstring bound)"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uid, type=pa.int64()),
+                    pa.array(n, type=pa.int64()),
+                    pa.array(ssum, type=pa.int64()),
+                    pa.array(last, type=pa.int64()),
+                ],
+                ["user_id", "n", "scaled_sum", "last_event_id"],
+            )
 
     ev = load_table(spark, sf_dir, "events")
     partials = ev.select(
         F.col("user_id").cast("long").alias("user_id"), "event_id", "value"
-    ).mapInPandas(partial_fold, partial_schema)
+    ).mapInArrow(partial_fold, partial_schema)
     return (
         partials.groupBy("user_id")
         .agg(

@@ -40,7 +40,7 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _quantize_scaled(values) -> "pd.Series":
+def _quantize_scaled(values) -> "np.ndarray":
     """The per-row arithmetic of the profile state: value × 1e6,
     half-away-from-zero to int64 (np.round is banker's, so trunc +
     copysign; matches operators/_determinism).  One definition shared

@@ -219,11 +219,16 @@ def render() -> str:
             cn = p.get("counts") or {}
 
             def r(q, sp=sp, du=du):
+                # `is not None` (not truthiness): a legitimate
+                # 0.0-rounded numerator must still render a ratio;
+                # the divisor additionally guards against 0 (ADVICE r11).
                 s, d = sp.get(q), du.get(q)
-                return s / d if s and d else None
+                return s / d if s is not None and d else None
 
+            doc = p.get("documents")
+            doc_s = f"{doc:,}" if isinstance(doc, int) else str(doc or "?")
             out.append(
-                f"| {p.get('documents', '?'):,} "
+                f"| {doc_s} "
                 f"| {_fmt(r('l1_exact_dedup'))} "
                 f"| {_fmt(r('l58_minhash_portable'))} "
                 f"| {_fmt(sp.get('l2_jaccard_neardup'))} "

@@ -1224,3 +1224,60 @@ def test_ppjoin_maskarray_path_equals_general_path(spark, sf_dir):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "bit_count" in plan  # vocab > 64, so this is the mask path
+
+def test_cms_topk_portable_invariants(spark, sf_dir):
+    """a23b: CMS-ranked heavy hitters — estimates never undercount,
+    and the sketch top-k must contain the true top-3 tokens (their
+    counts dominate any n/W collision inflation on this fixture)."""
+    from pyspark.sql import functions as F
+
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.llm_text import (
+        CMS_TOPK,
+        a23b_cms_topk,
+    )
+
+    rows = a23b_cms_topk(spark, sf_dir).collect()
+    assert len(rows) == CMS_TOPK
+    ests = [r.cms_estimate for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    true_counts = {
+        r.t: r.c
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert r.cms_estimate >= true_counts.get(r.t, 0), r
+    top3 = sorted(true_counts, key=lambda t: (-true_counts[t], t))[:3]
+    got = {r.t for r in rows}
+    assert set(top3) <= got
+
+
+def test_quantile_deterministic_sample(spark, sf_dir):
+    """a14b: the hash-determined sample is ~1/16 of lineitem and the
+    sampled p50/p90 land within a loose band of the exact a9 values
+    (per-group sample sizes are small at test sf, so the band is
+    wide — determinism, not tightness, is the contract)."""
+    from mkpipe_extractor_clickhouse_spark.catalog import load_table
+    from mkpipe_extractor_clickhouse_spark.operators.llm_curation import (
+        QDET_MOD,
+        a14b_quantile_deterministic,
+    )
+
+    rows = a14b_quantile_deterministic(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    n_samp = sum(r.n_sample for r in rows)
+    assert 0.4 / QDET_MOD <= n_samp / n_total <= 2.5 / QDET_MOD
+    exact = {
+        r.l_returnflag: (r.median_qty, r.p90_price)
+        for r in _run("a9_percentiles", spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.l_returnflag in exact
+        # p90 of a ~6% uniform sample: wide but bounded relative error
+        assert abs(r.p90_det - exact[r.l_returnflag][1]) < 0.25 * abs(
+            exact[r.l_returnflag][1]
+        )

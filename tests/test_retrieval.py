@@ -57,3 +57,25 @@ def test_mmr_diversifies_vs_pure_topk(spark, sf_dir):
     pure = [r.vec_id for r in l3_topk_cosine(spark, sf_dir).collect()][:MMR_K]
     assert {r.vec_id for r in sel} != set(pure)
     assert TOP_K >= MMR_K
+
+def test_mmr_degenerate_pool_of_one(spark, tmp_path):
+    """ADVICE r11: a pool with exactly ONE candidate has zero a≠b
+    edges; the node rows unioned into the greedy payload must still
+    yield that single pick with sel_rank 1 (the oracle's sel1 CTE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 7], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0, 0.0], [0.5, 0.5, 0.0]],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1], type=pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    rows = l98_mmr_diverse_topk(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].sel_rank == 1 and rows[0].vec_id == 7
