@@ -772,7 +772,10 @@ def er3_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(truth, ["doc_a", "doc_b"], "left")
         .withColumn("ism", F.coalesce("ism0", F.lit(0)).cast("long"))
     )
-    st = pairs.agg(
+    # One-row aggregate referenced once PER FEATURE by the unpivot
+    # below — without pinning, the whole blocked-pair join + aggregate
+    # re-executes three times (r12 plan audit: 6 documents scans).
+    st = ephemeral_cache(pairs.agg(
         F.sum("ism").cast("long").alias("nm"),
         (F.count("*") - F.sum("ism")).cast("long").alias("nu"),
         F.sum(F.col("f_lang") * F.col("ism")).cast("long").alias("ml"),
@@ -781,7 +784,7 @@ def er3_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("f_source") * (1 - F.col("ism"))).cast("long").alias("us"),
         F.sum(F.col("f_len") * F.col("ism")).cast("long").alias("mn"),
         F.sum(F.col("f_len") * (1 - F.col("ism"))).cast("long").alias("un"),
-    )
+    ))
     rows = None
     for feat, mc, uc in (("lang", "ml", "ul"), ("len", "mn", "un"),
                          ("source", "ms", "us")):

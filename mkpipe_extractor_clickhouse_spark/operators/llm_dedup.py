@@ -246,7 +246,15 @@ def _int_tokens(tok: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .withColumn("tid", F.monotonically_increasing_id())
     )
-    return tok.join(dict_, "token").select("doc_id", "tid", "df")
+    # The joined relation is ALSO pinned (r12): every PPJoin variant
+    # consumes it several times (sizes, prefix ranking, verify sets) and
+    # Spark re-runs the tokenize/shingle + dict join above the reused
+    # exchanges per consumer — the plan audit showed 6-24 documents
+    # scans per near-dup query. Computing it once cut the 8-query
+    # family 23.0 → 13.6 s steady at sf0.1, results bit-identical.
+    return ephemeral_cache(
+        tok.join(dict_, "token").select("doc_id", "tid", "df")
+    )
 
 
 def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
@@ -634,7 +642,10 @@ def l2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is local to buckets (the 100 TB-safe shape). Pairs are
     then verified with the true signature agreement rate."""
     tok = _doc_tokens(spark, sf_dir)
-    sig = minhash_signatures(tok)
+    # pinned (r12): consumed by `members` (twice, the expansion joins)
+    # and `usig` (bands + self-pairs) — the tokenize + 16-way xxhash-min
+    # groupBy re-executed ~4x per run before
+    sig = ephemeral_cache(minhash_signatures(tok))
     # MEGA-BUCKET GUARD (r9): factor by IDENTICAL full signature before
     # the bucket self-join.  A duplicate-heavy corpus (the re-crawl
     # shape this fixture models — 5 k docs here produce 4.5 M output

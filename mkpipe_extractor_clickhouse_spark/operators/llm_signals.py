@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 
 _PPB = 1_000_000_000
 _STOP_SRC = 8  # shingles seen in more than this many sources are stop-grams
@@ -147,7 +148,7 @@ def l37_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source set; pair expansion is then a per-row ARRAY EXPRESSION —
     # the oracle's equi-self-join never appears in the plan at all, and
     # the hash-match proves the expansion is equivalent to it.
-    capped = (
+    capped = ephemeral_cache(
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
         .filter(F.size("srcs") <= _STOP_SRC)
@@ -166,9 +167,9 @@ def l37_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared_shingles"))
     )
-    # `capped` feeds both the pair expansion and the per-source sizes;
-    # a production audit would checkpoint it once — here the relation
-    # is re-derived, which is two linear corpus passes, never a join.
+    # `capped` feeds both the pair expansion and the per-source sizes —
+    # pinned above (r12) so the shingle + group pass runs once, the
+    # checkpoint this comment used to defer to production.
     sizes = (
         capped.select(F.explode("srcs").alias("source"))
         .groupBy("source")

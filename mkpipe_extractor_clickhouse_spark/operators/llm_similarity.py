@@ -1510,6 +1510,10 @@ def ivfpq_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, Dat
         .select("vec_id", "v", "cid", d2.alias("d2"))
         .groupBy("vec_id", "v")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+        # pinned (r12): consumed by the residual encoder AND the probe
+        # membership join — without it the corpus-wide assignment
+        # (broadcast join + argmin groupBy) re-executes per consumer
+        .localCheckpoint(eager=True)
     )
     residuals = (
         assigned.join(F.broadcast(coarse), "cid")
