@@ -1551,7 +1551,10 @@ def q24_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_quantize("l_quantity")).alias("q")
     )
     w = Window.partitionBy("l_suppkey").orderBy(F.col("q").desc(), "l_partkey")
-    top_parts = (
+    # pinned (r12): consumed by the nb scalar, the item margins, and
+    # both pair-join sides — the lineitem agg + window cut re-executed
+    # per consumer (4 lineitem scans in the plan audit)
+    top_parts = ephemeral_cache(
         vol.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= COPURCHASE_TOP_PARTS)
         .drop("rn")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 from ._determinism import _quantize
 
 PMI_MIN_COUNT = 20
@@ -296,7 +297,9 @@ def l70_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
         " element_at(p, i + 2)))"
     )
-    sh = (
+    # pinned (r12): the first-seen dictionary AND the join back both
+    # consume the shingle explode — it re-executed twice before
+    sh = ephemeral_cache(
         d.select("doc_id", p.alias("p"))
         .filter(F.size("p") >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
@@ -383,7 +386,8 @@ def l113_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(p, i), ' ', element_at(p, i + 1), ' ',"
         " element_at(p, i + 2)))"
     )
-    sh = (
+    # pinned (r12): same two-consumer shape as l70
+    sh = ephemeral_cache(
         d.select("doc_id", p.alias("p"))
         .filter(F.size("p") >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))

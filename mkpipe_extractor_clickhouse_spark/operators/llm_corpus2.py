@@ -194,6 +194,11 @@ def l119_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(p, i), F.element_at(p, i + 1)
         ),
     )
+    # NOT pinned (r12, considered and rejected): train_bg and val_bg
+    # filter DISJOINT split halves below the explode (pushdown), so the
+    # two consumers together explode each doc once — a checkpoint would
+    # materialize the full bigram relation to save only a duplicate
+    # 5k-row scan + split-hash projection.
     bi = (
         split.select(
             "source",

@@ -790,7 +790,13 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str):
 
 def _pack_signhash(h: DataFrame, nbits: int) -> DataFrame:
     """(doc_id, simhash): majority-sign pack of ``nbits`` bit counts of
-    the hx column, one aggregation pass (see _simhash_fingerprints)."""
+    the hx column, one aggregation pass (see _simhash_fingerprints).
+
+    Pinned (r12): the Hamming-join consumers (l2e, l2e_portable)
+    reference the fingerprint relation on BOTH sides of the block
+    self-join, and the nbits-column sum aggregate + nbits-term pack
+    projection re-executed per side (exchange reuse only saves the
+    shuffle below it)."""
     aggs = [
         F.sum(F.expr(f"shiftright(hx, {b}) & 1")).alias(f"c{b}")
         for b in range(nbits)
@@ -802,7 +808,9 @@ def _pack_signhash(h: DataFrame, nbits: int) -> DataFrame:
         f" ELSE CAST(0 AS BIGINT) END)"
         for b in range(nbits)
     )
-    return cnts.select("doc_id", F.expr(packed).alias("simhash"))
+    return ephemeral_cache(
+        cnts.select("doc_id", F.expr(packed).alias("simhash"))
+    )
 
 
 @register(
@@ -2073,7 +2081,11 @@ def l75_source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             % MHP_P
         ).alias("h"),
     )
-    sigs = hashed.groupBy("source", "i").agg(F.min("h").alias("mh"))
+    # pinned (r12): both self-join sides re-ran the whole shingle +
+    # 16-way hash + min pipeline (320 output rows) before
+    sigs = ephemeral_cache(
+        hashed.groupBy("source", "i").agg(F.min("h").alias("mh"))
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (

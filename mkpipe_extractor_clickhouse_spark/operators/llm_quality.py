@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ._cache import ephemeral_cache
 
 # Thresholds: the fixtures' word-soup corpus has bigram dup fractions of
 # 0–0.17 (median ~0.03); these split it near the median, mirroring how
@@ -201,7 +202,10 @@ def l29_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n")
     )
-    grams = base.select(
+    # pinned (r12): the cross-doc dictionary (groupBy gram) and the
+    # semi-join probe both consume the FULL positional-gram relation —
+    # the slice/array_join explode re-executed twice before
+    grams = ephemeral_cache(base.select(
         "doc_id",
         F.explode(
             F.when(
@@ -217,7 +221,7 @@ def l29_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
         ).alias("g"),
-    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    ).select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram")))
 
     dup = (
         grams.groupBy("gram")

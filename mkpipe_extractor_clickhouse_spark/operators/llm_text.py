@@ -800,7 +800,11 @@ def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h"),
     ).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
-    kmv = (
+    # pinned (r12): both pair-join sides and the k-th-minimum rollup
+    # consume the sketch — the events scan + distinct + rank window
+    # re-executed 3x before (plan audit: 4 events scans); the pinned
+    # relation is O(k · segments) rows
+    kmv = ephemeral_cache(
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .select("event_type", "h", "rn")
