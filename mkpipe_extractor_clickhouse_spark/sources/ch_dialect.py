@@ -524,7 +524,12 @@ def _translate_functions(sql: str) -> str:
     out = _rewrite_calls(out, "minMerge", lambda a: f"min({a[0]})")
     out = _rewrite_calls(out, "maxState", lambda a: f"max({a[0]})")
     out = _rewrite_calls(out, "maxMerge", lambda a: f"max({a[0]})")
-    out = _rewrite_calls(out, "uniqState", lambda a: f"hll_sketch_agg({a[0]})")
+    # hll_sketch_agg only accepts INT/BIGINT/STRING/BINARY while
+    # ClickHouse's uniq* hashes ANY input type internally — feed the
+    # sketch through xxhash64 (any type → BIGINT) to match that.
+    out = _rewrite_calls(
+        out, "uniqState", lambda a: f"hll_sketch_agg(xxhash64({a[0]}))"
+    )
     out = _rewrite_calls(
         out,
         "uniqMerge",

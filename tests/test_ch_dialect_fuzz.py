@@ -232,6 +232,13 @@ def test_combinator_compositions_execute(spark, a):
     spark.sql(translate(sql)).collect()
 
 
+def test_uniq_state_over_double_executes(spark):
+    """hll_sketch_agg rejects DOUBLE input; the translator must hash any-type
+    input first (xxhash64), matching ClickHouse uniq*'s internal hashing."""
+    sql = "SELECT event_type, uniqState(value) AS x FROM events GROUP BY event_type"
+    spark.sql(translate(sql)).collect()
+
+
 @settings(
     max_examples=20,
     deadline=None,
