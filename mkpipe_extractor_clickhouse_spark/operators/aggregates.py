@@ -281,10 +281,23 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics; rounded to 6dp to absorb ulp-level formula differences.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_quantity"), 6).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.90)), 6).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.10)), 6).alias("p10_price"),
+    # One percentile buffer per COLUMN, not per fraction: each separate
+    # percentile() aggregate builds its own value→count map over every
+    # distinct l_extendedprice (~583k at sf0.1), so p90 and p10 as two
+    # aggregates doubled that work (r12: the ch_tukey single-buffer fix
+    # applied here, 3 buffers → 2).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("median_qty"),
+            F.expr("percentile(l_extendedprice, array(0.90, 0.10))").alias("pp"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty",
+            F.round(F.col("pp")[0], 6).alias("p90_price"),
+            F.round(F.col("pp")[1], 6).alias("p10_price"),
+        )
     )
 
 

@@ -186,7 +186,16 @@ def l119_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.col("doc_id") * SPLIT_HASH) % M32 % 1000
     split = d.withColumn(
         "split", F.when(bucket < 900, "train").otherwise("val")
-    )
+    # Pre-explode repartition (r12): the train-side explode+concat of
+    # ~1.5 M bigrams otherwise runs entirely on the scan task (the
+    # fixtures ship one row group), measured 2.57 s of the 2.29 s full
+    # query; shuffling the 5 k docs once parallelizes it 32-way —
+    # 2.59 → 0.83 s end-to-end, identical result (exp_l119_repart).
+    # The exp_shingles_repart refutation (pre-explode repartition LOSES
+    # end-to-end for the PPJoin family) does not transfer: l119's
+    # explode feeds a DISTINCT — its own shuffle boundary — so no
+    # downstream consumer re-runs the widened stage.
+    ).repartition(spark.sparkContext.defaultParallelism)
     p = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(p) - 1),

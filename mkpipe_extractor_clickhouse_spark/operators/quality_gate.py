@@ -326,14 +326,71 @@ def ch_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
     )
-    # One percentile(array(...)) buffer, not two: each separate
-    # percentile() aggregate builds its own value-count map over all
-    # ~583k distinct cents (measured 4.5 s vs 2.2 s at sf0.1).
-    q = cents.agg(
-        F.expr("percentile(c, array(0.25, 0.75))").alias("qq")
-    ).selectExpr(
-        "CAST(qq[0] * 8 AS BIGINT) AS q1_8",
-        "CAST(qq[1] * 8 AS BIGINT) AS q3_8",
+    # r12: the quartiles come from ORDER STATISTICS over the distinct
+    # (value, count) relation instead of a percentile() aggregate.
+    # percentile()'s buffer is a boxed value→count OpenHashMap built
+    # and merged on ONE task — 1.35 s of the query's 1.89 s at sf0.1
+    # (exp_tail_attrib; the single-buffer array form of r11 had already
+    # halved it from two maps).  Here the collapse to ~583k distinct
+    # cents is a codegen hash aggregate (partial→final, parallel), and
+    # the only serial step left is the prefix-sum window over DISTINCT
+    # values — O(distinct) not O(rows), the a28/ch_quantiles_disc
+    # shape.  Interpolation algebra is Percentile's own
+    # (pos = p·(n−1); lo + (pos−⌊pos⌋)·(hi−lo)): positions are exact
+    # quarters and values integer cents, so every term is an exact
+    # double and the ×8 CAST lands on the same integer bit-for-bit
+    # (strict sim MATCH at sf0.01 + sf0.1 enforces it).
+    per = cents.groupBy("c").agg(F.count("*").alias("cnt"))
+    cum = per.select(
+        "c",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cc"),
+    )
+    nrow = per.agg(F.sum("cnt").alias("n"))
+    pos25 = F.lit(0.25) * (F.col("n") - 1)
+    pos75 = F.lit(0.75) * (F.col("n") - 1)
+    li25, li75 = F.floor(pos25), F.floor(pos75)
+
+    def _at(idx):  # value at 0-based global index idx (exactly one row)
+        return F.min(
+            F.when((F.col("cc") - F.col("cnt") <= idx) & (F.col("cc") > idx), F.col("c"))
+        )
+
+    picks = (
+        cum.crossJoin(F.broadcast(nrow))
+        .groupBy("n")
+        .agg(
+            _at(li25).alias("q1lo"),
+            _at(li25 + 1).alias("q1hi"),
+            _at(li75).alias("q3lo"),
+            _at(li75 + 1).alias("q3hi"),
+        )
+    )
+    frac25 = pos25 - F.floor(pos25)
+    frac75 = pos75 - F.floor(pos75)
+    q = picks.select(
+        (
+            (
+                F.col("q1lo")
+                + frac25 * (F.coalesce(F.col("q1hi"), F.col("q1lo")) - F.col("q1lo"))
+            )
+            * 8
+        )
+        .cast("bigint")
+        .alias("q1_8"),
+        (
+            (
+                F.col("q3lo")
+                + frac75 * (F.coalesce(F.col("q3hi"), F.col("q3lo")) - F.col("q3lo"))
+            )
+            * 8
+        )
+        .cast("bigint")
+        .alias("q3_8"),
     )
     f = q.selectExpr(
         "q1_8",
