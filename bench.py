@@ -217,9 +217,19 @@ def main() -> None:
         try:
             df = _specs[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm
+            # r12 measurement fix: rebuild INSIDE the timed region.
+            # l2/l2b builders now pin reused relations with an eager
+            # localCheckpoint, which runs the pinned subtree at build
+            # time — re-executing a built DataFrame (the pre-r12
+            # protocol) would silently exclude that compute. A rebuilt
+            # DataFrame mints fresh checkpoints, so each rep pays the
+            # full one-shot cost. Headline steady pass above is
+            # unchanged (no headline builder pins — asserted in
+            # tests/test_plans.py).
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
+                df = _specs[name].builder(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             llm[name] = round(min(runs), 3)
@@ -518,9 +528,13 @@ def main() -> None:
                 "llm_suite": llm,
                 "llm_suite_total": round(sum(llm.values()), 3),
                 "llm_suite_note": (
-                    "dedup/similarity/text kernels, steady-state; "
-                    "separate section so the headline total stays "
-                    "round-over-round comparable"
+                    "dedup/similarity/text kernels, min-of-2 one-shot "
+                    "(rebuild+execute — r12 measurement fix: pinned "
+                    "builders run their checkpoint at build time, so "
+                    "re-execution timing would exclude it; r11 numbers "
+                    "used the re-execution protocol); separate section "
+                    "so the headline total stays round-over-round "
+                    "comparable"
                 ),
                 "chunked_queries": chunked,
                 "chunked_total": round(sum(chunked.values()), 3),

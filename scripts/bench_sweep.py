@@ -54,6 +54,7 @@ def main() -> int:
     # reflects the kernels a user would actually run (l4 / l4c).
     RETIRED = {"l4b_shard_scan_topk"}
     names = args.names or sorted(set(specs) - RETIRED)
+    oneshot: dict[str, float] = {}
     for name in names:
         try:
             df = specs[name].builder(spark, args.sf_dir)
@@ -68,10 +69,29 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 reps.append(time.perf_counter() - t0)
             times[name] = round(min(reps), 3)
+            # ONE-SHOT reps (r12 measurement fix): builders that pin a
+            # reused relation (ephemeral_cache = eager localCheckpoint)
+            # run the pinned subtree at BUILD time, so the steady reps
+            # above re-read checkpoint blocks and never pay the 1×
+            # pinned compute — steady_sec underestimates the cost a
+            # single build+execute invocation (the driver's correctness
+            # run, a real user) actually pays. oneshot_sec times
+            # rebuild+execute per rep: fresh checkpoints each rep, the
+            # pin's 1× compute and write are inside the timed region
+            # (plan-construction py4j chatter is included too — real,
+            # constant, small). Ranking/attribution uses oneshot_sec;
+            # steady_sec is kept for round-over-round comparability.
+            o_reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                odf = specs[name].builder(spark, args.sf_dir)
+                odf.write.format("noop").mode("overwrite").save()
+                o_reps.append(time.perf_counter() - t0)
+            oneshot[name] = round(min(o_reps), 3)
             if N_OUT_TAGS & set(specs[name].tags or ()):
                 n_out[name] = df.count()
             print(
-                f"{times[name]:8.3f}s  {name}"
+                f"{times[name]:8.3f}s  one-shot {oneshot[name]:8.3f}s  {name}"
                 + (f"  [{n_out[name]} rows out]" if name in n_out else ""),
                 flush=True,
             )
@@ -86,35 +106,49 @@ def main() -> int:
             # (observed: z2_salted_join 'Not enough memory to build
             # and broadcast' only at sweep position ~430)
             spark.catalog.clearCache()
-    # retime pass: anything still > 3 s gets one more warm+timed run at
-    # the END of the session — if the tail number was a transient
-    # pressure episode the retime beats it; if it is the plan, it
-    # reproduces. steady_sec keeps the min; retimed_tail records both.
+    # retime pass: anything still > 3 s ONE-SHOT gets one more timed
+    # rebuild+run at the END of the session — if the tail number was a
+    # transient pressure episode the retime beats it; if it is the
+    # plan, it reproduces. oneshot_sec keeps the min; retimed_tail
+    # records both.
     retimed_tail: dict[str, list[float]] = {}
-    for name in [n for n, v in sorted(times.items(), key=lambda kv: -kv[1])
+    for name in [n for n, v in sorted(oneshot.items(), key=lambda kv: -kv[1])
                  if v > 3.0]:
         try:
             df = specs[name].builder(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
+            df = specs[name].builder(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             rt = round(time.perf_counter() - t0, 3)
         except Exception:  # noqa: BLE001
             continue
         finally:
             spark.catalog.clearCache()
-        retimed_tail[name] = [times[name], rt]
-        if rt < times[name]:
-            times[name] = rt
+        retimed_tail[name] = [oneshot[name], rt]
+        if rt < oneshot[name]:
+            oneshot[name] = rt
         print(f"retime {name}: {retimed_tail[name]}", flush=True)
 
     ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+    ranked_oneshot = dict(sorted(oneshot.items(), key=lambda kv: -kv[1]))
     from bench_scaleup import _measured_on  # same provenance stamp as SCALEUP
 
     payload = {
         "measured_on": _measured_on(),
         "sf_dir": args.sf_dir,
         "steady_sec": ranked,
+        "oneshot_sec": ranked_oneshot,
+        "oneshot_note": (
+            "r12 measurement fix: oneshot_sec times REBUILD+execute "
+            "(min-of-2 after warmup), so eager-localCheckpoint pins "
+            "inside builders are paid inside the timed region; "
+            "steady_sec (re-execution of a built DataFrame, the "
+            "pre-r12 protocol) is kept for comparability but "
+            "under-counts pinned builders. Ranking/attribution should "
+            "use oneshot_sec."
+        ),
+        "total_oneshot": round(sum(oneshot.values()), 1),
         "n_out": dict(sorted(n_out.items(), key=lambda kv: -kv[1])),
         "n_out_note": (
             "output row counts for the dedup/fuzzy families — the sweep "
@@ -132,7 +166,8 @@ def main() -> int:
     }
     Path(args.out).write_text(json.dumps(payload, indent=1))
     print(f"-- {len(times)} timed, {len(errors)} errors → {args.out}")
-    print("slowest:", json.dumps(dict(list(ranked.items())[:15])))
+    print("slowest (one-shot):",
+          json.dumps(dict(list(ranked_oneshot.items())[:15])))
     return 0
 
 
