@@ -76,18 +76,27 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     converged = False
     for _ in range(max_rounds):
         after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # fixed point ⇔ same edge set: counts equal and no new edges
-        if (
-            after.count() == edges.count()
-            and after.subtract(edges).limit(1).count() == 0
-        ):
+        n_after = after.count()
+        # fixed point ⇔ same edge set. Both sides are DISTINCT sets
+        # (stars end in .distinct()), so equal counts + empty anti-join
+        # ⇔ equality — exact. r12: the previous subtract() planned an
+        # EXCEPT (anti-join + an extra distinct of the left side, ~2×
+        # the anti-join's cost per round), and both counts re-ran every
+        # round although last round's after.count() IS this round's
+        # edges.count(); with unequal counts the sets cannot be equal,
+        # so the join is skipped entirely on shrinking rounds.
+        if n_after == n_edges and after.join(
+            edges, ["u", "v"], "left_anti"
+        ).isEmpty():
             edges = after
             converged = True
             break
         edges = after
+        n_edges = n_after
     if not converged:
         raise RuntimeError(
             f"connected-components did not converge in {max_rounds} "

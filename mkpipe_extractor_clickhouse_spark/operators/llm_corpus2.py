@@ -738,30 +738,36 @@ def er3_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-away, so the weights are exact integers in both engines.
 
     Scale shape: first-token blocking bounds the pair space (er2's
-    scheme); the truth join rides the same PPJoin machinery as l2;
-    one aggregation row unpivots to three output rows."""
-    from .llm_dedup import _doc_tokens, ppjoin_pairs
+    scheme); ground truth is scored INLINE per blocked candidate —
+    exact token-set Jaccard via array_intersect on the pair's own
+    token arrays. r12 (one-shot sweep, measurement-fix protocol): the
+    previous shape computed the truth relation with a corpus-wide
+    PPJoin at τ=0.7 and LEFT-JOINED it onto the blocked pairs — every
+    truth pair whose first tokens differ was discarded by that join,
+    yet the dense fixture made the corpus-wide join emit tens of
+    millions of candidate collisions (15.6 s one-shot, the registry's
+    slowest). Scoring only the blocked candidate space is algebraically
+    identical (the left join restricted truth to it anyway), is the
+    shape a real ER pipeline uses (score each blocked candidate), and
+    needs no pinned truth relation at all. The double comparison
+    overlap*1.0/union >= τ is byte-for-byte the PPJoin verify's (and
+    the oracle's), so the hash match is preserved exactly.
+    One aggregation row unpivots to three output rows."""
+    from ._cache import ephemeral_cache
 
     d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
     recs = d.select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
-        F.element_at(F.split("text", " "), 1).alias("ft"),
-    )
-    from ._cache import ephemeral_cache
-
-    # truth is a few-k-row relation behind a full PPJoin pipeline —
-    # materialize it once (sweep-measured: recomputing it per run made
-    # er3 the registry's slowest query at 27 s; pinned, the steady
-    # path is just the blocked-pair join + one aggregate)
-    truth = ephemeral_cache(
-        ppjoin_pairs(_doc_tokens(spark, sf_dir), 0.7).select(
-            "doc_a", "doc_b", F.lit(1).alias("ism0")
-        )
+        F.element_at(t, 1).alias("ft"),
+        F.array_distinct(t).alias("ts"),
     )
     a, b = recs.alias("a"), recs.alias("b")
+    overlap = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - overlap
     pairs = (
         a.join(
             b,
@@ -782,9 +788,10 @@ def er3_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("f_len"),
+            (overlap * F.lit(1.0) / union >= F.lit(0.7))
+            .cast("long")
+            .alias("ism"),
         )
-        .join(truth, ["doc_a", "doc_b"], "left")
-        .withColumn("ism", F.coalesce("ism0", F.lit(0)).cast("long"))
     )
     # One-row aggregate referenced once PER FEATURE by the unpivot
     # below — without pinning, the whole blocked-pair join + aggregate

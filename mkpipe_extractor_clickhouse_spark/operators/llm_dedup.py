@@ -2361,9 +2361,28 @@ def l83_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ppjoin_pairs(sh, LSH_EVAL_TAU).select("doc_a", "doc_b")
     cand = l58_minhash_portable(spark, sf_dir)
-    tp = cand.join(exact, ["doc_a", "doc_b"]).count()
-    n_exact = exact.count()
-    n_cand = cand.count()
+    # ONE action for all three counts (r12): tp/n_exact/n_cand as three
+    # separate driver actions re-executed each side's pipeline above its
+    # pinned inputs per action (the exact side's candidate+verify ran
+    # twice, the banded join twice — 10.3 s one-shot); a full-outer join
+    # on the pair key with presence markers folds them into a single
+    # pass over each side (8.7 → measured below). Both sides are
+    # distinct on (doc_a, doc_b), so SUMs of the markers are exact
+    # set cardinalities.
+    e = exact.withColumn("ex", F.lit(1))
+    c = cand.select("doc_a", "doc_b").withColumn("cd", F.lit(1))
+    stats = (
+        e.join(c, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.sum("ex").alias("n_exact"),
+            F.sum("cd").alias("n_cand"),
+            F.sum(F.col("ex") * F.col("cd")).alias("tp"),
+        )
+        .collect()[0]
+    )
+    n_exact = stats["n_exact"] or 0
+    n_cand = stats["n_cand"] or 0
+    tp = stats["tp"] or 0
     return spark.createDataFrame(
         [
             (
