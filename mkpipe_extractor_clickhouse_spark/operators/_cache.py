@@ -27,9 +27,21 @@ dir instead).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
-def ephemeral_cache(df: DataFrame) -> DataFrame:
-    """Cache-like reuse whose storage is freed by GC, not unpersist()."""
+def ephemeral_cache(df: DataFrame, *, required: bool = False) -> DataFrame:
+    """Cache-like reuse whose storage is freed by GC, not unpersist().
+
+    ``required=True`` marks CORRECTNESS pins (e.g. freezing a
+    monotonically_increasing_id mapping so two subtree re-evaluations
+    cannot mint different ids) — those always materialize.  Plain
+    perf pins honor ``SPARK_GRAFT_NO_PIN=1`` and become identity, the
+    control arm for one-shot A/B measurements (scripts/exp_pin_ab.py):
+    an eager checkpoint moves compute to DataFrame build time, so only
+    a rebuild+execute timing can tell whether a pin actually pays."""
+    if not required and os.environ.get("SPARK_GRAFT_NO_PIN") == "1":
+        return df
     return df.localCheckpoint(eager=True)

@@ -221,8 +221,18 @@ def _collapse_pays(
     return pays
 
 
-def _int_tokens(tok: DataFrame) -> DataFrame:
-    """(doc_id, tid, df): the token relation with each distinct token
+def _int_tokens(tok: DataFrame, pin: bool = True) -> DataFrame:
+    """Compatibility face of :func:`_int_tokens_dict` — returns just
+    the (doc_id, tid, df) relation."""
+    joined, _ = _int_tokens_dict(tok, pin=pin)
+    return joined
+
+
+def _int_tokens_dict(
+    tok: DataFrame, pin: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, tid, df) plus the pinned token dictionary (token, df,
+    tid): the token relation with each distinct token
     replaced by a dense-ish integer id and its global document
     frequency. Ints downstream mean the candidate join keys and the
     verify arrays ship 8 bytes instead of shingle strings (r10:
@@ -244,17 +254,20 @@ def _int_tokens(tok: DataFrame) -> DataFrame:
     dict_ = ephemeral_cache(
         tok.groupBy("token")
         .agg(F.count("*").alias("df"))
-        .withColumn("tid", F.monotonically_increasing_id())
+        .withColumn("tid", F.monotonically_increasing_id()),
+        required=True,  # mono-id mapping must be a fact, not a plan
     )
-    # The joined relation is ALSO pinned (r12): every PPJoin variant
-    # consumes it several times (sizes, prefix ranking, verify sets) and
-    # Spark re-runs the tokenize/shingle + dict join above the reused
-    # exchanges per consumer — the plan audit showed 6-24 documents
-    # scans per near-dup query. Computing it once cut the 8-query
-    # family 23.0 → 13.6 s steady at sf0.1, results bit-identical.
-    return ephemeral_cache(
-        tok.join(dict_, "token").select("doc_id", "tid", "df")
-    )
+    # The joined relation is ALSO pinned when ``pin`` (r12): the
+    # GENERAL PPJoin tier consumes it several times (sizes, prefix
+    # ranking, verify sets) and Spark re-runs the tokenize/shingle +
+    # dict join above the reused exchanges per consumer — the one-shot
+    # pin A/B (scripts/exp_pin_ab.py, PERF_PIN_AB.json) measured the
+    # pin worth 1.3-1.8 s per shingle-family query (l23/l71/l81/l84).
+    # The BITSET tier's two cheap consumers are better off recomputing
+    # (same A/B: pinning cost l2 +0.38 s one-shot) — ppjoin_pairs
+    # passes pin=False for vocab ≤ 64 via _token_dict dispatch.
+    joined = tok.join(dict_, "token").select("doc_id", "tid", "df")
+    return (ephemeral_cache(joined) if pin else joined), dict_
 
 
 def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
@@ -276,10 +289,17 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     the dedup scale-up's dense-corpus regime); only wide dictionaries
     (shingles — collisions rare by construction) take the aggregated
     candidate-bound + verify-join machinery below."""
-    toki = _int_tokens(tok)
-    vocab = toki.select("tid").distinct().count()
+    # defer the joined-relation pin until the tier is known; vocab
+    # comes from the (always-pinned) dictionary's row count — the old
+    # toki.select("tid").distinct().count() re-shuffled the full
+    # doc×token relation for a number the dictionary already is
+    toki, dict_ = _int_tokens_dict(tok, pin=False)
+    vocab = dict_.count()
     if vocab <= 64:
+        # bitset tier: two cheap consumers — recomputing the dict join
+        # beats checkpoint write+read (pin A/B: pinning cost l2 +0.38 s)
         return _ppjoin_bitset_pairs(toki, threshold)
+    toki = ephemeral_cache(toki)
     if vocab <= PPJOIN_MASK_MAX_VOCAB:
         return _ppjoin_maskarray_pairs(toki, vocab, threshold)
     sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2726,13 +2746,13 @@ def l103_lsh_param_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     join are l58's (never all-pairs); the agreement join multiplies
     only CANDIDATE pairs by 16 slots; the histogram is <= 17 rows and
     the config scoring is constant work on the driver-side plan."""
-    wide = ephemeral_cache(_mhp_wide(spark, sf_dir))
+    # NOT pinned (r12 pin A/B): the 5 config aggregates' references to
+    # hist dedup through exchange reuse (one groupBy("m") exchange,
+    # re-read per union branch), so the pins only added two checkpoint
+    # round-trips — l112 one-shot 2.31 pinned vs 1.62 unpinned.
+    wide = _mhp_wide(spark, sf_dir)
     agree = _mhp_slot_agreement(_mhp_band_pairs(wide), wide)
-    # <=17 rows; cached so the 5 config aggregates don't re-run the
-    # signature/band/agreement pipeline once each
-    hist = ephemeral_cache(
-        agree.groupBy("m").agg(F.count("*").alias("cnt"))
-    )
+    hist = agree.groupBy("m").agg(F.count("*").alias("cnt"))
     cfg = None
     for b, r in LSH_TUNE_CONFIGS:
         pq = _scurve_pq_sql(r, b)
