@@ -258,14 +258,14 @@ def _int_tokens_dict(
         required=True,  # mono-id mapping must be a fact, not a plan
     )
     # The joined relation is ALSO pinned when ``pin`` (r12): the
-    # GENERAL PPJoin tier consumes it several times (sizes, prefix
-    # ranking, verify sets) and Spark re-runs the tokenize/shingle +
-    # dict join above the reused exchanges per consumer — the one-shot
-    # pin A/B (scripts/exp_pin_ab.py, PERF_PIN_AB.json) measured the
-    # pin worth 1.3-1.8 s per shingle-family query (l23/l71/l81/l84).
-    # The BITSET tier's two cheap consumers are better off recomputing
-    # (same A/B: pinning cost l2 +0.38 s one-shot) — ppjoin_pairs
-    # passes pin=False for vocab ≤ 64 via _token_dict dispatch.
+    # PPJoin tiers consume it several times (sizes, prefix ranking,
+    # verify sets — and composed consumers like the curation pipeline
+    # reference the pair relation again on top) and Spark re-runs the
+    # tokenize/shingle + dict join above the reused exchanges per
+    # consumer — the one-shot pin A/B (scripts/exp_pin_ab.py,
+    # PERF_PIN_AB.json) measured the pin worth 1.3-1.8 s per shingle-
+    # family query (l23/l71/l81/l84) and 0.7-0.9 s for the composed
+    # bitset-tier consumers (l22/l90).
     joined = tok.join(dict_, "token").select("doc_id", "tid", "df")
     return (ephemeral_cache(joined) if pin else joined), dict_
 
@@ -289,17 +289,20 @@ def ppjoin_pairs(tok: DataFrame, threshold: float) -> DataFrame:
     the dedup scale-up's dense-corpus regime); only wide dictionaries
     (shingles — collisions rare by construction) take the aggregated
     candidate-bound + verify-join machinery below."""
-    # defer the joined-relation pin until the tier is known; vocab
-    # comes from the (always-pinned) dictionary's row count — the old
-    # toki.select("tid").distinct().count() re-shuffled the full
-    # doc×token relation for a number the dictionary already is
-    toki, dict_ = _int_tokens_dict(tok, pin=False)
+    # vocab comes from the (always-pinned) dictionary's row count — the
+    # old toki.select("tid").distinct().count() re-shuffled the full
+    # doc×token relation for a number the dictionary already is. The
+    # joined relation stays pinned for EVERY tier: a tier-conditional
+    # unpin of the bitset path was tried (pin A/B showed plain l2
+    # +0.38 s for the pin) and REVERTED — composed consumers (l22
+    # curation pipeline +0.94, l90 waterfall +0.79 in the follow-up
+    # sweep) reference the pair relation more times than plain l2, and
+    # the l2 delta itself sat inside the measured ±0.5 s arm-noise
+    # floor while the composed losses did not.
+    toki, dict_ = _int_tokens_dict(tok, pin=True)
     vocab = dict_.count()
     if vocab <= 64:
-        # bitset tier: two cheap consumers — recomputing the dict join
-        # beats checkpoint write+read (pin A/B: pinning cost l2 +0.38 s)
         return _ppjoin_bitset_pairs(toki, threshold)
-    toki = ephemeral_cache(toki)
     if vocab <= PPJOIN_MASK_MAX_VOCAB:
         return _ppjoin_maskarray_pairs(toki, vocab, threshold)
     sizes = toki.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -248,16 +248,22 @@ def render() -> str:
         out.append("")
 
     sweep = _load("PERF_SWEEP.json")
-    ssec = sweep.get("steady_sec") or {}
+    # r12: rank by oneshot_sec (rebuild+execute — includes builder-time
+    # checkpoint pins) when present; steady_sec is the legacy protocol
+    ssec = sweep.get("oneshot_sec") or sweep.get("steady_sec") or {}
+    oneshot = "oneshot_sec" in sweep
     if ssec:
         out.append(
             f"#### Full-registry sweep tail (PERF_SWEEP.json, "
             f"{_stamp(sweep)})"
         )
         out.append("")
+        total_key = "total_oneshot" if oneshot else "total"
         out.append(
             f"- {len(ssec)} queries timed at {sweep.get('sf_dir', '?')}, "
-            f"total {_fmt(sweep.get('total'), 1)} s, "
+            f"total {_fmt(sweep.get(total_key), 1)} s "
+            f"({'one-shot rebuild+execute' if oneshot else 'steady'}"
+            f"{', steady total ' + str(sweep.get('total')) + ' s' if oneshot else ''}), "
             f"{len(sweep.get('errors') or {})} errors"
         )
         tail = list(ssec.items())[:5]
