@@ -1052,55 +1052,263 @@ def _with_recall(
     return res.join(F.broadcast(rec))
 
 
+def _lloyd_update_fn(cent_blocks, dim: int, dsub: int):
+    """mapInArrow kernel factory: one Lloyd assignment + partial-update
+    pass over (v: array<double>) batches.  ``cent_blocks`` is a list
+    over PQ blocks of (cids, C) — for plain k-means a single block with
+    dsub == dim.  Emits per-partition partials (block, cid, pos, qsum,
+    cnt) where qsum is the exact int64 sum of quantize9(x) over the
+    rows assigned to (block, cid) — the davg9 numerator, exactly.
+
+    Bit-exactness contract (the l20/l21/l21b oracles track codebooks
+    bit-for-bit): d2 is folded over positions IN ORDER (acc + (x-c)²,
+    one IEEE add/sub/mul chain — identical to the JVM
+    aggregate(zip_with(...)) left fold this kernel replaced), argmin
+    takes the FIRST minimum (centroids ordered by ascending cid ⇒ ties
+    to the lower cid, min_by(struct(d2, cid)) semantics), and the
+    quantization is trunc(x·1e9 ± 0.5) toward zero (int64 cast), the
+    _quantize9 algebra.  int64 partial sums are order-independent, so
+    the update is deterministic under any partitioning."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CB = [
+            (list(cids), np.asarray(C, dtype=np.float64))
+            for cids, C in cent_blocks
+        ]
+        sums = [np.zeros((len(c), dsub), dtype=np.int64) for c, _ in CB]
+        cnts = [np.zeros(len(c), dtype=np.int64) for c, _ in CB]
+        seen = False
+        for batch in batches:
+            lv = batch.column(0)
+            n = len(lv)
+            if n == 0:
+                continue
+            seen = True
+            X = lv.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            y = X * 1e9
+            Q = (y + np.where(y >= 0, 0.5, -0.5)).astype(np.int64)
+            for b, (cids, C) in enumerate(CB):
+                Xb = X[:, b * dsub : (b + 1) * dsub]
+                k = C.shape[0]
+                D = np.empty((n, k), dtype=np.float64)
+                for ci in range(k):
+                    acc = np.zeros(n, dtype=np.float64)
+                    crow = C[ci]
+                    for j in range(dsub):  # in-order fold = JVM aggregate()
+                        d = Xb[:, j] - crow[j]
+                        acc = acc + d * d
+                    D[:, ci] = acc
+                lab = np.argmin(D, axis=1)  # first min = lowest cid
+                Qb = Q[:, b * dsub : (b + 1) * dsub]
+                for ci in range(k):
+                    m = lab == ci
+                    c = int(m.sum())
+                    if c:
+                        sums[b][ci] += Qb[m].sum(axis=0, dtype=np.int64)
+                        cnts[b][ci] += c
+        if not seen:
+            return
+        ob, oc, op, oq, on = [], [], [], [], []
+        for b, (cids, _) in enumerate(CB):
+            for ci, cid in enumerate(cids):
+                if cnts[b][ci]:
+                    for pos in range(dsub):
+                        ob.append(b)
+                        oc.append(cid)
+                        op.append(pos)
+                        oq.append(int(sums[b][ci][pos]))
+                        on.append(int(cnts[b][ci]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ob, type=pa.int32()),
+                pa.array(oc, type=pa.int32()),
+                pa.array(op, type=pa.int32()),
+                pa.array(oq, type=pa.int64()),
+                pa.array(on, type=pa.int64()),
+            ],
+            ["block", "cid", "pos", "qsum", "cnt"],
+        )
+
+    return fn
+
+
+def _lloyd_assign_fn(cent_blocks, dim: int, dsub: int):
+    """mapInArrow kernel factory: assignment-only pass over
+    (vec_id, v) batches → (vec_id, block, code) rows.  Same d2 fold
+    order and first-min tie-break as _lloyd_update_fn, so the emitted
+    codes are bit-identical to the JVM min_by assignment."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        CB = [
+            (np.asarray(cids, dtype=np.int32), np.asarray(C, dtype=np.float64))
+            for cids, C in cent_blocks
+        ]
+        for batch in batches:
+            ids = batch.column(0)
+            lv = batch.column(1)
+            n = len(lv)
+            if n == 0:
+                continue
+            X = lv.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            out_b, out_code = [], []
+            for b, (cids, C) in enumerate(CB):
+                Xb = X[:, b * dsub : (b + 1) * dsub]
+                k = C.shape[0]
+                D = np.empty((n, k), dtype=np.float64)
+                for ci in range(k):
+                    acc = np.zeros(n, dtype=np.float64)
+                    crow = C[ci]
+                    for j in range(dsub):
+                        d = Xb[:, j] - crow[j]
+                        acc = acc + d * d
+                    D[:, ci] = acc
+                lab = np.argmin(D, axis=1)
+                out_b.append(np.full(n, b, dtype=np.int32))
+                out_code.append(cids[lab])
+            id_arr = ids if len(CB) == 1 else pa.concat_arrays([ids] * len(CB))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    id_arr,
+                    pa.array(np.concatenate(out_b), type=pa.int32()),
+                    pa.array(np.concatenate(out_code), type=pa.int32()),
+                ],
+                ["vec_id", "block", "code"],
+            )
+
+    return fn
+
+
+def _lloyd_assign_residual_fn(cent_blocks, dim: int):
+    """mapInArrow kernel factory for the IVFADC index build: one pass
+    over (vec_id, v) batches → (vec_id, cid, rv) where cid is the
+    nearest coarse centroid (same fold order / tie-break as
+    _lloyd_update_fn) and rv = v − c(v), the elementwise IEEE subtract
+    the JVM zip_with(v, cv, x − c) performed — bit-identical residuals
+    without the broadcast-join + argmin-groupBy + residual-join chain."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cids, C = cent_blocks[0]
+        cids = np.asarray(cids, dtype=np.int32)
+        C = np.asarray(C, dtype=np.float64)
+        k = C.shape[0]
+        for batch in batches:
+            ids = batch.column(0)
+            lv = batch.column(1)
+            n = len(lv)
+            if n == 0:
+                continue
+            X = lv.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+            D = np.empty((n, k), dtype=np.float64)
+            for ci in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                crow = C[ci]
+                for j in range(dim):
+                    d = X[:, j] - crow[j]
+                    acc = acc + d * d
+                D[:, ci] = acc
+            lab = np.argmin(D, axis=1)
+            R = X - C[lab]  # elementwise IEEE, == zip_with(v, cv, x - c)
+            offsets = pa.array(
+                np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            )
+            rv = pa.ListArray.from_arrays(
+                offsets, pa.array(R.reshape(-1), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(cids[lab], type=pa.int32()), rv],
+                ["vec_id", "cid", "rv"],
+            )
+
+    return fn
+
+
+def _lloyd_reduce(partial_rows, cent_blocks):
+    """Reduce per-partition partials to the next codebook with the
+    exact davg9 finish: mean = double(Σ quantize9(x)) / (double(count)
+    · 1e9) — the same two IEEE ops Spark's
+    sum(long).cast(double) / (count · lit(1e9)) performs.  Clusters
+    with zero assigned rows drop out, as the grouped-mean update did."""
+    acc: dict[tuple[int, int], list] = {}
+    dsub = None
+    for r in partial_rows:
+        key = (r["block"], r["cid"])
+        if key not in acc:
+            acc[key] = [{}, 0]
+        acc[key][0][r["pos"]] = acc[key][0].get(r["pos"], 0) + r["qsum"]
+        if r["pos"] == 0:
+            acc[key][1] += r["cnt"]
+    out = []
+    for b in range(len(cent_blocks)):
+        cids, cvs = [], []
+        for (bb, cid), (qs, cnt) in sorted(acc.items()):
+            if bb != b or not cnt:
+                continue
+            cv = [
+                float(qs[pos]) / (float(cnt) * 1e9)
+                for pos in sorted(qs)
+            ]
+            cids.append(cid)
+            cvs.append(cv)
+        out.append((cids, cvs))
+    return out
+
+
 def kmeans_fit(
     vecs: DataFrame, k: int = 10, max_iter: int = 10
 ) -> DataFrame:
-    """Lloyd's k-means over the embedding column, pure DataFrame ops:
-    assignment is a broadcast join + min-distance argmin, the update is
-    a posexplode + grouped mean. Deterministic: init centroids are the
-    k lowest vec_ids, iteration count fixed, distances tie-broken by
-    centroid id. localCheckpoint truncates the iterative lineage (same
-    pattern as l18's connected components).
+    """Lloyd's k-means over the embedding column — mapInArrow NumPy
+    kernel (r13, guide §4.2): each iteration is ONE Arrow pass over the
+    pinned vectors emitting per-partition (cid, pos, Σquantize9(x),
+    count) partials (k·dim·P tiny rows — model-sized, not data-sized),
+    reduced driver-side with the exact davg9 algebra.  This replaced a
+    per-iteration broadcast-join + posexplode + two grouped aggs + an
+    eager checkpoint (~0.4 s fixed floor per iteration at any SF).
 
-    Returns (cid, cv: array<double>) — the trained codebook. At 100 TB
-    each iteration is one broadcast of k·dim doubles plus one shuffle
-    of (cid, dim) partial sums — the canonical distributed k-means."""
-    vecs = vecs.select("vec_id", "v").localCheckpoint(eager=True)
-    cent = (
-        vecs.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
-            F.col("v").alias("cv"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    Deterministic and BIT-IDENTICAL to the previous DataFrame loop (the
+    l20/l21b oracles track the codebook bit-for-bit): init centroids
+    are the k lowest vec_ids, d2 folds positions in order, ties break
+    to the lower cid, update means are davg9-quantized — see
+    _lloyd_update_fn for the exact-IEEE correspondence.
+
+    Returns (cid, cv: array<double>) as a driver-local relation (k·dim
+    doubles — broadcast-sized by construction).  At 100 TB each
+    iteration is one data pass + a P·k·dim partial collect, the
+    canonical distributed k-means (MLlib's shape).
+
+    The input is deliberately NOT pinned (r13): both callers hand a
+    parquet projection, so each pass re-reads just the embedding
+    column — cheaper locally than materializing an input-sized
+    checkpoint (A/B below) and the only fault-tolerant posture at
+    100 TB, where an input-sized localCheckpoint must not exist."""
+    spark = vecs.sparkSession
+    vecs = vecs.select("vec_id", "v")
+    init = vecs.orderBy("vec_id").limit(k).collect()
+    init = sorted(init, key=lambda r: r["vec_id"])
+    dim = len(init[0]["v"])
+    cent_blocks = [(
+        list(range(1, len(init) + 1)),
+        [list(r["v"]) for r in init],
+    )]
+    vonly = vecs.select("v")
     for _ in range(max_iter):
-        assigned = (
-            vecs.join(F.broadcast(cent))
-            .select("vec_id", "v", "cid", d2.alias("d2"))
-            .groupBy("vec_id", "v")
-            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-        )
-        cent = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            # engine-identical 1e-9-quantized mean (davg9): the update
-            # step must produce the same doubles in any engine so the
-            # unrolled SQL oracle (l20) tracks the fit bit-for-bit
-            # (decimal-cast means drift ~1e-14 across engines)
-            .agg(davg9(F.col("x").cast("double")).alias("c"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("cid", F.transform("pc", lambda s: s["c"]).alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    return cent
+        partials = vonly.mapInArrow(
+            _lloyd_update_fn(cent_blocks, dim, dim),
+            "block int, cid int, pos int, qsum long, cnt long",
+        ).collect()
+        cent_blocks = _lloyd_reduce(partials, cent_blocks)
+    cids, cvs = cent_blocks[0]
+    return spark.createDataFrame(
+        [(int(c), v) for c, v in zip(cids, cvs)], "cid int, cv array<double>"
+    )
 
 
 def _l20_oracle(k: int = 10, iters: int = 5) -> str:
@@ -1249,62 +1457,67 @@ PQ_RERANK = 100  # exact re-rank depth
 
 
 def pq_train_encode(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train per-block PQ codebooks and encode the corpus.
-
-    All M block codebooks train SIMULTANEOUSLY in one grouped k-means:
-    explode each vector into (vec_id, block, subv) rows once, then every
-    Lloyd iteration is a single broadcast-join assignment plus one
-    grouped-mean update over ALL blocks — M× fewer passes than training
-    blocks one at a time.  Deterministic: init centroids are the K
-    lowest vec_ids' subvectors, fixed iteration count, ties broken on
-    centroid id (same conventions as kmeans_fit).
+    """Train per-block PQ codebooks and encode the corpus — mapInArrow
+    NumPy kernel (r13, guide §4.2): all M block codebooks train
+    SIMULTANEOUSLY in each Arrow pass (the kernel slices the full
+    vector into M subvectors in-memory — no posexplode relation, no
+    per-iteration broadcast join + grouped mean + eager checkpoint),
+    partials reduce driver-side with the exact davg9 algebra, and the
+    final encoding is one assignment-only Arrow pass against the
+    penultimate codebook (exactly the relation the old loop's last
+    `assigned` was).  Deterministic and BIT-IDENTICAL to the previous
+    DataFrame loop — the l21/l21b unrolled SQL oracles track the
+    codebooks bit-for-bit (see _lloyd_update_fn).
 
     Returns (codebook: (block, cid, cv), codes: (vec_id, block, code)).
     At 100 TB the codes table is the persisted index — M bytes per
     vector instead of 4·dim — and the codebook is a K·M·(dim/M) float
-    broadcast."""
-    sub = F.expr(
-        f"transform(sequence(0, {PQ_BLOCKS - 1}), b -> named_struct("
-        f"'block', b, 'sv', slice(v, b * (size(v) div {PQ_BLOCKS}) + 1,"
-        f" size(v) div {PQ_BLOCKS})))"
+    broadcast; each training pass collects only P·M·K·(dim/M)
+    model-sized partials.
+
+    Input contract (r13, no internal pin): callers hand either a cheap
+    re-scannable projection (l21 — a parquet column read per pass) or
+    an already-pinned relation (l21b's residuals) — pinning here again
+    would materialize an input-sized checkpoint twice."""
+    spark = vecs.sparkSession
+    vecs = vecs.select("vec_id", "v")
+    init = sorted(
+        vecs.orderBy("vec_id").limit(PQ_K).collect(),
+        key=lambda r: r["vec_id"],
     )
-    blocks = (
-        vecs.select("vec_id", F.explode(sub).alias("s"))
-        .select("vec_id", "s.block", "s.sv")
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("block").orderBy("vec_id")
-    cent = (
-        blocks.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PQ_K)
-        .select("block", F.col("rn").alias("cid"), F.col("sv").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = None
+    dim = len(init[0]["v"])
+    dsub = dim // PQ_BLOCKS
+    cent_blocks = [
+        (
+            list(range(1, len(init) + 1)),
+            [list(r["v"][b * dsub : (b + 1) * dsub]) for r in init],
+        )
+        for b in range(PQ_BLOCKS)
+    ]
+    vonly = vecs.select("v")
+    prev = cent_blocks
     for _ in range(PQ_ITERS):
-        assigned = (
-            blocks.join(F.broadcast(cent), "block")
-            .select("vec_id", "block", "sv", "cid", d2.alias("d2"))
-            .groupBy("vec_id", "block", "sv")
-            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-        )
-        cent = (
-            assigned.select("block", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("block", "cid", "pos")
-            # davg9 quantized means — engine-identical, so the l21
-            # unrolled SQL oracle tracks the codebooks bit-for-bit
-            .agg(davg9(F.col("x").cast("double")).alias("c"))
-            .groupBy("block", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("block", "cid", F.transform("pc", lambda s: s["c"]).alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    codes = assigned.select("vec_id", "block", F.col("cid").alias("code"))
+        prev = cent_blocks
+        partials = vonly.mapInArrow(
+            _lloyd_update_fn(cent_blocks, dim, dsub),
+            "block int, cid int, pos int, qsum long, cnt long",
+        ).collect()
+        cent_blocks = _lloyd_reduce(partials, cent_blocks)
+    cent = spark.createDataFrame(
+        [
+            (b, int(cid), cv)
+            for b, (cids, cvs) in enumerate(cent_blocks)
+            for cid, cv in zip(cids, cvs)
+        ],
+        "block int, cid int, cv array<double>",
+    )
+    # codes come from the LAST assignment (against the penultimate
+    # codebook) while the returned codebook is post-update — exactly
+    # as the old loop left them.
+    codes = vecs.mapInArrow(
+        _lloyd_assign_fn(prev, dim, dsub),
+        "vec_id long, block int, code int",
+    )
     return cent, codes
 
 
@@ -1497,35 +1710,33 @@ def ivfpq_index(corpus: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, Dat
 
     Scale shape: the persisted index is assigned ⋈ codes — one int +
     M bytes per vector, partitionable by list id; both codebooks are
-    tiny broadcasts. Training is Lloyd iterations of broadcast-join +
-    grouped mean (kmeans_fit / pq_train_encode), never an all-pairs."""
+    tiny broadcasts. Training is Lloyd Arrow passes (kmeans_fit /
+    pq_train_encode), never an all-pairs.  r13: the coarse assignment
+    and the residual computation fuse into ONE Arrow pass
+    (_lloyd_assign_residual_fn) whose pinned output feeds both the
+    probe membership join and the residual-PQ training — replacing a
+    broadcast-join + argmin-groupBy + residual-join chain (bit-exact;
+    the l21b oracle's strict hash pins it).  Pin size note: rows ∝
+    corpus docs (vec_id + cid + dim doubles) — input-sized, reused by
+    4 PQ training passes + encode + membership; at 100 TB write the
+    index to storage instead (it IS the persisted artifact)."""
     coarse = kmeans_fit(corpus, k=IVFPQ_NLISTS, max_iter=3)
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        corpus.join(F.broadcast(coarse))
-        .select("vec_id", "v", "cid", d2.alias("d2"))
-        .groupBy("vec_id", "v")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-        # pinned (r12): consumed by the residual encoder AND the probe
-        # membership join — without it the corpus-wide assignment
-        # (broadcast join + argmin groupBy) re-executes per consumer
-        .localCheckpoint(eager=True)
-    )
-    residuals = (
-        assigned.join(F.broadcast(coarse), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            F.zip_with("v", "cv", lambda x, c: x - c).alias("v"),
+    crows = sorted(coarse.collect(), key=lambda r: r["cid"])
+    cent_blocks = [(
+        [int(r["cid"]) for r in crows],
+        [list(r["cv"]) for r in crows],
+    )]
+    dim = len(crows[0]["cv"])
+    assigned_res = ephemeral_cache(
+        corpus.select("vec_id", "v").mapInArrow(
+            _lloyd_assign_residual_fn(cent_blocks, dim),
+            "vec_id long, cid int, rv array<double>",
         )
-        .localCheckpoint(eager=True)
     )
-    pq_codebook, codes = pq_train_encode(residuals.select("vec_id", "v"))
-    return coarse, assigned.select("vec_id", "cid"), pq_codebook, codes
+    pq_codebook, codes = pq_train_encode(
+        assigned_res.select("vec_id", F.col("rv").alias("v"))
+    )
+    return coarse, assigned_res.select("vec_id", "cid"), pq_codebook, codes
 
 
 def _l21b_oracle() -> str:
